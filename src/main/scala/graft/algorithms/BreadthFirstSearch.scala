@@ -1,0 +1,75 @@
+package graft.algorithms
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Columns, Graph}
+
+/** Multi-source / multi-target breadth-first search with an edge filter
+  * (reference: algorithms/bfs.py:14-69).
+  *
+  * Returns one row per (start, end, edge-id path, vertex path) found at the
+  * *first* depth where any end vertex is reached. Cycle prevention is by
+  * edge reuse (paths are walks without repeated edges), matching the
+  * reference. Undirected graphs traverse the symmetric edge closure.
+  *
+  * Hardening vs the reference: the frontier is `localCheckpoint`ed per hop
+  * (the reference's plan grows by one join per hop with no persistence).
+  */
+final case class BreadthFirstSearch(
+    startExpr: Column,
+    endExpr: Column,
+    edgeExpr: Column = lit(true),
+    maxIterations: Int = 10) {
+  import Columns._
+
+  val resultSchema: StructType = StructType(Seq(
+    StructField(START, LongType, nullable = false),
+    StructField(END, LongType, nullable = false),
+    StructField(EDGES, ArrayType(LongType, containsNull = false), nullable = false),
+    StructField(VERTICES, ArrayType(LongType, containsNull = false), nullable = false)))
+
+  private val HORIZON = "horizon"
+
+  def run(g: Graph): DataFrame = {
+    val spark = g.vertices.sparkSession
+    def empty: DataFrame =
+      spark.createDataFrame(new java.util.ArrayList[Row](), resultSchema)
+
+    val edges =
+      (if (g.directed) g.edges else g.symmetricEdges).filter(edgeExpr)
+    val start = g.vertices.filter(startExpr)
+    val end = g.vertices.filter(endExpr)
+
+    // trivial-empty short-circuit (bfs.py:43-44)
+    if (start.isEmpty || edges.isEmpty || end.isEmpty) return empty
+
+    var paths = start.select(
+      col(ID).as(START),
+      col(ID).as(HORIZON),
+      array().cast(ArrayType(LongType, containsNull = false)).as(EDGES),
+      array(col(ID)).as(VERTICES))
+
+    var i = 0
+    while (i < maxIterations) {
+      // reached an end vertex, or ran out of paths?
+      val result = paths.join(end, paths(HORIZON) === end(ID))
+      if (!result.isEmpty || paths.isEmpty) {
+        return result.select(col(START), col(ID).as(END), col(EDGES), col(VERTICES))
+      }
+      // extend the horizon by one hop, refusing to reuse an edge
+      paths = paths
+        .join(edges, edges(SRC) === paths(HORIZON) &&
+          !array_contains(paths(EDGES), edges(EDGE_ID)))
+        .select(
+          col(START),
+          col(DST).as(HORIZON),
+          array_append(col(EDGES), col(EDGE_ID)).as(EDGES),
+          array_append(col(VERTICES), col(DST)).as(VERTICES))
+        .localCheckpoint()
+      i += 1
+    }
+    empty // max_iterations exhausted (bfs.py:63-65)
+  }
+}

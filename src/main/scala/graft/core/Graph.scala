@@ -1,0 +1,141 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Property graph as two DataFrames (vertices + edges) with derived views.
+  *
+  * Re-expression of the reference's pyspark_graph/graph.py:20-133, with two
+  * deliberate changes for 100 TB soundness:
+  *
+  *  - Surrogate ids are assigned with `xxhash64(old id)` instead of
+  *    `monotonically_increasing_id()` (graph.py:56,63). The reference's ids
+  *    are partition-dependent and can change under task retry / lineage
+  *    recomputation; a content hash is deterministic, requires no shuffle
+  *    and no driver coordination, and keeps edge re-keying join-free
+  *    (membership is enforced with cheap semi joins instead of two wide
+  *    inner joins).
+  *  - The class is immutable: `withVertexColumn` returns a new Graph
+  *    (the reference mutates in place, graph.py:124-133).
+  *
+  * A `Graph(vertices, edges, directed)` is assumed indexed (LONG `id`,
+  * `src`, `dst`, `edge_id`); build one from raw frames with `Graph.index`.
+  */
+final case class Graph(vertices: DataFrame, edges: DataFrame, directed: Boolean = true) {
+  import Columns._
+
+  private def spark = vertices.sparkSession
+
+  /** Adjacency-list view `id -> set(neighbour ids)` (graph.py:82-93).
+    * Undirected graphs union reversed edges first; isolated vertices are
+    * kept with an empty array. Memoized like the reference's
+    * `cached_property` (plan only — call `.cache()` on it for data reuse).
+    */
+  lazy val adjacency: DataFrame = {
+    val fwd = edges.select(col(SRC), col(DST))
+    val connected =
+      if (directed) fwd
+      else fwd.union(edges.select(col(DST).as(SRC), col(SRC).as(DST)))
+    val grouped = connected
+      .groupBy(col(SRC).as(ID))
+      .agg(collect_set(col(DST)).as(ADJ))
+    val isolated = vertices
+      .select(col(ID), array().cast("array<bigint>").as(ADJ))
+      .join(grouped, Seq(ID), "left_anti")
+    grouped.unionByName(isolated)
+  }
+
+  /** graph.py:96-97 */
+  def outDegrees: DataFrame =
+    edges.groupBy(col(SRC).as(ID)).agg(count(lit(1)).as(OUT_DEGREE))
+
+  /** graph.py:100-101 */
+  def inDegrees: DataFrame =
+    edges.groupBy(col(DST).as(ID)).agg(count(lit(1)).as(IN_DEGREE))
+
+  /** graph.py:104-108. Faithful to the reference: the directed branch is
+    * out-degrees (isolated vertices absent); the undirected branch counts
+    * distinct neighbours and includes isolated vertices.
+    */
+  def degrees: DataFrame =
+    if (directed) outDegrees.withColumnRenamed(OUT_DEGREE, DEGREE)
+    else adjacency.select(col(ID), size(col(ADJ)).cast("long").as(DEGREE))
+
+  /** Edge rows widened with prefixed src- and dst-vertex attributes
+    * (graph.py:110-122).
+    */
+  def triplets(srcVertexPrefix: String, dstVertexPrefix: String): DataFrame = {
+    val srcV = vertices.toDF(vertices.columns.map(srcVertexPrefix + _).toIndexedSeq: _*)
+    val dstV = vertices.toDF(vertices.columns.map(dstVertexPrefix + _).toIndexedSeq: _*)
+    edges
+      .join(srcV, edges(SRC) === srcV(srcVertexPrefix + ID))
+      .join(dstV, edges(DST) === dstV(dstVertexPrefix + ID))
+  }
+
+  /** graph.py:124-133, made immutable. */
+  def withVertexColumn(name: String, value: Column): Graph =
+    copy(vertices = vertices.withColumn(name, value))
+
+  /** Edges plus their reversals, deduplicated — the undirected-traversal
+    * simulation used by BFS (bfs.py:34-36).
+    */
+  def symmetricEdges: DataFrame =
+    edges
+      .union(edges.withColumns(Map(SRC -> col(DST), DST -> col(SRC))))
+      .distinct()
+
+  /** Truncate lineage and materialize both frames — call before iterative
+    * algorithms so the (nondeterministic-plan) inputs are pinned and every
+    * superstep re-reads materialized blocks instead of re-running the scan.
+    */
+  def localCheckpointed(): Graph =
+    copy(vertices = vertices.localCheckpoint(), edges = edges.localCheckpoint())
+}
+
+object Graph {
+  import Columns._
+
+  /** Build an indexed graph from raw frames (graph.py:42-66):
+    * dedup both frames, replace user ids of any type with surrogate LONG
+    * ids, keep the originals as `old_id`/`old_src`/`old_dst`, re-key edges,
+    * drop edges whose endpoints are missing from the vertex table (the
+    * reference's inner-join semantics), and assign each edge a LONG
+    * `edge_id`.
+    */
+  def index(vertices: DataFrame, edges: DataFrame, directed: Boolean = true): Graph = {
+    require(!vertices.columns.contains(OLD_ID),
+      s"vertices dataframe already contains a column $OLD_ID")
+    require(!edges.columns.contains(OLD_SRC),
+      s"edges dataframe already contains a column $OLD_SRC")
+    require(!edges.columns.contains(OLD_DST),
+      s"edges dataframe already contains a column $OLD_DST")
+
+    val v = vertices.distinct()
+      .withColumnRenamed(ID, OLD_ID)
+      .withColumn(ID, surrogateId(col(OLD_ID)))
+
+    val renamed = edges.distinct()
+      .withColumnsRenamed(Map(SRC -> OLD_SRC, DST -> OLD_DST))
+    val attrCols = renamed.columns.toIndexedSeq
+    val keyed = renamed
+      .withColumn(SRC, surrogateId(col(OLD_SRC)))
+      .withColumn(DST, surrogateId(col(OLD_DST)))
+      // inner-join drop semantics (graph.py:60-63) without carrying vertex
+      // attributes through a wide join
+      .join(v.select(col(ID).as(SRC)), Seq(SRC), "left_semi")
+      .join(v.select(col(ID).as(DST)), Seq(DST), "left_semi")
+    val e = keyed.select(
+      (xxhash64(attrCols.map(col): _*)).as(EDGE_ID) +:
+        col(SRC) +: col(DST) +: attrCols.map(col): _*)
+
+    Graph(v, e, directed)
+  }
+
+  /** Deterministic surrogate id: content hash of the original id.
+    * Unlike `monotonically_increasing_id()` it is stable across
+    * recomputation, retries and sessions, and lets edges be re-keyed
+    * without joining through the vertex table.
+    */
+  private def surrogateId(oldId: Column): Column =
+    xxhash64(oldId.cast("string"))
+}
