@@ -39,8 +39,10 @@ final case class ConnectedComponents(maxIterations: Int = 10) {
   *
   * Two hardening changes vs the reference:
   *  - per-round `localCheckpoint` (the reference's edge plan grows per round);
-  *  - convergence is detected with a (count, hash-sum) fingerprint of the
-  *    edge set instead of `sum(dst)` alone (collision-prone).
+  *  - convergence is detected with a (count, xor-of-hashes) fingerprint of
+  *    the edge set instead of `sum(dst)` alone (collision-prone, and a long
+  *    sum overflows under ANSI mode; xor over a distinct set is exact,
+  *    order-independent and constant-size).
   */
 final case class AlternatingConnectedComponents(maxIterations: Int = 10) {
   import Columns._
@@ -84,7 +86,7 @@ final case class AlternatingConnectedComponents(maxIterations: Int = 10) {
     while (i < maxIterations && !converged) {
       edges = smallStar(largeStar(edges)).distinct().localCheckpoint()
       val fp = edges
-        .agg(count(lit(1)), sum(xxhash64(col(SRC), col(DST))))
+        .agg(count(lit(1)), bit_xor(xxhash64(col(SRC), col(DST))))
         .head()
       val cur = (fp.getLong(0), if (fp.isNullAt(1)) 0L else fp.getLong(1))
       converged = cur == prev

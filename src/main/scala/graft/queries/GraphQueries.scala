@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Columns, Graph}
+import graft.algorithms._
+import graft.datalog.{DatalogQuery, EdgeRule, VertexRule}
+
+/** Graph-operator queries over graphs derived from the TPC-H-ish testdata,
+  * each paired (where SQL-expressible) with a DuckDB oracle.
+  *
+  * Graphs used:
+  *  - supplier–part graph: `(l_suppkey, l_partkey % 97)` from lineitem —
+  *    dense, triangle-rich (id-space overlap makes it non-bipartite);
+  *  - orders graph: `(o_custkey, o_orderkey % 211)` — mid-size, used for
+  *    degree views;
+  *  - region stars: nation -> (1000 + regionkey) — analytic components;
+  *  - nation chain: k -> k+1 (or reversed) — analytic paths/distances;
+  *  - customer hierarchy: (custkey+10000) -> nationkey -> (1000+regionkey).
+  *
+  * Queries whose outputs must hash-match SQL construct the graph through
+  * the already-indexed path (real keys as LONG ids, the reference's
+  * `indexed=True`, graph.py:39-40); `Graph.index`'s surrogate-id path is
+  * exercised by the id-invariant triangle count and by the unit specs.
+  */
+object GraphQueries {
+  import Columns._
+  import Tables._
+
+  /** Direct construction from already-LONG ids (reference indexed=True). */
+  private def indexedGraph(vertices: DataFrame, edges: DataFrame, directed: Boolean): Graph =
+    Graph(
+      vertices,
+      edges.withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+      directed)
+
+  private def vertsOf(edges: DataFrame): DataFrame =
+    edges.select(col(SRC).as(ID)).union(edges.select(col(DST).as(ID))).distinct()
+
+  // ---- graph builders -----------------------------------------------------
+
+  private def suppPartEdges(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_suppkey").as(SRC), pmod(col("l_partkey"), lit(97)).as(DST))
+      .distinct()
+
+  private def ordersEdges(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_custkey").as(SRC), pmod(col("o_orderkey"), lit(211)).as(DST))
+      .distinct()
+
+  private def starGraph(s: SparkSession, d: String): Graph = {
+    val e = nation(s, d).select(
+      col("n_nationkey").cast("long").as(SRC),
+      (col("n_regionkey").cast("long") + 1000L).as(DST))
+    indexedGraph(vertsOf(e), e, directed = false)
+  }
+
+  /** nation chain 0 -> 1 -> ... -> 24 */
+  private def chainGraph(s: SparkSession, d: String): Graph = {
+    val n = nation(s, d).select(col("n_nationkey").cast("long").as(ID))
+    val e = n.filter(col(ID) < 24).select(col(ID).as(SRC), (col(ID) + 1L).as(DST))
+    indexedGraph(n, e, directed = true)
+  }
+
+  /** customer -> nation -> region two-level hierarchy, vertex attr `weight` = id */
+  private def hierarchyGraph(s: SparkSession, d: String): Graph = {
+    val e = customer(s, d).select(
+        (col("c_custkey") + 10000L).as(SRC),
+        col("c_nationkey").cast("long").as(DST))
+      .union(nation(s, d).select(
+        col("n_nationkey").cast("long"),
+        col("n_regionkey").cast("long") + 1000L))
+      .distinct()
+    val v = vertsOf(e).withColumn("weight", col(ID))
+    indexedGraph(v, e, directed = true)
+  }
+
+  // ---- queries ------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q08_triangles" -> ((s, d) => {
+      import s.implicits._
+      val e = suppPartEdges(s, d)
+      // full surrogate-id indexing path; triangle count is id-invariant
+      val g = Graph.index(
+        vertsOf(e).withColumnRenamed(ID, "id"),
+        e, directed = false)
+      Seq(TriangleCount().run(g)).toDF("n_triangles")
+    }),
+
+    "g01_degrees" -> ((s, d) => {
+      val e = ordersEdges(s, d)
+      indexedGraph(vertsOf(e), e, directed = true)
+        .outDegrees
+    }),
+
+    "g02_degrees_undirected" -> ((s, d) => {
+      val e = ordersEdges(s, d)
+      val v = customer(s, d).select(col("c_custkey").as(ID))
+        .union(e.select(col(SRC))).union(e.select(col(DST))).distinct()
+      indexedGraph(v, e, directed = false).degrees
+    }),
+
+    "g03_cc_pregel" -> ((s, d) =>
+      ConnectedComponents(maxIterations = 10).run(starGraph(s, d))),
+
+    "g04_cc_alternating" -> ((s, d) => {
+      val g = starGraph(s, d)
+      val cc = AlternatingConnectedComponents(maxIterations = 10).run(g)
+      // AltCC labels only vertices present in the edge list; vertices that
+      // never appear (isolated) — and possibly representatives — label
+      // themselves
+      g.vertices.select(col(ID))
+        .join(cc, Seq(ID), "left")
+        .select(col(ID), coalesce(col(COMPONENT), col(ID)).as(COMPONENT))
+    }),
+
+    "g05_bfs_chain" -> ((s, d) =>
+      BreadthFirstSearch(
+        startExpr = col(ID) === 0L,
+        endExpr = col(ID) === 8L,
+        maxIterations = 10)
+        .run(chainGraph(s, d))
+        .select(col(START), col(END), size(col(EDGES)).cast("long").as("path_len"))),
+
+    "g07_jaccard" -> ((s, d) =>
+      JaccardSimilarity().run(starGraph(s, d))),
+
+    "g13_overlap" -> ((s, d) =>
+      OverlapCoefficient().run(starGraph(s, d))),
+
+    "g08_wl_hash" -> ((s, d) => {
+      import s.implicits._
+      Seq(WLKernel(maxIterations = 3).run(starGraph(s, d))).toDF("wl_hash")
+    }),
+
+    "g09_katz" -> ((s, d) =>
+      KatzIndex(beta = 0.5, maxIterations = 4).run(chainGraph(s, d))),
+
+    "g10_datalog" -> ((s, d) =>
+      DatalogQuery(
+        projection = Seq(col("a"), col("b"), col("c")),
+        premises = Seq(
+          VertexRule("a", condition = col(ID) >= 10000L),
+          EdgeRule("a", "b"),
+          EdgeRule("b", "c")),
+        negatedPremises = Seq(EdgeRule("a", "c")))
+        .apply(hierarchyGraph(s, d))),
+
+    "g11_aggregate_messages" -> ((s, d) =>
+      AggregateMessages(
+        agg = sum(col(MSG)),
+        toDst = Some(AggregateMessages.srcCol("weight")))
+        .run(hierarchyGraph(s, d))),
+
+    "g12_shortest_paths" -> ((s, d) => {
+      // reversed chain: k -> k-1, so every vertex reaches landmark 0
+      val n = nation(s, d).select(col("n_nationkey").cast("long").as(ID))
+      val e = n.filter(col(ID) > 0).select(col(ID).as(SRC), (col(ID) - 1L).as(DST))
+      val g = indexedGraph(n, e, directed = true)
+      ShortestPaths(landmarks = Seq(0L), maxIterations = 30)
+        .run(g)
+        .select(col(ID), explode(col("distances")).as(Seq("landmark", "dist")))
+    }),
+
+    "g06_label_propagation" -> ((s, d) => {
+      // rows-only check: LP label churn is algorithm-defined, not SQL-oracle
+      val e = suppPartEdges(s, d)
+      LabelPropagation(maxIterations = 5)
+        .run(indexedGraph(vertsOf(e), e, directed = false))
+    }))
+
+  private val suppPartEdgesSql =
+    """SELECT DISTINCT l_suppkey AS src, l_partkey % 97 AS dst FROM lineitem"""
+
+  private val ordersEdgesSql =
+    """SELECT DISTINCT o_custkey AS src, o_orderkey % 211 AS dst FROM orders"""
+
+  private val starEdgesSql =
+    """SELECT CAST(n_nationkey AS BIGINT) AS src,
+      | CAST(n_regionkey + 1000 AS BIGINT) AS dst FROM nation""".stripMargin
+
+  private val hierarchyEdgesSql =
+    """SELECT CAST(c_custkey + 10000 AS BIGINT) AS src,
+      |  CAST(c_nationkey AS BIGINT) AS dst FROM customer
+      |UNION
+      |SELECT CAST(n_nationkey AS BIGINT),
+      |  CAST(n_regionkey + 1000 AS BIGINT) FROM nation""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q08_triangles" ->
+      s"""WITH raw AS ($suppPartEdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+         |      FROM raw WHERE src <> dst)
+         |SELECT count(*) AS n_triangles
+         |FROM e e1
+         |JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+         |JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst""".stripMargin,
+    "g01_degrees" ->
+      s"""WITH e AS ($ordersEdgesSql)
+         |SELECT src AS id, count(*) AS out_degree FROM e GROUP BY src""".stripMargin,
+    "g02_degrees_undirected" ->
+      s"""WITH e AS ($ordersEdgesSql),
+         |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |v AS (SELECT c_custkey AS id FROM customer
+         |      UNION SELECT src FROM e UNION SELECT dst FROM e)
+         |SELECT v.id AS id, count(sym.dst) AS degree
+         |FROM v LEFT JOIN sym ON v.id = sym.src GROUP BY v.id""".stripMargin,
+    "g03_cc_pregel" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        | CAST((SELECT min(n2.n_nationkey) FROM nation n2
+        |        WHERE n2.n_regionkey = n1.n_regionkey) AS BIGINT) AS component
+        |FROM nation n1
+        |UNION ALL
+        |SELECT CAST(r_regionkey + 1000 AS BIGINT),
+        | CAST((SELECT min(n_nationkey) FROM nation
+        |        WHERE n_regionkey = r_regionkey) AS BIGINT)
+        |FROM region""".stripMargin,
+    "g04_cc_alternating" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        | CAST((SELECT min(n2.n_nationkey) FROM nation n2
+        |        WHERE n2.n_regionkey = n1.n_regionkey) AS BIGINT) AS component
+        |FROM nation n1
+        |UNION ALL
+        |SELECT CAST(r_regionkey + 1000 AS BIGINT),
+        | CAST((SELECT min(n_nationkey) FROM nation
+        |        WHERE n_regionkey = r_regionkey) AS BIGINT)
+        |FROM region""".stripMargin,
+    "g05_bfs_chain" ->
+      """SELECT CAST(0 AS BIGINT) AS start, CAST(8 AS BIGINT) AS "end",
+        | CAST(8 AS BIGINT) AS path_len
+        |FROM nation WHERE n_nationkey = 0""".stripMargin,
+    "g07_jaccard" ->
+      s"""WITH e AS ($starEdgesSql),
+         |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |adj AS (SELECT src AS id, list(DISTINCT dst) AS nbrs FROM sym GROUP BY src)
+         |SELECT a.id AS vertex_a, b.id AS vertex_b,
+         | CAST(len(list_intersect(a.nbrs, b.nbrs)) AS DOUBLE)
+         |   / len(list_distinct(list_concat(a.nbrs, b.nbrs))) AS jaccard_similarity
+         |FROM adj a JOIN adj b ON a.id <> b.id""".stripMargin,
+    "g13_overlap" ->
+      s"""WITH e AS ($starEdgesSql),
+         |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |adj AS (SELECT src AS id, list(DISTINCT dst) AS nbrs FROM sym GROUP BY src)
+         |SELECT a.id AS vertex_a, b.id AS vertex_b,
+         | CAST(len(list_intersect(a.nbrs, b.nbrs)) AS DOUBLE)
+         |   / least(len(a.nbrs), len(b.nbrs)) AS overlap_coefficient
+         |FROM adj a JOIN adj b ON a.id <> b.id""".stripMargin,
+    "g09_katz" ->
+      """WITH a1 AS (SELECT CAST(n_nationkey AS BIGINT) AS row,
+        |                   CAST(n_nationkey + 1 AS BIGINT) AS col,
+        |                   CAST(1.0 AS DOUBLE) AS val
+        |            FROM nation WHERE n_nationkey < 24),
+        |a2 AS (SELECT a.row, b.col, sum(a.val * b.val) AS val
+        |       FROM a1 a JOIN a1 b ON a.col = b.row GROUP BY a.row, b.col),
+        |a3 AS (SELECT a.row, b.col, sum(a.val * b.val) AS val
+        |       FROM a2 a JOIN a1 b ON a.col = b.row GROUP BY a.row, b.col),
+        |a4 AS (SELECT a.row, b.col, sum(a.val * b.val) AS val
+        |       FROM a3 a JOIN a1 b ON a.col = b.row GROUP BY a.row, b.col)
+        |SELECT row AS src, col AS dst, sum(val) AS katz_index FROM (
+        |  SELECT row, col, 0.5 * val AS val FROM a1
+        |  UNION ALL SELECT row, col, 0.25 * val FROM a2
+        |  UNION ALL SELECT row, col, 0.125 * val FROM a3
+        |  UNION ALL SELECT row, col, 0.0625 * val FROM a4)
+        |GROUP BY row, col""".stripMargin,
+    "g10_datalog" ->
+      s"""WITH e AS ($hierarchyEdgesSql)
+         |SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |FROM e e1 JOIN e e2 ON e1.dst = e2.src
+         |WHERE e1.src >= 10000
+         |  AND NOT EXISTS (SELECT 1 FROM e e3
+         |                  WHERE e3.src = e1.src AND e3.dst = e2.dst)""".stripMargin,
+    "g11_aggregate_messages" ->
+      s"""WITH e AS ($hierarchyEdgesSql)
+         |SELECT dst AS id, sum(src) AS message FROM e GROUP BY dst""".stripMargin,
+    "g12_shortest_paths" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id, CAST(0 AS BIGINT) AS landmark,
+        | CAST(n_nationkey AS INTEGER) AS dist
+        |FROM nation""".stripMargin)
+}
