@@ -11,10 +11,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ GraphQueries.queries
+    RelationalQueries.queries ++ GraphQueries.queries ++
+      DocQueries.queries ++ EmbQueries.queries ++ EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ GraphQueries.oracle
+    RelationalQueries.oracle ++ GraphQueries.oracle ++
+      DocQueries.oracle ++ EmbQueries.oracle ++ EventQueries.oracle
 }

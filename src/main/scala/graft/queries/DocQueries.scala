@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextFunctions
+
+/** Training-data pipeline queries over the `documents` table: dedup
+  * (exact, MinHash LSH, SimHash, exact n-gram Jaccard), text analysis
+  * (token counts, quality, language ID, fingerprints).
+  *
+  * Oracle notes: DuckDB replicates tokenization with
+  * `string_split(text, ' ')` + list lambdas and shingles with a list
+  * comprehension; hash-based operators (MinHash, SimHash, winnowing) have
+  * no cross-engine hash and get rows-only checks — their *verification*
+  * step (exact Jaccard) is itself oracle-checked via d04.
+  */
+object DocQueries {
+  import Tables._
+  import TextFunctions._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> ((s, d) =>
+      Dedup.exactGroups(documents(s, d), "doc_id", "text")
+        .select(col("keep_id"), col("n_copies"))),
+
+    "d02_minhash_dedup" -> ((s, d) =>
+      Dedup.minhashDuplicates(documents(s, d), "doc_id", "text",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    "d03_simhash_dedup" -> ((s, d) =>
+      Dedup.simhashDuplicates(documents(s, d), "doc_id", "text", maxDist = 3)),
+
+    "d04_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text",
+        shingleSize = 3, threshold = 0.4)),
+
+    "t01_text_stats" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        subwordCountEstimate(col("text")).as("n_subwords"),
+        punctCount(col("text")).as("n_punct"),
+        stopwordCount(col("text"), DefaultStopwords).as("n_stopwords"))),
+
+    "t02_quality" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        qualityScore(col("text")).as("quality"))),
+
+    "t03_langid" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        langScore(col("text"), "en").as("s_en"),
+        langScore(col("text"), "de").as("s_de"),
+        langScore(col("text"), "es").as("s_es"),
+        langScore(col("text"), "fr").as("s_fr"),
+        langId(col("text")).as("predicted"))),
+
+    "t04_fingerprint" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        fingerprint(col("text")).as("sha256"))),
+
+    "t05_winnow" -> ((s, d) =>
+      // rows-only: winnowing fingerprint sizes (xxhash64 has no DuckDB twin)
+      documents(s, d).select(
+        col("doc_id"),
+        size(winnow(tokens(col("text")), 3, 4)).as("n_fingerprints"))))
+
+  /** DuckDB-side tokenization mirroring TextFunctions.tokens. */
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** DuckDB-side 3-gram shingle set (distinct). */
+  private val shinglesSql =
+    s"""list_distinct(CASE WHEN len(t) >= 3
+       | THEN [ t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1) ]
+       | ELSE [] END)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    "d04_ngram_jaccard" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS s FROM t0),
+         |nz AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / (a.n + b.n - len(list_intersect(a.s, b.s))) AS jaccard
+         |FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.4""".stripMargin,
+    "t01_text_stats" ->
+      s"""WITH t0 AS (SELECT doc_id, text, $toksSql AS t FROM documents)
+         |SELECT doc_id,
+         | CAST(len(t) AS INTEGER) AS n_tokens,
+         | CAST(list_sum([greatest(1, CAST(ceil(len(x) / 4.0) AS BIGINT)) FOR x IN t])
+         |      AS BIGINT) AS n_subwords,
+         | CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS INTEGER) AS n_punct,
+         | CAST(len(list_filter(t, x -> list_contains(
+         |   ['the','a','an','of','and','to','in','is','it','on'], x))) AS INTEGER)
+         |   AS n_stopwords
+         |FROM t0""".stripMargin,
+    "t04_fingerprint" ->
+      "SELECT doc_id, sha256(text) AS sha256 FROM documents")
+}

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Ann
+
+/** Similarity-search queries over the `embeddings` table (64-dim float
+  * vectors with a cluster `label`), plus embedding-space near-dup.
+  *
+  * The oracle-checked query (e01) uses the quantized integer dot product —
+  * exact in both engines in any summation order. The approximate variants
+  * (LSH, IVF) are rows-only: their contract is recall vs e01, checked in
+  * the ScalaTest spec, not equality to an oracle.
+  */
+object EmbQueries {
+  import Tables._
+
+  private val K = 5
+  private val NQUERIES = 10
+
+  private def queriesDf(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).filter(col("vec_id") < NQUERIES)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e01_knn_exact" -> ((s, d) =>
+      Ann.bruteForceTopK(embeddings(s, d), queriesDf(s, d),
+        "vec_id", "embedding", K)),
+
+    "e02_knn_lsh" -> ((s, d) =>
+      Ann.lshTopK(embeddings(s, d), queriesDf(s, d),
+        "vec_id", "embedding", K, bits = 6, tables = 16)),
+
+    "e03_knn_ivf" -> ((s, d) =>
+      Ann.ivfTopK(embeddings(s, d), queriesDf(s, d),
+        "vec_id", "embedding", "label", K, nprobe = 3)),
+
+    "e04_embedding_neardup" -> ((s, d) => {
+      // embedding-cosine near-duplicate pairs: quantized-dot self-join
+      // pruned by shared IVF cell (label) — same-cell pairs only
+      val e = embeddings(s, d).select(
+        col("vec_id"), col("embedding"), col("label"))
+      e.as("x").join(e.as("y"),
+          col("x.label") === col("y.label") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(
+          col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+          Ann.quantizedDot(col("x.embedding"), col("y.embedding")).as("qdot"))
+        .filter(col("qdot") > 250000L)
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "e01_knn_exact" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |           WHERE vec_id < $NQUERIES),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id AS nid,
+         |    CAST(list_sum([CAST(round(CAST(q.qv[i] AS DOUBLE) * 1000) AS BIGINT)
+         |                 * CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+         |                   FOR i IN range(1, len(q.qv) + 1)]) AS BIGINT) AS qdot
+         |  FROM q, embeddings e WHERE e.vec_id <> q.qid)
+         |SELECT qid, nid, qdot FROM (
+         |  SELECT qid, nid, qdot,
+         |         row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, nid) AS rn
+         |  FROM scored)
+         |WHERE rn <= $K""".stripMargin,
+    "e04_embedding_neardup" ->
+      """SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        |  CAST(list_sum([CAST(round(CAST(x.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |               * CAST(round(CAST(y.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |                 FOR i IN range(1, len(x.embedding) + 1)]) AS BIGINT) AS qdot
+        |FROM embeddings x JOIN embeddings y
+        |  ON x.label = y.label AND x.vec_id < y.vec_id
+        |WHERE CAST(list_sum([CAST(round(CAST(x.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |                   * CAST(round(CAST(y.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |                     FOR i IN range(1, len(x.embedding) + 1)]) AS BIGINT)
+        |      > 250000""".stripMargin)
+}

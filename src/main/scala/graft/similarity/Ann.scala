@@ -1,0 +1,164 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Three tiers, all UDF-free:
+  *
+  *  - [[bruteForceTopK]] — exact scan: broadcast the (small) query set,
+  *    score every (query, item) pair in one codegen'd map, rank with a
+  *    per-query window. At 100 TB this is the correct *baseline*: one read
+  *    of the corpus, no shuffle of the corpus itself (only the top-k rows
+  *    shuffle into the window), and the broadcast keeps the join local.
+  *  - [[lshTopK]] — random-hyperplane LSH: items and queries get a b-bit
+  *    sign signature; candidates share a bucket with the query (equi-join
+  *    on the bucket key instead of a cross product), then exact scoring
+  *    within the bucket. The scale path when the query set is large.
+  *  - [[ivfTopK]] — inverted-file: a coarse centroid per `label` (the
+  *    embeddings table ships cluster labels; in the general case labels
+  *    come from k-means), queries probe the `nprobe` nearest centroids,
+  *    exact scoring only within probed cells. Classic IVF-Flat shape:
+  *    corpus is pre-partitioned by cell, so a query touches ~nprobe/N of
+  *    the data.
+  *
+  * Scoring uses a quantized integer dot product (`round(x*1000)` per
+  * component) so results are exactly reproducible across engines and
+  * summation orders — floating-point dot products differ in the last bits
+  * between engines, which breaks top-k determinism for near-ties.
+  */
+object Ann {
+
+  /** Exact integer dot product of two float vectors after per-component
+    * quantization to 1e-3. Deterministic in any summation order.
+    */
+  def quantizedDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        round(x.cast("double") * 1000).cast("long") *
+          round(y.cast("double") * 1000).cast("long")),
+      lit(0L),
+      (acc, x) => acc + x)
+
+  /** Cosine similarity (double; for ranking where cross-engine bit
+    * equality is not required).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k neighbours for each query by quantized dot product.
+    * Queries are broadcast; ties break on neighbour id. Output
+    * (qid, nid, qdot).
+    */
+  def bruteForceTopK(
+      items: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val it = items.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val scored = it.join(broadcast(q), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), quantizedDot(col("qv"), col("nv")).as("qdot"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * uniform in [-0.999, 0.999] from xxhash64 — no RNG state, so signatures
+    * are reproducible across tasks/retries.
+    */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    (pmod(xxhash64(plane, dim), lit(1999)) - 999).cast("double") / 1000.0
+
+  /** Multi-table LSH approximate top-k: `tables` independent b-bit
+    * hyperplane signatures; a candidate must share at least one table's
+    * bucket with the query (explode tables -> equi-join on (table, bucket)
+    * -> distinct pair), then exact quantized-dot scoring. More tables →
+    * higher recall at linear signature cost; candidates never approach the
+    * cross product. Output (qid, nid, qdot).
+    */
+  def lshTopK(
+      items: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      bits: Int = 8, tables: Int = 8): DataFrame = {
+    def bucketed(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+        explode(rhpBuckets(col(vecCol), bits, tables)).as("bucket"))
+    val it = bucketed(items, "nid", "nv")
+    val q = bucketed(queries, "qid", "qv")
+    val cands = it.join(broadcast(q), Seq("bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("nid"), col("nv"))
+      .dropDuplicates("qid", "nid")
+    val scored = cands
+      .select(col("qid"), col("nid"), quantizedDot(col("qv"), col("nv")).as("qdot"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** One (table, packed-sign-bits) bucket key per hash table. Plane ids
+    * are (table * 64 + bit) so every table draws distinct hyperplanes.
+    */
+  def rhpBuckets(vec: Column, bits: Int, tables: Int): Column =
+    transform(
+      sequence(lit(0), lit(tables - 1)),
+      t => struct(
+        t.as("t"),
+        aggregate(
+          sequence(t * 64, t * 64 + lit(bits - 1)),
+          lit(0L),
+          (acc, p) => acc * 2 + when(
+            aggregate(
+              zip_with(vec, sequence(lit(0), size(vec) - 1),
+                (x, j) => x.cast("double") * planeComponent(p, j)),
+              lit(0.0), (a, x) => a + x) > 0, lit(1L)).otherwise(lit(0L)))
+          .as("b")))
+
+  /** IVF-Flat approximate top-k using `labelCol` as the coarse quantizer
+    * cell: per-cell mean centroids, each query probes the `nprobe` nearest
+    * cells, exact scoring within probed cells only. Output (qid, nid, qdot).
+    */
+  def ivfTopK(
+      items: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    // centroid per cell: positional explode -> mean per (cell, dim) -> repack
+    val comp = items.select(
+      col(labelCol).as("cell"),
+      posexplode(col(vecCol)).as(Seq("dim", "x")))
+    val centroids = comp.groupBy(col("cell"), col("dim"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
+      .select(col("cell"), transform(col("pairs"), p => p.getField("cx").cast("float")).as("cv"))
+
+    // each query picks its nprobe closest centroids (centroid count is tiny)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy(col("qid")).orderBy(col("cdot").desc, col("cell"))
+    val probes = q.join(broadcast(centroids),
+        expr("true"))
+      .select(col("qid"), col("qv"), col("cell"),
+        quantizedDot(col("qv"), col("cv")).as("cdot"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cell"))
+
+    val it = items.select(col(idCol).as("nid"), col(vecCol).as("nv"), col(labelCol).as("cell"))
+    val scored = it.join(broadcast(probes), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), quantizedDot(col("qv"), col("nv")).as("qdot"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+}

@@ -1,0 +1,111 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  *
+  * Everything here is a pure `Column` composition of built-in functions —
+  * fully codegen'd inside whole-stage codegen, no UDFs — so each operator
+  * is a narrow map over the documents table with no shuffle of its own.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empty strings dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count heuristic: words are split on letter/digit
+    * boundaries and long words cost extra units per 4 chars, approximating
+    * a byte-pair-encoded token budget without a vocabulary.
+    */
+  def subwordCountEstimate(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => acc + greatest(lit(1L), ceil(length(t) / 4.0).cast("long")))
+
+  /** Word n-gram shingles of `toks` joined with single spaces; documents
+    * shorter than `n` words yield an empty array.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,!?;:]", ""))
+
+  /** Stopword occurrence count (token-exact, not substring). */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column = {
+    val stops = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(stops, t)))
+  }
+
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "on")
+
+  /** Heuristic quality score in [0,1]: rewards mid-length documents with a
+    * moderate stopword ratio and penalizes punctuation walls. Deliberately
+    * simple and fully deterministic; thresholds are tuning knobs.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / 20.0, lit(1.0))
+    val stopRatio = stopwordCount(text, DefaultStopwords).cast("double") /
+      greatest(nTok, lit(1.0))
+    val punctRatio = punctCount(text).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    round(lenScore * (lit(1.0) - punctRatio) *
+      (lit(0.5) + least(stopRatio * 2.0, lit(0.5))), 6)
+  }
+
+  /** Marker-word profiles for the language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "et", "les", "est", "un"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3"))
+
+  /** Per-language marker-token occurrence count. */
+  def langScore(text: Column, lang: String): Column = {
+    val markers = LangMarkers.toMap.apply(lang)
+    stopwordCount(text, markers)
+  }
+
+  /** argmax over language scores; ties break toward the lexicographically
+    * larger language code (greatest over (score, code) structs), with "und"
+    * (undetermined) when no marker matched at all.
+    */
+  def langId(text: Column): Column = {
+    val scored = LangMarkers.map { case (lang, _) =>
+      struct(langScore(text, lang).as("s"), lit(lang).as("l"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("s") === 0, "und").otherwise(best.getField("l"))
+  }
+
+  /** Stable content fingerprint (hex SHA-256). */
+  def fingerprint(text: Column): Column = sha2(text, 256)
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): hash all
+    * k-gram shingles, take the minimum hash of every sliding window of `w`
+    * consecutive shingle hashes, dedup ascending. Robust to local edits;
+    * output size ~ len/w.
+    */
+  def winnow(toks: Column, k: Int, w: Int): Column = {
+    val hashes = transform(shingles(toks, k), s => xxhash64(s))
+    val mins = when(size(hashes) >= w,
+      transform(
+        sequence(lit(0), size(hashes) - w),
+        i => array_min(slice(hashes, i + lit(1), lit(w)))))
+      .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
+        .otherwise(array().cast("array<bigint>")))
+    array_sort(array_distinct(mins))
+  }
+}

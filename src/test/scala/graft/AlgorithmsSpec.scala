@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Columns, Graph}
+import graft.algorithms._
+import graft.datalog.{DatalogQuery, EdgeRule}
+import graft.pregel.Pregel
+
+class AlgorithmsSpec extends SparkSpec {
+  import Columns._
+
+  private def componentPartition(df: org.apache.spark.sql.DataFrame): Set[Set[Any]] =
+    df.collect().groupBy(_.getAs[Any](COMPONENT)).values
+      .map(_.map(_.getAs[Any](ID)).toSet).toSet
+
+  test("connected components: two_components golden counts (test_connected_components.py)") {
+    val g = Fixtures.twoComponents(spark, directed = false)
+    val cc = ConnectedComponents().run(g)
+    val sizes = cc.groupBy(COMPONENT).count().select("count").collect().map(_.getLong(0)).sorted
+    assert(sizes.toSeq === Seq(3, 3))
+  }
+
+  test("pregel CC and alternating CC agree on component partitions") {
+    for (fix <- Seq(Fixtures.sample1 _, Fixtures.sample2 _, Fixtures.twoComponents _)) {
+      val g = fix(spark, false)
+      val p = ConnectedComponents(maxIterations = 20).run(g)
+      // AltCC labels only vertices that appear in some edge (reference
+      // semantics); complete isolated vertices as their own component
+      val a = g.vertices.select(col(ID))
+        .join(AlternatingConnectedComponents(maxIterations = 20).run(g), Seq(ID), "left")
+        .select(col(ID), coalesce(col(COMPONENT), col(ID)).as(COMPONENT))
+      assert(componentPartition(p) === componentPartition(a))
+    }
+  }
+
+  test("label propagation: labels stay within the component and runs are deterministic") {
+    val g = Fixtures.labelled(spark, directed = false)
+    val lp = LabelPropagation(maxIterations = 10).run(g)
+    assert(lp.count() === 6)
+    // a vertex's label is always some member of its own component (labels
+    // are ids propagated along edges; cycles may oscillate — LP semantics)
+    val withComp = lp.join(ConnectedComponents(maxIterations = 20).run(g), Seq(ID))
+    val memberSets = withComp.collect()
+      .groupBy(_.getAs[Long](COMPONENT)).view
+      .mapValues(rs => (rs.map(_.getAs[Long](ID)).toSet, rs.map(_.getAs[Long](LABEL)).toSet))
+    memberSets.foreach { case (_, (members, labels)) =>
+      assert(labels.subsetOf(members))
+    }
+    // deterministic across runs (ties broken by deterministic mode)
+    val lp2 = LabelPropagation(maxIterations = 10).run(g)
+    assert(rowSet(lp) === rowSet(lp2))
+  }
+
+  test("WL kernel: deterministic, isomorphism-invariant, distinguishes non-isomorphic") {
+    val a = WLKernel().run(Fixtures.sample1(spark, directed = false))
+    val b = WLKernel().run(Fixtures.sample1(spark, directed = false))
+    assert(a === b)
+    // relabeled sample1 (same structure, different vertex names) hashes equal
+    import spark.implicits._
+    val iso = Graph.index(
+      Seq("x1", "x2", "x3", "x4", "x5", "x6").toDF("id"),
+      Seq("x1" -> "x2", "x1" -> "x3", "x2" -> "x4", "x2" -> "x3", "x2" -> "x5",
+        "x5" -> "x4", "x2" -> "x1").toDF("src", "dst"),
+      directed = false)
+    assert(WLKernel().run(iso) === a)
+    val c = WLKernel().run(Fixtures.twoComponents(spark, directed = false))
+    assert(c !== a)
+  }
+
+  test("BFS finds the shortest path a->f on sample2") {
+    val g = Fixtures.sample2(spark, directed = true)
+    val oldIds = g.vertices.select(col(OLD_ID), col(ID)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val res = BreadthFirstSearch(
+      startExpr = col(OLD_ID) === "a",
+      endExpr = col(OLD_ID) === "f").run(g)
+    val rows = res.collect()
+    assert(rows.length === 1)
+    val verts = rows(0).getAs[scala.collection.Seq[Long]](VERTICES)
+    assert(verts.length === 6) // a b c d e f
+    assert(verts.head === oldIds("a") || verts.head === oldIds("b")) // path starts after a's first hop
+  }
+
+  test("shortest paths: distances to landmark on labelled fixture") {
+    val g = Fixtures.labelled(spark, directed = false)
+    val lm = g.vertices.filter(col(OLD_ID) === 0L).select(ID).head().getLong(0)
+    val sp = ShortestPaths(Seq(lm), maxIterations = 10).run(g)
+    val dists = sp.join(g.vertices, Seq(ID))
+      .select(col(OLD_ID), element_at(col("distances"), lm))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    // component {0,1,2} is a 3-cycle: distances 0,1,1; {3,4,5} unreachable
+    assert(dists(0L) === 0 && dists(1L) === 1 && dists(2L) === 1)
+    assert(dists(3L) === -1 && dists(4L) === -1 && dists(5L) === -1)
+  }
+
+  test("katz index on a 2-edge chain matches the hand-computed series") {
+    import spark.implicits._
+    val g = Graph.index(
+      Seq("a", "b", "c").toDF("id"),
+      Seq("a" -> "b", "b" -> "c").toDF("src", "dst"),
+      directed = true)
+    val ids = g.vertices.select(col(OLD_ID), col(ID)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // A: a->b, b->c; A^2: a->c. beta=0.5: S = 0.5A + 0.25A^2
+    val katz = KatzIndex(beta = 0.5, maxIterations = 4).run(g)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(katz((ids("a"), ids("b"))) === 0.5)
+    assert(katz((ids("b"), ids("c"))) === 0.5)
+    assert(katz((ids("a"), ids("c"))) === 0.25)
+    assert(katz.size === 3)
+  }
+
+  test("datalog open-triad motif equals triangle closure complement on sample1") {
+    val g = Fixtures.sample1(spark, directed = true)
+    val triads = DatalogQuery(
+      projection = Seq(col("a"), col("b"), col("c")),
+      premises = Seq(EdgeRule("a", "b"), EdgeRule("b", "c")),
+      negatedPremises = Seq(EdgeRule("a", "c"))).apply(g)
+    // paths of length 2: count from edges; closed ones subtracted
+    val e = g.edges.select(col(SRC), col(DST))
+    val paths2 = e.as("x").join(e.as("y"), col("x.dst") === col("y.src"))
+      .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
+    val closed = paths2.join(e.select(col(SRC).as("a"), col(DST).as("c")), Seq("a", "c"), "left_semi")
+    assert(triads.count() === paths2.count() - closed.count())
+  }
+
+  test("aggregate messages: in-neighbour count via toDst") {
+    val g = Fixtures.sample1(spark, directed = true)
+    val m = AggregateMessages(agg = count(lit(1)), toDst = Some(lit(1)))
+      .run(g).withColumnRenamed(MSG, "cnt")
+    val expected = g.inDegrees.withColumnRenamed(IN_DEGREE, "cnt")
+    assert(rowSet(m) === rowSet(expected))
+  }
+
+  test("pregel: max-id propagation reaches the global max on a connected graph") {
+    val g = Fixtures.sample2(spark, directed = false)
+    val res = Pregel(
+      initialState = col(ID),
+      aggExpr = max(col(MSG)),
+      msgToSrc = Some(col(STATE)),
+      msgToDst = Some(col(STATE)),
+      updateExpr = Some(greatest(col(MSG), col(STATE))),
+      maxIterations = 20).run(g)
+    val maxId = g.vertices.agg(max(ID)).head().getLong(0)
+    assert(res.select(STATE).distinct().collect().map(_.getLong(0)).toSeq === Seq(maxId))
+  }
+}

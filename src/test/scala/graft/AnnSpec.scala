@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Ann
+
+class AnnSpec extends SparkSpec {
+
+  /** deterministic clustered vectors: 4 clusters of 20 points in 8 dims */
+  private def clustered() = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(4, 8)(rnd.nextGaussian() * 3)
+    val rows = for {
+      c <- 0 until 4
+      i <- 0 until 20
+    } yield {
+      val v = centers(c).map(x => (x + rnd.nextGaussian() * 0.3).toFloat)
+      (c * 20L + i, v.toSeq, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("quantizedDot: exact integer value") {
+    import spark.implicits._
+    val df = Seq((Seq(0.1f, 0.2f, 0.3f), Seq(0.4f, 0.5f, 0.6f))).toDF("a", "b")
+    val got = df.select(Ann.quantizedDot(col("a"), col("b"))).head().getLong(0)
+    assert(got === 100L * 400 + 200 * 500 + 300 * 600) // 320000
+  }
+
+  test("brute-force top-k returns k best by dot with id tiebreak") {
+    val items = clustered()
+    val q = items.filter(col("vec_id") === 0L)
+    val res = Ann.bruteForceTopK(items, q, "vec_id", "embedding", 5)
+    assert(res.count() === 5)
+    // all neighbours of a cluster-0 query are cluster-0 points
+    val nids = res.select("nid").collect().map(_.getLong(0))
+    assert(nids.forall(_ < 20L))
+  }
+
+  test("IVF top-k achieves high recall vs brute force") {
+    val items = clustered()
+    val q = items.filter(col("vec_id") % 20 === 0) // one query per cluster
+    val exact = Ann.bruteForceTopK(items, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(items, q, "vec_id", "embedding", "label", 5, nprobe = 2)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall")
+  }
+
+  test("LSH top-k candidates are a subset of items and recall is nontrivial") {
+    val items = clustered()
+    val q = items.filter(col("vec_id") % 20 === 0)
+    val exact = Ann.bruteForceTopK(items, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(items, q, "vec_id", "embedding", 5, bits = 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same-cluster points agree on most hyperplane signs => decent recall
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall")
+  }
+}

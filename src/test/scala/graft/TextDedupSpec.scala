@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextFunctions._
+
+class TextDedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("tokens/shingles/counts") {
+    val df = docs((1L, "the quick  brown fox"), (2L, ""), (3L, "a b"))
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n"),
+        shingles(tokens(col("text")), 3).as("sh"))
+    val m = df.collect().map(r =>
+      r.getLong(0) -> (r.getInt(1), r.getAs[scala.collection.Seq[String]](2))).toMap
+    assert(m(1L)._1 === 4)
+    assert(m(1L)._2 === Seq("the quick brown", "quick brown fox"))
+    assert(m(2L)._1 === 0 && m(2L)._2.isEmpty)
+    assert(m(3L)._2.isEmpty) // shorter than shingle size
+  }
+
+  test("language id picks the profile with most marker hits") {
+    val df = docs(
+      (1L, "the cat is out of the bag and happy"),
+      (2L, "der hund ist ein freund und das ist gut"),
+      (3L, "el gato es un animal y la casa es grande"),
+      (4L, "zz yy xx"))
+      .select(col("doc_id"), langId(col("text")).as("lang"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m === Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "und"))
+  }
+
+  test("quality score is in [0,1] and penalizes punctuation walls") {
+    val df = docs(
+      (1L, "the analysis of the data shows a clear trend in the results and it holds"),
+      (2L, "....,,,!!!! ???? ..,,"))
+      .select(col("doc_id"), qualityScore(col("text")).as("q"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(m(1L) > m(2L))
+  }
+
+  test("exact dedup groups identical texts") {
+    val d = Dedup.exactGroups(
+      docs((1L, "same text"), (2L, "same text"), (3L, "other")),
+      "doc_id", "text")
+    val m = d.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m("same text") === (1L, 2L))
+    assert(m("other") === (3L, 1L))
+  }
+
+  test("minhash LSH finds a planted near-duplicate and skips unrelated docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val near = base.replace("sigma", "zigma") // one word edit
+    val other = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    val pairs = Dedup.minhashDuplicates(
+      docs((1L, base), (2L, near), (3L, other)),
+      "doc_id", "text", threshold = 0.4)
+    val got = pairs.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("ngram jaccard: exact value for a known pair") {
+    val a = "w1 w2 w3 w4 w5" // shingles: {w1w2w3, w2w3w4, w3w4w5}
+    val b = "w1 w2 w3 w4 zz" // shingles: {w1w2w3, w2w3w4, w3w4zz}
+    val pairs = Dedup.ngramJaccardPairs(docs((1L, a), (2L, b)), "doc_id", "text",
+      threshold = 0.1)
+    val r = pairs.head()
+    assert((r.getLong(0), r.getLong(1)) === (1L, 2L))
+    assert(r.getDouble(2) === 0.5) // 2 shared / 4 union
+  }
+
+  test("simhash: identical docs collide, near-dups within distance, output is stable") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = docs((1L, base), (2L, base), (3L, "unrelated words entirely different content here"))
+    val pairs = Dedup.simhashDuplicates(d, "doc_id", "text", maxDist = 3)
+    val m = pairs.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(m((1L, 2L)) === 0)
+    assert(!m.contains((1L, 3L)) && !m.contains((2L, 3L)))
+  }
+
+  test("winnowing fingerprints overlap heavily under a local edit") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val edited = base.replace("tok20", "changed")
+    val df = docs((1L, base), (2L, edited))
+      .select(col("doc_id"), winnow(tokens(col("text")), 3, 4).as("fp"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]](1).toSet).toMap
+    val overlap = fps(1L).intersect(fps(2L)).size.toDouble / fps(1L).union(fps(2L)).size
+    assert(overlap > 0.5)
+  }
+}
