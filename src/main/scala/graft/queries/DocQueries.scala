@@ -68,7 +68,17 @@ object DocQueries {
       // rows-only: winnowing fingerprint sizes (xxhash64 has no DuckDB twin)
       documents(s, d).select(
         col("doc_id"),
-        size(winnow(tokens(col("text")), 3, 4)).as("n_fingerprints"))))
+        size(winnow(tokens(col("text")), 3, 4)).as("n_fingerprints"))),
+
+    "m01_media_features" -> ((s, d) =>
+      // rows-only: multimodal plumbing — binary payloads through the
+      // partition-batched (stub) decoder; see graft.multimodal.Multimodal
+      graft.multimodal.Multimodal
+        .extractFeatures(graft.multimodal.Multimodal.mediaFromDocuments(documents(s, d)))
+        .toDF()
+        .select(col("media_id"), col("n_bytes"),
+          round(col("mean_byte"), 6).as("mean_byte"),
+          round(col("byte_entropy"), 6).as("byte_entropy"))))
 
   /** DuckDB-side tokenization mirroring TextFunctions.tokens. */
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"

@@ -40,7 +40,17 @@ object EventQueries {
         .filter(col("from_type").isNotNull)
         .groupBy(col("from_type"), col("to_type"))
         .agg(count(lit(1)).as("n_transitions"))
-    }))
+    }),
+
+    "s03_sessionize" -> ((s, d) =>
+      // session bounds emitted in MICROseconds: DuckDB's TIMESTAMP is
+      // µs-precision, so the oracle cannot see the parquet's nanos tail
+      graft.streaming.EventStream.sessionizeBatch(events(s, d))
+        .select(
+          col("user_id"),
+          expr("session_start div 1000").as("start_us"),
+          expr("session_end div 1000").as("end_us"),
+          col("n_events"), col("value_cents"))))
 
   val oracle: Map[String, String] = Map(
     "s01_hourly_agg" ->
@@ -56,5 +66,19 @@ object EventQueries {
         |  FROM events)
         |SELECT from_type, to_type, count(*) AS n_transitions
         |FROM seq WHERE from_type IS NOT NULL
-        |GROUP BY from_type, to_type""".stripMargin)
+        |GROUP BY from_type, to_type""".stripMargin,
+    "s03_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, epoch_ns(ts) AS tns, event_id, value,
+        |         lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (SELECT *, CASE WHEN prev IS NULL OR tns - prev > 1800000000000
+        |                     THEN 1 ELSE 0 END AS ns FROM m),
+        |c AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |                              ROWS UNBOUNDED PRECEDING) AS sidx FROM s)
+        |SELECT user_id, min(tns) // 1000 AS start_us, max(tns) // 1000 AS end_us,
+        |       count(*) AS n_events,
+        |       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        |FROM c GROUP BY user_id, sidx""".stripMargin)
 }

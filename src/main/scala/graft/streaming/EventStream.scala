@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the `events` schema
+  * (event_id, ts, user_id, event_type, value). The reference is batch-only
+  * (SURVEY.md §2.B: streaming entirely absent); these are the north-star
+  * streaming extensions, built so the SAME transform runs on a batch
+  * DataFrame or a `readStream` source.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (late data beyond 10 minutes is dropped, state for closed windows is
+  * evicted); sessionization keys state by user_id — the shuffle is a hash
+  * partition on user_id and each task holds only its users' open sessions.
+  */
+object EventStream {
+
+  /** Nanosecond-long `ts` (as read under nanosAsLong) -> TimestampType. */
+  def tsFromNanos(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    timestamp_micros((c.cast("long") / lit(1000L)).cast("long"))
+
+  /** Per-user tumbling-window event counts and value sums. Works on batch
+    * and streaming inputs; on a stream the 10-minute watermark bounds
+    * state and admits late events within the horizon.
+    */
+  def windowedCounts(events: DataFrame, windowLength: String = "1 hour"): DataFrame = {
+    val withTs = events.withColumn("event_time", tsFromNanos(col("ts")))
+    val watermarked =
+      if (events.isStreaming) withTs.withWatermark("event_time", "10 minutes")
+      else withTs
+    watermarked
+      .groupBy(col("user_id"), window(col("event_time"), windowLength).as("win"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(
+        col("user_id"),
+        col("win.start").as("window_start"),
+        col("n_events"), col("value_cents"))
+  }
+
+  final case class Event(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double)
+  final case class Session(user_id: Long, session_start: Long, session_end: Long,
+      n_events: Long, total_value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Gap-based sessionization with explicit keyed state
+    * (`flatMapGroupsWithState`): a session closes when `gapNs` elapses
+    * between a user's consecutive events (by processing order within the
+    * group iterator, sorted by ts). Emits closed sessions; open sessions
+    * remain in state until timeout.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapNs: Long = 30L * 60 * 1000 * 1000 * 1000): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def flush(userId: Long, st: SessionState): Session =
+      Session(userId, st.start, st.last, st.n, st.total)
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          for (e <- sorted) {
+            if (st == null) st = SessionState(e.ts, e.ts, 1, e.value)
+            else if (e.ts - st.last > gapNs) {
+              out += flush(userId, st)
+              st = SessionState(e.ts, e.ts, 1, e.value)
+            } else {
+              st = SessionState(st.start, e.ts, st.n + 1, st.total + e.value)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch-mode sessionization producing ALL sessions (incl. the final
+    * open one per user) with pure relational operators — the oracle twin
+    * of [[sessionize]]: session boundaries via lag + cumulative sum over a
+    * per-user window.
+    */
+  def sessionizeBatch(events: DataFrame, gapNs: Long = 30L * 60 * 1000 * 1000 * 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val marked = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || (col("ts") - col("prev_ts")) > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .drop("session_idx")
+  }
+}

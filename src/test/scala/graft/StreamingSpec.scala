@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+class StreamingSpec extends SparkSpec {
+
+  private val H = 3600L * 1000 * 1000 * 1000 // hour in ns
+  private def ev(id: Long, tNs: Long, user: Long, v: Double = 1.0) =
+    Event(id, tNs, user, "click", v)
+
+  test("windowedCounts over a MemoryStream matches hand-computed windows") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStream.windowedCounts(stream.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      stream.addData(ev(1, 10L * H, 7), ev(2, 10L * H + 1000, 7), ev(3, 11L * H, 7), ev(4, 10L * H, 8))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select(col("user_id"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(rows === Seq((7L, 1L), (7L, 2L), (8L, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionize emits a session once the gap passes, keeps state across batches") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gap = 30L * 60 * 1000 * 1000 * 1000
+    val stream = MemoryStream[Event]
+    val q = EventStream.sessionize(stream.toDS(), gap)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // batch 1: two close events -> one open session, nothing emitted
+      stream.addData(ev(1, 1000, 7, 2.0), ev(2, 2000, 7, 3.0))
+      q.processAllAvailable()
+      assert(spark.table("sess").isEmpty)
+      // batch 2: an event after the gap closes the first session
+      stream.addData(ev(3, 2000 + gap + 1, 7, 5.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").as[EventStream.Session].collect()
+      assert(sessions.toSeq === Seq(EventStream.Session(7L, 1000L, 2000L, 2L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("batch sessionizeBatch: golden sessions incl. the trailing open one") {
+    import spark.implicits._
+    val gap = 100L
+    val events = Seq(
+      ev(1, 0, 7, 1.0), ev(2, 50, 7, 1.0), // session 1
+      ev(3, 200, 7, 1.0), // session 2 (gap 150 > 100)
+      ev(4, 0, 8, 1.0)) // user 8, one session
+      .toDF()
+    val got = EventStream.sessionizeBatch(events, gap)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set((7L, 0L, 50L, 2L), (7L, 200L, 200L, 1L), (8L, 0L, 0L, 1L)))
+  }
+
+  test("multimodal: stubbed decode over binary payloads, deterministic features") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa"), (2L, "abcd")).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).n_bytes === 4)
+    assert(feats(1L).mean_byte === 97.0)
+    assert(feats(1L).byte_entropy === 0.0) // single symbol
+    assert(feats(2L).byte_entropy === 2.0) // four distinct symbols
+    assert(feats(1L).features.sum === 1.0f) // normalized histogram
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs))
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    assert(again(2L) === feats(2L).features.toSeq)
+  }
+}
