@@ -84,7 +84,9 @@ final case class AlternatingConnectedComponents(maxIterations: Int = 10) {
     var converged = false
     var i = 0
     while (i < maxIterations && !converged) {
-      edges = smallStar(largeStar(edges)).distinct().localCheckpoint()
+      // lazy checkpoint: the fingerprint aggregation below is the one job
+      // per round and materializes the new edge set as it runs
+      edges = smallStar(largeStar(edges)).distinct().localCheckpoint(false)
       val fp = edges
         .agg(count(lit(1)), bit_xor(xxhash64(col(SRC), col(DST))))
         .head()

@@ -37,11 +37,32 @@ object Dedup {
         count(lit(1)).as("n_copies"),
         sort_array(collect_list(col(idCol))).as("ids"))
 
-  /** MinHash signature: element s is min over shingles of xxhash64(s, shingle). */
+  /** MinHash signature: element s is min over shingles of xxhash64(s, shingle).
+    *
+    * Lambda form — interpreted (Spark higher-order functions have no
+    * codegen), so use only on small inputs; the scale path in
+    * [[minhashDuplicates]] computes the same signature via exploded
+    * shingles + per-seed `min(xxhash64(seed, shingle))` hash aggregation,
+    * which stays in whole-stage codegen.
+    */
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
     transform(
       sequence(lit(0), lit(numHashes - 1)),
       s => array_min(transform(shinglesCol, x => xxhash64(s, x))))
+
+  /** Codegen'd MinHash signatures: one row per (id, shingle), then one
+    * hash aggregation with `numHashes` `min(xxhash64(seed, shingle))`
+    * columns packed into an array. Output (id, sig: array<bigint>).
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val inv = sh.select(col("id"), explode(col("sh")).as("g"))
+    val hashCols = (0 until numHashes)
+      .map(i => min(xxhash64(lit(i), col("g"))).as(s"_h$i"))
+    inv.groupBy(col("id"))
+      .agg(hashCols.head, hashCols.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"_h$i")): _*).as("sig"))
+  }
 
   /** LSH bucket keys: the signature is cut into `bands` bands of
     * `rowsPerBand` hashes; each band hashes to one (band, bucket) key.
@@ -79,9 +100,12 @@ object Dedup {
       // shingle sets are reused by banding and the verify join
       .localCheckpoint()
 
-    val buckets = sh.select(
+    // Signatures are materialized BEFORE band-slicing: inlining the
+    // signature expression into lshBuckets would re-evaluate the full
+    // interpreted 128-hash signature once per band (32x) per document.
+    val buckets = minhashSignatures(sh, numHashes).select(
       col("id"),
-      explode(lshBuckets(minhashSignature(col("sh"), numHashes), bands, r)).as("bk"))
+      explode(lshBuckets(col("sig"), bands, r)).as("bk"))
     val cands = buckets.as("x")
       .join(buckets.as("y"),
         col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
@@ -150,26 +174,65 @@ object Dedup {
     * no shingle are never materialized, and |A ∩ B| falls out of a count
     * per pair.
     */
+  /** Candidate generation uses positional prefix filtering (AllPairs /
+    * PPJoin, Xiao et al. WWW'08): shingles are globally ordered by
+    * ascending document frequency (rarest first) and each document only
+    * indexes its first `n - ceil(t*n) + 1` shingles — any pair with
+    * Jaccard >= t must share a prefix shingle, so the inverted-index join
+    * never touches the frequent tail shingles whose df^2 blow-up dominates
+    * the naive join. Candidates are then verified with the exact
+    * intersection, so the filter changes cost, not results.
+    */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Shingle sets are hashed to sorted long arrays up front: the exact
+    // verify then runs array_intersect over primitive bigints (specialized
+    // OpenHashSet path) instead of strings, and |A U B| = na + nb - inter
+    // saves the second set operation. 64-bit collisions are negligible at
+    // any realistic corpus size (~1e-11 at 1e9 distinct shingles... per pair).
     val sh = docs.select(
       col(idCol).as("id"),
       array_distinct(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize))
         .as("sh"))
       .filter(size(col("sh")) > 0)
-    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
-    val inv = sh.select(col("id"), explode(col("sh")).as("g"))
-    val inter = inv.as("x")
-      .join(inv.as("y"), col("x.g") === col("y.g") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .select(
+        col("id"),
+        array_sort(transform(col("sh"), x => xxhash64(x))).as("h"),
+        size(col("sh")).as("n"))
+      // reused by candidate generation AND the exact-verify join
+      .localCheckpoint()
+    val inv = sh.select(col("id"), col("n"), explode(col("h")).as("g"))
+    val df = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // rarest-first global order; (df, g) is a total order so prefixes are
+    // deterministic
+    val prefix = inv.join(df, Seq("g"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
+      .filter(col("rn") <= col("n") - ceil(col("n") * threshold).cast("int") + 1)
+      .select(col("id"), col("n"), col("rn"), col("g"))
+    val cands = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.g") === col("y.g") && col("x.id") < col("y.id") &&
+          // length filter: t*|y| <= |x| and t*|x| <= |y| is necessary for J >= t
+          col("x.n") >= ceil(col("y.n") * threshold).cast("int") &&
+          col("y.n") >= ceil(col("x.n") * threshold).cast("int") &&
+          // positional filter (PPJoin): tokens after this shared one bound
+          // the overlap; J >= t needs overlap >= ceil(t/(1+t) * (nx+ny))
+          least(col("x.n") - col("x.rn"), col("y.n") - col("y.rn")) + 1 >=
+            ceil((col("x.n") + col("y.n")) * (threshold / (1 + threshold))).cast("int"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    // no broadcast hint: sh is the full corpus — AQE broadcasts it when
+    // small, shuffles on id when not
+    cands
+      .join(sh.select(col("id").as("id_a"), col("h").as("h_a"), col("n").as("na")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("h").as("h_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("h_a"), col("h_b"))))
       .select(
         col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))

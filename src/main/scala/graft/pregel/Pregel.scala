@@ -76,15 +76,18 @@ final case class Pregel(
       // (pregel.py:66-68), by name rather than position
       val notUpdated = state.join(messages.select(col(ID)), Seq(ID), "left_anti")
 
+      // lazy checkpoint: the convergence count below is the ONE job per
+      // superstep — it materializes every partition of `next` (truncating
+      // lineage) and counts changed vertices in the same pass
       val next = updated.withColumn(UPDATED, lit(true))
         .unionByName(notUpdated.withColumn(UPDATED, lit(false)))
-        .localCheckpoint() // one materialization per superstep; lineage stays flat
+        .localCheckpoint(false)
 
       state = next.drop(UPDATED)
       changed = next
         .filter(col(UPDATED) && comparison(col(STATE), col(OLD_STATE)))
         .drop(UPDATED)
-      converged = changed.isEmpty
+      converged = changed.count() == 0
       i += 1
     }
     state

@@ -3,9 +3,10 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{Columns, Graph}
+import graft.core.{Columns, Graph, GraphUtil}
 import graft.algorithms._
 import graft.datalog.{DatalogQuery, EdgeRule, VertexRule}
+import graft.pregel.Pregel
 
 /** Graph-operator queries over graphs derived from the TPC-H-ish testdata,
   * each paired (where SQL-expressible) with a DuckDB oracle.
@@ -165,6 +166,43 @@ object GraphQueries {
         .select(col(ID), explode(col("distances")).as(Seq("landmark", "dist")))
     }),
 
+    "g14_adjacency" -> ((s, d) =>
+      // adjacency-list view (graph.py:82-93); arrays sorted for a
+      // deterministic cross-engine compare
+      starGraph(s, d).adjacency
+        .select(col(ID), array_sort(col(ADJ)).as(ADJ))),
+
+    "g15_triplets" -> ((s, d) =>
+      // triplet view (graph.py:110-122) on the customer->nation->region
+      // hierarchy; edge_id (engine-internal hash) projected out
+      hierarchyGraph(s, d)
+        .triplets("s_", "d_")
+        .select(col(SRC), col(DST), col("s_weight"), col("d_weight"))),
+
+    "g16_in_degrees" -> ((s, d) => {
+      val e = ordersEdges(s, d)
+      indexedGraph(vertsOf(e), e, directed = true).inDegrees
+    }),
+
+    "g17_pregel_max" -> ((s, d) =>
+      // direct Pregel use: max-id propagation over the undirected star
+      // graph — every vertex converges to its component's hub id (1000+r)
+      Pregel(
+        initialState = col(ID),
+        aggExpr = max(col(MSG)),
+        msgToSrc = Some(col(STATE)),
+        msgToDst = Some(col(STATE)),
+        updateExpr = Some(greatest(col(MSG), col(STATE))),
+        maxIterations = 10)
+        .run(starGraph(s, d))
+        .select(col(ID), col(STATE).as("max_reach"))),
+
+    "g18_motif_path2" -> ((s, d) =>
+      // matchStructure (util.py:28-32) directly: length-2 paths a->b->c
+      // on the nation chain
+      GraphUtil.matchStructure(
+        chainGraph(s, d).edges, Seq("a" -> "b", "b" -> "c"))),
+
     "g06_label_propagation" -> ((s, d) => {
       // rows-only check: LP label churn is algorithm-defined, not SQL-oracle
       val e = suppPartEdges(s, d)
@@ -278,5 +316,28 @@ object GraphQueries {
     "g12_shortest_paths" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id, CAST(0 AS BIGINT) AS landmark,
         | CAST(n_nationkey AS INTEGER) AS dist
-        |FROM nation""".stripMargin)
+        |FROM nation""".stripMargin,
+    "g14_adjacency" ->
+      s"""WITH e AS ($starEdgesSql),
+         |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)
+         |SELECT src AS id, list_sort(list(DISTINCT dst)) AS adjacent
+         |FROM sym GROUP BY src""".stripMargin,
+    "g15_triplets" ->
+      s"""WITH e AS ($hierarchyEdgesSql)
+         |SELECT src, dst, src AS s_weight, dst AS d_weight FROM e""".stripMargin,
+    "g16_in_degrees" ->
+      s"""WITH e AS ($ordersEdgesSql)
+         |SELECT dst AS id, count(*) AS in_degree FROM e GROUP BY dst""".stripMargin,
+    "g17_pregel_max" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        | CAST(n_regionkey + 1000 AS BIGINT) AS max_reach FROM nation
+        |UNION ALL
+        |SELECT CAST(r_regionkey + 1000 AS BIGINT),
+        | CAST(r_regionkey + 1000 AS BIGINT) FROM region""".stripMargin,
+    "g18_motif_path2" ->
+      """WITH e AS (SELECT CAST(n_nationkey AS BIGINT) AS src,
+        |                  CAST(n_nationkey + 1 AS BIGINT) AS dst
+        |           FROM nation WHERE n_nationkey < 24)
+        |SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |FROM e e1 JOIN e e2 ON e1.dst = e2.src""".stripMargin)
 }

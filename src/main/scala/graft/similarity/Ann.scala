@@ -33,14 +33,12 @@ object Ann {
 
   /** Exact integer dot product of two float vectors after per-component
     * quantization to 1e-3. Deterministic in any summation order.
+    * Backed by the codegen'd [[graft.functions.QuantizedDot]] expression —
+    * the equivalent `zip_with`+`aggregate` lambda form is interpreted and
+    * ~20x slower per pair.
     */
   def quantizedDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        round(x.cast("double") * 1000).cast("long") *
-          round(y.cast("double") * 1000).cast("long")),
-      lit(0L),
-      (acc, x) => acc + x)
+    graft.functions.QuantizedDot(a, b)
 
   /** Cosine similarity (double; for ranking where cross-engine bit
     * equality is not required).
@@ -70,12 +68,6 @@ object Ann {
       .drop("rn")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * uniform in [-0.999, 0.999] from xxhash64 — no RNG state, so signatures
-    * are reproducible across tasks/retries.
-    */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    (pmod(xxhash64(plane, dim), lit(1999)) - 999).cast("double") / 1000.0
 
   /** Multi-table LSH approximate top-k: `tables` independent b-bit
     * hyperplane signatures; a candidate must share at least one table's
@@ -105,23 +97,13 @@ object Ann {
       .drop("rn")
   }
 
-  /** One (table, packed-sign-bits) bucket key per hash table. Plane ids
-    * are (table * 64 + bit) so every table draws distinct hyperplanes.
+  /** One packed `(table << bits) | signBits` bucket key per hash table;
+    * plane ids are (table * 64 + bit) so every table draws distinct
+    * hyperplanes. Backed by the codegen'd
+    * [[graft.functions.RhpBuckets]] expression.
     */
   def rhpBuckets(vec: Column, bits: Int, tables: Int): Column =
-    transform(
-      sequence(lit(0), lit(tables - 1)),
-      t => struct(
-        t.as("t"),
-        aggregate(
-          sequence(t * 64, t * 64 + lit(bits - 1)),
-          lit(0L),
-          (acc, p) => acc * 2 + when(
-            aggregate(
-              zip_with(vec, sequence(lit(0), size(vec) - 1),
-                (x, j) => x.cast("double") * planeComponent(p, j)),
-              lit(0.0), (a, x) => a + x) > 0, lit(1L)).otherwise(lit(0L)))
-          .as("b")))
+    graft.functions.RhpBuckets(vec, bits, tables)
 
   /** IVF-Flat approximate top-k using `labelCol` as the coarse quantizer
     * cell: per-cell mean centroids, each query probes the `nprobe` nearest
