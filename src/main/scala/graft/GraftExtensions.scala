@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{QuantizedDot, RhpBuckets, SimHash64}
+
+/** Registers graft's native expressions as SQL functions, making them
+  * callable from `spark.sql(...)` and usable over Spark Connect / JDBC:
+  *
+  *  - `graft_quantized_dot(a, b)`      — exact quantized embedding dot
+  *  - `graft_rhp_buckets(v, bits, t)`  — random-hyperplane LSH bucket keys
+  *  - `graft_simhash64(tokens)`        — 64-bit SimHash of a token array
+  *
+  * Enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
+  * standard `SparkSessionExtensions` injection point, so no session code
+  * changes are needed. The Column API (`Ann.quantizedDot`,
+  * `Ann.rhpBuckets`, `Dedup.simhash`) does not require the extension.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn argument $pos must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_quantized_dot"),
+      new ExpressionInfo(classOf[QuantizedDot].getName, "graft_quantized_dot"),
+      (args: Seq[Expression]) => QuantizedDot(args(0), args(1))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rhp_buckets"),
+      new ExpressionInfo(classOf[RhpBuckets].getName, "graft_rhp_buckets"),
+      (args: Seq[Expression]) => RhpBuckets(
+        args(0),
+        intArg(args(1), "graft_rhp_buckets", 1),
+        intArg(args(2), "graft_rhp_buckets", 2))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+  }
+}

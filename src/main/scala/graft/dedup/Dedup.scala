@@ -123,10 +123,13 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the token multiset: bit b is set when the b-th bit
-    * of the token hashes wins the weighted majority vote. Built as a SQL
-    * lambda expression over the named array-of-tokens column (shiftright
-    * with a non-literal amount has no Scala DSL form); still pure
-    * Catalyst, fully codegen'd.
+    * of the token hashes wins the weighted majority vote.
+    *
+    * SQL-lambda form, kept as the portable reference implementation —
+    * higher-order functions are interpreted by Spark, so the hot path
+    * ([[simhashDuplicates]]) uses the equivalent codegen'd
+    * [[graft.functions.SimHash64]] expression instead (identical output:
+    * same xxhash64 token hashing, same vote rule).
     */
   def simhashExpr(toksColName: String): Column =
     expr(
@@ -152,7 +155,8 @@ object Dedup {
       col(idCol).as("id"),
       TextFunctions.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
-      .select(col("id"), simhashExpr("toks").as("sh"))
+      .select(col("id"),
+        graft.functions.SimHash64(col("toks")).as("sh"))
       .localCheckpoint()
 
     val chunks = hashed.select(
@@ -169,12 +173,9 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
-  /** Exact n-gram Jaccard >= threshold for ALL qualifying pairs, via an
-    * inverted-index self-join on shingle (no cross join): pairs that share
-    * no shingle are never materialized, and |A ∩ B| falls out of a count
-    * per pair.
-    */
-  /** Candidate generation uses positional prefix filtering (AllPairs /
+  /** Exact n-gram Jaccard >= threshold for ALL qualifying pairs.
+    *
+    * Candidate generation uses positional prefix filtering (AllPairs /
     * PPJoin, Xiao et al. WWW'08): shingles are globally ordered by
     * ascending document frequency (rarest first) and each document only
     * indexes its first `n - ceil(t*n) + 1` shingles — any pair with

@@ -70,6 +70,23 @@ object DocQueries {
         col("doc_id"),
         size(winnow(tokens(col("text")), 3, 4)).as("n_fingerprints"))),
 
+    "t06_term_stats" -> ((s, d) => {
+      // TF-IDF building block, integer-exact for the cross-engine compare:
+      // per-doc term frequency, corpus document frequency, and the top-5
+      // terms per document ranked by (tf desc, term asc)
+      import org.apache.spark.sql.expressions.Window
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tf").desc, col("tok"))
+      tf.join(dfreq, Seq("tok"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("rnk"))
+    }),
+
     "m01_media_features" -> ((s, d) =>
       // rows-only: multimodal plumbing — binary payloads through the
       // partition-batched (stub) decoder; see graft.multimodal.Multimodal
@@ -115,5 +132,15 @@ object DocQueries {
          |   AS n_stopwords
          |FROM t0""".stripMargin,
     "t04_fingerprint" ->
-      "SELECT doc_id, sha256(text) AS sha256 FROM documents")
+      "SELECT doc_id, sha256(text) AS sha256 FROM documents",
+    "t06_term_stats" ->
+      s"""WITH t0 AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tfreq AS (SELECT doc_id, tok, count(*) AS tf FROM t0 GROUP BY doc_id, tok),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tfreq GROUP BY tok)
+         |SELECT doc_id, tok, tf, df, rnk FROM (
+         |  SELECT t.doc_id, t.tok, t.tf, d.df,
+         |         row_number() OVER (PARTITION BY t.doc_id
+         |                            ORDER BY t.tf DESC, t.tok) AS rnk
+         |  FROM tfreq t JOIN dfreq d USING (tok))
+         |WHERE rnk <= 5""".stripMargin)
 }

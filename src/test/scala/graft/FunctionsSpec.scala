@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.{QuantizedDot, RhpBuckets, SimHash64}
+import graft.similarity.Ann
+import graft.text.TextFunctions
+
+/** Native codegen'd expressions vs their interpreted SQL-lambda twins, and
+  * the `graft.GraftExtensions` SQL registration.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  private def vecDf() = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (0 until 50).map { i =>
+      (i.toLong,
+        Array.fill(64)((rnd.nextGaussian() * 0.4).toFloat).toSeq,
+        Array.fill(64)((rnd.nextGaussian() * 0.4).toFloat).toSeq)
+    }.toDF("id", "a", "b")
+  }
+
+  test("QuantizedDot matches the zip_with/aggregate lambda form incl. negatives") {
+    val lambda = aggregate(
+      zip_with(col("a"), col("b"), (x, y) =>
+        // half-away-from-zero rounding, the C/DuckDB round()
+        when(x.cast("double") * 1000 >= 0, floor(x.cast("double") * 1000 + 0.5d))
+          .otherwise(ceil(x.cast("double") * 1000 - 0.5d)).cast("long") *
+          when(y.cast("double") * 1000 >= 0, floor(y.cast("double") * 1000 + 0.5d))
+            .otherwise(ceil(y.cast("double") * 1000 - 0.5d)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val diff = vecDf()
+      .select((Ann.quantizedDot(col("a"), col("b")) - lambda).as("d"))
+      .filter(col("d") =!= 0L)
+    assert(diff.isEmpty)
+  }
+
+  test("SimHash64 matches the SQL-lambda simhashExpr") {
+    import spark.implicits._
+    val df = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "the quick brown fox jumps over the lazy dog",
+      "one",
+      "repeat repeat repeat distinct")
+      .toDF("text")
+      .select(TextFunctions.tokens(col("text")).as("toks"))
+    val diff = df
+      .select((SimHash64(col("toks")) === Dedup.simhashExpr("toks")).as("eq"))
+      .filter(!col("eq"))
+    assert(diff.isEmpty)
+  }
+
+  test("RhpBuckets: shape, table-disjoint key ranges, determinism") {
+    val bits = 6
+    val tables = 8
+    val rows = vecDf()
+      .select(col("id"), RhpBuckets(col("a"), bits, tables).as("bk"))
+      .collect()
+    rows.foreach { r =>
+      val bk = r.getAs[scala.collection.Seq[Long]](1)
+      assert(bk.length === tables)
+      bk.zipWithIndex.foreach { case (v, t) =>
+        assert(v >> bits === t.toLong, s"bucket $v not in table $t's key range")
+      }
+    }
+    // deterministic across evaluations
+    val again = vecDf()
+      .select(col("id"), RhpBuckets(col("a"), bits, tables).as("bk"))
+      .collect()
+    assert(rows.map(_.toSeq.toList).toSeq === again.map(_.toSeq.toList).toSeq)
+  }
+
+  test("GraftExtensions registers SQL functions") {
+    import spark.implicits._
+    vecDf().createOrReplaceTempView("vecs")
+    val viaSql = spark.sql(
+      "SELECT id, graft_quantized_dot(a, b) AS qd FROM vecs ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaCol = vecDf()
+      .select(col("id"), Ann.quantizedDot(col("a"), col("b")).as("qd"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSql.toSeq === viaCol.toSeq)
+
+    val sh = spark.sql(
+      "SELECT graft_simhash64(array('alpha', 'beta')) AS h").head().getLong(0)
+    val shCol = Seq(Seq("alpha", "beta")).toDF("toks")
+      .select(SimHash64(col("toks"))).head().getLong(0)
+    assert(sh === shCol)
+
+    val bk = spark.sql(
+      "SELECT graft_rhp_buckets(array(CAST(0.5 AS FLOAT)), 4, 2) AS bk")
+      .head().getAs[scala.collection.Seq[Long]](0)
+    assert(bk.length === 2)
+  }
+}
