@@ -10,7 +10,9 @@ import graft.core.{Columns, Graph}
   * Both operators are the reference's O(V^2) theta self-join
   * (jaccard_similarity.py:8-18, overlap_coefficient.py:9-25) — correct for
   * parity, quadratic by definition. The scale path for large graphs is
-  * [[graft.dedup.MinHashLSH]] over the same adjacency sets.
+  * MinHash LSH over the same adjacency sets
+  * ([[graft.dedup.Dedup.minhashDuplicates]] generalizes to any set-valued
+  * column).
   */
 object Similarity {
   import Columns._

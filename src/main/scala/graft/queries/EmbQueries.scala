@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.similarity.Ann
+import graft.similarity.{Ann, KMeans}
 
 /** Similarity-search queries over the `embeddings` table (64-dim float
   * vectors with a cluster `label`), plus embedding-space near-dup.
@@ -34,6 +34,18 @@ object EmbQueries {
     "e03_knn_ivf" -> ((s, d) =>
       Ann.ivfTopK(embeddings(s, d), queriesDf(s, d),
         "vec_id", "embedding", "label", K, nprobe = 3)),
+
+    "e05_knn_ivf_kmeans" -> ((s, d) => {
+      // rows-only: the general IVF path — coarse cells learned with
+      // deterministic k-means instead of shipped labels; recall contract
+      // vs e01 is covered by the ScalaTest spec
+      val emb = embeddings(s, d)
+      val labels = KMeans.fitPredict(emb, "vec_id", "embedding", k = 10, maxIterations = 5)
+      val items = emb.select(col("vec_id"), col("embedding"))
+        .join(labels, Seq("vec_id"))
+      Ann.ivfTopK(items, items.filter(col("vec_id") < NQUERIES),
+        "vec_id", "embedding", "cell", K, nprobe = 3)
+    }),
 
     "e04_embedding_neardup" -> ((s, d) => {
       // embedding-cosine near-duplicate pairs: quantized-dot self-join

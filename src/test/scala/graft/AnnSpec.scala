@@ -49,6 +49,31 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall")
   }
 
+  test("k-means recovers planted clusters and the learned-cell IVF keeps recall") {
+    import graft.similarity.KMeans
+    val items = clustered()
+    val labels = KMeans.fitPredict(items, "vec_id", "embedding", k = 4, maxIterations = 5)
+    // purity: every learned cell should be dominated by one true cluster
+    val joined = items.select(col("vec_id"), (col("vec_id") / 20).cast("int").as("truth"))
+      .join(labels, Seq("vec_id"))
+      .groupBy(col("cell"), col("truth")).count()
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val byCell = joined.groupBy(_._1).values
+    val purity = byCell.map(g => g.map(_._3).max).sum.toDouble /
+      byCell.map(g => g.map(_._3).sum).sum
+    assert(purity >= 0.9, s"k-means purity $purity")
+
+    // IVF over learned cells keeps recall vs brute force
+    val withCell = items.join(labels, Seq("vec_id"))
+    val q = withCell.filter(col("vec_id") % 20 === 0)
+    val exact = Ann.bruteForceTopK(items, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(withCell, q, "vec_id", "embedding", "cell", 5, nprobe = 2)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"learned-cell IVF recall $recall")
+  }
+
   test("LSH top-k candidates are a subset of items and recall is nontrivial") {
     val items = clustered()
     val q = items.filter(col("vec_id") % 20 === 0)

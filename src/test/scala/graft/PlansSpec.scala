@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.queries.{DocQueries, EmbQueries, GraphQueries, RelationalQueries}
+
+/** Physical-plan assertions — the scale properties the engine relies on
+  * (filter pushdown to the parquet scan, column pruning, broadcast of
+  * small sides, no cartesian products in the dedup paths) checked
+  * explicitly so a plan regression fails CI, not just the benchmark.
+  */
+class PlansSpec extends SparkSpec {
+
+  private val SF = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: order-status filter is pushed down to the parquet scan") {
+    val p = plan(RelationalQueries.queries("q02_join")(spark, SF))
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(o_orderstatus,O)"),
+      s"filter not pushed to scan:\n$p")
+  }
+
+  test("q02: dimension join is a broadcast join, not a shuffle join") {
+    val p = plan(RelationalQueries.queries("q02_join")(spark, SF))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("g01_degrees: scan is pruned to the two referenced columns") {
+    val p = plan(GraphQueries.queries("g01_degrees")(spark, SF))
+    assert(p.contains("o_custkey") && p.contains("o_orderkey"))
+    assert(!p.contains("o_comment") && !p.contains("o_totalprice"),
+      s"scan reads unreferenced columns:\n$p")
+  }
+
+  test("d04 ngram jaccard: candidate join is an equi-join, never cartesian") {
+    val p = plan(DocQueries.queries("d04_ngram_jaccard")(spark, SF))
+    assert(!p.contains("CartesianProduct"), s"cartesian in dedup plan:\n$p")
+  }
+
+  test("d02 minhash: bucket join is an equi-join, never cartesian") {
+    val p = plan(DocQueries.queries("d02_minhash_dedup")(spark, SF))
+    assert(!p.contains("CartesianProduct"), s"cartesian in LSH plan:\n$p")
+  }
+
+  test("e01 brute force: whole-stage codegen covers the scoring projection") {
+    val df = EmbQueries.queries("e01_knn_exact")(spark, SF)
+    // AQE finalizes (and codegen-wraps) THIS df's plan only when the df's
+    // own queryExecution runs — count() would build a separate one
+    df.collect()
+    val p = plan(df)
+    // `*(n)` prefixes mark whole-stage-codegen spans in the compact
+    // rendering; the scoring Project must carry one and contain the
+    // native expression, not a lambda nest
+    assert(p.contains("*(") , s"no codegen span:\n$p")
+    assert("""\*\(\d+\) Project \[.*quantized_dot\(""".r.findFirstIn(p).isDefined,
+      s"scoring projection not codegen'd native:\n$p")
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan(RelationalQueries.queries("q01_agg")(spark, SF))
+    // Spark renders partial aggregation as two HashAggregate nodes around
+    // the exchange
+    val hashAggs = "HashAggregate".r.findAllIn(p).size
+    assert(hashAggs >= 2, s"no partial aggregation:\n$p")
+    assert(p.contains("Exchange hashpartitioning"), s"no hash exchange:\n$p")
+  }
+}
