@@ -1,16 +1,43 @@
 package graft.algorithms
 
-import graft.core.{Graph, GraphUtil}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Columns, Graph, GraphUtil}
 
 /** Global triangle count (reference: algorithms/triangle_count.py:6-9).
   *
-  * Edges are canonicalized (self-loops dropped, endpoints ordered, deduped)
+  * Edges are canonicalized (self-loops dropped, deduped, endpoints ordered)
   * so each triangle is matched exactly once by the 3-way structural
   * self-join a-b, b-c, a-c.
+  *
+  * The ordering is by (degree, id), not id (the reference's
+  * least/greatest): the wedge join enumerates two-paths at each pivot
+  * vertex b, so its cost is sum over b of out-degree(b)^2 under the chosen
+  * orientation. Orienting every edge toward the higher-degree endpoint
+  * caps that sum at O(E^1.5) on any graph (the classic compact-forward
+  * bound) where id ordering can hit d_max^2 on power-law graphs — the
+  * difference between a skewed and a balanced shuffle at 100 TB. Triangle
+  * count itself is invariant under any total vertex order.
   */
 final case class TriangleCount() {
-  def run(g: Graph): Long =
+  import Columns._
+
+  def run(g: Graph): Long = {
+    val canonical = GraphUtil.orderEdges(g.edges)
+    // degree under the canonicalized (undirected) edge set
+    val deg = canonical.select(col(SRC).as(ID))
+      .unionAll(canonical.select(col(DST).as(ID)))
+      .groupBy(col(ID)).agg(count(lit(1)).as(DEGREE))
+    val oriented = canonical
+      .join(deg.select(col(ID).as(SRC), col(DEGREE).as("_ds")), Seq(SRC))
+      .join(deg.select(col(ID).as(DST), col(DEGREE).as("_dd")), Seq(DST))
+      .select(
+        when(struct(col("_ds"), col(SRC)) < struct(col("_dd"), col(DST)), col(SRC))
+          .otherwise(col(DST)).as(SRC),
+        when(struct(col("_ds"), col(SRC)) < struct(col("_dd"), col(DST)), col(DST))
+          .otherwise(col(SRC)).as(DST))
     GraphUtil.matchStructure(
-      GraphUtil.orderEdges(g.edges),
+      oriented,
       Seq(("a", "b"), ("b", "c"), ("a", "c"))).count()
+  }
 }
