@@ -90,6 +90,49 @@ final case class Graph(vertices: DataFrame, edges: DataFrame, directed: Boolean 
     */
   def localCheckpointed(): Graph =
     copy(vertices = vertices.localCheckpoint(), edges = edges.localCheckpoint())
+
+  /** Exact out-degree distribution summary — one row:
+    * (n_vertices, n_edges, n_sources, max/avg/median out-degree). Feeds
+    * skew planning (salt factors, hub thresholds); all-exact aggregates so
+    * it is cross-engine comparable.
+    */
+  def degreeStats: DataFrame = {
+    val d = outDegrees
+    val counts = d.agg(
+      count(lit(1)).as("n_sources"),
+      max(col(OUT_DEGREE)).as("max_out_degree"),
+      avg(col(OUT_DEGREE)).as("avg_out_degree"),
+      expr(s"percentile($OUT_DEGREE, 0.5)").as("median_out_degree"))
+    counts
+      .crossJoin(vertices.agg(count(lit(1)).as("n_vertices")))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .select(
+        col("n_vertices"), col("n_edges"), col("n_sources"),
+        col("max_out_degree"), col("avg_out_degree"), col("median_out_degree"))
+  }
+
+  /** Sketch-based twin of [[degreeStats]] for the 100 TB path: HyperLogLog
+    * distinct counts and a t-digest percentile replace the exact
+    * aggregates, so the whole summary is one combinable pass with O(1)
+    * state per partition — no exact-median sort, no count-distinct expand.
+    */
+  def approxDegreeStats(relativeSD: Double = 0.05): DataFrame = {
+    val d = edges.groupBy(col(SRC)).agg(count(lit(1)).as(OUT_DEGREE))
+    d.agg(
+      approx_count_distinct(col(SRC), relativeSD).as("approx_sources"),
+      max(col(OUT_DEGREE)).as("max_out_degree"),
+      avg(col(OUT_DEGREE)).as("avg_out_degree"),
+      percentile_approx(col(OUT_DEGREE), lit(0.5), lit(10000))
+        .as("approx_median_out_degree"),
+      percentile_approx(col(OUT_DEGREE), lit(0.99), lit(10000))
+        .as("approx_p99_out_degree"))
+  }
+
+  /** Vertices whose out-degree reaches `minDegree` — the hub set to salt
+    * or handle separately on power-law graphs.
+    */
+  def hubVertices(minDegree: Long): DataFrame =
+    outDegrees.filter(col(OUT_DEGREE) >= minDegree)
 }
 
 object Graph {

@@ -203,6 +203,16 @@ object GraphQueries {
       GraphUtil.matchStructure(
         chainGraph(s, d).edges, Seq("a" -> "b", "b" -> "c"))),
 
+    "g19_degree_stats" -> ((s, d) => {
+      val e = ordersEdges(s, d)
+      indexedGraph(vertsOf(e), e, directed = true).degreeStats
+    }),
+
+    "g20_hubs" -> ((s, d) => {
+      val e = ordersEdges(s, d)
+      indexedGraph(vertsOf(e), e, directed = true).hubVertices(12L)
+    }),
+
     "g06_label_propagation" -> ((s, d) => {
       // rows-only check: LP label churn is algorithm-defined, not SQL-oracle
       val e = suppPartEdges(s, d)
@@ -339,5 +349,20 @@ object GraphQueries {
         |                  CAST(n_nationkey + 1 AS BIGINT) AS dst
         |           FROM nation WHERE n_nationkey < 24)
         |SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
-        |FROM e e1 JOIN e e2 ON e1.dst = e2.src""".stripMargin)
+        |FROM e e1 JOIN e e2 ON e1.dst = e2.src""".stripMargin,
+    "g19_degree_stats" ->
+      s"""WITH e AS ($ordersEdgesSql),
+         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |d AS (SELECT src, count(*) AS od FROM e GROUP BY src)
+         |SELECT (SELECT count(*) FROM v) AS n_vertices,
+         |       (SELECT count(*) FROM e) AS n_edges,
+         |       count(*) AS n_sources,
+         |       max(od) AS max_out_degree,
+         |       avg(od) AS avg_out_degree,
+         |       median(od) AS median_out_degree
+         |FROM d""".stripMargin,
+    "g20_hubs" ->
+      s"""WITH e AS ($ordersEdgesSql)
+         |SELECT src AS id, count(*) AS out_degree FROM e
+         |GROUP BY src HAVING count(*) >= 12""".stripMargin)
 }
