@@ -1,0 +1,75 @@
+package graft.algorithms
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.{Columns, Graph}
+
+/** PageRank by power iteration — the standard companion to the
+  * reference's Pregel family (not in the reference's own surface; added
+  * as a north-star operator).
+  *
+  * Per round every vertex sends rank/out-degree along its out-edges and
+  * updates to `(1-d)/N + d * sum(inbound)`; dangling vertices (no
+  * out-edges) redistribute their rank uniformly via a scalar aggregate
+  * rather than N messages — the classic dangling-mass correction, which
+  * keeps the iteration one join + one aggregation regardless of how many
+  * sinks exist.
+  *
+  * Scale: the edge list is projected to (src, dst, out-degree share) and
+  * checkpointed once; each round shuffles messages by recipient only.
+  * Rank mass is conserved (sums to 1) up to float rounding every round.
+  */
+final case class PageRank(
+    damping: Double = 0.85,
+    maxIterations: Int = 10,
+    tolerance: Option[Double] = None) {
+  import Columns._
+
+  val RANK = "rank"
+
+  def run(g: Graph): DataFrame = {
+    val spark = g.vertices.sparkSession
+    val edges = (if (g.directed) g.edges else g.symmetricEdges)
+      .select(col(SRC), col(DST))
+    val outDeg = edges.groupBy(col(SRC)).agg(count(lit(1)).as("_od"))
+    // (src, dst, 1/out_degree(src)) — fixed for the whole iteration
+    val routes = edges.join(outDeg, Seq(SRC))
+      .select(col(SRC), col(DST), (lit(1.0) / col("_od")).as("_share"))
+      .localCheckpoint()
+    val n = g.vertices.count().toDouble
+    val teleport = (1.0 - damping) / n
+
+    var rank = g.vertices.select(col(ID), lit(1.0 / n).as(RANK)).localCheckpoint()
+    var i = 0
+    var done = false
+    while (i < maxIterations && !done) {
+      // dangling mass: rank held by vertices with no out-edges
+      val danglingRow = rank
+        .join(routes.select(col(SRC).as(ID)).distinct(), Seq(ID), "left_anti")
+        .agg(coalesce(sum(col(RANK)), lit(0.0))).head()
+      val danglingShare = damping * danglingRow.getDouble(0) / n
+
+      val contrib = rank
+        .join(routes, rank(ID) === routes(SRC))
+        .groupBy(col(DST).as(ID))
+        .agg(sum(col(RANK) * col("_share")).as("_in"))
+      val next = g.vertices.select(col(ID))
+        .join(contrib, Seq(ID), "left")
+        .select(col(ID),
+          (lit(teleport + danglingShare) +
+            lit(damping) * coalesce(col("_in"), lit(0.0))).as(RANK))
+        .localCheckpoint(false)
+
+      done = tolerance.exists { t =>
+        val delta = next.join(rank.withColumnRenamed(RANK, "_prev"), Seq(ID))
+          .agg(max(abs(col(RANK) - col("_prev")))).head().getDouble(0)
+        delta < t
+      }
+      if (tolerance.isEmpty) next.count() // materialize the lazy checkpoint
+      rank = next
+      i += 1
+    }
+    rank
+  }
+}

@@ -24,24 +24,30 @@ object Similarity {
     g.adjacency.alias("a")
       .join(g.adjacency.alias("b"), col("a." + ID) =!= col("b." + ID))
 
-  /** |A ∩ B| / |A ∪ B| for every ordered vertex pair. */
+  /** |A ∩ B| / |A ∪ B| for every ordered vertex pair. `try_divide`: pairs
+    * of isolated vertices have an empty union — the reference runs
+    * non-ANSI PySpark where 0/0 is null; Spark 4 ANSI would throw.
+    */
   def jaccard(g: Graph): DataFrame =
     allPairs(g).select(
       col("a." + ID).as(VERTEX_A),
       col("b." + ID).as(VERTEX_B),
-      (size(array_intersect(col("a." + ADJ), col("b." + ADJ))).cast("double") /
+      try_divide(
+        size(array_intersect(col("a." + ADJ), col("b." + ADJ))).cast("double"),
         size(array_union(col("a." + ADJ), col("b." + ADJ))))
         .as("jaccard_similarity"))
 
   /** |A ∩ B| / min(|A|, |B|) for every ordered vertex pair.
     * DOUBLE result — the reference's declared LongType schema
-    * (overlap_coefficient.py:15) is wrong for a ratio.
+    * (overlap_coefficient.py:15) is wrong for a ratio. `try_divide` as in
+    * [[jaccard]]: an isolated vertex makes the denominator 0.
     */
   def overlap(g: Graph): DataFrame =
     allPairs(g).select(
       col("a." + ID).as(VERTEX_A),
       col("b." + ID).as(VERTEX_B),
-      (size(array_intersect(col("a." + ADJ), col("b." + ADJ))).cast("double") /
+      try_divide(
+        size(array_intersect(col("a." + ADJ), col("b." + ADJ))).cast("double"),
         least(size(col("a." + ADJ)), size(col("b." + ADJ))))
         .as("overlap_coefficient"))
 }

@@ -213,6 +213,16 @@ object GraphQueries {
       indexedGraph(vertsOf(e), e, directed = true).hubVertices(12L)
     }),
 
+    "g21_pagerank" -> ((s, d) => {
+      // rows-only: float summation order differs across engines, so
+      // PageRank's contract (mass conservation, hub dominance) is asserted
+      // in the ScalaTest specs instead of by value-equality
+      val e = ordersEdges(s, d)
+      PageRank(maxIterations = 5)
+        .run(indexedGraph(vertsOf(e), e, directed = true))
+        .select(col(ID), round(col("rank"), 9).as("rank"))
+    }),
+
     "g06_label_propagation" -> ((s, d) => {
       // rows-only check: LP label churn is algorithm-defined, not SQL-oracle
       val e = suppPartEdges(s, d)

@@ -1,0 +1,35 @@
+package graft
+
+import graft.algorithms.PageRank
+import graft.sources.GraphIO
+
+class GraphIOSpec extends SparkSpec {
+
+  test("graph parquet round-trip preserves frames and directedness") {
+    val g = Fixtures.sample1(spark, directed = false)
+    val path = java.nio.file.Files.createTempDirectory("graftio").toString + "/g1"
+    GraphIO.write(g, path, partitionByKey = true)
+    val back = GraphIO.read(spark, path)
+    assert(back.directed === g.directed)
+    assert(rowSet(back.vertices) === rowSet(g.vertices))
+    assert(rowSet(back.edges) === rowSet(g.edges))
+  }
+
+  test("PageRank: hub of a directed star collects the rank") {
+    import spark.implicits._
+    // star: 1..5 -> 0; vertex 0 is dangling
+    val g = graft.core.Graph.index(
+      (0L to 5L).toDF("id"),
+      (1L to 5L).map(s => (s, 0L)).toDF("src", "dst"),
+      directed = true)
+    val pr = PageRank(maxIterations = 20).run(g)
+      .join(g.vertices.select($"id", $"old_id"), Seq("id"))
+      .select($"old_id", $"rank")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val leafRank = pr.filterKeys(_ != 0L).values
+    assert(pr(0L) > leafRank.max * 2, s"hub should dominate: $pr")
+    // leaves are symmetric
+    assert(leafRank.max - leafRank.min < 1e-12)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.algorithms.{AlternatingConnectedComponents, ConnectedComponents, JaccardSimilarity, OverlapCoefficient, PageRank, TriangleCount}
+import graft.core.Graph
+
+/** Property-based invariants over seeded random graphs (SURVEY.md §5):
+  * triangle count is invariant under edge direction, duplication and
+  * self-loops; the two CC implementations agree on the partition
+  * structure; similarity ratios are bounded and overlap >= jaccard;
+  * PageRank conserves rank mass.
+  *
+  * (The scalatest/scalacheck bridge artifact is not in the offline
+  * dependency cache, so cases are drawn from a fixed-seed generator
+  * rather than scalacheck's runner — same coverage, deterministic.)
+  */
+class PropertiesSpec extends SparkSpec {
+
+  private def randomEdges(seed: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    val n = 3 + rnd.nextInt(12)
+    Seq.fill(n)((rnd.nextInt(8).toLong, rnd.nextInt(8).toLong))
+  }
+
+  private def graphOf(edges: Seq[(Long, Long)], directed: Boolean): Graph = {
+    import spark.implicits._
+    val vs = (0L to 7L).toDF("id")
+    Graph.index(vs, edges.toDF("src", "dst"), directed)
+  }
+
+  private val seeds = 1 to 8
+
+  test("triangle count is invariant under reversal, duplication and self-loops") {
+    for (seed <- seeds) {
+      val edges = randomEdges(seed)
+      val base = TriangleCount().run(graphOf(edges, directed = false))
+      val noisy = edges ++ edges.map(_.swap) ++ edges.take(2) ++
+        List((0L, 0L), (5L, 5L))
+      val got = TriangleCount().run(graphOf(noisy, directed = false))
+      assert(got === base, s"seed $seed: $edges")
+    }
+  }
+
+  test("Pregel CC and alternating CC induce the same partition of vertices") {
+    for (seed <- seeds) {
+      val edges = randomEdges(seed)
+      val g = graphOf(edges, directed = false)
+      val a = ConnectedComponents(maxIterations = 10).run(g)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val bRaw = AlternatingConnectedComponents(maxIterations = 10).run(g)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // AltCC only labels vertices that appear in edges; others are their
+      // own singleton component
+      val b = a.keySet.map(v => v -> bRaw.getOrElse(v, v)).toMap
+      def partition(m: Map[Long, Long]) =
+        m.groupBy(_._2).values.map(_.keySet).toSet
+      assert(partition(a) === partition(b), s"seed $seed: $edges")
+    }
+  }
+
+  test("jaccard/overlap are in [0,1], symmetric, and overlap >= jaccard") {
+    for (seed <- seeds.take(4)) {
+      val edges = randomEdges(seed)
+      val g = graphOf(edges, directed = false)
+      // null similarity (isolated-vertex pairs, 0/0) is modeled as None
+      val j = JaccardSimilarity().run(g)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      val o = OverlapCoefficient().run(g)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      j.foreach {
+        case ((x, y), Some(v)) =>
+          assert(v >= 0.0 && v <= 1.0, s"seed $seed jaccard($x,$y)=$v")
+          assert(j((y, x)) === Some(v), s"seed $seed asymmetric at ($x,$y)")
+          o((x, y)).foreach(ov =>
+            assert(ov >= v - 1e-12, s"seed $seed overlap<jaccard at ($x,$y)"))
+        case ((x, y), None) =>
+          assert(j((y, x)) === None, s"seed $seed asymmetric null at ($x,$y)")
+      }
+    }
+  }
+
+  test("PageRank mass is conserved and ranks are positive") {
+    for (seed <- seeds.take(4)) {
+      val edges = randomEdges(seed)
+      val g = graphOf(edges, directed = true)
+      val pr = PageRank(maxIterations = 5).run(g)
+      val ranks = pr.select(col("rank")).collect().map(_.getDouble(0))
+      assert(ranks.forall(_ > 0.0), s"seed $seed")
+      assert(math.abs(ranks.sum - 1.0) < 1e-9, s"seed $seed mass ${ranks.sum}")
+    }
+  }
+}
