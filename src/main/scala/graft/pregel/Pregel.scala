@@ -18,9 +18,9 @@ import graft.core.{Columns, Graph, GraphUtil}
   * its `state` plan doubles in depth per superstep):
   *  - edges are projected to (src, dst) and materialized once via
   *    `localCheckpoint` before the loop;
-  *  - the new state is materialized via `localCheckpoint` every superstep,
-  *    so lineage stays O(1) and the convergence check (`isEmpty`) is a
-  *    cheap scan of cached blocks;
+  *  - the new state is lazily `localCheckpoint`ed every superstep and
+  *    materialized by the convergence count — one job per superstep,
+  *    lineage stays O(1);
   *  - the upsert union carries an `_updated` marker so `changed` is derived
   *    from the already-materialized state instead of a second job.
   *
