@@ -131,6 +131,40 @@ object DocQueries {
          |   ['the','a','an','of','and','to','in','is','it','on'], x))) AS INTEGER)
          |   AS n_stopwords
          |FROM t0""".stripMargin,
+    "t02_quality" ->
+      // same operation order as TextFunctions.qualityScore: every step is
+      // a single IEEE-754 op on integer-derived doubles, so both engines
+      // produce bit-identical values (no reassociation, no transcendentals)
+      s"""WITH t0 AS (SELECT doc_id, text, $toksSql AS t FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(t) AS DOUBLE) AS ntok,
+         |  CAST(len(list_filter(t, x -> list_contains(
+         |    ['the','a','an','of','and','to','in','is','it','on'], x))) AS DOUBLE) AS nstop,
+         |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS npunct,
+         |  CAST(length(text) AS DOUBLE) AS ltext
+         |  FROM t0)
+         |SELECT doc_id,
+         |  round(least(ntok/20.0, 1.0) * (1.0 - npunct/greatest(ltext,1.0))
+         |    * (0.5 + least(nstop/greatest(ntok,1.0)*2.0, 0.5)), 6) AS quality
+         |FROM m""".stripMargin,
+    "t03_langid" ->
+      // argmax via sorted struct list: max by (score, code), ties toward
+      // the lexicographically larger code — same rule as langId's
+      // greatest(struct(s, l))
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |s AS (SELECT doc_id,
+         |  CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','is'], x))) AS INTEGER) AS s_en,
+         |  CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS INTEGER) AS s_de,
+         |  CAST(len(list_filter(t, x -> list_contains(['el','la','de','y','es','un'], x))) AS INTEGER) AS s_es,
+         |  CAST(len(list_filter(t, x -> list_contains(['le','la','et','les','est','un'], x))) AS INTEGER) AS s_fr,
+         |  CAST(len(list_filter(t, x -> list_contains(['de5','shi4','le5','zai4','he2','you3'], x))) AS INTEGER) AS s_zh
+         |  FROM t0)
+         |SELECT doc_id, s_en, s_de, s_es, s_fr,
+         |  CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+         |       ELSE (list_sort([{'s': s_en, 'l': 'en'}, {'s': s_de, 'l': 'de'},
+         |                        {'s': s_es, 'l': 'es'}, {'s': s_fr, 'l': 'fr'},
+         |                        {'s': s_zh, 'l': 'zh'}])[5]).l END AS predicted
+         |FROM s""".stripMargin,
     "t04_fingerprint" ->
       "SELECT doc_id, sha256(text) AS sha256 FROM documents",
     "t06_term_stats" ->
