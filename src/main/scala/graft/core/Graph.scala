@@ -133,6 +133,26 @@ final case class Graph(vertices: DataFrame, edges: DataFrame, directed: Boolean 
     */
   def hubVertices(minDegree: Long): DataFrame =
     outDegrees.filter(col(OUT_DEGREE) >= minDegree)
+
+  /** Induced subgraph: keep vertices satisfying `vertexPredicate` and
+    * edges satisfying `edgePredicate` whose BOTH endpoints survive
+    * (semi joins against the kept vertex set, so no vertex attributes are
+    * dragged through the edge table).
+    */
+  def subgraph(
+      vertexPredicate: Column = lit(true),
+      edgePredicate: Column = lit(true)): Graph = {
+    val v = vertices.filter(vertexPredicate)
+    val keep = v.select(col(ID))
+    val e = edges.filter(edgePredicate)
+      .join(keep.select(col(ID).as(SRC)), Seq(SRC), "left_semi")
+      .join(keep.select(col(ID).as(DST)), Seq(DST), "left_semi")
+    copy(vertices = v, edges = e)
+  }
+
+  /** Edge-induced filter keeping all vertices (GraphX `filterEdges`). */
+  def filterEdges(edgePredicate: Column): Graph =
+    copy(edges = edges.filter(edgePredicate))
 }
 
 object Graph {

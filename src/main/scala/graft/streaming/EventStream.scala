@@ -41,6 +41,21 @@ object EventStream {
         col("n_events"), col("value_cents"))
   }
 
+  /** Streaming exactly-once ingestion dedup: drop events whose `event_id`
+    * was already seen within the watermark horizon. State is bounded —
+    * ids older than the watermark are evicted, so memory is
+    * O(events per horizon), not O(stream length). On a batch frame this
+    * degrades gracefully to a plain `dropDuplicates` over the whole input.
+    */
+  def dedupStream(events: DataFrame, horizon: String = "10 minutes"): DataFrame = {
+    val withTs = events.withColumn("event_time", tsFromNanos(col("ts")))
+    if (events.isStreaming)
+      withTs.withWatermark("event_time", horizon)
+        .dropDuplicatesWithinWatermark("event_id")
+        .drop("event_time")
+    else withTs.dropDuplicates("event_id").drop("event_time")
+  }
+
   final case class Event(event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double)
   final case class Session(user_id: Long, session_start: Long, session_end: Long,

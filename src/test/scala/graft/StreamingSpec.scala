@@ -49,6 +49,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops an event_id replayed in a later batch") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStream.dedupStream(stream.toDF(), horizon = "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      stream.addData(ev(1, 10L * H, 7), ev(2, 10L * H + 1000, 7), ev(1, 10L * H, 7))
+      q.processAllAvailable()
+      // replay of id 1 in a later batch, still inside the horizon
+      stream.addData(ev(1, 10L * H + 2000, 7), ev(3, 10L * H + 3000, 8))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("subgraph keeps only surviving-endpoint edges; filterEdges keeps vertices") {
+    import org.apache.spark.sql.functions.col
+    val g = Fixtures.labelled(spark, directed = true)
+    // keep vertices with old ids 0..3: edges 0->1, 1->2, 2->0 survive, 3->4 and 3->5 drop
+    val sub = g.subgraph(vertexPredicate = col("old_id") <= 3L)
+    assert(sub.vertices.count() === 4)
+    assert(sub.edges.count() === 3)
+    val fe = g.filterEdges(col("old_src") === 3L)
+    assert(fe.vertices.count() === 6)
+    assert(fe.edges.count() === 2)
+  }
+
   test("batch sessionizeBatch: golden sessions incl. the trailing open one") {
     import spark.implicits._
     val gap = 100L
