@@ -1,0 +1,77 @@
+package graft.algorithms
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.{Columns, Graph}
+import graft.pregel.Pregel
+
+/** Strongly connected components of a directed graph.
+  *
+  * The reference's ConnectedComponents docstring claims SCC for directed
+  * graphs but implements only forward min-propagation
+  * (connected_components.py:18-36 — SURVEY.md §2 A11); this is the real
+  * thing, via iterated forward/backward min-label intersection
+  * (FW-BW-MIN): with fwd(v) = min id over {v} ∪ ancestors(v) and
+  * bwd(v) = min id over {v} ∪ descendants(v), a vertex v satisfies
+  * fwd(v) = bwd(v) = m exactly when m reaches v and v reaches m — i.e. v
+  * is in m's SCC. Each outer round resolves every SCC that is the
+  * minimum of its own reachability closure (at least the one containing
+  * the globally smallest id, usually many), freezes them, and recurses on
+  * the residual graph.
+  *
+  * Cost: each round is two Pregel min-propagations over the shrinking
+  * residual edge set; outer rounds are bounded by the "SCC level depth",
+  * not the SCC count. All data movement is per-round joins/aggregations —
+  * nothing driver-side but the convergence scalars.
+  */
+final case class StronglyConnectedComponents(
+    maxIterations: Int = 10,
+    propagationIterations: Int = 20) {
+  import Columns._
+
+  private def minReach(vertices: DataFrame, edges: DataFrame, forward: Boolean): DataFrame = {
+    val g = Graph(vertices, edges, directed = true)
+    Pregel(
+      initialState = col(ID),
+      aggExpr = min(col(MSG)),
+      msgToSrc = if (forward) None else Some(col(STATE)),
+      msgToDst = if (forward) Some(col(STATE)) else None,
+      updateExpr = Some(least(col(MSG), col(STATE))),
+      maxIterations = propagationIterations)
+      .run(g)
+      .select(col(ID), col(STATE))
+  }
+
+  def run(g: Graph): DataFrame = {
+    require(g.directed, "SCC is defined for directed graphs; use ConnectedComponents for undirected")
+    var vertices = g.vertices.select(col(ID)).localCheckpoint()
+    // edge_id column is irrelevant here; keep endpoints only
+    var edges = g.edges.select(col(SRC), col(DST)).localCheckpoint()
+    var result: Option[DataFrame] = None
+    var i = 0
+    while (i < maxIterations && !vertices.isEmpty) {
+      val fwd = minReach(vertices, edges, forward = true)
+        .withColumnRenamed(STATE, "_fwd")
+      val bwd = minReach(vertices, edges, forward = false)
+        .withColumnRenamed(STATE, "_bwd")
+      val labelled = fwd.join(bwd, Seq(ID))
+      val resolved = labelled
+        .filter(col("_fwd") === col("_bwd"))
+        .select(col(ID), col("_fwd").as(COMPONENT))
+        .localCheckpoint()
+      result = Some(result.fold(resolved)(_.unionByName(resolved)))
+      vertices = labelled.filter(col("_fwd") =!= col("_bwd"))
+        .select(col(ID)).localCheckpoint()
+      edges = edges
+        .join(vertices.select(col(ID).as(SRC)), Seq(SRC), "left_semi")
+        .join(vertices.select(col(ID).as(DST)), Seq(DST), "left_semi")
+        .localCheckpoint()
+      i += 1
+    }
+    // cap reached with unresolved vertices: label each as its own
+    // singleton (conservative refinement, like the reference's iteration caps)
+    val rest = vertices.select(col(ID), col(ID).as(COMPONENT))
+    result.fold(rest)(_.unionByName(rest))
+  }
+}

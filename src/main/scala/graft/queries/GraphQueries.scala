@@ -213,6 +213,22 @@ object GraphQueries {
       indexedGraph(vertsOf(e), e, directed = true).hubVertices(12L)
     }),
 
+    "g22_scc" -> ((s, d) => {
+      // nation ring 0->1->...->24->0 plus a tail ring->star: the ring is
+      // one SCC labelled by its min id, star hubs are singletons
+      val n = nation(s, d).select(col("n_nationkey").cast("long").as(ID))
+      val ring = n.select(col(ID).as(SRC),
+          (pmod(col(ID) + 1L, lit(25L))).as(DST))
+      val tail = nation(s, d).select(
+        col("n_nationkey").cast("long").as(SRC),
+        (col("n_regionkey").cast("long") + 1000L).as(DST))
+      val e = ring.unionByName(tail)
+      val v = vertsOf(e)
+      // ring diameter is 24: min-label propagation needs >= 24 supersteps
+      StronglyConnectedComponents(propagationIterations = 30)
+        .run(indexedGraph(v, e, directed = true))
+    }),
+
     "g21_pagerank" -> ((s, d) => {
       // rows-only: float summation order differs across engines, so
       // PageRank's contract (mass conservation, hub dominance) is asserted
@@ -374,5 +390,11 @@ object GraphQueries {
     "g20_hubs" ->
       s"""WITH e AS ($ordersEdgesSql)
          |SELECT src AS id, count(*) AS out_degree FROM e
-         |GROUP BY src HAVING count(*) >= 12""".stripMargin)
+         |GROUP BY src HAVING count(*) >= 12""".stripMargin,
+    "g22_scc" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id, CAST(0 AS BIGINT) AS component
+        |FROM nation
+        |UNION ALL
+        |SELECT CAST(r_regionkey + 1000 AS BIGINT),
+        |       CAST(r_regionkey + 1000 AS BIGINT) FROM region""".stripMargin)
 }

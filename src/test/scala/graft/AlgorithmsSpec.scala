@@ -34,6 +34,21 @@ class AlgorithmsSpec extends SparkSpec {
     }
   }
 
+  test("strongly connected components: cycles group, DAG parts are singletons") {
+    import spark.implicits._
+    // cycle {0,1,2} -> 3 -> {4,5} cycle; 6 isolated; 3 is a singleton SCC
+    val g = Graph.index(
+      (0L to 6L).toDF("id"),
+      Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 4L))
+        .toDF("src", "dst"),
+      directed = true)
+    val scc = StronglyConnectedComponents().run(g)
+      .join(g.vertices.select(col(ID), col(OLD_ID)), Seq(ID))
+      .collect().map(r => r.getAs[Long](OLD_ID) -> r.getAs[Long](COMPONENT))
+    val parts = scc.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(parts === Set(Set(0L, 1L, 2L), Set(3L), Set(4L, 5L), Set(6L)))
+  }
+
   test("label propagation: labels stay within the component and runs are deterministic") {
     val g = Fixtures.labelled(spark, directed = false)
     val lp = LabelPropagation(maxIterations = 10).run(g)
