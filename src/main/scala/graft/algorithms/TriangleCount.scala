@@ -21,14 +21,23 @@ import graft.core.{Columns, Graph, GraphUtil}
   */
 final case class TriangleCount() {
   import Columns._
+  import TriangleCount._
 
-  def run(g: Graph): Long = {
+  def run(g: Graph): Long = triangles(g).count()
+}
+
+object TriangleCount {
+  import Columns._
+  import org.apache.spark.sql.DataFrame
+
+  /** Canonical edges oriented toward the higher-(degree, id) endpoint. */
+  private def oriented(g: Graph): DataFrame = {
     val canonical = GraphUtil.orderEdges(g.edges)
     // degree under the canonicalized (undirected) edge set
     val deg = canonical.select(col(SRC).as(ID))
       .unionAll(canonical.select(col(DST).as(ID)))
       .groupBy(col(ID)).agg(count(lit(1)).as(DEGREE))
-    val oriented = canonical
+    canonical
       .join(deg.select(col(ID).as(SRC), col(DEGREE).as("_ds")), Seq(SRC))
       .join(deg.select(col(ID).as(DST), col(DEGREE).as("_dd")), Seq(DST))
       .select(
@@ -36,8 +45,19 @@ final case class TriangleCount() {
           .otherwise(col(DST)).as(SRC),
         when(struct(col("_ds"), col(SRC)) < struct(col("_dd"), col(DST)), col(DST))
           .otherwise(col(SRC)).as(DST))
-    GraphUtil.matchStructure(
-      oriented,
-      Seq(("a", "b"), ("b", "c"), ("a", "c"))).count()
   }
+
+  /** One row per triangle (a, b, c); each triangle appears exactly once. */
+  def triangles(g: Graph): DataFrame =
+    GraphUtil.matchStructure(oriented(g), Seq(("a", "b"), ("b", "c"), ("a", "c")))
+
+  /** Triangles per participating vertex — the numerator of the local
+    * clustering coefficient. Same enumeration as the global count, then an
+    * explode + hash aggregation; vertices in no triangle are absent.
+    */
+  def perVertex(g: Graph): DataFrame =
+    triangles(g)
+      .select(explode(array(col("a"), col("b"), col("c"))).as(ID))
+      .groupBy(col(ID))
+      .agg(count(lit(1)).as("n_triangles"))
 }

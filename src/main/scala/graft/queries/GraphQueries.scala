@@ -213,6 +213,13 @@ object GraphQueries {
       indexedGraph(vertsOf(e), e, directed = true).hubVertices(12L)
     }),
 
+    "g23_triangles_per_vertex" -> ((s, d) => {
+      // local-clustering numerator on the supplier-part graph, real ids so
+      // the oracle can reproduce values
+      val e = suppPartEdges(s, d)
+      TriangleCount.perVertex(indexedGraph(vertsOf(e), e, directed = false))
+    }),
+
     "g22_scc" -> ((s, d) => {
       // nation ring 0->1->...->24->0 plus a tail ring->star: the ring is
       // one SCC labelled by its min id, star hubs are singletons
@@ -396,5 +403,17 @@ object GraphQueries {
         |FROM nation
         |UNION ALL
         |SELECT CAST(r_regionkey + 1000 AS BIGINT),
-        |       CAST(r_regionkey + 1000 AS BIGINT) FROM region""".stripMargin)
+        |       CAST(r_regionkey + 1000 AS BIGINT) FROM region""".stripMargin,
+    "g23_triangles_per_vertex" ->
+      s"""WITH raw AS ($suppPartEdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+         |      FROM raw WHERE src <> dst),
+         |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |        FROM e e1
+         |        JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+         |        JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+         |SELECT v AS id, count(*) AS n_triangles FROM (
+         |  SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri)
+         |GROUP BY v""".stripMargin)
 }

@@ -89,6 +89,16 @@ class GraphSpec extends SparkSpec {
     assert(TriangleCount().run(Fixtures.twoComponents(spark)) === 1L)
   }
 
+  test("per-vertex triangle counts on sample1 match hand-enumeration") {
+    // sample1 (undirected): triangles {a,b,c} and {b,d,e}
+    val g = Fixtures.sample1(spark, directed = false)
+    val got = graft.algorithms.TriangleCount.perVertex(g)
+      .join(g.vertices, Seq("id"))
+      .collect().map(r => r.getAs[String]("old_id") -> r.getAs[Long]("n_triangles"))
+      .toMap
+    assert(got === Map("a" -> 1L, "b" -> 2L, "c" -> 1L, "d" -> 1L, "e" -> 1L))
+  }
+
   test("withVertexColumn is immutable and chainable") {
     val g = Fixtures.sample1(spark)
     val g2 = g.withVertexColumn("deg2", lit(1))
