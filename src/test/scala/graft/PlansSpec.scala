@@ -44,6 +44,12 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in LSH plan:\n$p")
   }
 
+  test("g24 approxJaccard: LSH bucket join, never a nested-loop/cartesian pair join") {
+    val p = plan(GraphQueries.queries("g24_approx_jaccard")(spark, SF))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join shape in the LSH scale path:\n$p")
+  }
+
   test("e01 brute force: whole-stage codegen covers the scoring projection") {
     val df = EmbQueries.queries("e01_knn_exact")(spark, SF)
     // AQE finalizes (and codegen-wraps) THIS df's plan only when the df's

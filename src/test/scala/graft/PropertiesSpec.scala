@@ -82,6 +82,26 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("approxJaccard matches exact jaccard at threshold 0.8 (LSH recall certain)") {
+    import graft.algorithms.Similarity
+    for (seed <- seeds.take(4)) {
+      val edges = randomEdges(seed)
+      val g = graphOf(edges, directed = false)
+      // at t=0.8 a qualifying pair escapes the 32x4 banding with
+      // probability <= (1-0.8^4)^32 ~ 5e-8 — and the outcome is
+      // deterministic (fixed xxhash64 seeds), so green once = green always
+      val approx = Similarity.approxJaccard(g, threshold = 0.8)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val exact = Similarity.jaccard(g)
+        .filter(col("vertex_a") < col("vertex_b") &&
+          col("jaccard_similarity") >= 0.8)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(approx.keySet === exact.keySet, s"seed $seed: $edges")
+      exact.foreach { case (k, v) =>
+        assert(math.abs(approx(k) - v) < 1e-12, s"seed $seed value drift at $k") }
+    }
+  }
+
   test("PageRank mass is conserved and ranks are positive") {
     for (seed <- seeds.take(4)) {
       val edges = randomEdges(seed)
