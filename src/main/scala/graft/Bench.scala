@@ -1,9 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line for the driver.
+  *
+  * Each query is timed over SPARK_GRAFT_REPEATS (default 3) full passes
+  * and reports the per-query MINIMUM — host contention inflates a run
+  * uniformly (this host varies ±40% pass-to-pass), and the min is the
+  * best available estimate of the uncontended cost. A query that throws
+  * is reported under "errors" (never as a fast timing); its time only
+  * counts from passes where it succeeded.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,15 +32,36 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // sorted order: deterministic attribution run-to-run
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    for (_ <- 0 until repeats; (name, fn) <- names) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        best.updateWith(name)(prev => Some(prev.fold(sec)(math.min(_, sec))))
+      } catch {
+        case e: Throwable =>
+          errors.update(name,
+            (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)).take(200))
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val qs = names.flatMap { case (k, _) => best.get(k).map(v => s""""${esc(k)}":$v""") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a query that succeeded in any pass is not an error
+    val errs = names.flatMap { case (k, _) =>
+      if (best.contains(k)) None
+      else errors.get(k).map(m => s""""${esc(k)}":"${esc(m)}"""") }
+      .mkString("{", ",", "}")
+    val total = names.flatMap { case (k, _) => best.get(k) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

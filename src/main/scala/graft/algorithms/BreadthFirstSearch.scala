@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.core.{Columns, Graph}
+import graft.core.{CheckpointPolicy, Columns, Graph}
 
 /** Multi-source / multi-target breadth-first search with an edge filter
   * (reference: algorithms/bfs.py:14-69).
@@ -21,7 +21,8 @@ final case class BreadthFirstSearch(
     startExpr: Column,
     endExpr: Column,
     edgeExpr: Column = lit(true),
-    maxIterations: Int = 10) {
+    maxIterations: Int = 10,
+    checkpoint: CheckpointPolicy = CheckpointPolicy.Local) {
   import Columns._
 
   val resultSchema: StructType = StructType(Seq(
@@ -67,9 +68,49 @@ final case class BreadthFirstSearch(
           col(DST).as(HORIZON),
           array_append(col(EDGES), col(EDGE_ID)).as(EDGES),
           array_append(col(VERTICES), col(DST)).as(VERTICES))
-        .localCheckpoint()
+      paths = checkpoint.pin(paths)
       i += 1
     }
     empty // max_iterations exhausted (bfs.py:63-65)
+  }
+}
+
+object BreadthFirstSearch {
+  import Columns._
+
+  /** Distance-only BFS — the scale default. The path-enumerating `run`
+    * above keeps the reference's walk semantics (cycle prevention by edge
+    * reuse only, bfs.py:57-58), whose frontier grows combinatorially on
+    * dense graphs; here the frontier is a (vertex, dist) set with
+    * visited-vertex pruning, so each vertex is expanded exactly once and
+    * the frontier is bounded by |V|.
+    *
+    * Multi-source: `dist` is the hop count from the NEAREST vertex
+    * matching `startExpr`. Returns (id, dist) for reached vertices only.
+    */
+  def distances(
+      g: Graph,
+      startExpr: Column,
+      edgeExpr: Column = lit(true),
+      maxIterations: Int = 30,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    val DIST = "dist"
+    val edges = checkpoint.pin(
+      (if (g.directed) g.edges else g.symmetricEdges)
+        .filter(edgeExpr).select(col(SRC), col(DST)))
+    var visited = checkpoint.pin(
+      g.vertices.filter(startExpr).select(col(ID), lit(0).as(DIST)))
+    var frontier = visited
+    var depth = 0
+    while (depth < maxIterations && !frontier.isEmpty) {
+      depth += 1
+      frontier = checkpoint.pin(
+        frontier.join(edges, frontier(ID) === edges(SRC))
+          .select(edges(DST).as(ID)).distinct()
+          .join(visited, Seq(ID), "left_anti")
+          .select(col(ID), lit(depth).as(DIST)))
+      visited = checkpoint.pin(visited.unionByName(frontier))
+    }
+    visited
   }
 }

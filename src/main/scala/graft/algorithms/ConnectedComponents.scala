@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{Columns, Graph}
+import graft.core.{CheckpointPolicy, Columns, Graph}
 import graft.pregel.Pregel
 
 /** Min-id label propagation via Pregel
@@ -14,7 +14,9 @@ import graft.pregel.Pregel
   * graph the reference only propagates src->dst (its docstring claims SCC,
   * which forward min-propagation is not); we keep the reference behavior.
   */
-final case class ConnectedComponents(maxIterations: Int = 10) {
+final case class ConnectedComponents(
+    maxIterations: Int = 10,
+    checkpoint: CheckpointPolicy = CheckpointPolicy.Local) {
   import Columns._
 
   def run(g: Graph): DataFrame =
@@ -24,7 +26,8 @@ final case class ConnectedComponents(maxIterations: Int = 10) {
       msgToSrc = if (g.directed) None else Some(col(STATE)),
       msgToDst = Some(col(STATE)),
       updateExpr = Some(least(col(MSG), col(STATE))),
-      maxIterations = maxIterations)
+      maxIterations = maxIterations,
+      checkpoint = checkpoint)
       .run(g)
       .select(col(ID), col(STATE).as(COMPONENT))
 }
@@ -44,7 +47,9 @@ final case class ConnectedComponents(maxIterations: Int = 10) {
   *    sum overflows under ANSI mode; xor over a distinct set is exact,
   *    order-independent and constant-size).
   */
-final case class AlternatingConnectedComponents(maxIterations: Int = 10) {
+final case class AlternatingConnectedComponents(
+    maxIterations: Int = 10,
+    checkpoint: CheckpointPolicy = CheckpointPolicy.Local) {
   import Columns._
 
   private val MIN_NBR = "min_nbr"
@@ -86,7 +91,7 @@ final case class AlternatingConnectedComponents(maxIterations: Int = 10) {
     while (i < maxIterations && !converged) {
       // lazy checkpoint: the fingerprint aggregation below is the one job
       // per round and materializes the new edge set as it runs
-      edges = smallStar(largeStar(edges)).distinct().localCheckpoint(false)
+      edges = checkpoint.pin(smallStar(largeStar(edges)).distinct(), eager = false)
       val fp = edges
         .agg(count(lit(1)), bit_xor(xxhash64(col(SRC), col(DST))))
         .head()

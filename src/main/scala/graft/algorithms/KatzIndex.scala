@@ -3,7 +3,7 @@ package graft.algorithms
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.core.{Columns, Graph}
+import graft.core.{CheckpointPolicy, Columns, Graph}
 import graft.matrix.CooMatrix
 
 /** Katz index: S = Σ_{k=1..maxIterations} β^k · A^k — a path-count
@@ -22,23 +22,24 @@ import graft.matrix.CooMatrix
 final case class KatzIndex(
     beta: Double = 0.1,
     tolerance: Option[Double] = None,
-    maxIterations: Int = 10) {
+    maxIterations: Int = 10,
+    checkpoint: CheckpointPolicy = CheckpointPolicy.Local) {
   import Columns._
 
   val INDEX = "katz_index"
 
   def run(g: Graph): DataFrame = {
-    val a = CooMatrix.adjacency(g).localCheckpointed()
+    val a = CooMatrix.adjacency(g).pinned(checkpoint)
     var power = a // A^k
     var sum = a.scale(beta) // Σ β^k A^k so far
     var betaK = beta
     var i = 1
     var done = false
     while (i < maxIterations && !done) {
-      power = power.multiply(a).localCheckpointed()
+      power = power.multiply(a).pinned(checkpoint)
       betaK *= beta
       val term = power.scale(betaK)
-      sum = sum.plus(term).localCheckpointed()
+      sum = sum.plus(term).pinned(checkpoint)
       done = tolerance.exists(t => term.maxAbs() < t)
       i += 1
     }

@@ -3,7 +3,7 @@ package graft.algorithms
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.core.{Columns, Graph}
+import graft.core.{CheckpointPolicy, Columns, Graph}
 
 /** PageRank by power iteration — the standard companion to the
   * reference's Pregel family (not in the reference's own surface; added
@@ -23,7 +23,8 @@ import graft.core.{Columns, Graph}
 final case class PageRank(
     damping: Double = 0.85,
     maxIterations: Int = 10,
-    tolerance: Option[Double] = None) {
+    tolerance: Option[Double] = None,
+    checkpoint: CheckpointPolicy = CheckpointPolicy.Local) {
   import Columns._
 
   val RANK = "rank"
@@ -34,13 +35,12 @@ final case class PageRank(
       .select(col(SRC), col(DST))
     val outDeg = edges.groupBy(col(SRC)).agg(count(lit(1)).as("_od"))
     // (src, dst, 1/out_degree(src)) — fixed for the whole iteration
-    val routes = edges.join(outDeg, Seq(SRC))
-      .select(col(SRC), col(DST), (lit(1.0) / col("_od")).as("_share"))
-      .localCheckpoint()
+    val routes = checkpoint.pin(edges.join(outDeg, Seq(SRC))
+      .select(col(SRC), col(DST), (lit(1.0) / col("_od")).as("_share")))
     val n = g.vertices.count().toDouble
     val teleport = (1.0 - damping) / n
 
-    var rank = g.vertices.select(col(ID), lit(1.0 / n).as(RANK)).localCheckpoint()
+    var rank = checkpoint.pin(g.vertices.select(col(ID), lit(1.0 / n).as(RANK)))
     var i = 0
     var done = false
     while (i < maxIterations && !done) {
@@ -59,15 +59,15 @@ final case class PageRank(
         .select(col(ID),
           (lit(teleport + danglingShare) +
             lit(damping) * coalesce(col("_in"), lit(0.0))).as(RANK))
-        .localCheckpoint(false)
+      val pinned = checkpoint.pin(next, eager = false)
 
       done = tolerance.exists { t =>
-        val delta = next.join(rank.withColumnRenamed(RANK, "_prev"), Seq(ID))
+        val delta = pinned.join(rank.withColumnRenamed(RANK, "_prev"), Seq(ID))
           .agg(max(abs(col(RANK) - col("_prev")))).head().getDouble(0)
         delta < t
       }
-      if (tolerance.isEmpty) next.count() // materialize the lazy checkpoint
-      rank = next
+      if (tolerance.isEmpty) pinned.count() // materialize the lazy checkpoint
+      rank = pinned
       i += 1
     }
     rank

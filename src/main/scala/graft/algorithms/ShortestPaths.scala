@@ -3,7 +3,7 @@ package graft.algorithms
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.core.{Columns, Graph}
+import graft.core.{CheckpointPolicy, Columns, Graph}
 
 /** Landmark shortest paths (BFS distance from every vertex to each landmark).
   *
@@ -20,7 +20,10 @@ import graft.core.{Columns, Graph}
   * Distances only ever decrease and rows only accrue, so a
   * (count, sum(dist)) fingerprint detects the fixed point exactly.
   */
-final case class ShortestPaths(landmarks: Seq[Long], maxIterations: Int = 10) {
+final case class ShortestPaths(
+    landmarks: Seq[Long],
+    maxIterations: Int = 10,
+    checkpoint: CheckpointPolicy = CheckpointPolicy.Local) {
   import Columns._
 
   private val LANDMARK = "landmark"
@@ -33,15 +36,14 @@ final case class ShortestPaths(landmarks: Seq[Long], maxIterations: Int = 10) {
     import spark.implicits._
 
     val lm = landmarks.toDF(LANDMARK)
-    val edges =
+    val edges = checkpoint.pin(
       (if (g.directed) g.edges else g.symmetricEdges)
-        .select(col(SRC), col(DST)).localCheckpoint()
+        .select(col(SRC), col(DST)))
 
     // seed: each landmark is at distance 0 from itself
-    var dist = g.vertices
+    var dist = checkpoint.pin(g.vertices
       .join(broadcast(lm), col(ID) === col(LANDMARK), "left_semi")
-      .select(col(ID), col(ID).as(LANDMARK), lit(0).as(DIST))
-      .localCheckpoint()
+      .select(col(ID), col(ID).as(LANDMARK), lit(0).as(DIST)))
 
     var prev = (-1L, 0L)
     var converged = false
@@ -51,10 +53,10 @@ final case class ShortestPaths(landmarks: Seq[Long], maxIterations: Int = 10) {
       val relaxed = edges
         .join(dist, edges(DST) === dist(ID))
         .select(edges(SRC).as(ID), col(LANDMARK), (col(DIST) + 1).as(DIST))
-      dist = dist.unionByName(relaxed)
+      dist = checkpoint.pin(dist.unionByName(relaxed)
         .groupBy(col(ID), col(LANDMARK))
-        .agg(min(col(DIST)).as(DIST))
-        .localCheckpoint()
+        .agg(min(col(DIST)).as(DIST)),
+        eager = false)
       val fp = dist.agg(count(lit(1)), sum(col(DIST))).head()
       val cur = (fp.getLong(0), if (fp.isNullAt(1)) 0L else fp.getLong(1))
       converged = cur == prev // monotone: same (count, sum) => no change

@@ -3,7 +3,7 @@ package graft.algorithms
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.core.{Columns, Graph}
+import graft.core.{CheckpointPolicy, Columns, Graph}
 import graft.pregel.Pregel
 
 /** Strongly connected components of a directed graph.
@@ -20,6 +20,13 @@ import graft.pregel.Pregel
   * the globally smallest id, usually many), freezes them, and recurses on
   * the residual graph.
   *
+  * Correctness requires each min-propagation to reach its FIXED POINT: a
+  * truncated propagation can leave two vertices of one SCC with different
+  * labels that both pass the fwd=bwd test, silently splitting the
+  * component. The inner Pregel therefore runs to convergence;
+  * `propagationIterations` is a safety valve that FAILS LOUDLY when hit
+  * (graphs with reachability depth beyond it), never a semantics knob.
+  *
   * Cost: each round is two Pregel min-propagations over the shrinking
   * residual edge set; outer rounds are bounded by the "SCC level depth",
   * not the SCC count. All data movement is per-round joins/aggregations —
@@ -27,27 +34,35 @@ import graft.pregel.Pregel
   */
 final case class StronglyConnectedComponents(
     maxIterations: Int = 10,
-    propagationIterations: Int = 20) {
+    propagationIterations: Int = 1000,
+    checkpoint: CheckpointPolicy = CheckpointPolicy.Local) {
   import Columns._
 
   private def minReach(vertices: DataFrame, edges: DataFrame, forward: Boolean): DataFrame = {
     val g = Graph(vertices, edges, directed = true)
-    Pregel(
+    val res = Pregel(
       initialState = col(ID),
       aggExpr = min(col(MSG)),
       msgToSrc = if (forward) None else Some(col(STATE)),
       msgToDst = if (forward) Some(col(STATE)) else None,
       updateExpr = Some(least(col(MSG), col(STATE))),
-      maxIterations = propagationIterations)
-      .run(g)
-      .select(col(ID), col(STATE))
+      maxIterations = propagationIterations,
+      checkpoint = checkpoint)
+      .runWithStatus(g)
+    if (!res.converged)
+      throw new IllegalStateException(
+        s"SCC min-label propagation did not reach a fixed point within " +
+          s"propagationIterations=$propagationIterations supersteps; raise the " +
+          "cap (graph reachability depth exceeds it) — truncated labels would " +
+          "silently split components")
+    res.state.select(col(ID), col(STATE))
   }
 
   def run(g: Graph): DataFrame = {
     require(g.directed, "SCC is defined for directed graphs; use ConnectedComponents for undirected")
-    var vertices = g.vertices.select(col(ID)).localCheckpoint()
+    var vertices = checkpoint.pin(g.vertices.select(col(ID)))
     // edge_id column is irrelevant here; keep endpoints only
-    var edges = g.edges.select(col(SRC), col(DST)).localCheckpoint()
+    var edges = checkpoint.pin(g.edges.select(col(SRC), col(DST)))
     var result: Option[DataFrame] = None
     var i = 0
     while (i < maxIterations && !vertices.isEmpty) {
@@ -56,20 +71,18 @@ final case class StronglyConnectedComponents(
       val bwd = minReach(vertices, edges, forward = false)
         .withColumnRenamed(STATE, "_bwd")
       val labelled = fwd.join(bwd, Seq(ID))
-      val resolved = labelled
+      val resolved = checkpoint.pin(labelled
         .filter(col("_fwd") === col("_bwd"))
-        .select(col(ID), col("_fwd").as(COMPONENT))
-        .localCheckpoint()
+        .select(col(ID), col("_fwd").as(COMPONENT)))
       result = Some(result.fold(resolved)(_.unionByName(resolved)))
-      vertices = labelled.filter(col("_fwd") =!= col("_bwd"))
-        .select(col(ID)).localCheckpoint()
-      edges = edges
+      vertices = checkpoint.pin(labelled.filter(col("_fwd") =!= col("_bwd"))
+        .select(col(ID)))
+      edges = checkpoint.pin(edges
         .join(vertices.select(col(ID).as(SRC)), Seq(SRC), "left_semi")
-        .join(vertices.select(col(ID).as(DST)), Seq(DST), "left_semi")
-        .localCheckpoint()
+        .join(vertices.select(col(ID).as(DST)), Seq(DST), "left_semi"))
       i += 1
     }
-    // cap reached with unresolved vertices: label each as its own
+    // outer cap reached with unresolved vertices: label each as its own
     // singleton (conservative refinement, like the reference's iteration caps)
     val rest = vertices.select(col(ID), col(ID).as(COMPONENT))
     result.fold(rest)(_.unionByName(rest))

@@ -165,7 +165,18 @@ object Graph {
     * reference's inner-join semantics), and assign each edge a LONG
     * `edge_id`.
     */
-  def index(vertices: DataFrame, edges: DataFrame, directed: Boolean = true): Graph = {
+  /** `checkCollisions = true` adds one aggregate over the vertex table
+    * asserting the surrogate ids are collision-free — xxhash64 has 64-bit
+    * birthday bounds (~50% chance of SOME collision near 5e9 vertices,
+    * ~3e-4 at 100M), so jobs near billions of vertices should pay the one
+    * extra pass. Off by default: below ~1e8 vertices the risk is
+    * negligible and the check costs a full scan. `surrogate` overrides the
+    * id scheme (must be deterministic and consistent between the vertex
+    * and edge key columns).
+    */
+  def index(vertices: DataFrame, edges: DataFrame, directed: Boolean = true,
+      checkCollisions: Boolean = false,
+      surrogate: Column => Column = surrogateId): Graph = {
     require(!vertices.columns.contains(OLD_ID),
       s"vertices dataframe already contains a column $OLD_ID")
     require(!edges.columns.contains(OLD_SRC),
@@ -175,14 +186,14 @@ object Graph {
 
     val v = vertices.distinct()
       .withColumnRenamed(ID, OLD_ID)
-      .withColumn(ID, surrogateId(col(OLD_ID)))
+      .withColumn(ID, surrogate(col(OLD_ID)))
 
     val renamed = edges.distinct()
       .withColumnsRenamed(Map(SRC -> OLD_SRC, DST -> OLD_DST))
     val attrCols = renamed.columns.toIndexedSeq
     val keyed = renamed
-      .withColumn(SRC, surrogateId(col(OLD_SRC)))
-      .withColumn(DST, surrogateId(col(OLD_DST)))
+      .withColumn(SRC, surrogate(col(OLD_SRC)))
+      .withColumn(DST, surrogate(col(OLD_DST)))
       // inner-join drop semantics (graph.py:60-63) without carrying vertex
       // attributes through a wide join
       .join(v.select(col(ID).as(SRC)), Seq(SRC), "left_semi")
@@ -190,6 +201,16 @@ object Graph {
     val e = keyed.select(
       (xxhash64(attrCols.map(col): _*)).as(EDGE_ID) +:
         col(SRC) +: col(DST) +: attrCols.map(col): _*)
+
+    if (checkCollisions) {
+      val r = v.agg(
+        count_distinct(col(ID)).as("ids"),
+        count_distinct(col(OLD_ID)).as("olds")).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"surrogate-id collision: ${r.getLong(1)} distinct source ids hashed " +
+          s"to ${r.getLong(0)} distinct surrogate ids; re-key with a wider " +
+          "scheme (e.g. pre-salt the id column)")
+    }
 
     Graph(v, e, directed)
   }

@@ -209,23 +209,32 @@ object Dedup {
       .localCheckpoint()
     val inv = sh.select(col("id"), col("n"), explode(col("h")).as("g"))
     val df = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // Bounds are computed as ceil(x - EPS): double rounding can land n*t a
+    // few ulps ABOVE an exact integer (0.55*20 = 11.000000000000002), and a
+    // plain ceil then overshoots the bound by 1, pruning pairs with J
+    // exactly equal to the threshold. EPS (1e-7) dominates the ulp error of
+    // any realistic n*t (< 1e-9 for n up to 1e6) while staying far below
+    // genuine fractional parts; erring low only admits an extra candidate
+    // for the exact verify — the filter must never change results.
+    val EPS = 1e-7
+    def ceilSafe(x: org.apache.spark.sql.Column) = ceil(x - lit(EPS)).cast("int")
     // rarest-first global order; (df, g) is a total order so prefixes are
     // deterministic
     val prefix = inv.join(df, Seq("g"))
       .withColumn("rn",
         row_number().over(Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
-      .filter(col("rn") <= col("n") - ceil(col("n") * threshold).cast("int") + 1)
+      .filter(col("rn") <= col("n") - ceilSafe(col("n") * threshold) + 1)
       .select(col("id"), col("n"), col("rn"), col("g"))
     val cands = prefix.as("x")
       .join(prefix.as("y"),
         col("x.g") === col("y.g") && col("x.id") < col("y.id") &&
           // length filter: t*|y| <= |x| and t*|x| <= |y| is necessary for J >= t
-          col("x.n") >= ceil(col("y.n") * threshold).cast("int") &&
-          col("y.n") >= ceil(col("x.n") * threshold).cast("int") &&
+          col("x.n") >= ceilSafe(col("y.n") * threshold) &&
+          col("y.n") >= ceilSafe(col("x.n") * threshold) &&
           // positional filter (PPJoin): tokens after this shared one bound
           // the overlap; J >= t needs overlap >= ceil(t/(1+t) * (nx+ny))
           least(col("x.n") - col("x.rn"), col("y.n") - col("y.rn")) + 1 >=
-            ceil((col("x.n") + col("y.n")) * (threshold / (1 + threshold))).cast("int"))
+            ceilSafe((col("x.n") + col("y.n")) * (threshold / (1 + threshold))))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     // no broadcast hint: sh is the full corpus — AQE broadcasts it when

@@ -40,13 +40,30 @@ case class QuantizedDot(left: Expression, right: Expression)
 
   override def prettyName: String = "quantized_dot"
 
+  /** Malformed input is NULL, not a silently wrong product: vectors of
+    * different lengths and vectors containing null elements both yield
+    * null — matching the `zip_with`+`aggregate` lambda this expression
+    * replaced (zip_with pads with nulls, which poison the lambda sum).
+    */
+  override def nullable: Boolean = true
+
+  /** Element null checks compile away when both schemas say
+    * containsNull=false. */
+  private def eltNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    val checkElts = eltNullable
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (checkElts && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += QuantizedDot.q(x.getFloat(i)) * QuantizedDot.q(y.getFloat(i))
       i += 1
     }
@@ -58,14 +75,23 @@ case class QuantizedDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val eltCheck =
+        if (eltNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += graft.functions.QuantizedDot.q($a.getFloat($i))
-         |        * graft.functions.QuantizedDot.q($b.getFloat($i));
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $eltCheck
+         |    $acc += graft.functions.QuantizedDot.q($a.getFloat($i))
+         |          * graft.functions.QuantizedDot.q($b.getFloat($i));
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

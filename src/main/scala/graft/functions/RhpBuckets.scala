@@ -40,12 +40,29 @@ case class RhpBuckets(child: Expression, bits: Int, tables: Int)
 
   override def prettyName: String = "rhp_buckets"
 
+  /** A vector containing null elements buckets as NULL (no buckets, joins
+    * drop it) rather than reading nulls as 0.0 into the hyperplane dots —
+    * same malformed-input contract as [[QuantizedDot]]. The prescan
+    * compiles away when the schema says containsNull=false. */
+  override def nullable: Boolean = true
+
+  private def eltNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
   override def nullSafeEval(input: Any): Any =
-    RhpBuckets.compute(input.asInstanceOf[ArrayData], bits, tables)
+    RhpBuckets.compute(input.asInstanceOf[ArrayData], bits, tables, eltNullable)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.RhpBuckets.compute($c, $bits, $tables)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("res")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  graft.functions.RhpBuckets.compute($c, $bits, $tables, $eltNullable);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -63,9 +80,17 @@ object RhpBuckets {
     ((if (m < 0) m + 1999 else m) - 999) / 1000.0
   }
 
-  /** Whole-signature kernel; public + static-forwarded for generated code. */
-  def compute(vec: ArrayData, bits: Int, tables: Int): ArrayData = {
+  /** Whole-signature kernel; public + static-forwarded for generated code.
+    * Returns null (→ SQL NULL) when `checkNulls` and any element is null. */
+  def compute(vec: ArrayData, bits: Int, tables: Int, checkNulls: Boolean): ArrayData = {
     val n = vec.numElements()
+    if (checkNulls) {
+      var j = 0
+      while (j < n) {
+        if (vec.isNullAt(j)) return null
+        j += 1
+      }
+    }
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {

@@ -44,6 +44,9 @@ final case class CooMatrix(df: DataFrame) {
   }
 
   def localCheckpointed(): CooMatrix = CooMatrix(df.localCheckpoint())
+
+  def pinned(policy: graft.core.CheckpointPolicy): CooMatrix =
+    CooMatrix(policy.pin(df))
 }
 
 object CooMatrix {

@@ -3,7 +3,14 @@ package graft.pregel
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.core.{Columns, Graph, GraphUtil}
+import graft.core.{CheckpointPolicy, Columns, Graph, GraphUtil}
+
+/** Outcome of a Pregel run: the final state plus whether the loop reached
+  * a fixed point (no vertex changed) before `maxIterations` — callers that
+  * depend on full convergence for *correctness* (e.g. SCC's min-label
+  * propagation) must check `converged` instead of trusting truncated
+  * labels. */
+final case class PregelResult(state: DataFrame, converged: Boolean, iterations: Int)
 
 /** Vertex-centric superstep engine.
   *
@@ -33,6 +40,9 @@ import graft.core.{Columns, Graph, GraphUtil}
   *                      defaults to the aggregated message
   * @param comparison    (newState, oldState) => changed? ; default null-safe !=
   * @param maxIterations superstep cap (reference default 10, pregel.py:32)
+  * @param checkpoint    where per-superstep state pins live —
+  *                      [[CheckpointPolicy.Reliable]] for cluster jobs that
+  *                      must survive executor loss
   */
 final case class Pregel(
     initialState: Column,
@@ -41,7 +51,8 @@ final case class Pregel(
     msgToDst: Option[Column] = None,
     updateExpr: Option[Column] = None,
     comparison: (Column, Column) => Column = GraphUtil.neNullSafe,
-    maxIterations: Int = 10) {
+    maxIterations: Int = 10,
+    checkpoint: CheckpointPolicy = CheckpointPolicy.Local) {
   import Columns._
 
   require(msgToSrc.nonEmpty || msgToDst.nonEmpty,
@@ -50,10 +61,12 @@ final case class Pregel(
 
   private val UPDATED = "_updated"
 
-  def run(g: Graph): DataFrame = {
+  def run(g: Graph): DataFrame = runWithStatus(g).state
+
+  def runWithStatus(g: Graph): PregelResult = {
     val update = updateExpr.getOrElse(col(MSG))
     // the send join only needs the endpoints; materialize once for the loop
-    val edges = g.edges.select(col(SRC), col(DST)).localCheckpoint()
+    val edges = checkpoint.pin(g.edges.select(col(SRC), col(DST)))
 
     var state = g.vertices
       .withColumn(STATE, initialState)
@@ -79,9 +92,10 @@ final case class Pregel(
       // lazy checkpoint: the convergence count below is the ONE job per
       // superstep — it materializes every partition of `next` (truncating
       // lineage) and counts changed vertices in the same pass
-      val next = updated.withColumn(UPDATED, lit(true))
-        .unionByName(notUpdated.withColumn(UPDATED, lit(false)))
-        .localCheckpoint(false)
+      val next = checkpoint.pin(
+        updated.withColumn(UPDATED, lit(true))
+          .unionByName(notUpdated.withColumn(UPDATED, lit(false))),
+        eager = false)
 
       state = next.drop(UPDATED)
       changed = next
@@ -90,7 +104,7 @@ final case class Pregel(
       converged = changed.count() == 0
       i += 1
     }
-    state
+    PregelResult(state, converged, i)
   }
 
   /** One send direction (pregel.py:77-90): evaluate the message expression

@@ -126,6 +126,13 @@ object GraphQueries {
         .run(chainGraph(s, d))
         .select(col(START), col(END), size(col(EDGES)).cast("long").as("path_len"))),
 
+    "g25_bfs_distances" -> ((s, d) =>
+      // distance-only BFS (scale default): multi-source from all customer
+      // vertices over the customer->nation->hub DAG; dist = hops from the
+      // nearest customer
+      BreadthFirstSearch.distances(
+        hierarchyGraph(s, d), startExpr = col(ID) >= 10000L)),
+
     "g07_jaccard" -> ((s, d) =>
       JaccardSimilarity().run(starGraph(s, d))),
 
@@ -243,8 +250,9 @@ object GraphQueries {
         (col("n_regionkey").cast("long") + 1000L).as(DST))
       val e = ring.unionByName(tail)
       val v = vertsOf(e)
-      // ring diameter is 24: min-label propagation needs >= 24 supersteps
-      StronglyConnectedComponents(propagationIterations = 30)
+      // inner min-label propagation runs to its fixed point (the ring's
+      // diameter 24 is well under the loud-failure safety cap)
+      StronglyConnectedComponents()
         .run(indexedGraph(v, e, directed = true))
     }),
 
@@ -341,6 +349,16 @@ object GraphQueries {
          | CAST(len(list_intersect(a.nbrs, b.nbrs)) AS DOUBLE)
          |   / least(len(a.nbrs), len(b.nbrs)) AS overlap_coefficient
          |FROM adj a JOIN adj b ON a.id <> b.id""".stripMargin,
+    "g25_bfs_distances" ->
+      s"""WITH RECURSIVE e AS ($hierarchyEdgesSql),
+         |walk AS (
+         |  SELECT CAST(c_custkey + 10000 AS BIGINT) AS id, 0 AS dist
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.id
+         |  WHERE w.dist < 30)
+         |SELECT id, CAST(min(dist) AS INTEGER) AS dist
+         |FROM walk GROUP BY id""".stripMargin,
     "g24_approx_jaccard" ->
       s"""WITH raw AS ($suppPartEdgesSql),
          |sym AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),

@@ -97,16 +97,26 @@ object KMeans {
     * seeds; returns the final (cell, cv) centroids. Centroids are tiny
     * (k rows) — each round's frame is collected into a broadcast on the
     * next assignment.
+    *
+    * A cell that loses every member in a round keeps its previous
+    * centroid instead of vanishing — `fit` always returns exactly k
+    * cells with dense ids, so `ivfTopK(nprobe)` probes the codebook size
+    * it asked for.
     */
   def fit(items: DataFrame, idCol: String, vecCol: String,
-      k: Int, maxIterations: Int = 10): DataFrame = {
+      k: Int, maxIterations: Int = 10,
+      checkpoint: graft.core.CheckpointPolicy = graft.core.CheckpointPolicy.Local): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val it = items.select(col(idCol), col(vecCol))
-    var centroids = farthestFirstSeeds(it, idCol, vecCol, k).localCheckpoint()
+    var centroids = checkpoint.pin(farthestFirstSeeds(it, idCol, vecCol, k))
     var i = 0
     while (i < maxIterations) {
       val assignments = assign(it, centroids, idCol, vecCol)
-      centroids = recompute(it, assignments, idCol, vecCol).localCheckpoint()
+      val fresh = recompute(it, assignments, idCol, vecCol)
+      centroids = checkpoint.pin(
+        centroids.select(col("cell"), col("cv").as("_prev"))
+          .join(fresh, Seq("cell"), "left")
+          .select(col("cell"), coalesce(col("cv"), col("_prev")).as("cv")))
       i += 1
     }
     centroids
@@ -114,6 +124,7 @@ object KMeans {
 
   /** Fit + assign: (idCol, cell) cluster labels for every item. */
   def fitPredict(items: DataFrame, idCol: String, vecCol: String,
-      k: Int, maxIterations: Int = 10): DataFrame =
-    assign(items, fit(items, idCol, vecCol, k, maxIterations), idCol, vecCol)
+      k: Int, maxIterations: Int = 10,
+      checkpoint: graft.core.CheckpointPolicy = graft.core.CheckpointPolicy.Local): DataFrame =
+    assign(items, fit(items, idCol, vecCol, k, maxIterations, checkpoint), idCol, vecCol)
 }

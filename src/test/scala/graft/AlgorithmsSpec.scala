@@ -49,6 +49,73 @@ class AlgorithmsSpec extends SparkSpec {
     assert(parts === Set(Set(0L, 1L, 2L), Set(3L), Set(4L, 5L), Set(6L)))
   }
 
+  test("SCC: a cycle longer than any former default cap is one component") {
+    import spark.implicits._
+    // 50-ring: reachability depth 49 — under the old semantics a capped
+    // min-propagation (20 supersteps) silently split this SCC; the inner
+    // Pregel now runs to its fixed point
+    val n = 50L
+    val g = Graph.index(
+      (0L until n).toDF("id"),
+      (0L until n).map(k => (k, (k + 1) % n)).toDF("src", "dst"),
+      directed = true)
+    val scc = StronglyConnectedComponents().run(g)
+      .join(g.vertices.select(col(ID), col(OLD_ID)), Seq(ID))
+      .collect().map(r => r.getAs[Long](OLD_ID) -> r.getAs[Long](COMPONENT))
+    assert(scc.length === 50)
+    assert(scc.map(_._2).toSet.size === 1, "ring must resolve as ONE SCC")
+  }
+
+  test("BFS distances: visited pruning yields min hop counts, multi-source takes nearest") {
+    import spark.implicits._
+    // 0->1->2->3->4 chain plus shortcut 0->3; 5 unreachable
+    val g = Graph.index(
+      (0L to 5L).toDF("id"),
+      Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L)).toDF("src", "dst"),
+      directed = true)
+    def dists(start: org.apache.spark.sql.Column): Map[Long, Int] =
+      BreadthFirstSearch.distances(g, start)
+        .join(g.vertices.select(col(ID), col(OLD_ID)), Seq(ID))
+        .collect().map(r => r.getAs[Long](OLD_ID) -> r.getAs[Int]("dist")).toMap
+    val single = dists(col(OLD_ID) === 0L)
+    assert(single === Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 1, 4L -> 2))
+    val multi = dists(col(OLD_ID).isin(0L, 2L))
+    assert(multi === Map(0L -> 0, 2L -> 0, 1L -> 1, 3L -> 1, 4L -> 2))
+  }
+
+  test("CheckpointPolicy.Reliable pins rounds to the checkpoint dir and matches Local") {
+    import graft.core.CheckpointPolicy
+    val g = Fixtures.twoComponents(spark, directed = false)
+    // Reliable without a checkpoint dir must refuse, not silently degrade
+    val prior = spark.sparkContext.getCheckpointDir
+    if (prior.isEmpty)
+      intercept[IllegalArgumentException] {
+        ConnectedComponents(checkpoint = CheckpointPolicy.Reliable).run(g).collect()
+      }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val reliable = ConnectedComponents(checkpoint = CheckpointPolicy.Reliable).run(g)
+    val local = ConnectedComponents(checkpoint = CheckpointPolicy.Local).run(g)
+    assert(rowSet(reliable) === rowSet(local))
+    // blocks actually landed in the reliable store
+    def files(p: java.io.File): Long =
+      if (p.isDirectory) p.listFiles().map(files).sum else 1L
+    assert(files(new java.io.File(dir)) > 0, "no checkpoint files written")
+  }
+
+  test("SCC: propagation cap fails loudly instead of mislabeling") {
+    import spark.implicits._
+    val n = 30L
+    val g = Graph.index(
+      (0L until n).toDF("id"),
+      (0L until n).map(k => (k, (k + 1) % n)).toDF("src", "dst"),
+      directed = true)
+    val e = intercept[IllegalStateException] {
+      StronglyConnectedComponents(propagationIterations = 5).run(g).collect()
+    }
+    assert(e.getMessage.contains("fixed point"))
+  }
+
   test("label propagation: labels stay within the component and runs are deterministic") {
     val g = Fixtures.labelled(spark, directed = false)
     val lp = LabelPropagation(maxIterations = 10).run(g)

@@ -37,6 +37,30 @@ class FunctionsSpec extends SparkSpec {
     assert(diff.isEmpty)
   }
 
+  test("QuantizedDot/RhpBuckets: malformed vectors are NULL, not truncated") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)),   // length mismatch
+      (2L, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)))          // well-formed
+      .toDF("id", "a", "b")
+    val dots = df.select(col("id"), Ann.quantizedDot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(dots(1L) === None, "length mismatch must be null")
+    assert(dots(2L) === Some(1000L * 3000 + 2000L * 4000))
+
+    // null elements (schema containsNull=true): both expressions null out
+    val withNulls = spark.sql(
+      "SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS v, " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS w")
+    val r = withNulls.select(
+      Ann.quantizedDot(col("v"), col("w")).as("d"),
+      RhpBuckets(col("v"), 16, 4).as("bk"),
+      RhpBuckets(col("w"), 16, 4).as("ok")).head()
+    assert(r.isNullAt(0), "null element dot must be null")
+    assert(r.isNullAt(1), "null element buckets must be null")
+    assert(!r.isNullAt(2), "clean vector still buckets")
+  }
+
   test("SimHash64 matches the SQL-lambda simhashExpr") {
     import spark.implicits._
     val df = Seq(

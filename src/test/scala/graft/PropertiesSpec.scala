@@ -102,6 +102,21 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("surrogate-id collision guard: clean ids pass, a colliding scheme throws") {
+    import spark.implicits._
+    val vs = (0L to 7L).toDF("id")
+    val es = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    // default hash on 8 ids: no collision, guard is silent
+    Graph.index(vs, es, directed = true, checkCollisions = true)
+      .vertices.collect()
+    // forced-collision scheme (everything hashes to one id) must throw
+    val e = intercept[IllegalArgumentException] {
+      Graph.index(vs, es, directed = true, checkCollisions = true,
+        surrogate = _ => lit(7L)).vertices.collect()
+    }
+    assert(e.getMessage.contains("collision"))
+  }
+
   test("PageRank mass is conserved and ranks are positive") {
     for (seed <- seeds.take(4)) {
       val edges = randomEdges(seed)
