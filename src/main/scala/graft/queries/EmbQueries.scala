@@ -47,6 +47,20 @@ object EmbQueries {
         "vec_id", "embedding", "cell", K, nprobe = 3)
     }),
 
+    "e06_knn_ivf_full_probe" -> ((s, d) => {
+      // oracle-checkable IVF identity: probing EVERY learned cell makes
+      // the candidate set the full corpus, so KMeans.fit + ivfTopK must
+      // reproduce the exact top-k bit-for-bit — an end-to-end oracle row
+      // for the whole IVF machinery (the approximate nprobe < cells paths
+      // e03/e05 stay rows-only with recall specs)
+      val emb = embeddings(s, d)
+      val labels = KMeans.fitPredict(emb, "vec_id", "embedding", k = 10, maxIterations = 3)
+      val items = emb.select(col("vec_id"), col("embedding"))
+        .join(labels, Seq("vec_id"))
+      Ann.ivfTopK(items, items.filter(col("vec_id") < NQUERIES),
+        "vec_id", "embedding", "cell", K, nprobe = 10)
+    }),
+
     "e04_embedding_neardup" -> ((s, d) => {
       // embedding-cosine near-duplicate pairs: quantized-dot self-join
       // pruned by shared IVF cell (label) — same-cell pairs only
@@ -61,21 +75,26 @@ object EmbQueries {
         .filter(col("qdot") > 250000L)
     }))
 
+  /** Exact brute-force top-k in DuckDB — the oracle for e01 AND for the
+    * full-probe IVF identity e06 (same rows by construction). */
+  private val exactKnnSql =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           WHERE vec_id < $NQUERIES),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id AS nid,
+       |    CAST(list_sum([CAST(round(CAST(q.qv[i] AS DOUBLE) * 1000) AS BIGINT)
+       |                 * CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+       |                   FOR i IN range(1, len(q.qv) + 1)]) AS BIGINT) AS qdot
+       |  FROM q, embeddings e WHERE e.vec_id <> q.qid)
+       |SELECT qid, nid, qdot FROM (
+       |  SELECT qid, nid, qdot,
+       |         row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, nid) AS rn
+       |  FROM scored)
+       |WHERE rn <= $K""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "e01_knn_exact" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-         |           WHERE vec_id < $NQUERIES),
-         |scored AS (
-         |  SELECT q.qid, e.vec_id AS nid,
-         |    CAST(list_sum([CAST(round(CAST(q.qv[i] AS DOUBLE) * 1000) AS BIGINT)
-         |                 * CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
-         |                   FOR i IN range(1, len(q.qv) + 1)]) AS BIGINT) AS qdot
-         |  FROM q, embeddings e WHERE e.vec_id <> q.qid)
-         |SELECT qid, nid, qdot FROM (
-         |  SELECT qid, nid, qdot,
-         |         row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, nid) AS rn
-         |  FROM scored)
-         |WHERE rn <= $K""".stripMargin,
+    "e06_knn_ivf_full_probe" -> exactKnnSql,
+    "e01_knn_exact" -> exactKnnSql,
     "e04_embedding_neardup" ->
       """SELECT x.vec_id AS id_a, y.vec_id AS id_b,
         |  CAST(list_sum([CAST(round(CAST(x.embedding[i] AS DOUBLE) * 1000) AS BIGINT)

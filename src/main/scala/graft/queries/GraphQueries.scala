@@ -257,9 +257,11 @@ object GraphQueries {
     }),
 
     "g21_pagerank" -> ((s, d) => {
-      // rows-only: float summation order differs across engines, so
-      // PageRank's contract (mass conservation, hub dominance) is asserted
-      // in the ScalaTest specs instead of by value-equality
+      // oracle-checked: 5 fixed iterations of double arithmetic, mirrored
+      // op-for-op by an unrolled CTE in DuckDB; round(...,9) absorbs the
+      // last-ulp drift from differing summation orders (values ~1e-3,
+      // accumulated sum error ~1e-16 — nine decimals is 6+ orders of
+      // margin from any rounding boundary)
       val e = ordersEdges(s, d)
       PageRank(maxIterations = 5)
         .run(indexedGraph(vertsOf(e), e, directed = true))
@@ -290,7 +292,38 @@ object GraphQueries {
       |SELECT CAST(n_nationkey AS BIGINT),
       |  CAST(n_regionkey + 1000 AS BIGINT) FROM nation""".stripMargin
 
+  /** Unrolled PageRank oracle: one (dangling, contrib, rank) CTE triple
+    * per iteration, every double operation ordered exactly as
+    * [[graft.algorithms.PageRank]] computes it — (1-d)/n teleport,
+    * (d*dm)/n dangling share, share = 1.0/out_degree multiplied (not
+    * divided) into the contribution sum.
+    */
+  private def pageRankOracleSql(iterations: Int): String = {
+    val head =
+      s"""WITH e AS ($ordersEdgesSql),
+         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+         |routes AS (SELECT e.src, e.dst, 1.0 / od.od AS share
+         |           FROM e JOIN od ON e.src = od.src),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+         |pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM v)""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      s"""d$k AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM pr${k - 1}
+         |        WHERE id NOT IN (SELECT src FROM od)),
+         |c$k AS (SELECT r.dst AS id, sum(p.rank * r.share) AS contrib
+         |        FROM pr${k - 1} p JOIN routes r ON p.id = r.src GROUP BY r.dst),
+         |pr$k AS (SELECT v.id,
+         |          ((1.0 - 0.85) / (SELECT n FROM nn)
+         |            + (0.85 * (SELECT dm FROM d$k)) / (SELECT n FROM nn))
+         |           + 0.85 * coalesce(c.contrib, 0.0) AS rank
+         |         FROM v LEFT JOIN c$k c ON v.id = c.id)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT id, round(rank, 9) AS rank FROM pr$iterations"
+  }
+
   val oracle: Map[String, String] = Map(
+    "g21_pagerank" -> pageRankOracleSql(5),
     "q08_triangles" ->
       s"""WITH raw AS ($suppPartEdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
