@@ -1,6 +1,8 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for training-data pipelines: image/audio/
@@ -8,18 +10,24 @@ import org.apache.spark.sql.functions._
   * struct; per-item decode/feature-extraction runs as partition-local
   * imperative code over the binary payloads.
   *
-  * The Spark-side plumbing here — schema, partition-batched execution via
-  * `mapPartitions` on a typed Dataset, feature schema — is real and
-  * tested. The DECODE STEP IS A STUB: this container has no image/audio
-  * codecs, so [[decodeStub]] derives deterministic fake "features" from
-  * the raw bytes (byte histogram moments). Swapping in a real decoder
-  * means replacing `decodeStub` only; nothing else changes.
+  * Decode is REAL for the formats the bare JVM can read:
   *
-  * Scale notes: `mapPartitions` keeps the per-item native-decode cost off
-  * the driver and amortizes any per-partition setup (codec init) across
-  * the partition's rows — the Scala analog of a batched pandas UDF.
-  * Payloads never shuffle: feature extraction is a narrow map, and
-  * downstream joins carry only (id, features).
+  *  - images (png/jpg/jpeg/bmp/gif/wbmp): `javax.imageio.ImageIO`, part
+  *    of the Java SE desktop module — no external codec libraries.
+  *    Features are luminance statistics (Rec.601 integer weights, so the
+  *    values are deterministic across JVMs);
+  *  - audio (wav, PCM 8/16-bit): a pure-Scala RIFF chunk walker —
+  *    features are amplitude statistics;
+  *  - anything else (mp4, webp, flac, …) falls back to [[byteStats]] —
+  *    deterministic byte-histogram moments over the raw payload — and is
+  *    marked `kind = "raw"` so downstream can filter undecoded items.
+  *    Swapping in a native codec means adding one case to [[decode]].
+  *
+  * Scale notes: `mapPartitions` keeps the per-item decode cost off the
+  * driver and amortizes per-partition setup (codec init) across the
+  * partition's rows — the Scala analog of a batched pandas UDF. Payloads
+  * never shuffle: feature extraction is a narrow map, and downstream
+  * joins carry only (id, features).
   */
 object Multimodal {
 
@@ -30,17 +38,29 @@ object Multimodal {
       width: Int,
       height: Int)
 
+  /** `kind` is image|audio|raw. For images `width`/`height` are decoded
+    * pixel dimensions; for audio `width` is the sample rate and `height`
+    * the channel count; for raw both are -1.
+    *
+    * `mean_byte`/`byte_entropy`/`features` are per-kind on the same
+    * scale: images use 0-255 luminance, audio uses absolute 16-bit
+    * amplitude folded to 0-255, raw uses the payload bytes — in every
+    * case an 8-bin normalized histogram rides in `features`.
+    */
   final case class MediaFeatures(
       media_id: Long,
       n_bytes: Long,
       mean_byte: Double,
       byte_entropy: Double,
-      features: Array[Float])
+      features: Array[Float],
+      kind: String,
+      width: Int,
+      height: Int)
 
   /** Wrap the documents table as a media table: the text payload stands in
-    * for an encoded image (`content` binary + fake dimensions from the
-    * payload size). In production this is `spark.read.format("binaryFile")`
-    * or a parquet of encoded frames.
+    * for an encoded payload (`content` binary + fake dimensions from the
+    * payload size). In production this is [[mediaFromBinaryFiles]] or a
+    * parquet of encoded frames.
     */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(
@@ -80,23 +100,12 @@ object Multimodal {
         col("length"))
   }
 
-  /** STUB decoder: deterministic fake features from raw bytes (first/second
-    * moments of the byte histogram + an 8-bin normalized histogram as the
-    * "embedding"). Replace with a real codec (JPEG decode, resample,
-    * frame-sample) — the signature is the contract.
-    */
-  def decodeStub(item: MediaItem): MediaFeatures = {
-    val bytes = item.content
-    val n = bytes.length.toLong
-    val hist = new Array[Long](256)
-    var sum = 0L
-    var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xff
-      hist(b) += 1
-      sum += b
-      i += 1
-    }
+  private val ImageFormats = Set("png", "jpg", "jpeg", "bmp", "gif", "wbmp")
+
+  /** Histogram → (mean, entropy-in-bits, 8-bin normalized) over `n`
+    * counted values in [0, 255]. */
+  private def histFeatures(hist: Array[Long], n: Long, sum: Long)
+      : (Double, Double, Array[Float]) = {
     val mean = if (n == 0) 0.0 else sum.toDouble / n
     var entropy = 0.0
     if (n > 0) {
@@ -111,12 +120,136 @@ object Multimodal {
     }
     val bins = new Array[Float](8)
     var k = 0
-    while (k < 256) {
-      bins(k / 32) += hist(k).toFloat
-      k += 1
-    }
+    while (k < 256) { bins(k / 32) += hist(k).toFloat; k += 1 }
     if (n > 0) { var m = 0; while (m < 8) { bins(m) /= n; m += 1 } }
-    MediaFeatures(item.media_id, n, mean, entropy, bins)
+    (mean, entropy, bins)
+  }
+
+  /** Fallback features: deterministic byte-histogram moments of the raw
+    * payload — keeps undecodable items flowing with honest `kind="raw"`.
+    */
+  def byteStats(item: MediaItem): MediaFeatures = {
+    val bytes = item.content
+    val hist = new Array[Long](256)
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      hist(b) += 1
+      sum += b
+      i += 1
+    }
+    val (mean, entropy, bins) = histFeatures(hist, bytes.length.toLong, sum)
+    MediaFeatures(item.media_id, bytes.length.toLong, mean, entropy, bins,
+      "raw", -1, -1)
+  }
+
+  /** ImageIO decode (JDK built-in readers: png/jpeg/bmp/gif/wbmp).
+    * Luminance per pixel by the Rec.601 integer formula
+    * (299 r + 587 g + 114 b) / 1000 — all-integer, so bit-identical on
+    * any JVM. Returns None when no reader accepts the bytes.
+    */
+  def decodeImage(item: MediaItem): Option[MediaFeatures] = {
+    val img =
+      try javax.imageio.ImageIO.read(new ByteArrayInputStream(item.content))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val hist = new Array[Long](256)
+      var sum = 0L
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = row(x)
+          val lum = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+            114 * (p & 0xff)) / 1000
+          hist(lum) += 1
+          sum += lum
+          x += 1
+        }
+        y += 1
+      }
+      val (mean, entropy, bins) = histFeatures(hist, w.toLong * h, sum)
+      Some(MediaFeatures(item.media_id, item.content.length.toLong,
+        mean, entropy, bins, "image", w, h))
+    }
+  }
+
+  /** Pure-Scala RIFF/WAVE walker for PCM 8- and 16-bit audio. Amplitude
+    * statistics over |sample| folded to the 0-255 scale (16-bit samples
+    * are right-shifted 7 after abs). Returns None unless a valid
+    * fmt+data chunk pair with PCM encoding is present.
+    */
+  def decodeWav(item: MediaItem): Option[MediaFeatures] = {
+    val b = item.content
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String =
+      if (i + 4 <= b.length) new String(b, i, 4, "US-ASCII") else ""
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmtOk = false
+    var channels = 0
+    var sampleRate = 0
+    var bits = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (pos + 8 <= b.length) {
+      val id = tag(pos)
+      val sz = u32(pos + 4).toInt
+      if (id == "fmt " && pos + 8 + 16 <= b.length) {
+        val audioFormat = u16(pos + 8)
+        channels = u16(pos + 10)
+        sampleRate = u32(pos + 12).toInt
+        bits = u16(pos + 22)
+        fmtOk = audioFormat == 1 && (bits == 8 || bits == 16) && channels > 0
+      } else if (id == "data") {
+        dataOff = pos + 8
+        dataLen = math.min(sz, b.length - dataOff)
+      }
+      pos += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (!fmtOk || dataOff < 0 || dataLen <= 0) return None
+    val hist = new Array[Long](256)
+    var sum = 0L
+    var n = 0L
+    if (bits == 16) {
+      var i = dataOff
+      while (i + 1 < dataOff + dataLen) {
+        val s = (u16(i) << 16) >> 16 // sign-extend
+        val a = math.min(math.abs(s), 32767) >> 7
+        hist(a) += 1; sum += a; n += 1
+        i += 2
+      }
+    } else {
+      var i = dataOff
+      while (i < dataOff + dataLen) {
+        val a = math.abs((b(i) & 0xff) - 128) * 2 // 8-bit PCM is unsigned
+        val c = math.min(a, 255)
+        hist(c) += 1; sum += c; n += 1
+        i += 1
+      }
+    }
+    val (mean, entropy, bins) = histFeatures(hist, n, sum)
+    Some(MediaFeatures(item.media_id, b.length.toLong, mean, entropy, bins,
+      "audio", sampleRate, channels))
+  }
+
+  /** Per-item decode dispatch by declared format, with honest fallback:
+    * image/audio items whose bytes fail their decoder degrade to
+    * `kind="raw"` byte statistics rather than erroring the partition.
+    */
+  def decode(item: MediaItem): MediaFeatures = item.format match {
+    case f if ImageFormats(f) => decodeImage(item).getOrElse(byteStats(item))
+    case "wav" => decodeWav(item).getOrElse(byteStats(item))
+    case _ => byteStats(item)
   }
 
   /** Partition-batched feature extraction: one decoder pass per partition,
@@ -129,7 +262,7 @@ object Multimodal {
       .as[MediaItem]
       .mapPartitions { it =>
         // per-partition decoder setup would go here (codec init, model load)
-        it.map(decodeStub)
+        it.map(decode)
       }
   }
 }

@@ -64,11 +64,59 @@ object DocQueries {
         col("doc_id"),
         fingerprint(col("text")).as("sha256"))),
 
+    "d05_stratified_sample" -> ((s, d) => {
+      // deterministic stratified sampling: k docs per language stratum,
+      // ranked by a Knuth multiplicative hash of the id — reproducible
+      // across engines, retries and partitionings (no RNG state), and
+      // one window shuffle keyed by the stratum. The training-pipeline
+      // "held-out sample per source" primitive.
+      import org.apache.spark.sql.expressions.Window
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      val w = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), h.as("h"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("doc_id"), col("lang"), col("rnk"))
+    }),
+
+    "d06_token_pack" -> ((s, d) => {
+      // approximate sequence packing: assign docs to fixed token-budget
+      // bins by running token count, packed per language shard so the
+      // window never needs a global sort — at 100 TB each shard packs
+      // independently (bin ids are per-shard, as a sharded writer wants)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("bin", expr("cum div 2000"))
+        .drop("cum")
+    }),
+
     "t05_winnow" -> ((s, d) =>
       // rows-only: winnowing fingerprint sizes (xxhash64 has no DuckDB twin)
       documents(s, d).select(
         col("doc_id"),
         size(winnow(tokens(col("text")), 3, 4)).as("n_fingerprints"))),
+
+    "t07_repetition" -> ((s, d) => {
+      // boilerplate/repetition score: fraction of repeated 3-gram
+      // occurrences per document. Pure codegen'd column map, no shuffle.
+      val t = tokens(col("text"))
+      val total = greatest(size(t) - 2, lit(0))
+      val dist = size(array_distinct(shingles(t, 3)))
+      documents(s, d).select(
+        col("doc_id"),
+        total.as("n_shingles"),
+        dist.as("n_distinct"),
+        round(
+          when(total > 0,
+            lit(1.0) - dist.cast("double") / total.cast("double"))
+            .otherwise(lit(0.0)), 6).as("rep_ratio"))
+    }),
 
     "t06_term_stats" -> ((s, d) => {
       // TF-IDF building block, integer-exact for the cross-engine compare:
@@ -110,6 +158,51 @@ object DocQueries {
     "d01_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    // d02 is MinHash-LSH candidate generation + the SAME exact-Jaccard
+    // verify as d04, so its output equals the exact all-pairs result
+    // whenever every qualifying pair lands in some LSH bucket. On this
+    // corpus every true pair has J >= 0.90 (measured), and at 32 bands
+    // of 4 rows a J=0.9 pair is missed with probability
+    // (1 - 0.9^4)^32 ~= 1.4e-15 — the oracle checks end-to-end equality
+    // with the exact computation, which is the meaningful property of a
+    // verified near-dup pipeline.
+    "d02_minhash_dedup" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS s FROM t0),
+         |nz AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0)
+         |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / (a.n + b.n - len(list_intersect(a.s, b.s))) AS jaccard
+         |  FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.4""".stripMargin,
+    "d05_stratified_sample" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  (doc_id * 2654435761) % 4294967296 AS h FROM documents)
+        |SELECT doc_id, lang, CAST(rnk AS INTEGER) AS rnk FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rnk
+        |  FROM h)
+        |WHERE rnk <= 10""".stripMargin,
+    "d06_token_pack" ->
+      s"""WITH t0 AS (SELECT doc_id, lang,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents)
+         |SELECT doc_id, lang, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS bin
+         |FROM t0""".stripMargin,
+    "t07_repetition" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END AS INTEGER)
+         |    AS n_shingles,
+         |  CAST(len($shinglesSql) AS INTEGER) AS n_distinct
+         |  FROM t0)
+         |SELECT doc_id, n_shingles, n_distinct,
+         |  round(CASE WHEN n_shingles > 0
+         |        THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+         |        ELSE 0.0 END, 6) AS rep_ratio
+         |FROM m""".stripMargin,
     "d04_ngram_jaccard" ->
       s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
          |sh AS (SELECT doc_id, $shinglesSql AS s FROM t0),

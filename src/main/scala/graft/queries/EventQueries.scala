@@ -42,6 +42,58 @@ object EventQueries {
         .agg(count(lit(1)).as("n_transitions"))
     }),
 
+    "s04_asof_attribution" -> ((s, d) => {
+      // last-touch attribution: every click joined to the most recent
+      // purchase of the same user at-or-before the click. Runs through
+      // graft.relational.AsOfJoin (union + window: one shuffle on
+      // user_id, no per-key pair blow-up). The right side is first made
+      // unique per (user_id, ts) — max event_id wins — so tie handling
+      // is deterministic in both engines.
+      // timestamps at MICROsecond granularity: DuckDB's TIMESTAMP cannot
+      // see the parquet's nanos tail (same convention as s03)
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), expr("ts div 1000").as("ts_us"))
+        .agg(
+          max(col("event_id")).as("p_event_id"),
+          round(max_by(col("value"), col("event_id")) * 100).cast("long")
+            .as("p_value_cents"))
+      graft.relational.AsOfJoin.asOf(
+          clicks, purchases, Seq("user_id"), "ts_us",
+          Seq("p_event_id", "p_value_cents"))
+        .select(
+          col("event_id"), col("user_id"), col("ts_us"),
+          col("asof_ts_us").as("p_ts_us"),
+          col("asof_p_event_id").as("p_event_id"),
+          col("asof_p_value_cents").as("p_value_cents"))
+    }),
+
+    "s05_interval_join" -> ((s, d) => {
+      // conversion window: clicks by the same user within 7 days after
+      // each signup. The equi key (user_id) bounds the join — Spark
+      // plans a shuffled join on user_id with the range condition as a
+      // post-filter, never a cartesian; at 100 TB the key keeps pair
+      // counts per-user, and a time-bucket key can be added beside
+      // user_id if single users span years of data.
+      val ev = events(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"),
+          expr("ts div 1000").as("c_ts"))
+      val windowUs = 7L * 24 * 3600 * 1000 * 1000
+      signups.join(clicks,
+          col("user_id") === col("c_uid") &&
+            col("c_ts") > col("ts_us") &&
+            col("c_ts") <= col("ts_us") + lit(windowUs), "left")
+        .groupBy(col("event_id"), col("user_id"), col("ts_us"))
+        .agg(count(col("c_ts")).as("n_clicks_7d"))
+    }),
+
     "s03_sessionize" -> ((s, d) =>
       // session bounds emitted in MICROseconds: DuckDB's TIMESTAMP is
       // µs-precision, so the oracle cannot see the parquet's nanos tail
@@ -67,6 +119,30 @@ object EventQueries {
         |SELECT from_type, to_type, count(*) AS n_transitions
         |FROM seq WHERE from_type IS NOT NULL
         |GROUP BY from_type, to_type""".stripMargin,
+    "s04_asof_attribution" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |             max(event_id) AS p_event_id,
+        |             CAST(round(arg_max(value, event_id) * 100) AS BIGINT)
+        |               AS p_value_cents
+        |      FROM events WHERE event_type = 'purchase'
+        |      GROUP BY user_id, epoch_us(ts))
+        |SELECT c.event_id, c.user_id, c.ts_us,
+        |       p.ts_us AS p_ts_us, p.p_event_id, p.p_value_cents
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us""".stripMargin,
+    "s05_interval_join" ->
+      """WITH s AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'signup'),
+        |c AS (SELECT user_id, epoch_us(ts) AS c_ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT s.event_id, s.user_id, s.ts_us,
+        |       count(c.c_ts) AS n_clicks_7d
+        |FROM s LEFT JOIN c ON s.user_id = c.user_id
+        |  AND c.c_ts > s.ts_us
+        |  AND c.c_ts <= s.ts_us + 604800000000
+        |GROUP BY 1, 2, 3""".stripMargin,
     "s03_sessionize" ->
       """WITH m AS (
         |  SELECT user_id, epoch_ns(ts) AS tns, event_id, value,

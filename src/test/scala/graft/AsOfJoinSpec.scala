@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.relational.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // quotes: (key, ts, px); trades probe at various times
+  private def quotes = Seq(
+    ("a", 10L, 100L), ("a", 20L, 110L), ("a", 30L, 120L),
+    ("b", 15L, 500L)
+  ).toDF("k", "ts", "px")
+
+  private def trades = Seq(
+    ("a", 5L), ("a", 10L), ("a", 25L), ("a", 99L),
+    ("b", 14L), ("c", 50L)
+  ).toDF("k", "ts")
+
+  test("backward as-of picks latest right at-or-before, null when none") {
+    val out = AsOfJoin.asOf(trades, quotes, Seq("k"), "ts", Seq("px"))
+      .select("k", "ts", "asof_ts", "asof_px")
+    assert(rowSet(out) === Set(
+      Seq("a", 5L, null, null),          // before first quote
+      Seq("a", 10L, 10L, 100L),          // tie: inclusive
+      Seq("a", 25L, 20L, 110L),
+      Seq("a", 99L, 30L, 120L),
+      Seq("b", 14L, null, null),
+      Seq("c", 50L, null, null)))        // key never quoted
+  }
+
+  test("forward as-of picks earliest right at-or-after") {
+    val out = AsOfJoin.asOf(trades, quotes, Seq("k"), "ts", Seq("px"),
+        direction = "forward")
+      .select("k", "ts", "asof_ts", "asof_px")
+    assert(rowSet(out) === Set(
+      Seq("a", 5L, 10L, 100L),
+      Seq("a", 10L, 10L, 100L),          // tie: inclusive
+      Seq("a", 25L, 30L, 120L),
+      Seq("a", 99L, null, null),
+      Seq("b", 14L, 15L, 500L),
+      Seq("c", 50L, null, null)))
+  }
+
+  test("tolerance nulls matches farther than the bound, no fallback") {
+    val out = AsOfJoin.asOf(trades, quotes, Seq("k"), "ts", Seq("px"),
+        tolerance = Some(5L))
+      .select("k", "ts", "asof_px")
+    assert(rowSet(out) === Set(
+      Seq("a", 5L, null),
+      Seq("a", 10L, 100L),
+      Seq("a", 25L, 110L),               // gap 5 <= 5
+      Seq("a", 99L, null),               // gap 69: nulled, NOT older row
+      Seq("b", 14L, null),
+      Seq("c", 50L, null)))
+  }
+
+  test("a legitimately-null right attribute does not fall back to older rows") {
+    val q = Seq(("a", 10L, Some(100L)), ("a", 20L, Option.empty[Long]))
+      .toDF("k", "ts", "px")
+    val t = Seq(("a", 25L)).toDF("k", "ts")
+    val out = AsOfJoin.asOf(t, q, Seq("k"), "ts", Seq("px"))
+      .select("asof_ts", "asof_px")
+    // matched the ts=20 row whose px is genuinely null — not ts=10's 100
+    assert(rowSet(out) === Set(Seq(20L, null)))
+  }
+
+  test("left columns pass through and prefix collisions are rejected") {
+    val out = AsOfJoin.asOf(
+      trades.withColumn("qty", col("ts") * 2), quotes, Seq("k"), "ts", Seq("px"))
+    assert(out.columns.toSet ===
+      Set("k", "ts", "qty", "asof_ts", "asof_px"))
+    assertThrows[IllegalArgumentException] {
+      AsOfJoin.asOf(trades.withColumn("asof_px", lit(1)),
+        quotes, Seq("k"), "ts", Seq("px"))
+    }
+  }
+
+  test("plan is one window over a union — no join node at all") {
+    val out = AsOfJoin.asOf(trades, quotes, Seq("k"), "ts", Seq("px"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"))
+    assert(!plan.toLowerCase.contains("cartesian"))
+    assert(!plan.toLowerCase.contains("nestedloop"))
+  }
+}

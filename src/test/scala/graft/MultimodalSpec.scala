@@ -1,0 +1,85 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import java.nio.file.Files
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.MediaItem
+
+class MultimodalSpec extends SparkSpec {
+
+  private def pngBytes(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Minimal RIFF/WAVE container around 16-bit PCM mono samples. */
+  private def wavBytes(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  test("decodeImage reads a real PNG: dimensions and exact luminance stats") {
+    // left half black (lum 0), right half white (lum 255)
+    val bytes = pngBytes(8, 4)((x, _) => if (x < 4) 0x000000 else 0xffffff)
+    val f = Multimodal.decodeImage(MediaItem(1L, bytes, "png", -1, -1)).get
+    assert(f.kind === "image")
+    assert((f.width, f.height) === (8, 4))
+    assert(f.mean_byte === 127.5) // (0*16 + 255*16) / 32
+    assert(f.byte_entropy === 1.0) // two equiprobable luminance values
+    assert(f.features(0) === 0.5f && f.features(7) === 0.5f)
+  }
+
+  test("decodeWav parses PCM16: rate, channels, amplitude stats") {
+    // constant amplitude 12800 -> |s|>>7 = 100
+    val f = Multimodal.decodeWav(MediaItem(2L,
+      wavBytes(16000, Array.fill[Short](100)(12800)), "wav", -1, -1)).get
+    assert(f.kind === "audio")
+    assert((f.width, f.height) === (16000, 1)) // sample rate, channels
+    assert(f.mean_byte === 100.0)
+    assert(f.byte_entropy === 0.0) // single amplitude symbol
+  }
+
+  test("dispatch: corrupt image bytes degrade to kind=raw, not an error") {
+    val f = Multimodal.decode(MediaItem(3L, Array[Byte](1, 2, 3), "png", -1, -1))
+    assert(f.kind === "raw")
+    assert(f.n_bytes === 3)
+  }
+
+  test("binaryFile -> extractFeatures decodes real media end-to-end") {
+    val dir = Files.createTempDirectory("graft-realmedia")
+    Files.write(dir.resolve("img.png"),
+      pngBytes(5, 5)((_, _) => 0x808080))
+    Files.write(dir.resolve("tone.wav"),
+      wavBytes(8000, Array.tabulate[Short](50)(i => if (i % 2 == 0) 6400 else -6400)))
+    Files.write(dir.resolve("blob.bin"), Array[Byte](9, 9, 9))
+
+    val feats = Multimodal.extractFeatures(
+        Multimodal.mediaFromBinaryFiles(spark, dir.toString))
+      .collect().map(f => f.kind -> f).toMap
+    assert(feats.keySet === Set("image", "audio", "raw"))
+    assert(feats("image").width === 5)
+    // gray 0x808080: lum = (299+587+114)*128/1000 = 128
+    assert(feats("image").mean_byte === 128.0)
+    assert(feats("audio").width === 8000)
+    assert(feats("audio").mean_byte === 50.0) // 6400 >> 7
+    assert(feats("raw").n_bytes === 3)
+  }
+}
