@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{QuantizedDot, RhpBuckets, SimHash64}
+import graft.functions.{MinHashSig, QuantizedDot, RhpBuckets, SimHash64}
 
 /** Registers graft's native expressions as SQL functions, making them
   * callable from `spark.sql(...)` and usable over Spark Connect / JDBC:
@@ -12,6 +12,7 @@ import graft.functions.{QuantizedDot, RhpBuckets, SimHash64}
   *  - `graft_quantized_dot(a, b)`      — exact quantized embedding dot
   *  - `graft_rhp_buckets(v, bits, t)`  — random-hyperplane LSH bucket keys
   *  - `graft_simhash64(tokens)`        — 64-bit SimHash of a token array
+  *  - `graft_minhash_sig(items, n)`    — n-element MinHash signature
   *
   * Enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
@@ -45,5 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (args: Seq[Expression]) => SimHash64(args(0))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(
+        args(0), intArg(args(1), "graft_minhash_sig", 1))))
   }
 }

@@ -50,19 +50,16 @@ object Dedup {
       sequence(lit(0), lit(numHashes - 1)),
       s => array_min(transform(shinglesCol, x => xxhash64(s, x))))
 
-  /** Codegen'd MinHash signatures: one row per (id, shingle), then one
-    * hash aggregation with `numHashes` `min(xxhash64(seed, shingle))`
-    * columns packed into an array. Output (id, sig: array<bigint>).
+  /** Codegen'd MinHash signatures via the native
+    * [[graft.functions.MinHashSig]] expression: one xxhash64 per item
+    * plus `numHashes` splitmix64 mixes, computed per ROW — no explode,
+    * no shuffle, no `numHashes`-column aggregation (the previous shape
+    * shuffled one row per (doc, shingle) and ran 128 min-aggregates).
+    * Output (id, sig: array<bigint>).
     */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val inv = sh.select(col("id"), explode(col("sh")).as("g"))
-    val hashCols = (0 until numHashes)
-      .map(i => min(xxhash64(lit(i), col("g"))).as(s"_h$i"))
-    inv.groupBy(col("id"))
-      .agg(hashCols.head, hashCols.tail: _*)
-      .select(col("id"),
-        array((0 until numHashes).map(i => col(s"_h$i")): _*).as("sig"))
-  }
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.select(col("id"),
+      graft.functions.MinHashSig(col("sh"), numHashes).as("sig"))
 
   /** LSH bucket keys: the signature is cut into `bands` bands of
     * `rowsPerBand` hashes; each band hashes to one (band, bucket) key.

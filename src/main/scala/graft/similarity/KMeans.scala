@@ -56,40 +56,64 @@ object KMeans {
         transform(col("pairs"), p => p.getField("cx").cast("float")).as("cv"))
 
   /** Deterministic farthest-first seeding (Gonzalez'85, the greedy
-    * k-center heuristic k-means++ approximates): seed 1 is the vector
-    * with the smallest xxhash64(id); each next seed maximizes the
-    * quantized distance to its nearest chosen seed, ties broken by id.
-    * Unlike plain hash sampling this never places two seeds in one dense
-    * cluster, so Lloyd's iteration starts near the real partition.
+    * k-center heuristic k-means++ approximates) over a hash-sampled
+    * candidate pool: ONE Spark job collects the `poolSize` vectors with
+    * the smallest `xxhash64(id)` — a deterministic uniform sample, no
+    * RNG state — and the greedy selection runs driver-side on the pool
+    * with the same quantized arithmetic as the distributed path. Seed 1
+    * is the pool's smallest-hash vector; each next seed maximizes the
+    * quantized distance to its nearest chosen seed, ties broken by
+    * (hash, id) pool order. Farthest-first never places two seeds in
+    * one dense cluster, so Lloyd's iteration starts near the real
+    * partition.
     *
-    * Costs one corpus pass per seed — fine for a coarse quantizer
-    * (k in the tens-to-hundreds); for k in the thousands use k-means||
-    * style oversampling instead.
+    * Pool defaults to 64·k: at coarse-quantizer k every real cluster of
+    * relative mass ≥ 1/(8k) lands candidates in the pool with near
+    * certainty, and the driver-side greedy is O(pool·k·dim) — microseconds.
+    * The previous formulation ran one FULL corpus pass per seed (k
+    * sequential jobs); at 100 TB that is k scans for a quantizer the
+    * pool sample seeds just as well.
     */
   def farthestFirstSeeds(items: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
+      k: Int, poolSize: Int = 0): DataFrame = {
     import items.sparkSession.implicits._
-    val it = items.select(col(idCol), col(vecCol).as("_v"))
-      .withColumn("_vq", Ann.quantizedDot(col("_v"), col("_v")))
-      .localCheckpoint()
-    def distTo(seed: Seq[Float]) = {
-      val sc = typedlit(seed)
-      col("_vq") + Ann.quantizedDot(sc, sc) - lit(2L) * Ann.quantizedDot(col("_v"), sc)
+    val pool = if (poolSize > 0) poolSize else 64 * k
+    val cand: Array[Array[Float]] = items
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .orderBy(xxhash64(col("_id")), col("_id"))
+      .limit(pool)
+      .select(col("_v"))
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    require(cand.nonEmpty, "farthestFirstSeeds on an empty input")
+
+    import graft.functions.QuantizedDot.q
+    def qdot(a: Array[Float], b: Array[Float]): Long = {
+      val n = math.min(a.length, b.length)
+      var acc = 0L; var i = 0
+      while (i < n) { acc += q(a(i)) * q(b(i)); i += 1 }
+      acc
     }
-    val first = it.orderBy(xxhash64(col(idCol)), col(idCol)).limit(1)
-      .select(col("_v")).head().getAs[scala.collection.Seq[Float]](0).toSeq
-    var seeds = Vector(first)
-    while (seeds.size < k) {
-      val dists = seeds.map(distTo)
-      val nearest = if (dists.size == 1) dists.head else least(dists: _*)
-      val next = it
-        .select(col(idCol), col("_v"), nearest.as("_d"))
-        .orderBy(col("_d").desc, col(idCol))
-        .limit(1)
-        .select(col("_v")).head().getAs[scala.collection.Seq[Float]](0).toSeq
-      seeds = seeds :+ next
+    val norm = cand.map(v => qdot(v, v))
+    def d2(i: Int, s: Array[Float], sn: Long): Long =
+      norm(i) + sn - 2L * qdot(cand(i), s)
+
+    val seeds = scala.collection.mutable.ArrayBuffer(cand(0))
+    val nearest = Array.tabulate(cand.length)(i => d2(i, cand(0), norm(0)))
+    while (seeds.size < math.min(k, cand.length)) {
+      var best = 0; var i = 1
+      while (i < cand.length) { if (nearest(i) > nearest(best)) best = i; i += 1 }
+      val s = cand(best); val sn = norm(best)
+      seeds += s
+      var j = 0
+      while (j < cand.length) {
+        val d = d2(j, s, sn)
+        if (d < nearest(j)) nearest(j) = d
+        j += 1
+      }
     }
-    seeds.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cell", "cv")
+    seeds.toSeq.map(_.toSeq).zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cell", "cv")
       .select(col("cell"), col("cv").cast("array<float>").as("cv"))
   }
 

@@ -118,5 +118,42 @@ class FunctionsSpec extends SparkSpec {
       "SELECT graft_rhp_buckets(array(CAST(0.5 AS FLOAT)), 4, 2) AS bk")
       .head().getAs[scala.collection.Seq[Long]](0)
     assert(bk.length === 2)
+
+    val mh = spark.sql(
+      "SELECT graft_minhash_sig(array('alpha', 'beta'), 8) AS s")
+      .head().getAs[scala.collection.Seq[Long]](0)
+    assert(mh.length === 8)
+  }
+
+  test("MinHashSig: set semantics, element-wise min, string/long inputs") {
+    import graft.functions.MinHashSig
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("c", "b", "a")),   // order-insensitive
+      (3L, Seq("a")),
+      (4L, Seq("b", "c")))
+      .toDF("id", "sh")
+      .select(col("id"), MinHashSig(col("sh"), 16).as("sig"))
+    val sigs = df.collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]](1)).toMap
+    assert(sigs(1L) === sigs(2L), "signature must not depend on item order")
+    assert(sigs.values.forall(_.length === 16))
+    // union property: sig({a,b,c}) = elementwise-min(sig({a}), sig({b,c}))
+    val merged = sigs(3L).zip(sigs(4L)).map { case (x, y) => math.min(x, y) }
+    assert(sigs(1L) === merged)
+
+    // long arrays (adjacency sets) hash on the long value, not its bits-as-string
+    val viaLong = Seq((1L, Seq(7L, 9L))).toDF("id", "sh")
+      .select(MinHashSig(col("sh"), 4)).head().getAs[scala.collection.Seq[Long]](0)
+    assert(viaLong.length === 4)
+
+    // pair at Jaccard 1 collides on every hash; disjoint sets on ~none
+    val a = Seq((1L, (0 until 30).map(i => s"t$i"))).toDF("id", "sh")
+      .select(MinHashSig(col("sh"), 64)).head().getAs[scala.collection.Seq[Long]](0)
+    val b = Seq((1L, (30 until 60).map(i => s"t$i"))).toDF("id", "sh")
+      .select(MinHashSig(col("sh"), 64)).head().getAs[scala.collection.Seq[Long]](0)
+    assert(a.zip(b).count { case (x, y) => x == y } <= 2,
+      "disjoint sets should agree on (almost) no signature slots")
   }
 }
