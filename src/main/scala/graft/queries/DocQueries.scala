@@ -136,8 +136,11 @@ object DocQueries {
     }),
 
     "m01_media_features" -> ((s, d) =>
-      // rows-only: multimodal plumbing — binary payloads through the
-      // partition-batched (stub) decoder; see graft.multimodal.Multimodal
+      // oracle-checked: binary payloads through the partition-batched
+      // decoder (format "fake/raw" -> byteStats). The corpus is pure
+      // ASCII, so DuckDB can reproduce byte statistics as codepoint
+      // statistics; round(...,6) absorbs the ulp-order difference in the
+      // entropy summation. See graft.multimodal.Multimodal.
       graft.multimodal.Multimodal
         .extractFeatures(graft.multimodal.Multimodal.mediaFromDocuments(documents(s, d)))
         .toDF()
@@ -260,6 +263,25 @@ object DocQueries {
          |FROM s""".stripMargin,
     "t04_fingerprint" ->
       "SELECT doc_id, sha256(text) AS sha256 FROM documents",
+    // byte statistics as codepoint statistics — valid because the corpus
+    // is pure ASCII (max codepoint 121, measured); mean is one exact
+    // integer-sum division, entropy mirrored as ln(p)/ln(2) with
+    // round(...,6) absorbing summation-order ulps
+    "m01_media_features" ->
+      """WITH t AS (SELECT doc_id AS media_id, text, length(text) AS n
+        |           FROM documents),
+        |e AS (SELECT media_id, n, ascii(substr(text, CAST(i AS INTEGER), 1)) AS byte
+        |      FROM t, unnest(range(1, n + 1)) AS u(i)),
+        |h AS (SELECT media_id, n, byte, count(*) AS c FROM e GROUP BY 1, 2, 3),
+        |agg AS (SELECT media_id, n,
+        |        sum(byte * c) AS tot,
+        |        -sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n) / ln(2))
+        |          AS ent
+        |        FROM h GROUP BY 1, 2)
+        |SELECT media_id, CAST(n AS BIGINT) AS n_bytes,
+        |  round(CAST(tot AS DOUBLE) / n, 6) AS mean_byte,
+        |  round(ent, 6) AS byte_entropy
+        |FROM agg""".stripMargin,
     "t06_term_stats" ->
       s"""WITH t0 AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |tfreq AS (SELECT doc_id, tok, count(*) AS tf FROM t0 GROUP BY doc_id, tok),

@@ -272,7 +272,11 @@ object GraphQueries {
     }),
 
     "g06_label_propagation" -> ((s, d) => {
-      // rows-only check: LP label churn is algorithm-defined, not SQL-oracle
+      // oracle-checked: 5 fixed supersteps of deterministic-mode label
+      // propagation, mirrored by an unrolled CTE (labelPropagationOracleSql)
+      // that reproduces Pregel's exact message discipline — only vertices
+      // changed in the previous superstep send, receivers without messages
+      // keep state, mode ties break to the smallest label
       val e = suppPartEdges(s, d)
       LabelPropagation(maxIterations = 5)
         .run(indexedGraph(vertsOf(e), e, directed = false))
@@ -325,8 +329,45 @@ object GraphQueries {
       s"\nSELECT id, round(rank, 9) AS rank FROM pr$iterations"
   }
 
+  /** Unrolled label-propagation oracle over the undirected supplier–part
+    * graph, one CTE block per superstep, reproducing
+    * [[graft.pregel.Pregel]]'s message discipline exactly: superstep k's
+    * messages come ONLY from vertices whose label changed in superstep
+    * k-1 (`s.ch`), each undirected edge delivers the changed endpoint's
+    * label to the other end, a vertex with no inbound messages keeps its
+    * label, and the modal label breaks ties toward the smallest value
+    * (Spark's `mode(deterministic = true)`), here via
+    * `row_number() ORDER BY c DESC, lbl ASC`. Unrolling a fixed count is
+    * sound because a converged state (no vertex changed) emits no
+    * messages, so further blocks are identity.
+    */
+  private def labelPropagationOracleSql(iterations: Int): String = {
+    val head =
+      s"""WITH raw AS ($suppPartEdgesSql),
+         |v AS (SELECT src AS id FROM raw UNION SELECT dst FROM raw),
+         |s0 AS (SELECT id, id AS lbl, TRUE AS ch FROM v)""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      val p = k - 1
+      s"""m$k AS (
+         |  SELECT e.src AS id, s.lbl FROM raw e JOIN s$p s ON e.dst = s.id AND s.ch
+         |  UNION ALL
+         |  SELECT e.dst AS id, s.lbl FROM raw e JOIN s$p s ON e.src = s.id AND s.ch),
+         |t$k AS (SELECT id, lbl, count(*) AS c FROM m$k GROUP BY id, lbl),
+         |b$k AS (SELECT id, lbl FROM (
+         |    SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM t$k) WHERE rn = 1),
+         |s$k AS (SELECT s.id,
+         |         coalesce(b.lbl, s.lbl) AS lbl,
+         |         (b.id IS NOT NULL AND b.lbl <> s.lbl) AS ch
+         |       FROM s$p s LEFT JOIN b$k b ON s.id = b.id)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT id, lbl AS label FROM s$iterations"
+  }
+
   val oracle: Map[String, String] = Map(
     "g21_pagerank" -> pageRankOracleSql(5),
+    "g06_label_propagation" -> labelPropagationOracleSql(5),
     "q08_triangles" ->
       s"""WITH raw AS ($suppPartEdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
