@@ -94,6 +94,21 @@ object EventQueries {
         .agg(count(col("c_ts")).as("n_clicks_7d"))
     }),
 
+    "s06_props_json" -> ((s, d) =>
+      // semi-structured column handling: the props column is a JSON
+      // payload; extract a typed field and aggregate. get_json_object is
+      // codegen'd path extraction — no UDF, no full from_json schema
+      // materialization for a single field
+      events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))),
+
     "s03_sessionize" -> ((s, d) =>
       // session bounds emitted in MICROseconds: DuckDB's TIMESTAMP is
       // µs-precision, so the oracle cannot see the parquet's nanos tail
@@ -143,6 +158,14 @@ object EventQueries {
         |  AND c.c_ts > s.ts_us
         |  AND c.c_ts <= s.ts_us + 604800000000
         |GROUP BY 1, 2, 3""".stripMargin,
+    "s06_props_json" ->
+      """SELECT event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "s03_sessionize" ->
       """WITH m AS (
         |  SELECT user_id, epoch_ns(ts) AS tns, event_id, value,

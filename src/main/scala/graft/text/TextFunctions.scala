@@ -93,6 +93,35 @@ object TextFunctions {
   /** Stable content fingerprint (hex SHA-256). */
   def fingerprint(text: Column): Column = sha2(text, 256)
 
+  /** PII-scrub patterns: deliberately conservative RE2-compatible classes
+    * (no lookaround, no backreferences) so the same pattern strings run
+    * in Spark, RE2-based engines, and DuckDB. Tuning the patterns is a
+    * policy decision; the operator contract is replace + count.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+  val PhonePattern = "\\+?[0-9][0-9()\\-. ]{6,}[0-9]"
+
+  /** Occurrences of `pattern` in `text` — the audit side of redaction. */
+  def patternCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Replace every match of `pattern` with `token`. Pure codegen'd column
+    * map (regexp_replace replaces all matches), no shuffle — the
+    * training-pipeline scrub stage. Chain for multiple classes:
+    * {{{ redact(redact(c, EmailPattern, "<EMAIL>"), UrlPattern, "<URL>") }}}
+    */
+  def redact(text: Column, pattern: String, token: String): Column =
+    regexp_replace(text, pattern, token)
+
+  /** One-call scrub of the default PII classes (emails, URLs, phone-like
+    * digit runs), longest-structure first so a URL containing an email
+    * form is replaced as a URL, not split.
+    */
+  def redactPii(text: Column): Column =
+    redact(redact(redact(text, UrlPattern, "<URL>"),
+      EmailPattern, "<EMAIL>"), PhonePattern, "<PHONE>")
+
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): hash all
     * k-gram shingles, take the minimum hash of every sliding window of `w`
     * consecutive shingle hashes, dedup ascending. Robust to local edits;

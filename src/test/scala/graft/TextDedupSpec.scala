@@ -97,4 +97,25 @@ class TextDedupSpec extends SparkSpec {
     val overlap = fps(1L).intersect(fps(2L)).size.toDouble / fps(1L).union(fps(2L)).size
     assert(overlap > 0.5)
   }
+
+  test("PII redaction scrubs emails, urls and phone runs; counts audit them") {
+    val d = docs(
+      (1L, "reach me at jane.doe+x@corp.example.org or https://ex.org/u?id=2 soon"),
+      (2L, "call +1 (415) 555-0199 today"),
+      (3L, "nothing sensitive here"))
+    val out = d.select(
+      col("doc_id"),
+      redactPii(col("text")).as("clean"),
+      patternCount(col("text"), EmailPattern).as("n_email"),
+      patternCount(col("text"), UrlPattern).as("n_url"),
+      patternCount(col("text"), PhonePattern).as("n_phone"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(out(1L)._1 === "reach me at <EMAIL> or <URL> soon")
+    assert((out(1L)._2, out(1L)._3) === (1, 1))
+    assert(out(2L)._1 === "call <PHONE> today")
+    assert(out(2L)._4 === 1)
+    assert(out(3L)._1 === "nothing sensitive here")
+    assert((out(3L)._2, out(3L)._3, out(3L)._4) === (0, 0, 0))
+  }
 }
