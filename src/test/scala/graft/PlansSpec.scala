@@ -72,4 +72,32 @@ class PlansSpec extends SparkSpec {
     assert(hashAggs >= 2, s"no partial aggregation:\n$p")
     assert(p.contains("Exchange hashpartitioning"), s"no hash exchange:\n$p")
   }
+
+  test("s04 as-of: one window over a union — no join, no cartesian") {
+    val p = plan(graft.queries.EventQueries.queries("s04_asof_attribution")(spark, SF))
+    assert(p.contains("Window"), s"as-of must be a window plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not expand pairs:\n$p")
+  }
+
+  test("s05 interval join: keyed join with range post-condition, not a cartesian") {
+    val p = plan(graft.queries.EventQueries.queries("s05_interval_join")(spark, SF))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must ride the user_id equi key:\n$p")
+  }
+
+  test("d02 minhash signatures: computed per row — no explode/shuffle before banding") {
+    val sigs = graft.dedup.Dedup.minhashSignatures(
+      graft.queries.Tables.documents(spark, SF).selectExpr(
+        "doc_id AS id", "split(text, ' ') AS sh"), 32)
+    val p = plan(sigs)
+    assert(!p.contains("Exchange"), s"signature step must not shuffle:\n$p")
+    assert(p.contains("minhash_sig"), s"native expression missing:\n$p")
+  }
+
+  test("d05 stratified sample: single window shuffle keyed by the stratum") {
+    val p = plan(DocQueries.queries("d05_stratified_sample")(spark, SF))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected exactly one stratum shuffle:\n$p")
+  }
 }
