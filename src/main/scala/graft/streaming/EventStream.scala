@@ -98,6 +98,50 @@ object EventStream {
       }
   }
 
+  /** Stream-static as-of enrichment: attach to every (streaming or batch)
+    * event the latest `reference` row with `ref.tsCol <= event.tsCol`,
+    * per key — the streaming face of [[graft.relational.AsOfJoin]]
+    * (whose union + ordered window cannot run on an unbounded stream).
+    *
+    * The reference is packed ONCE per key into a ts-sorted struct array
+    * (`array_sort` on a struct sorts by the leading ts field), the
+    * stream equi-joins it (stream-static joins are append-safe, no
+    * watermark needed), and a per-row ordered lookup picks the last
+    * entry at-or-before the event time. `get(..., size-1)` rather than
+    * `element_at(-1)`: ANSI mode makes the latter throw on the
+    * empty-candidates case, which here must yield nulls.
+    *
+    * Scale notes: one shuffle of the reference at packing time, then a
+    * broadcast-or-shuffled equi join per micro-batch; per-row lookup
+    * cost is linear in that key's history length — intended for
+    * dimension-table references (prices, configs, model versions), not
+    * for event-to-event joins (use [[graft.relational.AsOfJoin]] in
+    * batch for those). A very hot key's array rides inside one row —
+    * cap or bucket upstream if a key's history outgrows a few MB.
+    */
+  def enrichAsOf(
+      stream: DataFrame,
+      reference: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      payloadCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    require(keyCols.nonEmpty, "enrichAsOf requires at least one key column")
+    val entry = struct(
+      (col(tsCol).as(tsCol) +: payloadCols.map(c => col(c).as(c))): _*)
+    val packed = reference
+      .groupBy(keyCols.map(col): _*)
+      .agg(array_sort(collect_list(entry)).as("_asof_ref"))
+    val joined = stream.join(packed, keyCols, "left")
+    val cands = filter(col("_asof_ref"), x => x.getField(tsCol) <= col(tsCol))
+    val hit = get(cands, size(cands) - 1)
+    (tsCol +: payloadCols)
+      .foldLeft(joined.withColumn("_asof_hit", hit)) { (df, c) =>
+        df.withColumn(prefix + c, col("_asof_hit").getField(c))
+      }
+      .drop("_asof_ref", "_asof_hit")
+  }
+
   /** Batch-mode sessionization producing ALL sessions (incl. the final
     * open one per user) with pure relational operators — the oracle twin
     * of [[sessionize]]: session boundaries via lag + cumulative sum over a

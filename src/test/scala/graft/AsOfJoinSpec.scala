@@ -77,6 +77,37 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("streaming enrichAsOf agrees with batch AsOfJoin on every probe") {
+    val viaJoin = AsOfJoin.asOf(trades, quotes, Seq("k"), "ts", Seq("px"))
+      .select("k", "ts", "asof_ts", "asof_px")
+    val viaEnrich = graft.streaming.EventStream
+      .enrichAsOf(trades, quotes, Seq("k"), "ts", Seq("px"))
+      .select("k", "ts", "asof_ts", "asof_px")
+    assert(rowSet(viaEnrich) === rowSet(viaJoin))
+  }
+
+  test("enrichAsOf works on an actual stream (stream-static join)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val q = graft.streaming.EventStream
+      .enrichAsOf(stream.toDF().toDF("k", "ts"), quotes, Seq("k"), "ts", Seq("px"))
+      .writeStream.format("memory").queryName("asof_stream").start()
+    try {
+      stream.addData(("a", 25L), ("a", 5L), ("b", 99L), ("c", 1L))
+      q.processAllAvailable()
+      val got = spark.table("asof_stream")
+        .select("k", "ts", "asof_px")
+        .collect().map(_.toSeq).toSet
+      assert(got === Set(
+        Seq("a", 25L, 110L),
+        Seq("a", 5L, null),
+        Seq("b", 99L, 500L),
+        Seq("c", 1L, null)))
+    } finally q.stop()
+  }
+
   test("plan is one window over a union — no join node at all") {
     val out = AsOfJoin.asOf(trades, quotes, Seq("k"), "ts", Seq("px"))
     val plan = out.queryExecution.executedPlan.toString
