@@ -127,4 +127,30 @@ class PropertiesSpec extends SparkSpec {
       assert(math.abs(ranks.sum - 1.0) < 1e-9, s"seed $seed mass ${ranks.sum}")
     }
   }
+
+  test("AsOfJoin matches a naive in-memory reference on random inputs") {
+    import spark.implicits._
+    for (seed <- seeds) {
+      val rnd = new scala.util.Random(100 + seed)
+      // small ts range on purpose: exercises ties between and within sides
+      val left = Seq.fill(12 + rnd.nextInt(10))(
+        (rnd.nextInt(3).toString, rnd.nextInt(20).toLong))
+      val right = Seq.fill(8 + rnd.nextInt(8))(
+        (rnd.nextInt(3).toString, rnd.nextInt(20).toLong, rnd.nextLong(1000)))
+        // unique per (key, ts) — the operator contract for deterministic ties
+        .groupBy(t => (t._1, t._2)).values.map(_.maxBy(_._3)).toSeq
+      val got = graft.relational.AsOfJoin.asOf(
+          left.toDF("k", "ts"), right.toDF("k", "ts", "v"),
+          Seq("k"), "ts", Seq("v"))
+        .select("k", "ts", "asof_v")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .sorted.toSeq
+      val expect = left.map { case (k, ts) =>
+        val c = right.filter(r => r._1 == k && r._2 <= ts)
+        (k, ts, if (c.isEmpty) None else Some(c.maxBy(_._2)._3))
+      }.sorted
+      assert(got === expect, s"seed $seed")
+    }
+  }
 }
