@@ -154,6 +154,10 @@ object Multimodal {
       try javax.imageio.ImageIO.read(new ByteArrayInputStream(item.content))
       catch { case _: Exception => null }
     if (img == null) None
+    // decompression-bomb guard: a tiny payload can decode to a huge
+    // raster; cap decoded pixels (128M ≈ a 11k x 11k frame) and let the
+    // item flow on as kind="raw" instead of OOMing the executor
+    else if (img.getWidth.toLong * img.getHeight > (1L << 27)) None
     else {
       val w = img.getWidth
       val h = img.getHeight
@@ -204,6 +208,9 @@ object Multimodal {
     while (pos + 8 <= b.length) {
       val id = tag(pos)
       val sz = u32(pos + 4).toInt
+      // a crafted/corrupt chunk size must not walk the cursor backwards
+      // (infinite loop) or claim more than the payload holds
+      if (sz < 0 || sz > b.length - pos - 8) return None
       if (id == "fmt " && pos + 8 + 16 <= b.length) {
         val audioFormat = u16(pos + 8)
         channels = u16(pos + 10)

@@ -63,6 +63,14 @@ class MultimodalSpec extends SparkSpec {
     assert(f.n_bytes === 3)
   }
 
+  test("a negative RIFF chunk size terminates (no loop) and degrades to raw") {
+    // valid RIFF/WAVE preamble, then a chunk declaring size 0xFFFFFFFF
+    val evil = wavBytes(8000, Array.fill[Short](4)(1))
+    evil(16) = -1; evil(17) = -1; evil(18) = -1; evil(19) = -1 // fmt size
+    val f = Multimodal.decode(MediaItem(9L, evil, "wav", -1, -1))
+    assert(f.kind === "raw")
+  }
+
   test("binaryFile -> extractFeatures decodes real media end-to-end") {
     val dir = Files.createTempDirectory("graft-realmedia")
     Files.write(dir.resolve("img.png"),
