@@ -61,6 +61,16 @@ object EmbQueries {
         "vec_id", "embedding", "cell", K, nprobe = 10)
     }),
 
+    "e07_cosine_topk" -> ((s, d) => {
+      // exact cosine ranking: integer quantized dot + norms, two
+      // correctly-rounded sqrt/divisions in fixed order — bit-identical
+      // across engines, so the score itself is oracle-comparable
+      val items = embeddings(s, d)
+      Ann.bruteForceCosineTopK(items,
+        items.filter(col("vec_id") < NQUERIES), "vec_id", "embedding", K)
+        .select(col("qid"), col("nid"), round(col("cos"), 9).as("cos"))
+    }),
+
     "e04_embedding_neardup" -> ((s, d) => {
       // embedding-cosine near-duplicate pairs: quantized-dot self-join
       // pruned by shared IVF cell (label) — same-cell pairs only
@@ -92,9 +102,32 @@ object EmbQueries {
        |  FROM scored)
        |WHERE rn <= $K""".stripMargin
 
+  /** Quantized integer dot of two embedding columns in DuckDB. */
+  private def qdotSql(a: String, b: String) =
+    s"""CAST(list_sum([CAST(round(CAST($a[i] AS DOUBLE) * 1000) AS BIGINT)
+       |             * CAST(round(CAST($b[i] AS DOUBLE) * 1000) AS BIGINT)
+       |               FOR i IN range(1, len($a) + 1)]) AS BIGINT)""".stripMargin
+
+  private val cosineKnnSql =
+    s"""WITH base AS (SELECT vec_id, embedding,
+       |    ${qdotSql("embedding", "embedding")} AS n2 FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qv, n2 AS qn2 FROM base
+       |      WHERE vec_id < $NQUERIES),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id AS nid,
+       |    CAST(${qdotSql("q.qv", "e.embedding")} AS DOUBLE)
+       |      / sqrt(CAST(q.qn2 AS DOUBLE)) / sqrt(CAST(e.n2 AS DOUBLE)) AS cos
+       |  FROM q, base e WHERE e.vec_id <> q.qid)
+       |SELECT qid, nid, round(cos, 9) AS cos FROM (
+       |  SELECT qid, nid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+       |  FROM scored)
+       |WHERE rn <= $K""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "e06_knn_ivf_full_probe" -> exactKnnSql,
     "e01_knn_exact" -> exactKnnSql,
+    "e07_cosine_topk" -> cosineKnnSql,
     "e04_embedding_neardup" ->
       """SELECT x.vec_id AS id_a, y.vec_id AS id_b,
         |  CAST(list_sum([CAST(round(CAST(x.embedding[i] AS DOUBLE) * 1000) AS BIGINT)

@@ -91,7 +91,17 @@ object RelationalQueries {
       orders(s, d)
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .select(col("o_orderkey"), col("o_totalprice"))
-        .limit(10)))
+        .limit(10)),
+
+    "q11_rollup" -> ((s, d) =>
+      // grouping-sets surface: subtotals per (flag, status), per flag, and
+      // grand total in ONE pass — Spark plans rollup as a single Expand +
+      // aggregate, not three scans
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).as("sum_qty"))))
 
   val oracle: Map[String, String] = Map(
     "q01_agg" ->
@@ -135,5 +145,9 @@ object RelationalQueries {
         |FROM lineitem""".stripMargin,
     "q10_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q11_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
 }

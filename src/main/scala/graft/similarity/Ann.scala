@@ -68,6 +68,34 @@ object Ann {
       .drop("rn")
   }
 
+  /** Exact top-k by COSINE, cross-engine deterministic: the dot and both
+    * squared norms are exact quantized integers, and the only float ops
+    * are two `sqrt` and two divisions — each correctly rounded under
+    * IEEE-754, in a fixed order (dot / |q| / |n|), so every engine
+    * produces bit-identical scores. Output (qid, nid, cos).
+    *
+    * Same plan shape as [[bruteForceTopK]] (queries broadcast, corpus
+    * never shuffles, one window per query partition); the per-item norm
+    * is computed once on the corpus side before the join.
+    */
+  def bruteForceCosineTopK(
+      items: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      quantizedDot(col(vecCol), col(vecCol)).as("qn2"))
+    val it = items.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      quantizedDot(col(vecCol), col(vecCol)).as("nn2"))
+    val cosCol =
+      quantizedDot(col("qv"), col("nv")).cast("double") /
+        sqrt(col("qn2").cast("double")) / sqrt(col("nn2").cast("double"))
+    val scored = it.join(broadcast(q), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), cosCol.as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
 
   /** Multi-table LSH approximate top-k: `tables` independent b-bit
     * hyperplane signatures; a candidate must share at least one table's

@@ -28,6 +28,24 @@ class AnnSpec extends SparkSpec {
     assert(got === 100L * 400 + 200 * 500 + 300 * 600) // 320000
   }
 
+  test("cosine top-k ranks by angle, not magnitude; scores bounded") {
+    import spark.implicits._
+    val items = Seq(
+      (0L, Seq(1.0f, 0.0f)),    // query
+      (1L, Seq(9.0f, 9.0f)),    // big norm, 45 degrees
+      (2L, Seq(0.2f, 0.01f)),   // small norm, nearly collinear
+      (3L, Seq(-1.0f, 0.0f)))   // opposite
+      .toDF("vec_id", "embedding")
+    val got = Ann.bruteForceCosineTopK(items,
+        items.filter(col("vec_id") === 0L), "vec_id", "embedding", 3)
+      .orderBy(col("cos").desc)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // nearly-collinear tiny vector beats the large 45-degree one
+    assert(got.map(_._1).toSeq === Seq(2L, 1L, 3L))
+    assert(got.forall { case (_, c) => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9 })
+    assert(math.abs(got(2)._2 - (-1.0)) < 1e-9)
+  }
+
   test("brute-force top-k returns k best by dot with id tiebreak") {
     val items = clustered()
     val q = items.filter(col("vec_id") === 0L)
