@@ -38,4 +38,30 @@ object GraphIO {
       spark.read.parquet(s"$path/edges"),
       directed)
   }
+
+  /** Ingest a delimited edge-list text file (the SNAP/webgraph exchange
+    * format): one `src<delim>dst` pair per line, `#` comment lines
+    * skipped, vertex ids of any string form. Runs through the full
+    * `Graph.index` path, so ids become deterministic surrogate longs,
+    * duplicate edges collapse, and the vertex table is derived from the
+    * endpoints. The CSV scan is splittable — a 100 TB edge list reads
+    * with full parallelism.
+    */
+  def readEdgeList(
+      spark: SparkSession,
+      path: String,
+      delimiter: String = "\t",
+      directed: Boolean = true): Graph = {
+    import org.apache.spark.sql.functions._
+    val edges = spark.read
+      .option("sep", delimiter)
+      .option("comment", "#")
+      .csv(path)
+      .select(col("_c0").as("src"), col("_c1").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val vertices = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst")))
+      .distinct()
+    Graph.index(vertices, edges, directed)
+  }
 }

@@ -15,6 +15,18 @@ class GraphIOSpec extends SparkSpec {
     assert(rowSet(back.edges) === rowSet(g.edges))
   }
 
+  test("edge-list text ingestion: comments skipped, ids indexed, dups collapse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-edgelist")
+    java.nio.file.Files.writeString(dir.resolve("g.tsv"),
+      "# snap-style comment\na\tb\nb\tc\na\tb\nc\ta\n")
+    val g = graft.sources.GraphIO.readEdgeList(spark, dir.toString)
+    assert(g.vertices.count() === 3)
+    assert(g.edges.count() === 3, "duplicate a->b must collapse")
+    // structure survives re-keying: the 3-cycle is one component
+    val cc = graft.algorithms.ConnectedComponents().run(g)
+    assert(cc.select("component").distinct().count() === 1)
+  }
+
   test("PageRank: hub of a directed star collects the rank") {
     import spark.implicits._
     // star: 1..5 -> 0; vertex 0 is dangling
