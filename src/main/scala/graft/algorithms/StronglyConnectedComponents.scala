@@ -47,7 +47,10 @@ final case class StronglyConnectedComponents(
       msgToDst = if (forward) Some(col(STATE)) else None,
       updateExpr = Some(least(col(MSG), col(STATE))),
       maxIterations = propagationIterations,
-      checkpoint = checkpoint)
+      checkpoint = checkpoint,
+      // deep propagation: counting every superstep costs one job each;
+      // checking every 8th trades <=7 no-op supersteps for 7 saved jobs
+      convergenceCheckInterval = 8)
       .runWithStatus(g)
     if (!res.converged)
       throw new IllegalStateException(

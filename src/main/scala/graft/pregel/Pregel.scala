@@ -40,6 +40,14 @@ final case class PregelResult(state: DataFrame, converged: Boolean, iterations: 
   *                      defaults to the aggregated message
   * @param comparison    (newState, oldState) => changed? ; default null-safe !=
   * @param maxIterations superstep cap (reference default 10, pregel.py:32)
+  * @param convergenceCheckInterval run the convergence-count job only
+  *                      every N supersteps (plus once at the cap). Sound
+  *                      because a converged state emits no messages, so
+  *                      overshoot supersteps are no-ops; they cost a
+  *                      slightly deeper lazy plan, while every skipped
+  *                      check saves one Spark job — the right trade for
+  *                      deep propagations (SCC runs its min-label loops
+  *                      with interval 8). Default 1 = check every step.
   * @param checkpoint    where per-superstep state pins live —
   *                      [[CheckpointPolicy.Reliable]] for cluster jobs that
   *                      must survive executor loss
@@ -52,12 +60,14 @@ final case class Pregel(
     updateExpr: Option[Column] = None,
     comparison: (Column, Column) => Column = GraphUtil.neNullSafe,
     maxIterations: Int = 10,
-    checkpoint: CheckpointPolicy = CheckpointPolicy.Local) {
+    checkpoint: CheckpointPolicy = CheckpointPolicy.Local,
+    convergenceCheckInterval: Int = 1) {
   import Columns._
 
   require(msgToSrc.nonEmpty || msgToDst.nonEmpty,
     "need at least one of msgToSrc or msgToDst")
   require(maxIterations > 0, "maxIterations must be greater than 0")
+  require(convergenceCheckInterval > 0, "convergenceCheckInterval must be > 0")
 
   private val UPDATED = "_updated"
 
@@ -101,8 +111,9 @@ final case class Pregel(
       changed = next
         .filter(col(UPDATED) && comparison(col(STATE), col(OLD_STATE)))
         .drop(UPDATED)
-      converged = changed.count() == 0
       i += 1
+      if (i % convergenceCheckInterval == 0 || i == maxIterations)
+        converged = changed.count() == 0
     }
     PregelResult(state, converged, i)
   }
