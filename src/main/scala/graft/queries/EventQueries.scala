@@ -94,6 +94,32 @@ object EventQueries {
         .agg(count(col("c_ts")).as("n_clicks_7d"))
     }),
 
+    "s07_asof_enrich" -> ((s, d) => {
+      // the SAME attribution as s04 through the OTHER as-of
+      // implementation (graft.streaming.EventStream.enrichAsOf: packed
+      // reference + per-row ordered lookup, the streaming-capable path),
+      // against the same DuckDB ASOF oracle — the two engines' plans are
+      // cross-checked against each other via the shared oracle
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), expr("ts div 1000").as("ts_us"))
+        .agg(
+          max(col("event_id")).as("p_event_id"),
+          round(max_by(col("value"), col("event_id")) * 100).cast("long")
+            .as("p_value_cents"))
+      graft.streaming.EventStream.enrichAsOf(
+          clicks, purchases, Seq("user_id"), "ts_us",
+          Seq("p_event_id", "p_value_cents"))
+        .select(
+          col("event_id"), col("user_id"), col("ts_us"),
+          col("asof_ts_us").as("p_ts_us"),
+          col("asof_p_event_id").as("p_event_id"),
+          col("asof_p_value_cents").as("p_value_cents"))
+    }),
+
     "s06_props_json" -> ((s, d) =>
       // semi-structured column handling: the props column is a JSON
       // payload; extract a typed field and aggregate. get_json_object is
@@ -158,6 +184,19 @@ object EventQueries {
         |  AND c.c_ts > s.ts_us
         |  AND c.c_ts <= s.ts_us + 604800000000
         |GROUP BY 1, 2, 3""".stripMargin,
+    "s07_asof_enrich" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |             max(event_id) AS p_event_id,
+        |             CAST(round(arg_max(value, event_id) * 100) AS BIGINT)
+        |               AS p_value_cents
+        |      FROM events WHERE event_type = 'purchase'
+        |      GROUP BY user_id, epoch_us(ts))
+        |SELECT c.event_id, c.user_id, c.ts_us,
+        |       p.ts_us AS p_ts_us, p.p_event_id, p.p_value_cents
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us""".stripMargin,
     "s06_props_json" ->
       """SELECT event_type,
         |  count(*) AS n_events,
