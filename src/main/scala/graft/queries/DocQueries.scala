@@ -96,6 +96,27 @@ object DocQueries {
         .drop("cum")
     }),
 
+    "d07_chunk" -> ((s, d) => {
+      // context-window chunking: split each document into fixed
+      // 64-token chunks (the training-sequence preparation step). Pure
+      // per-row transform + posexplode — no shuffle; chunk text is
+      // fingerprinted so the cross-engine compare covers content exactly
+      val CH = 64
+      val t = tokens(col("text"))
+      val nChunks = expr(s"(size(t0) + ${CH - 1}) div $CH")
+      documents(s, d)
+        .select(col("doc_id"), t.as("t0"))
+        .filter(size(col("t0")) > 0)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0L), nChunks - 1L),
+            i => slice(col("t0"), (i * CH + 1L).cast("int"), lit(CH)))))
+        .select(
+          col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+          size(col("col")).as("n_tokens"),
+          sha2(array_join(col("col"), " "), 256).as("sha256"))
+    }),
+
     "t05_winnow" -> ((s, d) =>
       // rows-only: winnowing fingerprint sizes (xxhash64 has no DuckDB twin)
       documents(s, d).select(
@@ -194,6 +215,15 @@ object DocQueries {
          |  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS bin
          |FROM t0""".stripMargin,
+    "d07_chunk" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |nz AS (SELECT doc_id, t, len(t) AS n FROM t0 WHERE len(t) > 0),
+         |ch AS (SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         |         t[i * 64 + 1 : (i + 1) * 64] AS c
+         |       FROM nz, unnest(range(0, (n + 63) // 64)) AS u(i))
+         |SELECT doc_id, chunk_idx, CAST(len(c) AS INTEGER) AS n_tokens,
+         |       sha256(array_to_string(c, ' ')) AS sha256
+         |FROM ch""".stripMargin,
     "t07_repetition" ->
       s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
          |m AS (SELECT doc_id,
