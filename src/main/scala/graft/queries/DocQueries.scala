@@ -212,8 +212,9 @@ object DocQueries {
       s"""WITH t0 AS (SELECT doc_id, lang,
          |  CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents)
          |SELECT doc_id, lang, n_tokens,
-         |  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS bin
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
+         |    AS BIGINT) AS bin
          |FROM t0""".stripMargin,
     "d07_chunk" ->
       s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),

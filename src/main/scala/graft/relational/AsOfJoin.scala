@@ -51,8 +51,12 @@ object AsOfJoin {
     * @param payloadCols right columns to attach; emitted under
     *                  `asofPrefix + name`
     * @param direction "backward" (default) or "forward"
-    * @param tolerance max |left.ts - right.ts| in the ts column's own
-    *                  units; matches farther away are nulled
+    * @param tolerance max |left.ts - right.ts|; matches farther away are
+    *                  nulled. Units are the ts column's own for numeric
+    *                  columns, MICROSECONDS for timestamp columns (the
+    *                  gap is measured on unix-microsecond casts, since
+    *                  timestamp subtraction yields an interval that
+    *                  cannot compare against a Long)
     * @param asofPrefix prefix for attached columns, default "asof_";
     *                  the matched right timestamp arrives as
     *                  `asofPrefix + tsCol`
@@ -73,8 +77,15 @@ object AsOfJoin {
       .intersect((tsCol +: payloadCols).map(asofPrefix + _).toSet)
     require(clash.isEmpty, s"left already has columns ${clash.mkString(", ")}")
 
-    val side = "_asof_side"
-    val pay = "_asof_payload"
+    // internal working names must not shadow (and be silently replaced
+    // over) user columns on either input
+    val taken = left.columns.toSet ++ right.columns
+    def fresh(base: String): String =
+      Iterator.from(0)
+        .map(i => if (i == 0) base else s"$base$i")
+        .find(!taken(_)).get
+    val side = fresh("_asof_side")
+    val pay = fresh("_asof_payload")
     val payload = struct(
       (col(tsCol).as(tsCol) +: payloadCols.map(c => col(c).as(c))): _*)
     val r = right.select(
@@ -94,7 +105,18 @@ object AsOfJoin {
       .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
       .filter(col(side) === 1)
 
-    val gap = abs(col(tsCol) - col(pay).getField(tsCol))
+    // timestamp − timestamp is a DayTimeInterval, which cannot compare
+    // against a Long tolerance — measure the gap on a long projection
+    // (unix micros for timestamps, identity cast for numerics)
+    val tsIsTimestamp = left.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+    def tsAsLong(c: Column): Column =
+      if (tsIsTimestamp) unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+      else c.cast(org.apache.spark.sql.types.LongType)
+    val gap = abs(tsAsLong(col(tsCol)) - tsAsLong(col(pay).getField(tsCol)))
     val bounded = tolerance.fold(matched) { tol =>
       matched.withColumn(pay,
         when(gap <= lit(tol), col(pay)).otherwise(lit(null).cast(r.schema(pay).dataType)))

@@ -85,7 +85,10 @@ object KMeans {
       .select(col("_v"))
       .collect()
       .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
-    require(cand.nonEmpty, "farthestFirstSeeds on an empty input")
+    require(cand.length >= k,
+      s"farthestFirstSeeds: asked for k=$k seeds but only ${cand.length} " +
+        s"candidate vectors exist (input rows < k, or poolSize=$pool too " +
+        "small); downstream IVF builders require exactly k cells")
 
     import graft.functions.QuantizedDot.q
     def qdot(a: Array[Float], b: Array[Float]): Long = {

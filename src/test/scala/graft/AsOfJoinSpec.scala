@@ -66,6 +66,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(rowSet(out) === Set(Seq(20L, null)))
   }
 
+  test("timestamp ts column works with tolerance in microseconds") {
+    val q = Seq(("a", 10L, 100L), ("a", 20L, 110L)).toDF("k", "sec", "px")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("px"))
+    val t = Seq(("a", 12L), ("a", 25L), ("a", 90L)).toDF("k", "sec")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"))
+    // tolerance = 6 seconds, expressed in µs per the documented contract
+    val out = AsOfJoin.asOf(t, q, Seq("k"), "ts", Seq("px"),
+        tolerance = Some(6L * 1000000L))
+      .select(unix_seconds(col("ts")).as("sec"), col("asof_px"))
+    assert(rowSet(out) === Set(
+      Seq(12L, 100L),                    // gap 2 s
+      Seq(25L, 110L),                    // gap 5 s
+      Seq(90L, null)))                   // gap 70 s: nulled
+  }
+
+  test("user columns named like internal working names survive") {
+    val t = trades
+      .withColumn("_asof_side", col("ts") + 1)
+      .withColumn("_asof_payload", col("ts") + 2)
+    val out = AsOfJoin.asOf(t, quotes, Seq("k"), "ts", Seq("px"))
+    assert(out.columns.count(_ == "_asof_side") === 1)
+    val r = out.filter(col("k") === "a" && col("ts") === 25L)
+      .select("_asof_side", "_asof_payload", "asof_px").collect().head
+    assert(r.getLong(0) === 26L && r.getLong(1) === 27L && r.getLong(2) === 110L)
+  }
+
   test("left columns pass through and prefix collisions are rejected") {
     val out = AsOfJoin.asOf(
       trades.withColumn("qty", col("ts") * 2), quotes, Seq("k"), "ts", Seq("px"))
