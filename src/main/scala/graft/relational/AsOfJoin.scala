@@ -53,10 +53,12 @@ object AsOfJoin {
     * @param direction "backward" (default) or "forward"
     * @param tolerance max |left.ts - right.ts|; matches farther away are
     *                  nulled. Units are the ts column's own for numeric
-    *                  columns, MICROSECONDS for timestamp columns (the
-    *                  gap is measured on unix-microsecond casts, since
-    *                  timestamp subtraction yields an interval that
-    *                  cannot compare against a Long)
+    *                  columns (fractional types compare natively — no
+    *                  truncating cast), MICROSECONDS for timestamp
+    *                  columns (timestamp subtraction yields an interval
+    *                  that cannot compare against a Long, so the gap is
+    *                  measured on a micros projection; TIMESTAMP_NTZ is
+    *                  decomposed zone-free, immune to session-zone DST)
     * @param asofPrefix prefix for attached columns, default "asof_";
     *                  the matched right timestamp arrives as
     *                  `asofPrefix + tsCol`
@@ -106,17 +108,29 @@ object AsOfJoin {
       .filter(col(side) === 1)
 
     // timestamp − timestamp is a DayTimeInterval, which cannot compare
-    // against a Long tolerance — measure the gap on a long projection
-    // (unix micros for timestamps, identity cast for numerics)
-    val tsIsTimestamp = left.schema(tsCol).dataType match {
-      case org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType => true
-      case _ => false
+    // against a Long tolerance — measure the gap on a micros projection
+    // for timestamp types. Numeric ts columns keep their NATIVE
+    // subtraction (a LongType cast would truncate fractional epoch
+    // seconds and move matches across the tolerance boundary); the Long
+    // tolerance literal promotes to the wider numeric type in the
+    // comparison.
+    import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
+    // NTZ wall-clock → micros WITHOUT going through the session zone: a
+    // cast to TimestampType assigns a DST-dependent UTC offset, so two
+    // NTZ values straddling a transition would skew the gap by the DST
+    // delta. Decomposing the wall clock (date + time-of-day) is
+    // zone-free and stays in whole-stage codegen.
+    def wallClockMicros(c: Column): Column =
+      datediff(c.cast(DateType), to_date(lit("1970-01-01"))).cast(LongType) *
+        lit(86400000000L) +
+        (hour(c) * lit(3600L) + minute(c) * lit(60L)).cast(LongType) * lit(1000000L) +
+        (date_part(lit("SECOND"), c) * lit(1000000)).cast(LongType)
+    val gapProj: Column => Column = left.schema(tsCol).dataType match {
+      case TimestampType    => c => unix_micros(c)
+      case TimestampNTZType => wallClockMicros
+      case _                => identity
     }
-    def tsAsLong(c: Column): Column =
-      if (tsIsTimestamp) unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
-      else c.cast(org.apache.spark.sql.types.LongType)
-    val gap = abs(tsAsLong(col(tsCol)) - tsAsLong(col(pay).getField(tsCol)))
+    val gap = abs(gapProj(col(tsCol)) - gapProj(col(pay).getField(tsCol)))
     val bounded = tolerance.fold(matched) { tol =>
       matched.withColumn(pay,
         when(gap <= lit(tol), col(pay)).otherwise(lit(null).cast(r.schema(pay).dataType)))

@@ -77,6 +77,7 @@ object KMeans {
   def farthestFirstSeeds(items: DataFrame, idCol: String, vecCol: String,
       k: Int, poolSize: Int = 0): DataFrame = {
     import items.sparkSession.implicits._
+    require(k >= 1, s"farthestFirstSeeds: k must be >= 1, got $k")
     val pool = if (poolSize > 0) poolSize else 64 * k
     val cand: Array[Array[Float]] = items
       .select(col(idCol).as("_id"), col(vecCol).as("_v"))
@@ -103,7 +104,7 @@ object KMeans {
 
     val seeds = scala.collection.mutable.ArrayBuffer(cand(0))
     val nearest = Array.tabulate(cand.length)(i => d2(i, cand(0), norm(0)))
-    while (seeds.size < math.min(k, cand.length)) {
+    while (seeds.size < k) {
       var best = 0; var i = 1
       while (i < cand.length) { if (nearest(i) > nearest(best)) best = i; i += 1 }
       val s = cand(best); val sn = norm(best)

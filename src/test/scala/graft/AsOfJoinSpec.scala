@@ -81,6 +81,47 @@ class AsOfJoinSpec extends SparkSpec {
       Seq(90L, null)))                   // gap 70 s: nulled
   }
 
+  test("fractional numeric ts keeps sub-unit gaps — no truncating cast") {
+    val q = Seq(("a", 10.0, 100L)).toDF("k", "ts", "px")
+    val t = Seq(("a", 10.9), ("a", 10.4)).toDF("k", "ts")
+    // tolerance 0: a real gap of 0.9 must null; a LongType truncation
+    // would read both as gap 0 and wrongly keep the match
+    val out = AsOfJoin.asOf(t, q, Seq("k"), "ts", Seq("px"),
+        tolerance = Some(0L))
+      .select("ts", "asof_px")
+    assert(rowSet(out) === Set(Seq(10.9, null), Seq(10.4, null)))
+    // and a fractional gap within a nonzero tolerance still matches
+    val out1 = AsOfJoin.asOf(t, q, Seq("k"), "ts", Seq("px"),
+        tolerance = Some(1L))
+      .select("ts", "asof_px")
+    assert(rowSet(out1) === Set(Seq(10.9, 100L), Seq(10.4, 100L)))
+  }
+
+  test("TIMESTAMP_NTZ gap is wall-clock, immune to session-zone DST") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      // 2026-03-08 02:00 America/New_York springs forward: these two
+      // wall clocks are 2h apart on paper but only 1h apart as NY
+      // instants. NTZ semantics is wall clock → gap must read 7200 s.
+      val q = Seq(("a", "2026-03-08 01:30:00", 100L)).toDF("k", "s", "px")
+        .select(col("k"), col("s").cast("timestamp_ntz").as("ts"), col("px"))
+      val t = Seq(("a", "2026-03-08 03:30:00")).toDF("k", "s")
+        .select(col("k"), col("s").cast("timestamp_ntz").as("ts"))
+      // tolerance 5000 s: wall gap 7200 > 5000 → nulled. A session-zone
+      // instant cast would measure 3600 and wrongly keep the match.
+      val out = AsOfJoin.asOf(t, q, Seq("k"), "ts", Seq("px"),
+          tolerance = Some(5000L * 1000000L))
+        .select("asof_px")
+      assert(rowSet(out) === Set(Seq(null)))
+      // and 7200 s tolerance keeps it
+      val out1 = AsOfJoin.asOf(t, q, Seq("k"), "ts", Seq("px"),
+          tolerance = Some(7200L * 1000000L))
+        .select("asof_px")
+      assert(rowSet(out1) === Set(Seq(100L)))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("user columns named like internal working names survive") {
     val t = trades
       .withColumn("_asof_side", col("ts") + 1)
