@@ -141,19 +141,27 @@ object Dedup {
   /** Near-duplicate pairs by SimHash Hamming distance <= maxDist (<= 3 for
     * the 4x16-bit pigeonhole to be exhaustive). Output
     * (id_a, id_b, hamming), id_a < id_b.
+    *
+    * `portableHash = true` signs with [[graft.functions.SimHashSha64]]
+    * (sha256-prefix token hash — reproducible by any engine with sha256,
+    * so the output is oracle-checkable) instead of the xxhash64-based
+    * [[graft.functions.SimHash64]] throughput default.
     */
   def simhashDuplicates(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3,
+      portableHash: Boolean = false): DataFrame = {
     require(maxDist <= 3, "4-chunk pigeonhole is exhaustive only for maxDist <= 3")
+    val sig: Column => Column =
+      if (portableHash) graft.functions.SimHashSha64(_)
+      else graft.functions.SimHash64(_)
     val hashed = docs.select(
       col(idCol).as("id"),
       TextFunctions.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
-      .select(col("id"),
-        graft.functions.SimHash64(col("toks")).as("sh"))
+      .select(col("id"), sig(col("toks")).as("sh"))
       .localCheckpoint()
 
     val chunks = hashed.select(

@@ -31,7 +31,12 @@ object DocQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
     "d03_simhash_dedup" -> ((s, d) =>
-      Dedup.simhashDuplicates(documents(s, d), "doc_id", "text", maxDist = 3)),
+      // portable sha256-prefix signatures: DuckDB replays the full
+      // simhash (per-token 64-bit votes) and the <=3-bit Hamming verify,
+      // so this is oracle-checked end to end; the xxhash64 signature
+      // path stays spec-covered in TextDedupSpec
+      Dedup.simhashDuplicates(documents(s, d), "doc_id", "text",
+        maxDist = 3, portableHash = true)),
 
     "d04_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text",
@@ -118,10 +123,15 @@ object DocQueries {
     }),
 
     "t05_winnow" -> ((s, d) =>
-      // rows-only: winnowing fingerprint sizes (xxhash64 has no DuckDB twin)
+      // oracle-checked end to end via the portable sha256-prefix k-gram
+      // hash: DuckDB reproduces the exact fingerprint set (the xxhash64
+      // variant stays spec-covered). Fingerprints flattened to one sorted
+      // comma-joined string per doc — the driver's compare can't hash
+      // array cells.
       documents(s, d).select(
         col("doc_id"),
-        size(winnow(tokens(col("text")), 3, 4)).as("n_fingerprints"))),
+        size(winnowPortable(tokens(col("text")), 3, 4)).as("n_fingerprints"),
+        array_join(winnowPortable(tokens(col("text")), 3, 4), ",").as("fps"))),
 
     "t07_repetition" -> ((s, d) => {
       // boilerplate/repetition score: fraction of repeated 3-gram
@@ -178,10 +188,60 @@ object DocQueries {
        | THEN [ t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1) ]
        | ELSE [] END)""".stripMargin
 
+  /** DuckDB-side non-distinct positional 3-gram shingles (winnowing and
+    * repetition need multiplicity; dedup uses the distinct variant). */
+  private val posShinglesSql =
+    s"""CASE WHEN len(t) >= 3
+       | THEN [ t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1) ]
+       | ELSE [] END""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // full winnowing replay: sha256-prefix hashes per positional 3-gram,
+    // window-4 minima, distinct ascending — string compare on fixed-width
+    // hex == numeric compare on the 64-bit prefix, so both engines select
+    // identical fingerprints
+    "t05_winnow" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |h0 AS (SELECT doc_id,
+         |         [substr(sha256(g), 1, 16) FOR g IN $posShinglesSql] AS h
+         |       FROM t0),
+         |m AS (SELECT doc_id,
+         |        CASE WHEN len(h) >= 4
+         |          THEN [list_min(h[i+1:i+4]) FOR i IN range(0, len(h) - 3)]
+         |          WHEN len(h) > 0 THEN [list_min(h)]
+         |          ELSE [] END AS mins
+         |      FROM h0),
+         |f AS (SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM m)
+         |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fingerprints,
+         |       array_to_string(fps, ',') AS fps
+         |FROM f""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    // full simhash replay: per-token sha256-prefix hash -> 64 bit votes
+    // over the token multiset -> signature bits -> all-pairs Hamming <= 3.
+    // Bit b of the big-endian 8-byte hash prefix lives at bit (b % 4) of
+    // hex digit (63 - b) // 4 + 1. The all-pairs compare is fine for the
+    // oracle (500 docs); the Spark side pigeonholes into 4x16-bit chunks.
+    "d03_simhash_dedup" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |nz AS (SELECT doc_id, t FROM t0 WHERE len(t) > 0),
+         |tk AS (SELECT doc_id, unnest(t) AS tok FROM nz),
+         |hx AS (SELECT doc_id, substr(sha256(tok), 1, 16) AS h FROM tk),
+         |votes AS (
+         |  SELECT doc_id, b,
+         |    sum(2 * (((strpos('0123456789abcdef',
+         |        substr(h, CAST((63 - b) // 4 + 1 AS INTEGER), 1)) - 1)
+         |      >> CAST(b % 4 AS INTEGER)) & 1) - 1) AS v
+         |  FROM hx, unnest(range(0, 64)) AS u(b)
+         |  GROUP BY doc_id, b),
+         |sig AS (SELECT doc_id, list(CASE WHEN v > 0 THEN 1 ELSE 0 END ORDER BY b) AS sl
+         |        FROM votes GROUP BY doc_id)
+         |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         |  CAST(len(list_filter(range(1, 65), i -> x.sl[i] <> y.sl[i])) AS INTEGER)
+         |    AS hamming
+         |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+         |WHERE len(list_filter(range(1, 65), i -> x.sl[i] <> y.sl[i])) <= 3""".stripMargin,
     // d02 is MinHash-LSH candidate generation + the SAME exact-Jaccard
     // verify as d04, so its output equals the exact all-pairs result
     // whenever every qualifying pair lands in some LSH bucket. On this

@@ -154,7 +154,11 @@ object GraphQueries {
 
     "g08_wl_hash" -> ((s, d) => {
       import s.implicits._
-      Seq(WLKernel(maxIterations = 3).run(starGraph(s, d))).toDF("wl_hash")
+      // sha-256 labels (not the sha1 default): DuckDB 1.x ships sha256 but
+      // not sha1, and a cross-engine hash makes the whole 3-iteration WL
+      // relabeling + canonical digest oracle-checkable end to end
+      Seq(WLKernel(hashFunc = c => sha2(c, 256), maxIterations = 3)
+        .run(starGraph(s, d))).toDF("wl_hash")
     }),
 
     "g09_katz" -> ((s, d) =>
@@ -366,6 +370,25 @@ object GraphQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // full WL replay: degree labels -> 3 rounds of sha256(concat of
+    // sorted neighbour labels) -> canonical digest of the sorted label
+    // multiset. Degree on the undirected star graph is the DISTINCT
+    // neighbour count (Graph.degrees mirrors graph.py:104-108), and the
+    // WL message list is one entry per incident edge.
+    "g08_wl_hash" ->
+      """WITH e0 AS (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS src,
+        |              CAST(n_regionkey AS BIGINT) + 1000 AS dst FROM nation),
+        |ee AS (SELECT src AS a, dst AS b FROM e0
+        |       UNION ALL SELECT dst AS a, src AS b FROM e0),
+        |l0 AS (SELECT a AS id, CAST(count(DISTINCT b) AS VARCHAR) AS l
+        |       FROM ee GROUP BY a),
+        |l1 AS (SELECT ee.a AS id, sha256(string_agg(p.l, '' ORDER BY p.l)) AS l
+        |       FROM ee JOIN l0 p ON p.id = ee.b GROUP BY ee.a),
+        |l2 AS (SELECT ee.a AS id, sha256(string_agg(p.l, '' ORDER BY p.l)) AS l
+        |       FROM ee JOIN l1 p ON p.id = ee.b GROUP BY ee.a),
+        |l3 AS (SELECT ee.a AS id, sha256(string_agg(p.l, '' ORDER BY p.l)) AS l
+        |       FROM ee JOIN l2 p ON p.id = ee.b GROUP BY ee.a)
+        |SELECT sha256(string_agg(l, '' ORDER BY l)) AS wl_hash FROM l3""".stripMargin,
     "g21_pagerank" -> pageRankOracleSql(5),
     "g06_label_propagation" -> labelPropagationOracleSql(5),
     "q08_triangles" ->

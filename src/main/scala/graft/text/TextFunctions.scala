@@ -129,12 +129,27 @@ object TextFunctions {
     */
   def winnow(toks: Column, k: Int, w: Int): Column = {
     val hashes = transform(shingles(toks, k), s => xxhash64(s))
-    val mins = when(size(hashes) >= w,
+    array_sort(array_distinct(windowMins(hashes, w, "array<bigint>")))
+  }
+
+  /** [[winnow]] with a cross-engine k-gram hash: the first 16 hex chars of
+    * sha256. Lexicographic order on fixed-width hex equals numeric order
+    * on the underlying 64 bits, so window minima select the SAME shingles
+    * as a 64-bit integer hash would — but DuckDB (or any engine with
+    * sha256) reproduces the fingerprints exactly, which xxhash64 cannot.
+    * Prefer [[winnow]] when cross-engine equality is not required: one
+    * sha256 per shingle costs ~10x an xxhash64.
+    */
+  def winnowPortable(toks: Column, k: Int, w: Int): Column = {
+    val hashes = transform(shingles(toks, k), s => substring(sha2(s, 256), 1, 16))
+    array_sort(array_distinct(windowMins(hashes, w, "array<string>")))
+  }
+
+  private def windowMins(hashes: Column, w: Int, tpe: String): Column =
+    when(size(hashes) >= w,
       transform(
         sequence(lit(0), size(hashes) - w),
         i => array_min(slice(hashes, i + lit(1), lit(w)))))
       .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
-        .otherwise(array().cast("array<bigint>")))
-    array_sort(array_distinct(mins))
-  }
+        .otherwise(array().cast(tpe)))
 }

@@ -76,6 +76,53 @@ class FunctionsSpec extends SparkSpec {
     assert(diff.isEmpty)
   }
 
+  test("SimHashSha64: single-token signature IS the sha256 8-byte prefix") {
+    import spark.implicits._
+    // one token -> every bit's vote comes from that token alone, so the
+    // signature equals the hash itself: the big-endian long spelled by the
+    // first 16 hex chars of sha2(token, 256)
+    val r = Seq("alpha").toDF("t")
+      .select(
+        graft.functions.SimHashSha64(array(col("t"))).as("sig"),
+        substring(sha2(col("t"), 256), 1, 16).as("hex"))
+      .head()
+    val expected = java.lang.Long.parseUnsignedLong(r.getString(1), 16)
+    assert(r.getLong(0) === expected)
+  }
+
+  test("SimHashSha64: multiset votes differ from set votes") {
+    import spark.implicits._
+    val sig = (toks: Seq[String]) =>
+      Seq(toks).toDF("toks")
+        .select(graft.functions.SimHashSha64(col("toks"))).head().getLong(0)
+    // duplicated token dominates the vote; order never matters
+    assert(sig(Seq("a", "a", "a", "b")) === sig(Seq("a", "b", "a", "a")))
+    assert(sig(Seq("a", "a", "a", "b")) !== sig(Seq("b", "b", "b", "a")))
+  }
+
+  test("winnowPortable fingerprints are sha256 prefixes of real shingles") {
+    import spark.implicits._
+    val text = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val fps = Seq(text).toDF("text")
+      .select(TextFunctions.winnowPortable(
+        TextFunctions.tokens(col("text")), 3, 4).as("fp"))
+      .head().getAs[scala.collection.Seq[String]](0)
+    assert(fps.nonEmpty && fps == fps.sorted && fps.distinct.size == fps.size)
+    val shingleHexes = (1 to 6).map { i =>
+      val sh = s"w$i w${i + 1} w${i + 2}"
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(sh.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString
+    }.toSet
+    fps.foreach(fp => assert(shingleHexes.contains(fp), s"$fp not a shingle hash"))
+    // fewer shingles than the window -> the single global min
+    val one = Seq("a b c d").toDF("text")
+      .select(TextFunctions.winnowPortable(
+        TextFunctions.tokens(col("text")), 3, 4).as("fp"))
+      .head().getAs[scala.collection.Seq[String]](0)
+    assert(one.size === 1)
+  }
+
   test("RhpBuckets: shape, table-disjoint key ranges, determinism") {
     val bits = 6
     val tables = 8
