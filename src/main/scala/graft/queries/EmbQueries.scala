@@ -28,19 +28,30 @@ object EmbQueries {
         "vec_id", "embedding", K)),
 
     "e02_knn_lsh" -> ((s, d) =>
+      // oracle-checked end to end: portable sha256-derived hyperplanes +
+      // exact integer sign dots let DuckDB replay bucketing, candidate
+      // generation, and the exact top-k bit for bit; the float-dot
+      // RhpBuckets path stays spec-covered (recall contract)
       Ann.lshTopK(embeddings(s, d), queriesDf(s, d),
-        "vec_id", "embedding", K, bits = 6, tables = 16)),
+        "vec_id", "embedding", K, bits = 6, tables = 16, portable = true)),
 
     "e03_knn_ivf" -> ((s, d) =>
+      // oracle-checked end to end: centroids are exact integer sums and
+      // the probe rank key is one correctly-rounded division, so DuckDB
+      // replays cell selection AND the in-cell top-k bit for bit
       Ann.ivfTopK(embeddings(s, d), queriesDf(s, d),
         "vec_id", "embedding", "label", K, nprobe = 3)),
 
     "e05_knn_ivf_kmeans" -> ((s, d) => {
-      // rows-only: the general IVF path — coarse cells learned with
-      // deterministic k-means instead of shipped labels; recall contract
-      // vs e01 is covered by the ScalaTest spec
+      // oracle-checked end to end: the PORTABLE k-means (sha256-Forgy
+      // seeds, integer-sum centroids, fixed iteration count) is replayed
+      // by DuckDB through every Lloyd round, then the IVF probe + top-k
+      // on the learned cells — the strongest correctness signal the
+      // learned-quantizer path can have. The farthest-first fitPredict
+      // keeps its recall contract in the ScalaTest spec.
       val emb = embeddings(s, d)
-      val labels = KMeans.fitPredict(emb, "vec_id", "embedding", k = 10, maxIterations = 5)
+      val labels = KMeans.fitPredictPortable(
+        emb, "vec_id", "embedding", k = 10, maxIterations = 5)
       val items = emb.select(col("vec_id"), col("embedding"))
         .join(labels, Seq("vec_id"))
       Ann.ivfTopK(items, items.filter(col("vec_id") < NQUERIES),
@@ -124,7 +135,169 @@ object EmbQueries {
        |  FROM scored)
        |WHERE rn <= $K""".stripMargin
 
+  /** Full IVF replay for e03: per-cell quantized component sums (exact
+    * integers), probe score = dot / count (one rounded division), nprobe
+    * cells per query, exact top-k within probed cells. */
+  private val ivfKnnSql =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           WHERE vec_id < $NQUERIES),
+       |cd AS (SELECT label AS cell, d,
+       |         sum(CAST(round(CAST(embedding[d] AS DOUBLE) * 1000) AS BIGINT)) AS sx
+       |       FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(d)
+       |       GROUP BY label, d),
+       |cn AS (SELECT label AS cell, count(*) AS n FROM embeddings GROUP BY label),
+       |cl AS (SELECT cd.cell, list(sx ORDER BY d) AS cs, any_value(cn.n) AS n
+       |       FROM cd JOIN cn ON cn.cell = cd.cell GROUP BY cd.cell),
+       |p0 AS (SELECT q.qid, c.cell,
+       |         CAST(CAST(list_sum(
+       |           [CAST(round(CAST(q.qv[i] AS DOUBLE) * 1000) AS BIGINT) * c.cs[i]
+       |            FOR i IN range(1, len(q.qv) + 1)]) AS BIGINT) AS DOUBLE)
+       |           / CAST(c.n AS DOUBLE) AS score
+       |       FROM q, cl c),
+       |pr AS (SELECT qid, cell FROM (
+       |         SELECT qid, cell,
+       |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, cell) AS rn
+       |         FROM p0) WHERE rn <= 3),
+       |sc AS (SELECT p.qid, e.vec_id AS nid,
+       |         CAST(list_sum(
+       |           [CAST(round(CAST(q.qv[i] AS DOUBLE) * 1000) AS BIGINT)
+       |            * CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+       |            FOR i IN range(1, len(q.qv) + 1)]) AS BIGINT) AS qdot
+       |       FROM pr p
+       |       JOIN embeddings e ON e.label = p.cell
+       |       JOIN q ON q.qid = p.qid
+       |       WHERE e.vec_id <> p.qid)
+       |SELECT qid, nid, qdot FROM (
+       |  SELECT qid, nid, qdot,
+       |         row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, nid) AS rn
+       |  FROM sc)
+       |WHERE rn <= $K""".stripMargin
+
+  /** Full LSH replay for e02: hyperplane component c(plane, dim) is the
+    * unsigned 32-bit value of the first 8 hex chars of
+    * sha256('plane:dim') mod 1999 minus 999; sign bits from exact integer
+    * dots; bucket = (t << 6) | bits with bit b=0 most significant;
+    * candidates share any bucket; exact top-k among candidates. */
+  private val lshKnnSql =
+    s"""WITH pl AS (SELECT t, b, t * 64 + b AS plane
+       |            FROM unnest(range(0, 16)) AS u1(t),
+       |                 unnest(range(0, 6)) AS u2(b)),
+       |nd AS (SELECT max(len(embedding)) AS n FROM embeddings),
+       |comp AS (SELECT t, b,
+       |           [ (list_reduce(
+       |                [ strpos('0123456789abcdef',
+       |                    substr(sha256(CAST(plane AS VARCHAR) || ':'
+       |                           || CAST(j - 1 AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1
+       |                  FOR i IN range(1, 9) ],
+       |                (a, x) -> a * 16 + x) % 1999) - 999
+       |             FOR j IN range(1, (SELECT n FROM nd) + 1) ] AS cl
+       |         FROM pl),
+       |vb AS (SELECT e.vec_id, c.t, c.b,
+       |         CASE WHEN CAST(list_sum(
+       |           [CAST(round(CAST(e.embedding[j] AS DOUBLE) * 1000) AS BIGINT) * c.cl[j]
+       |            FOR j IN range(1, len(e.embedding) + 1)]) AS BIGINT) > 0
+       |         THEN 1 ELSE 0 END AS s
+       |       FROM embeddings e, comp c),
+       |bk AS (SELECT vec_id, t,
+       |         t * 64 + sum(s * (1 << CAST(5 - b AS INTEGER))) AS bucket
+       |       FROM vb GROUP BY vec_id, t),
+       |qb AS (SELECT vec_id AS qid, bucket FROM bk WHERE vec_id < $NQUERIES),
+       |cands AS (SELECT DISTINCT q.qid, i.vec_id AS nid
+       |          FROM qb q JOIN bk i ON i.bucket = q.bucket
+       |          WHERE i.vec_id <> q.qid),
+       |sc AS (SELECT c.qid, c.nid,
+       |         CAST(list_sum(
+       |           [CAST(round(CAST(q.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+       |            * CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+       |            FOR i IN range(1, len(q.embedding) + 1)]) AS BIGINT) AS qdot
+       |       FROM cands c
+       |       JOIN embeddings q ON q.vec_id = c.qid
+       |       JOIN embeddings e ON e.vec_id = c.nid)
+       |SELECT qid, nid, qdot FROM (
+       |  SELECT qid, nid, qdot,
+       |         row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, nid) AS rn
+       |  FROM sc)
+       |WHERE rn <= $K""".stripMargin
+
+  /** Full portable-k-means + IVF replay for e05: sha256-Forgy seeds,
+    * `iters` unrolled Lloyd rounds with exact integer-sum centroids and
+    * the -2*dot/n + |S|^2/n^2 rank key (two divisions + one addition, all
+    * correctly rounded — identical bits to the Spark side), final
+    * assignment, then the same probe + top-k as the e03 oracle. */
+  private def kmeansIvfSql(k: Int, iters: Int, nprobe: Int): String = {
+    // assignment of every item to its nearest centroid c{i-1} -> a$i
+    def assignCte(i: Int): String =
+      s"""s$i AS (SELECT i.id, c.cell,
+         |  CAST(-2 * CAST(list_sum([i.qv[j] * c.cs[j]
+         |         FOR j IN range(1, len(i.qv) + 1)]) AS BIGINT) AS DOUBLE)
+         |    / CAST(c.n AS DOUBLE)
+         |  + CAST(CAST(list_sum([c.cs[j] * c.cs[j]
+         |         FOR j IN range(1, len(c.cs) + 1)]) AS BIGINT) AS DOUBLE)
+         |    / CAST(c.n * c.n AS DOUBLE) AS score
+         |  FROM it i, c${i - 1} c),
+         |a$i AS (SELECT id, cell FROM (
+         |  SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY score, cell) AS rn
+         |  FROM s$i) WHERE rn = 1)""".stripMargin
+    // centroid update from a$i -> c$i (empty cells keep their previous)
+    def updateCte(i: Int): String =
+      s"""u$i AS (SELECT a.cell, u.d AS d, sum(i.qv[CAST(u.d AS INTEGER)]) AS sx
+         |  FROM a$i a JOIN it i ON i.id = a.id,
+         |       unnest(range(1, len(i.qv) + 1)) AS u(d)
+         |  GROUP BY a.cell, u.d),
+         |n$i AS (SELECT cell, count(*) AS n FROM a$i GROUP BY cell),
+         |f$i AS (SELECT u.cell, list(u.sx ORDER BY u.d) AS cs, any_value(n.n) AS n
+         |  FROM u$i u JOIN n$i n ON n.cell = u.cell GROUP BY u.cell),
+         |c$i AS (SELECT p.cell, coalesce(f.cs, p.cs) AS cs, coalesce(f.n, p.n) AS n
+         |  FROM c${i - 1} p LEFT JOIN f$i f ON f.cell = p.cell)""".stripMargin
+    val fin = iters + 1
+    val rounds = (1 to iters).map(i => assignCte(i) + ",\n" + updateCte(i))
+    s"""WITH it AS (SELECT vec_id AS id,
+       |    [CAST(round(CAST(embedding[j] AS DOUBLE) * 1000) AS BIGINT)
+       |     FOR j IN range(1, len(embedding) + 1)] AS qv
+       |  FROM embeddings),
+       |c0 AS (SELECT cell, cs, n FROM (
+       |  SELECT row_number() OVER (ORDER BY sha256(CAST(id AS VARCHAR)), id) - 1 AS cell,
+       |         qv AS cs, CAST(1 AS BIGINT) AS n
+       |  FROM it) WHERE cell < $k),
+       |${rounds.mkString(",\n")},
+       |${assignCte(fin)},
+       |lab AS (SELECT id, cell FROM a$fin),
+       |cd AS (SELECT l.cell, u.d AS d, sum(i.qv[CAST(u.d AS INTEGER)]) AS sx
+       |  FROM lab l JOIN it i ON i.id = l.id,
+       |       unnest(range(1, len(i.qv) + 1)) AS u(d)
+       |  GROUP BY l.cell, u.d),
+       |cn2 AS (SELECT cell, count(*) AS n FROM lab GROUP BY cell),
+       |cl2 AS (SELECT cd.cell, list(sx ORDER BY d) AS cs, any_value(cn2.n) AS n
+       |  FROM cd JOIN cn2 ON cn2.cell = cd.cell GROUP BY cd.cell),
+       |q AS (SELECT id AS qid, qv FROM it WHERE id < $NQUERIES),
+       |p0 AS (SELECT q.qid, c.cell,
+       |    CAST(CAST(list_sum([q.qv[i] * c.cs[i]
+       |         FOR i IN range(1, len(q.qv) + 1)]) AS BIGINT) AS DOUBLE)
+       |      / CAST(c.n AS DOUBLE) AS score
+       |  FROM q, cl2 c),
+       |pr AS (SELECT qid, cell FROM (
+       |  SELECT qid, cell,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cell) AS rn
+       |  FROM p0) WHERE rn <= $nprobe),
+       |sc AS (SELECT p.qid, l.id AS nid,
+       |    CAST(list_sum([q.qv[i] * i2.qv[i]
+       |         FOR i IN range(1, len(q.qv) + 1)]) AS BIGINT) AS qdot
+       |  FROM pr p
+       |  JOIN lab l ON l.cell = p.cell
+       |  JOIN it i2 ON i2.id = l.id
+       |  JOIN q ON q.qid = p.qid
+       |  WHERE l.id <> p.qid)
+       |SELECT qid, nid, qdot FROM (
+       |  SELECT qid, nid, qdot,
+       |         row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, nid) AS rn
+       |  FROM sc)
+       |WHERE rn <= $K""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "e05_knn_ivf_kmeans" -> kmeansIvfSql(k = 10, iters = 5, nprobe = 3),
+    "e02_knn_lsh" -> lshKnnSql,
+    "e03_knn_ivf" -> ivfKnnSql,
     "e06_knn_ivf_full_probe" -> exactKnnSql,
     "e01_knn_exact" -> exactKnnSql,
     "e07_cosine_topk" -> cosineKnnSql,

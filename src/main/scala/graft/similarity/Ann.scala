@@ -107,10 +107,14 @@ object Ann {
   def lshTopK(
       items: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      bits: Int = 8, tables: Int = 8): DataFrame = {
+      bits: Int = 8, tables: Int = 8,
+      portable: Boolean = false): DataFrame = {
+    val bucketFn: Column => Column =
+      if (portable) rhpBucketsPortable(_, bits, tables)
+      else rhpBuckets(_, bits, tables)
     def bucketed(df: DataFrame, id: String, v: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(v),
-        explode(rhpBuckets(col(vecCol), bits, tables)).as("bucket"))
+        explode(bucketFn(col(vecCol))).as("bucket"))
     val it = bucketed(items, "nid", "nv")
     val q = bucketed(queries, "qid", "qv")
     val cands = it.join(broadcast(q), Seq("bucket"))
@@ -133,31 +137,53 @@ object Ann {
   def rhpBuckets(vec: Column, bits: Int, tables: Int): Column =
     graft.functions.RhpBuckets(vec, bits, tables)
 
+  /** Cross-engine-reproducible buckets (sha256-derived integer
+    * hyperplanes, exact integer sign dots) — same packing, oracle-able.
+    * Backed by the codegen'd [[graft.functions.RhpBucketsPortable]].
+    */
+  def rhpBucketsPortable(vec: Column, bits: Int, tables: Int): Column =
+    graft.functions.RhpBucketsPortable(vec, bits, tables)
+
   /** IVF-Flat approximate top-k using `labelCol` as the coarse quantizer
-    * cell: per-cell mean centroids, each query probes the `nprobe` nearest
+    * cell: per-cell centroids, each query probes the `nprobe` nearest
     * cells, exact scoring within probed cells only. Output (qid, nid, qdot).
+    *
+    * Centroids are EXACT integers: the per-cell SUM of quantized
+    * components plus the member count, never a floating-point mean. The
+    * probe rank key is `dot(q(query), S_cell) / n_cell` — an exact i64
+    * dot divided once by an exact count, a single correctly-rounded
+    * IEEE-754 op — so cell selection is bit-identical across engines,
+    * partitionings and retries (a float-mean centroid's last-ulp wobble
+    * can flip which cell ranks nprobe-th).
     */
   def ivfTopK(
       items: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, labelCol: String,
       k: Int, nprobe: Int = 2): DataFrame = {
-    // centroid per cell: positional explode -> mean per (cell, dim) -> repack
+    // centroid per cell: positional explode -> quantized sum per
+    // (cell, dim) -> repack in dim order, carrying the member count
     val comp = items.select(
       col(labelCol).as("cell"),
       posexplode(col(vecCol)).as(Seq("dim", "x")))
     val centroids = comp.groupBy(col("cell"), col("dim"))
-      .agg(avg(col("x")).as("cx"))
+      .agg(
+        sum(expr("cast(round(cast(x as double) * 1000) as bigint)")).as("sx"),
+        count(lit(1)).as("nd"))
       .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
-      .select(col("cell"), transform(col("pairs"), p => p.getField("cx").cast("float")).as("cv"))
+      .agg(
+        array_sort(collect_list(struct(col("dim"), col("sx")))).as("pairs"),
+        max(col("nd")).as("n"))
+      .select(col("cell"),
+        transform(col("pairs"), p => p.getField("sx")).as("cs"), col("n"))
 
     // each query picks its nprobe closest centroids (centroid count is tiny)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val probeW = Window.partitionBy(col("qid")).orderBy(col("cdot").desc, col("cell"))
+    val probeW = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cell"))
     val probes = q.join(broadcast(centroids),
         expr("true"))
       .select(col("qid"), col("qv"), col("cell"),
-        quantizedDot(col("qv"), col("cv")).as("cdot"))
+        (graft.functions.FloatLongDot(col("qv"), col("cs")).cast("double") /
+          col("n").cast("double")).as("score"))
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qv"), col("cell"))

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Lloyd's k-means over an `array<float>` embedding column — the coarse
@@ -155,4 +155,98 @@ object KMeans {
       k: Int, maxIterations: Int = 10,
       checkpoint: graft.core.CheckpointPolicy = graft.core.CheckpointPolicy.Local): DataFrame =
     assign(items, fit(items, idCol, vecCol, k, maxIterations, checkpoint), idCol, vecCol)
+
+  // --- portable (cross-engine-replayable) variant --------------------------
+  //
+  // Same Lloyd's iteration, but every arithmetic step is exactly
+  // reproducible by any SQL engine, so the whole fit can be replayed as an
+  // oracle query:
+  //  - seeds are the k items with the smallest (sha256(id-as-string), id)
+  //    — Forgy seeding by a cross-engine hash instead of the xxhash64
+  //    farthest-first pool (which only Spark can compute);
+  //  - centroids are the exact per-cell SUMS of quantized components plus
+  //    the member count, never a floating-point mean;
+  //  - the assignment rank key drops the constant |v|^2 term and computes
+  //    -2*dot(q(v),S)/n + |S|^2/n^2 with exact i64 dots and exactly two
+  //    correctly-rounded IEEE-754 divisions and one addition — identical
+  //    bits on every engine; ties break on cell id.
+  // Runs exactly `maxIterations` rounds (no early-exit: a converged round
+  // is a no-op, so a fixed count matches any engine's early stop).
+
+  private def quantized(vecCol: String): Column =
+    expr(s"transform(`$vecCol`, x -> cast(round(cast(x as double) * 1000) as bigint))")
+
+  /** Assignment against integer-sum centroids (cell, cs: array<long>,
+    * n, ss = |cs|^2). Output (idCol, cell). */
+  def assignPortable(items: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val score =
+      (lit(-2L) * graft.functions.FloatLongDot(col("_v"), col("cs"))).cast("double") /
+        col("n").cast("double") +
+        col("ss").cast("double") / (col("n") * col("n")).cast("double")
+    items.select(col(idCol), col(vecCol).as("_v"))
+      .join(broadcast(centroids.select(col("cell"), col("cs"), col("n"), col("ss"))))
+      .select(col(idCol), col("cell"), score.as("_s"))
+      .groupBy(col(idCol))
+      .agg(min_by(col("cell"), struct(col("_s"), col("cell"))).as("cell"))
+  }
+
+  private def withSs(centroids: DataFrame): DataFrame =
+    centroids.withColumn("ss",
+      expr("aggregate(cs, 0L, (a, x) -> a + x * x)"))
+
+  /** Portable fit: integer-sum centroids after `maxIterations` Lloyd
+    * rounds from sha256-Forgy seeds. Output (cell, cs, n, ss). */
+  def fitPortable(items: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxIterations: Int = 10,
+      checkpoint: graft.core.CheckpointPolicy = graft.core.CheckpointPolicy.Local): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val it = items.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    val seedKey = sha2(col("_id").cast("string"), 256)
+    // top-k by (hash, id): TakeOrderedAndProject, then a k-row window
+    // assigns dense cell ids in the same order
+    val seeds = it.orderBy(seedKey, col("_id")).limit(k)
+      .withColumn("cell",
+        row_number().over(Window.orderBy(seedKey, col("_id"))) - 1)
+    var centroids = checkpoint.pin(withSs(seeds.select(
+      col("cell").cast("long").as("cell"),
+      quantized("_v").as("cs"),
+      lit(1L).as("n"))))
+    var i = 0
+    while (i < maxIterations) {
+      val assignments = assignPortable(it, centroids, "_id", "_v")
+      val comp = it.join(assignments, Seq("_id"))
+        .select(col("cell"), posexplode(quantized("_v")).as(Seq("dim", "x")))
+      val fresh = comp.groupBy(col("cell"), col("dim"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("nd"))
+        .groupBy(col("cell"))
+        .agg(
+          array_sort(collect_list(struct(col("dim"), col("sx")))).as("pairs"),
+          max(col("nd")).as("n"))
+        .select(col("cell"),
+          transform(col("pairs"), p => p.getField("sx")).as("cs"), col("n"))
+      // a cell that loses every member keeps its previous centroid, like fit
+      centroids = checkpoint.pin(withSs(
+        centroids.select(col("cell"), col("cs").as("_pc"), col("n").as("_pn"))
+          .join(fresh, Seq("cell"), "left")
+          .select(col("cell"),
+            coalesce(col("cs"), col("_pc")).as("cs"),
+            coalesce(col("n"), col("_pn")).as("n"))))
+      i += 1
+    }
+    centroids
+  }
+
+  /** Portable fit + assign: (idCol, cell) labels, bit-identical to a SQL
+    * replay of the same seeding and iteration. */
+  def fitPredictPortable(items: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxIterations: Int = 10,
+      checkpoint: graft.core.CheckpointPolicy = graft.core.CheckpointPolicy.Local): DataFrame = {
+    val labels = assignPortable(
+      items.select(col(idCol).as("_id"), col(vecCol).as("_v")),
+      fitPortable(items, idCol, vecCol, k, maxIterations, checkpoint),
+      "_id", "_v")
+    labels.select(col("_id").as(idCol), col("cell"))
+  }
 }
