@@ -16,7 +16,8 @@ import graft.pregel.Pregel
   */
 final case class ConnectedComponents(
     maxIterations: Int = 10,
-    checkpoint: CheckpointPolicy = CheckpointPolicy.Local) {
+    checkpoint: CheckpointPolicy = CheckpointPolicy.Local,
+    saltBuckets: Int = 0) {
   import Columns._
 
   def run(g: Graph): DataFrame =
@@ -27,7 +28,13 @@ final case class ConnectedComponents(
       msgToDst = Some(col(STATE)),
       updateExpr = Some(least(col(MSG), col(STATE))),
       maxIterations = maxIterations,
-      checkpoint = checkpoint)
+      checkpoint = checkpoint,
+      // min is self-decomposable so salting is VALID here; it is off by
+      // default because Spark's hash aggregate already partial-combines
+      // map-side (see Pregel.saltBuckets) and the extra exchange measured
+      // ~6x per-superstep overhead at sf0.1. Turn on for extreme hubs
+      // combined with very high map-task counts.
+      saltBuckets = saltBuckets)
       .run(g)
       .select(col(ID), col(STATE).as(COMPONENT))
 }

@@ -35,7 +35,8 @@ import graft.pregel.Pregel
 final case class StronglyConnectedComponents(
     maxIterations: Int = 10,
     propagationIterations: Int = 1000,
-    checkpoint: CheckpointPolicy = CheckpointPolicy.Local) {
+    checkpoint: CheckpointPolicy = CheckpointPolicy.Local,
+    saltBuckets: Int = 0) {
   import Columns._
 
   private def minReach(vertices: DataFrame, edges: DataFrame, forward: Boolean): DataFrame = {
@@ -50,7 +51,9 @@ final case class StronglyConnectedComponents(
       checkpoint = checkpoint,
       // deep propagation: counting every superstep costs one job each;
       // checking every 8th trades <=7 no-op supersteps for 7 saved jobs
-      convergenceCheckInterval = 8)
+      convergenceCheckInterval = 8,
+      // min is self-decomposable — hub-salted two-level aggregation
+      saltBuckets = saltBuckets)
       .runWithStatus(g)
     if (!res.converged)
       throw new IllegalStateException(

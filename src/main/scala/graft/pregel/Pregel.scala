@@ -51,6 +51,30 @@ final case class PregelResult(state: DataFrame, converged: Boolean, iterations: 
   * @param checkpoint    where per-superstep state pins live —
   *                      [[CheckpointPolicy.Reliable]] for cluster jobs that
   *                      must survive executor loss
+  * @param saltBuckets   power-law hub hardening: when > 1, inbound
+  *                      messages aggregate in TWO levels — first by
+  *                      (recipient, salt) with `saltBuckets` salts, then
+  *                      by recipient — so a hub vertex's reduce work
+  *                      spreads over `saltBuckets` reducers before the
+  *                      (now tiny) final combine. ONLY sound when
+  *                      `aggExpr` is self-decomposable (min/max/sum/
+  *                      count-as-sum/bit ops: agg(agg(xs), agg(ys)) ==
+  *                      agg(xs ++ ys)); order-sensitive or holistic
+  *                      aggregates (collect_list-based hashes, exact
+  *                      medians) must keep the default 0. The salt is the
+  *                      sender's shuffle partition id, so results are
+  *                      invariant — any grouping of a decomposable agg
+  *                      yields the same total.
+  *
+  *                      Default OFF, deliberately: for decomposable aggs
+  *                      Spark's hash aggregate already partial-combines
+  *                      map-side, so a hub's reduce fan-in is bounded by
+  *                      the upstream MAP-TASK count, not its degree, and
+  *                      the extra exchange measured ~6x per-superstep
+  *                      overhead at toy scale. Reach for this only when
+  *                      map-task counts are so high (or the merge so
+  *                      expensive) that even one partial row per map task
+  *                      overloads a single reducer.
   */
 final case class Pregel(
     initialState: Column,
@@ -61,7 +85,8 @@ final case class Pregel(
     comparison: (Column, Column) => Column = GraphUtil.neNullSafe,
     maxIterations: Int = 10,
     checkpoint: CheckpointPolicy = CheckpointPolicy.Local,
-    convergenceCheckInterval: Int = 1) {
+    convergenceCheckInterval: Int = 1,
+    saltBuckets: Int = 0) {
   import Columns._
 
   require(msgToSrc.nonEmpty || msgToDst.nonEmpty,
@@ -70,6 +95,7 @@ final case class Pregel(
   require(convergenceCheckInterval > 0, "convergenceCheckInterval must be > 0")
 
   private val UPDATED = "_updated"
+  private val SALT = "_salt"
 
   def run(g: Graph): DataFrame = runWithStatus(g).state
 
@@ -89,7 +115,13 @@ final case class Pregel(
         msgToSrc.map(m => send(changed, edges, m, from = DST, to = SRC)),
         msgToDst.map(m => send(changed, edges, m, from = SRC, to = DST))).flatten)
 
-      val aggMessages = messages.groupBy(col(ID)).agg(aggExpr.as(MSG))
+      val aggMessages =
+        if (saltBuckets > 1)
+          messages
+            .withColumn(SALT, pmod(spark_partition_id().cast("long"), lit(saltBuckets.toLong)))
+            .groupBy(col(ID), col(SALT)).agg(aggExpr.as(MSG))
+            .groupBy(col(ID)).agg(aggExpr.as(MSG))
+        else messages.groupBy(col(ID)).agg(aggExpr.as(MSG))
 
       val updated = aggMessages
         .join(state, Seq(ID))

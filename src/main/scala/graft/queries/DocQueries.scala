@@ -72,33 +72,63 @@ object DocQueries {
     "d05_stratified_sample" -> ((s, d) => {
       // deterministic stratified sampling: k docs per language stratum,
       // ranked by a Knuth multiplicative hash of the id — reproducible
-      // across engines, retries and partitionings (no RNG state), and
-      // one window shuffle keyed by the stratum. The training-pipeline
-      // "held-out sample per source" primitive.
+      // across engines, retries and partitionings (no RNG state). The
+      // training-pipeline "held-out sample per source" primitive.
+      //
+      // TWO-PHASE exact top-k so no stratum ever becomes one reducer:
+      // each of 256 hash-shards keeps its local top-10 (the corpus-sized
+      // window, sharded within the stratum), then the final window ranks
+      // the <=2560 survivors per stratum. A shard's local top-10 is a
+      // superset of the stratum top-10 members that hash to it, so the
+      // output is IDENTICAL to the single global window the oracle runs.
       import org.apache.spark.sql.expressions.Window
       val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
-      val w = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
-      documents(s, d)
+      val base = documents(s, d)
         .select(col("doc_id"), col("lang"), h.as("h"))
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("_shard", expr("h div 16777216"))
+      val wShard = Window.partitionBy(col("lang"), col("_shard"))
+        .orderBy(col("h"), col("doc_id"))
+      val wFinal = Window.partitionBy(col("lang"))
+        .orderBy(col("h"), col("doc_id"))
+      base
+        .withColumn("_srnk", row_number().over(wShard))
+        .filter(col("_srnk") <= 10)
+        .withColumn("rnk", row_number().over(wFinal))
         .filter(col("rnk") <= 10)
         .select(col("doc_id"), col("lang"), col("rnk"))
     }),
 
     "d06_token_pack" -> ((s, d) => {
       // approximate sequence packing: assign docs to fixed token-budget
-      // bins by running token count, packed per language shard so the
-      // window never needs a global sort — at 100 TB each shard packs
-      // independently (bin ids are per-shard, as a sharded writer wants)
+      // bins by running token count. TWO-LEVEL, so no language ever
+      // becomes one reducer: docs hash into 256 shards per language, the
+      // running sum runs per (lang, shard) — 256-way parallel even for a
+      // language that is 90% of the corpus — and a tiny second pass
+      // (<=256 rows per lang) offsets each shard by the exclusive prefix
+      // sum of per-shard token totals. Equivalent to ONE running sum in
+      // (shard, doc_id) order, which is what the oracle checks. The
+      // shard hash is the same Knuth multiplicative hash as d05 (top
+      // byte of the 32-bit value), reproducible in any engine.
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      documents(s, d)
+      val base = documents(s, d)
         .select(col("doc_id"), col("lang"),
           tokenCount(col("text")).cast("long").as("n_tokens"))
-        .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-        .withColumn("bin", expr("cum div 2000"))
-        .drop("cum")
+        .withColumn("_shard",
+          expr("(doc_id * 2654435761L) % 4294967296L div 16777216"))
+      val wIn = Window.partitionBy(col("lang"), col("_shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val inShard = base
+        .withColumn("_cum", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      val wOff = Window.partitionBy(col("lang")).orderBy(col("_shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("lang"), col("_shard"))
+        .agg(sum(col("n_tokens")).as("_tot"))
+        .withColumn("_off", coalesce(sum(col("_tot")).over(wOff), lit(0L)))
+        .select(col("lang"), col("_shard"), col("_off"))
+      inShard.join(broadcast(offsets), Seq("lang", "_shard"))
+        .withColumn("bin", expr("(_off + _cum) div 2000"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin"))
     }),
 
     "d07_chunk" -> ((s, d) => {
@@ -268,11 +298,16 @@ object DocQueries {
         |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rnk
         |  FROM h)
         |WHERE rnk <= 10""".stripMargin,
+    // one running sum in (shard, doc_id) order == the Spark side's
+    // two-level shard pack + prefix offsets
     "d06_token_pack" ->
       s"""WITH t0 AS (SELECT doc_id, lang,
-         |  CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents)
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |  ((doc_id * 2654435761) % 4294967296) // 16777216 AS shard
+         |  FROM documents)
          |SELECT doc_id, lang, n_tokens,
-         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+         |    ORDER BY shard, doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
          |    AS BIGINT) AS bin
          |FROM t0""".stripMargin,

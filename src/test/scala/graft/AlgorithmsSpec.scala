@@ -21,6 +21,34 @@ class AlgorithmsSpec extends SparkSpec {
     assert(sizes.toSeq === Seq(3, 3))
   }
 
+  test("salted pregel: power-law hub graph — CC correct, salted == unsalted") {
+    import spark.implicits._
+    // hub 0 carries ~half of all edges (the degree-skew shape that makes
+    // one reducer the bottleneck at scale); plus a chain and an island
+    val hubEdges = (1L to 50L).map(i => (0L, i))
+    val chain = (51L to 69L).map(i => (i, i + 1))
+    val edges = (hubEdges ++ chain).toDF(SRC, DST)
+    val verts = (0L to 70L).toDF(ID)
+    val g = Graph(verts, edges.withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+      directed = false)
+    val salted = ConnectedComponents(maxIterations = 30, saltBuckets = 8).run(g)
+    val unsalted = ConnectedComponents(maxIterations = 30, saltBuckets = 0).run(g)
+    assert(rowSet(salted) === rowSet(unsalted))
+    val sizes = salted.groupBy(COMPONENT).count()
+      .select("count").collect().map(_.getLong(0)).sorted
+    assert(sizes.toSeq === Seq(20, 51))
+    // and a decomposable SUM aggregate: salted two-level == single-level
+    def degreeSum(buckets: Int) = Pregel(
+      initialState = lit(1L),
+      aggExpr = sum(col(MSG)),
+      msgToDst = Some(col(STATE)),
+      msgToSrc = Some(col(STATE)),
+      maxIterations = 1,
+      saltBuckets = buckets)
+      .run(g)
+    assert(rowSet(degreeSum(8)) === rowSet(degreeSum(0)))
+  }
+
   test("pregel CC and alternating CC agree on component partitions") {
     for (fix <- Seq(Fixtures.sample1 _, Fixtures.sample2 _, Fixtures.twoComponents _)) {
       val g = fix(spark, false)

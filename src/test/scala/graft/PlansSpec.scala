@@ -95,9 +95,25 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("minhash_sig"), s"native expression missing:\n$p")
   }
 
-  test("d05 stratified sample: single window shuffle keyed by the stratum") {
+  test("d05 stratified sample: corpus window sharded within the stratum") {
     val p = plan(DocQueries.queries("d05_stratified_sample")(spark, SF))
+    // phase 1 (corpus-sized) must shuffle on (lang, _shard); the
+    // lang-only window only ever sees <=2560 pre-filtered rows per lang
+    assert("hashpartitioning\\(lang[^)]*_shard".r.findFirstIn(p).isDefined,
+      s"corpus window not sharded within stratum:\n$p")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(exchanges === 1, s"expected exactly one stratum shuffle:\n$p")
+    assert(exchanges === 2, s"expected shard + survivor shuffles only:\n$p")
+  }
+
+  test("d06 token pack: the big running-sum window shards WITHIN a language") {
+    val p = plan(DocQueries.queries("d06_token_pack")(spark, SF))
+    // the corpus-sized window exchange must be keyed by (lang, _shard) —
+    // a lang-only key would make the dominant language one reducer at
+    // 100 TB. The lang-only exchange that remains is the tiny <=256-rows-
+    // per-lang offset pass.
+    assert("hashpartitioning\\(lang[^)]*_shard".r.findFirstIn(p).isDefined,
+      s"corpus window not sharded within language:\n$p")
+    // and the offsets side stays a broadcast, never a shuffle join
+    assert(p.contains("BroadcastHashJoin"), s"offset join not broadcast:\n$p")
   }
 }
