@@ -4,14 +4,18 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinHashSig, QuantizedDot, RhpBuckets, SimHash64}
+import graft.functions.{FloatLongDot, MinHashSig, QuantizedDot, RhpBuckets,
+  RhpBucketsPortable, SimHash64, SimHashSha64}
 
 /** Registers graft's native expressions as SQL functions, making them
   * callable from `spark.sql(...)` and usable over Spark Connect / JDBC:
   *
   *  - `graft_quantized_dot(a, b)`      — exact quantized embedding dot
+  *  - `graft_float_long_dot(v, s)`     — exact dot vs an integer-sum vector
   *  - `graft_rhp_buckets(v, bits, t)`  — random-hyperplane LSH bucket keys
+  *  - `graft_rhp_buckets_portable(v, bits, t)` — sha256-derived, oracle-able
   *  - `graft_simhash64(tokens)`        — 64-bit SimHash of a token array
+  *  - `graft_simhash_sha64(tokens)`    — sha256-prefix SimHash, oracle-able
   *  - `graft_minhash_sig(items, n)`    — n-element MinHash signature
   *
   * Enable with
@@ -52,5 +56,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
       (args: Seq[Expression]) => MinHashSig(
         args(0), intArg(args(1), "graft_minhash_sig", 1))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_float_long_dot"),
+      new ExpressionInfo(classOf[FloatLongDot].getName, "graft_float_long_dot"),
+      (args: Seq[Expression]) => FloatLongDot(args(0), args(1))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rhp_buckets_portable"),
+      new ExpressionInfo(classOf[RhpBucketsPortable].getName, "graft_rhp_buckets_portable"),
+      (args: Seq[Expression]) => RhpBucketsPortable(
+        args(0),
+        intArg(args(1), "graft_rhp_buckets_portable", 1),
+        intArg(args(2), "graft_rhp_buckets_portable", 2))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash_sha64"),
+      new ExpressionInfo(classOf[SimHashSha64].getName, "graft_simhash_sha64"),
+      (args: Seq[Expression]) => SimHashSha64(args(0))))
   }
 }

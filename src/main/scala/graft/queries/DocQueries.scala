@@ -163,6 +163,24 @@ object DocQueries {
         size(winnowPortable(tokens(col("text")), 3, 4)).as("n_fingerprints"),
         array_join(winnowPortable(tokens(col("text")), 3, 4), ",").as("fps"))),
 
+    "t08_pii_redaction" -> ((s, d) => {
+      // the corpus itself carries no PII, so the query INJECTS synthetic
+      // PII deterministically from table data (url/email/phone built
+      // around doc_id) and then scrubs it with redactPii — both engines
+      // construct the identical dirty string, so the oracle checks the
+      // actual regex semantics of all three classes plus the audit counts
+      val dirty = concat(
+        lit("see https://ex.com/p/"), col("doc_id"), lit("?q=1 "),
+        substring(col("text"), 1, 40),
+        lit(" mail u"), col("doc_id"), lit("@ex-ample.org or call +1 (555) 01"),
+        col("doc_id"), lit(" now"))
+      documents(s, d).select(
+        col("doc_id"),
+        patternCount(dirty, UrlPattern).as("n_urls"),
+        patternCount(dirty, EmailPattern).as("n_emails"),
+        redactPii(dirty).as("redacted"))
+    }),
+
     "t07_repetition" -> ((s, d) => {
       // boilerplate/repetition score: fraction of repeated 3-gram
       // occurrences per document. Pure codegen'd column map, no shuffle.
@@ -320,6 +338,23 @@ object DocQueries {
          |SELECT doc_id, chunk_idx, CAST(len(c) AS INTEGER) AS n_tokens,
          |       sha256(array_to_string(c, ' ')) AS sha256
          |FROM ch""".stripMargin,
+    // same dirty-string construction, same three regexes in the same
+    // order (URL, then email, then phone) with DuckDB's 'g' flag
+    "t08_pii_redaction" ->
+      """WITH a AS (SELECT doc_id,
+        |  'see https://ex.com/p/' || doc_id || '?q=1 ' || substr(text, 1, 40)
+        |  || ' mail u' || doc_id || '@ex-ample.org or call +1 (555) 01'
+        |  || doc_id || ' now' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS INTEGER) AS n_urls,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\-. ]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM a""".stripMargin,
     "t07_repetition" ->
       s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
          |m AS (SELECT doc_id,
