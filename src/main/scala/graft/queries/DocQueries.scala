@@ -82,7 +82,11 @@ object DocQueries {
       // superset of the stratum top-10 members that hash to it, so the
       // output is IDENTICAL to the single global window the oracle runs.
       import org.apache.spark.sql.expressions.Window
-      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      // hash input is id mod 2^31 so the multiply stays < 5.7e18: the
+      // raw product overflows i64 (ANSI throws; 10x-scale run caught it)
+      // once ids exceed ~3.4e9 — which real corpus ids do
+      val h = pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
+        lit(4294967296L))
       val base = documents(s, d)
         .select(col("doc_id"), col("lang"), h.as("h"))
         .withColumn("_shard", expr("h div 16777216"))
@@ -114,7 +118,8 @@ object DocQueries {
         .select(col("doc_id"), col("lang"),
           tokenCount(col("text")).cast("long").as("n_tokens"))
         .withColumn("_shard",
-          expr("(doc_id * 2654435761L) % 4294967296L div 16777216"))
+          // id mod 2^31 first — the raw multiply overflows i64 at scale
+          expr("(doc_id % 2147483648L) * 2654435761L % 4294967296L div 16777216"))
       val wIn = Window.partitionBy(col("lang"), col("_shard"))
         .orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -310,7 +315,7 @@ object DocQueries {
          |WHERE jaccard >= 0.4""".stripMargin,
     "d05_stratified_sample" ->
       """WITH h AS (SELECT doc_id, lang,
-        |  (doc_id * 2654435761) % 4294967296 AS h FROM documents)
+        |  ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h FROM documents)
         |SELECT doc_id, lang, CAST(rnk AS INTEGER) AS rnk FROM (
         |  SELECT doc_id, lang,
         |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rnk
@@ -321,7 +326,7 @@ object DocQueries {
     "d06_token_pack" ->
       s"""WITH t0 AS (SELECT doc_id, lang,
          |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
-         |  ((doc_id * 2654435761) % 4294967296) // 16777216 AS shard
+         |  (((doc_id % 2147483648) * 2654435761) % 4294967296) // 16777216 AS shard
          |  FROM documents)
          |SELECT doc_id, lang, n_tokens,
          |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
