@@ -103,4 +103,45 @@ class AnnSpec extends SparkSpec {
     val recall = exact.intersect(lsh).size.toDouble / exact.size
     assert(recall >= 0.5, s"LSH recall $recall")
   }
+
+  test("portable LSH keeps recall like the float-dot variant") {
+    val items = clustered()
+    val q = items.filter(col("vec_id") % 20 === 0)
+    val exact = Ann.bruteForceTopK(items, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(items, q, "vec_id", "embedding", 5, bits = 4,
+        portable = true)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.5, s"portable LSH recall $recall")
+  }
+
+  test("portable k-means: deterministic, k cells, and usable IVF recall") {
+    import graft.similarity.KMeans
+    val items = clustered()
+    val labels = KMeans.fitPredictPortable(
+      items, "vec_id", "embedding", k = 4, maxIterations = 5)
+    val again = KMeans.fitPredictPortable(
+      items, "vec_id", "embedding", k = 4, maxIterations = 5)
+    assert(rowSet(labels) === rowSet(again), "portable fit must be deterministic")
+    val cells = labels.select("cell").distinct().collect().map(_.getLong(0)).sorted
+    assert(cells.forall(c => c >= 0 && c < 4))
+
+    // Forgy seeds are a worse start than farthest-first, but full-probe
+    // IVF over the learned cells is still exact, and nprobe=2 must beat
+    // random cell selection clearly
+    val withCell = items.join(labels, Seq("vec_id"))
+    val q = withCell.filter(col("vec_id") % 20 === 0)
+    val exact = Ann.bruteForceTopK(items, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Ann.ivfTopK(withCell, q, "vec_id", "embedding", "cell", 5,
+        nprobe = 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact, "full-probe IVF over portable cells must be exact")
+    val ivf = Ann.ivfTopK(withCell, q, "vec_id", "embedding", "cell", 5,
+        nprobe = 2)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"portable-cell IVF recall $recall")
+  }
 }
