@@ -79,6 +79,17 @@ object Dedup {
     * ~0.5 at s ≈ (1/32)^(1/4) ≈ 0.42, so threshold 0.5+ pairs are caught
     * with high probability.
     */
+  /** @param maxBucketSize when > 0, LSH buckets with more than this many
+    *        members are DROPPED from candidate generation. A bucket of n
+    *        docs contributes n(n-1)/2 candidate pairs, so one boilerplate
+    *        cluster (license headers, templated pages) turns the bucket
+    *        join quadratic at corpus scale; capping bounds every bucket's
+    *        contribution. Precision is unaffected (the exact-Jaccard
+    *        verify still runs); recall is lost only for pairs whose EVERY
+    *        shared band is over the cap — i.e. large clusters of
+    *        (near-)identical documents, which [[exactGroups]] catches
+    *        more cheaply. 0 (default) = no cap, exact LSH semantics.
+    */
   def minhashDuplicates(
       docs: DataFrame,
       idCol: String,
@@ -86,7 +97,8 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 128,
       bands: Int = 32,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sh = docs.select(
@@ -100,9 +112,19 @@ object Dedup {
     // Signatures are materialized BEFORE band-slicing: inlining the
     // signature expression into lshBuckets would re-evaluate the full
     // interpreted 128-hash signature once per band (32x) per document.
-    val buckets = minhashSignatures(sh, numHashes).select(
+    val allBuckets = minhashSignatures(sh, numHashes).select(
       col("id"),
       explode(lshBuckets(col("sig"), bands, r)).as("bk"))
+    val buckets =
+      if (maxBucketSize <= 0) allBuckets
+      else {
+        // one extra map-side-combinable count + a broadcastable join of
+        // ONLY the hot keys (a tiny frame by construction)
+        val hot = allBuckets.groupBy(col("bk")).agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > maxBucketSize)
+          .select(col("bk"))
+        allBuckets.join(broadcast(hot), Seq("bk"), "left_anti")
+      }
     val cands = buckets.as("x")
       .join(buckets.as("y"),
         col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))

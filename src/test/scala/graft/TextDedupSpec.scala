@@ -69,6 +69,26 @@ class TextDedupSpec extends SparkSpec {
     assert(got === Set((1L, 2L)))
   }
 
+  test("minhash hot-bucket cap drops boilerplate clusters, keeps real near-dups") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val near = base.replace("sigma", "zigma")
+    val boiler = "this content is provided as is without warranty of any " +
+      "kind either express or implied including fitness for a purpose"
+    // 12 identical boilerplate docs: every one of their buckets holds 12
+    // members; the distinctive near-dup pair's buckets hold 2
+    val rows = Seq((1L, base), (2L, near)) ++ (10L to 21L).map(i => (i, boiler))
+    val capped = Dedup.minhashDuplicates(
+      docs(rows: _*), "doc_id", "text", threshold = 0.4, maxBucketSize = 5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1L, 2L)),
+      "cap must drop the boilerplate cluster (exactGroups' job) but keep the real pair")
+    val uncapped = Dedup.minhashDuplicates(
+      docs(rows: _*), "doc_id", "text", threshold = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size === 1 + 12 * 11 / 2, "uncapped finds all 66 boilerplate pairs")
+  }
+
   test("ngram jaccard: exact value for a known pair") {
     val a = "w1 w2 w3 w4 w5" // shingles: {w1w2w3, w2w3w4, w3w4w5}
     val b = "w1 w2 w3 w4 zz" // shingles: {w1w2w3, w2w3w4, w3w4zz}
