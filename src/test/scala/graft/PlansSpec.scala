@@ -105,6 +105,24 @@ class PlansSpec extends SparkSpec {
     assert(exchanges === 2, s"expected shard + survivor shuffles only:\n$p")
   }
 
+  test("ANN candidate joins are equi-joins; only k-row centroid crosses may BNLJ") {
+    // e02 LSH: bucket equi-join, never a pair cross
+    val lsh = plan(EmbQueries.queries("e02_knn_lsh")(spark, SF))
+    assert(!lsh.contains("BroadcastNestedLoopJoin") && !lsh.contains("CartesianProduct"),
+      s"LSH candidate generation must be an equi-join:\n$lsh")
+    // d03 simhash: chunk equi-join only
+    val sim = plan(DocQueries.queries("d03_simhash_dedup")(spark, SF))
+    assert(!sim.contains("BroadcastNestedLoopJoin") && !sim.contains("CartesianProduct"),
+      s"simhash pigeonhole join must be an equi-join:\n$sim")
+    // e03 IVF: the ONLY unkeyed join is the query x k-row-broadcast
+    // centroid cross; the cell join must be a keyed broadcast join
+    val ivf = plan(EmbQueries.queries("e03_knn_ivf")(spark, SF))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(ivf).size <= 1 &&
+      !ivf.contains("CartesianProduct"),
+      s"IVF may only cross against the broadcast codebook:\n$ivf")
+    assert(ivf.contains("BroadcastHashJoin"), s"cell join must be keyed:\n$ivf")
+  }
+
   test("d06 token pack: the big running-sum window shards WITHIN a language") {
     val p = plan(DocQueries.queries("d06_token_pack")(spark, SF))
     // the corpus-sized window exchange must be keyed by (lang, _shard) —
