@@ -157,6 +157,34 @@ object DocQueries {
           sha2(array_join(col("col"), " "), 256).as("sha256"))
     }),
 
+    "d08_pipeline" -> ((s, d) => {
+      // END-TO-END training-data prep — the composition a real corpus
+      // pipeline runs, oracle-verified as a whole: exact-dedup (keep the
+      // min-id copy), quality >= 0.5 and determined-language gates, then
+      // 64-token context-window chunking with content fingerprints. Each
+      // stage is individually oracle'd (d01/t02/t03/d07); this query
+      // checks they COMPOSE without cross-engine drift (the quality
+      // filter compares bit-identical doubles).
+      val docs0 = documents(s, d)
+      val kept = Dedup.exactGroups(docs0, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val gated = docs0.join(kept, Seq("doc_id"))
+        .filter(qualityScore(col("text")) >= 0.5 &&
+          langId(col("text")) =!= lit("und"))
+      val CH = 64
+      val nChunks = expr(s"(size(t0) + ${CH - 1}) div $CH")
+      gated.select(col("doc_id"), tokens(col("text")).as("t0"))
+        .filter(size(col("t0")) > 0)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0L), nChunks - 1L),
+            i => slice(col("t0"), (i * CH + 1L).cast("int"), lit(CH)))))
+        .select(
+          col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+          size(col("col")).as("n_tokens"),
+          sha2(array_join(col("col"), " "), 256).as("sha256"))
+    }),
+
     "t05_winnow" -> ((s, d) =>
       // oracle-checked end to end via the portable sha256-prefix k-gram
       // hash: DuckDB reproduces the exact fingerprint set (the xxhash64
@@ -337,6 +365,36 @@ object DocQueries {
     "d07_chunk" ->
       s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
          |nz AS (SELECT doc_id, t, len(t) AS n FROM t0 WHERE len(t) > 0),
+         |ch AS (SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         |         t[i * 64 + 1 : (i + 1) * 64] AS c
+         |       FROM nz, unnest(range(0, (n + 63) // 64)) AS u(i))
+         |SELECT doc_id, chunk_idx, CAST(len(c) AS INTEGER) AS n_tokens,
+         |       sha256(array_to_string(c, ' ')) AS sha256
+         |FROM ch""".stripMargin,
+    // composed pipeline: d01's dedup + t02's quality formula + t03's
+    // argmax + d07's chunking, chained exactly like the Spark side
+    "d08_pipeline" ->
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |d0 AS (SELECT d.doc_id, d.text FROM documents d
+         |       JOIN keep ON keep.doc_id = d.doc_id),
+         |t0 AS (SELECT doc_id, text, $toksSql AS t FROM d0),
+         |m AS (SELECT doc_id, t,
+         |  CAST(len(t) AS DOUBLE) AS ntok,
+         |  CAST(len(list_filter(t, x -> list_contains(
+         |    ['the','a','an','of','and','to','in','is','it','on'], x))) AS DOUBLE) AS nstop,
+         |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS npunct,
+         |  CAST(length(text) AS DOUBLE) AS ltext,
+         |  CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','is'], x))) AS INTEGER) AS s_en,
+         |  CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS INTEGER) AS s_de,
+         |  CAST(len(list_filter(t, x -> list_contains(['el','la','de','y','es','un'], x))) AS INTEGER) AS s_es,
+         |  CAST(len(list_filter(t, x -> list_contains(['le','la','et','les','est','un'], x))) AS INTEGER) AS s_fr,
+         |  CAST(len(list_filter(t, x -> list_contains(['de5','shi4','le5','zai4','he2','you3'], x))) AS INTEGER) AS s_zh
+         |  FROM t0),
+         |gated AS (SELECT doc_id, t FROM m
+         |  WHERE round(least(ntok/20.0, 1.0) * (1.0 - npunct/greatest(ltext,1.0))
+         |          * (0.5 + least(nstop/greatest(ntok,1.0)*2.0, 0.5)), 6) >= 0.5
+         |    AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0),
+         |nz AS (SELECT doc_id, t, len(t) AS n FROM gated WHERE len(t) > 0),
          |ch AS (SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
          |         t[i * 64 + 1 : (i + 1) * 64] AS c
          |       FROM nz, unnest(range(0, (n + 63) // 64)) AS u(i))
