@@ -153,4 +153,71 @@ class PropertiesSpec extends SparkSpec {
       assert(got === expect, s"seed $seed")
     }
   }
+
+  test("two-level sharded token packing equals one global running sum") {
+    // the d06 scale rewrite: per-(lang, shard) running sums + exclusive
+    // prefix offsets must equal ONE running sum in (shard, id) order, on
+    // random data, not just the oracle corpus
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- seeds) {
+      val rnd = new scala.util.Random(200 + seed)
+      val rows = Seq.fill(60 + rnd.nextInt(40))(
+        (rnd.nextLong(1L << 40), Seq("en", "de", "fr")(rnd.nextInt(3)),
+          1L + rnd.nextInt(500)))
+        .groupBy(_._1).values.map(_.head).toSeq // unique ids
+      val df = rows.toDF("doc_id", "lang", "n_tokens")
+      val shard = expr("(doc_id % 2147483648L) * 2654435761L % 4294967296L div 16777216")
+      // two-level (the production shape)
+      val wIn = Window.partitionBy(col("lang"), col("_shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wOff = Window.partitionBy(col("lang")).orderBy(col("_shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val base = df.withColumn("_shard", shard)
+      val offsets = base.groupBy(col("lang"), col("_shard"))
+        .agg(sum(col("n_tokens")).as("_tot"))
+        .withColumn("_off", coalesce(sum(col("_tot")).over(wOff), lit(0L)))
+        .select(col("lang"), col("_shard"), col("_off"))
+      val twoLevel = base
+        .withColumn("_cum", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+        .join(offsets, Seq("lang", "_shard"))
+        .select(col("doc_id"), expr("(_off + _cum) div 2000").as("bin"))
+      // single global window in (shard, id) order (the oracle shape)
+      val wAll = Window.partitionBy(col("lang")).orderBy(col("_shard"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val global = base
+        .withColumn("_cum", coalesce(sum(col("n_tokens")).over(wAll), lit(0L)))
+        .select(col("doc_id"), expr("_cum div 2000").as("bin"))
+      assert(rowSet(twoLevel) === rowSet(global), s"seed $seed")
+    }
+  }
+
+  test("two-phase sharded top-k equals the single-window top-k") {
+    // the d05 scale rewrite: per-(stratum, shard) local top-k then a
+    // final window must equal the single global window, on random data
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- seeds) {
+      val rnd = new scala.util.Random(300 + seed)
+      val rows = Seq.fill(80 + rnd.nextInt(60))(
+        (rnd.nextLong(1L << 40), Seq("a", "b")(rnd.nextInt(2))))
+        .groupBy(_._1).values.map(_.head).toSeq
+      val df = rows.toDF("doc_id", "lang")
+      val h = pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
+        lit(4294967296L))
+      val base = df.select(col("doc_id"), col("lang"), h.as("h"))
+        .withColumn("_shard", expr("h div 16777216"))
+      val wShard = Window.partitionBy(col("lang"), col("_shard"))
+        .orderBy(col("h"), col("doc_id"))
+      val wFinal = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      val twoPhase = base
+        .withColumn("_srnk", row_number().over(wShard)).filter(col("_srnk") <= 10)
+        .withColumn("rnk", row_number().over(wFinal)).filter(col("rnk") <= 10)
+        .select("doc_id", "lang", "rnk")
+      val single = base
+        .withColumn("rnk", row_number().over(wFinal)).filter(col("rnk") <= 10)
+        .select("doc_id", "lang", "rnk")
+      assert(rowSet(twoPhase) === rowSet(single), s"seed $seed")
+    }
+  }
 }
