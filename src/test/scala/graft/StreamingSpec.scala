@@ -67,6 +67,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("doc-pipeline stages (quality gate + chunking) run on a live stream") {
+    // the training-data prep stages are stateless per-row transforms, so
+    // the SAME Column expressions drive readStream inputs unchanged —
+    // prove it on a MemoryStream and check against the batch result
+    import spark.implicits._
+    import graft.text.TextFunctions._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def pipeline(df: org.apache.spark.sql.DataFrame) = {
+      val t = tokens(col("text"))
+      df.filter(qualityScore(col("text")) >= 0.1 && langId(col("text")) =!= "und")
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0L), expr("(size(t0) + 3) div 4") - 1L),
+          i => slice(col("t0"), (i * 4 + 1L).cast("int"), lit(4))))
+          .as(Seq("chunk_idx", "c")),
+          col("t0"))
+        .select(col("doc_id"), col("chunk_idx"),
+          sha2(array_join(col("c"), " "), 256).as("sha"))
+    }
+    def withToks(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("t0", tokens(col("text")))
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away"),
+      (2L, "..."),                       // punctuation wall: gated out
+      (3L, "zzz qqq vvv www"))           // no language markers: gated out
+    val stream = MemoryStream[(Long, String)]
+    val q = pipeline(withToks(stream.toDF().toDF("doc_id", "text")))
+      .writeStream.format("memory").queryName("docstream").start()
+    try {
+      stream.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("docstream").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val batch = pipeline(withToks(docs.toDF("doc_id", "text"))).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.map(_._1) === Set(1L), "gates must drop docs 2 and 3")
+      assert(streamed.size === 3, "11 tokens -> three 4-token chunks")
+    } finally q.stop()
+  }
+
   test("subgraph keeps only surviving-endpoint edges; filterEdges keeps vertices") {
     import org.apache.spark.sql.functions.col
     val g = Fixtures.labelled(spark, directed = true)
