@@ -10,9 +10,18 @@ import graft.pregel.Pregel
   * (reference: algorithms/label_propagation.py:11-35).
   *
   * Each vertex starts from `labelColumn` (default: its id) and repeatedly
-  * adopts the most frequent label among its neighbours. We use Spark's
-  * deterministic `mode` (ties broken by smallest value) so results are
-  * stable across runs — the reference's plain `mode` is tie-nondeterministic.
+  * adopts the most frequent label among its neighbours, ties broken by
+  * smallest value (Spark's deterministic `mode` contract — the
+  * reference's plain `mode` is tie-nondeterministic).
+  *
+  * The modal aggregate is computed as count-per-(vertex, label) followed
+  * by `min_by(label, (-count, label))` rather than Spark's `mode`: the
+  * two-step form is identical in semantics but both of its aggregations
+  * are decomposable, so they partial-combine map-side and hash-spread
+  * across reducers. `mode` is holistic — it materializes a per-vertex
+  * frequency map on ONE reducer, which for a power-law hub with 1e8
+  * in-neighbours is an OOM, not just a straggler. (MODE_EQUIVALENCE in
+  * AlgorithmsSpec pins the two forms equal on random multigraphs.)
   */
 final case class LabelPropagation(
     labelColumn: Option[Column] = None,
@@ -22,10 +31,25 @@ final case class LabelPropagation(
   def run(g: Graph): DataFrame =
     Pregel(
       initialState = labelColumn.getOrElse(col(ID)),
-      aggExpr = mode(col(MSG), deterministic = true),
+      aggExpr = mode(col(MSG), deterministic = true), // unused; see messageAggregator
       msgToSrc = if (g.directed) None else Some(col(STATE)),
       msgToDst = Some(col(STATE)),
-      maxIterations = maxIterations)
+      maxIterations = maxIterations,
+      messageAggregator = Some(LabelPropagation.scalableMode))
       .run(g)
       .select(col(ID), col(STATE).as(LABEL))
+}
+
+object LabelPropagation {
+  import Columns._
+
+  /** Deterministic mode as two decomposable aggregations: `(-count,
+    * label)` ascending makes `min_by` pick the most frequent label with
+    * ties to the smallest — for any orderable label type, no negation of
+    * the label value needed. */
+  private[graft] def scalableMode(messages: DataFrame): DataFrame =
+    messages.groupBy(col(ID), col(MSG))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(ID))
+      .agg(min_by(col(MSG), struct((-col("_c")).as("_nc"), col(MSG))).as(MSG))
 }

@@ -75,6 +75,17 @@ final case class PregelResult(state: DataFrame, converged: Boolean, iterations: 
   *                      map-task counts are so high (or the merge so
   *                      expensive) that even one partial row per map task
   *                      overloads a single reducer.
+  * @param messageAggregator full replacement for the per-superstep
+  *                      `groupBy(id).agg(aggExpr)`: a function from the
+  *                      raw message frame (columns [[Columns.ID]],
+  *                      [[Columns.MSG]]) to the aggregated one (same two
+  *                      columns, one row per recipient). For HOLISTIC
+  *                      aggregates that have a decomposable reformulation
+  *                      — e.g. `mode` as count-per-(id, value) + argmax,
+  *                      both partial-aggregable — this turns a per-hub
+  *                      hashmap on one reducer into two skew-free hash
+  *                      aggregations. When set, `aggExpr` and
+  *                      `saltBuckets` are ignored.
   */
 final case class Pregel(
     initialState: Column,
@@ -86,7 +97,8 @@ final case class Pregel(
     maxIterations: Int = 10,
     checkpoint: CheckpointPolicy = CheckpointPolicy.Local,
     convergenceCheckInterval: Int = 1,
-    saltBuckets: Int = 0) {
+    saltBuckets: Int = 0,
+    messageAggregator: Option[DataFrame => DataFrame] = None) {
   import Columns._
 
   require(msgToSrc.nonEmpty || msgToDst.nonEmpty,
@@ -116,7 +128,8 @@ final case class Pregel(
         msgToDst.map(m => send(changed, edges, m, from = SRC, to = DST))).flatten)
 
       val aggMessages =
-        if (saltBuckets > 1)
+        if (messageAggregator.nonEmpty) messageAggregator.get(messages)
+        else if (saltBuckets > 1)
           messages
             .withColumn(SALT, pmod(spark_partition_id().cast("long"), lit(saltBuckets.toLong)))
             .groupBy(col(ID), col(SALT)).agg(aggExpr.as(MSG))

@@ -49,6 +49,33 @@ class AlgorithmsSpec extends SparkSpec {
     assert(rowSet(degreeSum(8)) === rowSet(degreeSum(0)))
   }
 
+  test("MODE_EQUIVALENCE: scalable two-step mode == Spark deterministic mode") {
+    import spark.implicits._
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(400 + seed)
+      val msgs = Seq.fill(80 + rnd.nextInt(60))(
+        (rnd.nextInt(10).toLong, rnd.nextInt(6).toLong))
+        .toDF(ID, MSG)
+      val twoStep = graft.algorithms.LabelPropagation.scalableMode(msgs)
+      val holistic = msgs.groupBy(col(ID))
+        .agg(mode(col(MSG), deterministic = true).as(MSG))
+      assert(rowSet(twoStep) === rowSet(holistic), s"seed $seed")
+    }
+    // and end to end: LabelPropagation (two-step) equals a mode-aggExpr
+    // Pregel run on a fixture with forced ties
+    val g = Fixtures.sample1(spark, false)
+    val viaTwoStep = LabelPropagation(maxIterations = 5).run(g)
+    val viaMode = Pregel(
+      initialState = col(ID),
+      aggExpr = mode(col(MSG), deterministic = true),
+      msgToSrc = Some(col(STATE)),
+      msgToDst = Some(col(STATE)),
+      maxIterations = 5)
+      .run(g)
+      .select(col(ID), col(STATE).as(LABEL))
+    assert(rowSet(viaTwoStep) === rowSet(viaMode))
+  }
+
   test("pregel CC and alternating CC agree on component partitions") {
     for (fix <- Seq(Fixtures.sample1 _, Fixtures.sample2 _, Fixtures.twoComponents _)) {
       val g = fix(spark, false)
