@@ -185,6 +185,23 @@ object DocQueries {
           sha2(array_join(col("col"), " "), 256).as("sha256"))
     }),
 
+    "d09_dedup_then_neardup" -> ((s, d) => {
+      // the production near-dup composition: exact-dedup FIRST, MinHash
+      // LSH on the surviving representatives only. On a duplicate-heavy
+      // corpus this is the difference between pair counts growing with
+      // the square of the copy count and not growing at all (the 10x
+      // exercise measures d02 48 s vs this path ~9 s on 90% duplicates);
+      // on a duplicate-free corpus it degenerates to d02 exactly.
+      val docs0 = documents(s, d)
+      val kept = Dedup.exactGroups(docs0, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      Dedup.minhashDuplicates(docs0.join(kept, Seq("doc_id")),
+        "doc_id", "text",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.4)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     "t05_winnow" -> ((s, d) =>
       // oracle-checked end to end via the portable sha256-prefix k-gram
       // hash: DuckDB reproduces the exact fingerprint set (the xxhash64
@@ -371,6 +388,21 @@ object DocQueries {
          |SELECT doc_id, chunk_idx, CAST(len(c) AS INTEGER) AS n_tokens,
          |       sha256(array_to_string(c, ' ')) AS sha256
          |FROM ch""".stripMargin,
+    // exact-dedup representatives first, then the d02 exact-twin logic
+    // over the survivors (recall argument identical to d02's)
+    "d09_dedup_then_neardup" ->
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |d0 AS (SELECT d.doc_id, d.text FROM documents d
+         |       JOIN keep ON keep.doc_id = d.doc_id),
+         |t0 AS (SELECT doc_id, $toksSql AS t FROM d0),
+         |sh AS (SELECT doc_id, $shinglesSql AS s FROM t0),
+         |nz AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0)
+         |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / (a.n + b.n - len(list_intersect(a.s, b.s))) AS jaccard
+         |  FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.4""".stripMargin,
     // composed pipeline: d01's dedup + t02's quality formula + t03's
     // argmax + d07's chunking, chained exactly like the Spark side
     "d08_pipeline" ->
