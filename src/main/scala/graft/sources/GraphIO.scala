@@ -39,6 +39,35 @@ object GraphIO {
       directed)
   }
 
+  /** Persist edges as a BUCKETED table (`bucketBy(src) sortBy(src)`
+    * into the session catalog): every src-keyed self-join, adjacency
+    * build, or degree aggregation over the stored edges then runs with
+    * NO exchange on the bucketed side — the shuffle is paid once at
+    * write time instead of once per query. This is the right layout for
+    * an edge set that is written once and traversed by many iterative
+    * jobs; for one-shot reads prefer [[write]] (`partitionByKey`), which
+    * keeps plain portable parquet files.
+    *
+    * Catalog tables `<name>_edges` / `<name>_vertices` are (over)written;
+    * the directedness flag rides on `<name>_edges` as a table property
+    * lookup-free boolean column would break bucketing, so it is stored in
+    * the vertices table instead (constant column, pruned on read).
+    */
+  def writeBucketed(g: Graph, name: String, buckets: Int = 32): Unit = {
+    import org.apache.spark.sql.functions._
+    g.vertices.withColumn("_directed", lit(g.directed))
+      .write.mode("overwrite").saveAsTable(s"${name}_vertices")
+    g.edges.write.mode("overwrite")
+      .bucketBy(buckets, "src").sortBy("src")
+      .saveAsTable(s"${name}_edges")
+  }
+
+  def readBucketed(spark: SparkSession, name: String): Graph = {
+    val vs = spark.table(s"${name}_vertices")
+    val directed = vs.select("_directed").head().getBoolean(0)
+    Graph(vs.drop("_directed"), spark.table(s"${name}_edges"), directed)
+  }
+
   /** Ingest a delimited edge-list text file (the SNAP/webgraph exchange
     * format): one `src<delim>dst` pair per line, `#` comment lines
     * skipped, vertex ids of any string form. Runs through the full

@@ -15,6 +15,35 @@ class GraphIOSpec extends SparkSpec {
     assert(rowSet(back.edges) === rowSet(g.edges))
   }
 
+  test("bucketed edges: round-trip + src self-join runs with NO exchange") {
+    import org.apache.spark.sql.functions._
+    val g = Fixtures.sample1(spark, directed = true)
+    GraphIO.writeBucketed(g, "bk_g1", buckets = 4)
+    try {
+      val back = GraphIO.readBucketed(spark, "bk_g1")
+      assert(back.directed === g.directed)
+      assert(rowSet(back.vertices) === rowSet(g.vertices))
+      assert(rowSet(back.edges) === rowSet(g.edges))
+      // the payoff: a src-keyed self-join over the bucketed table plans
+      // ZERO shuffles — the write-time bucketing is the exchange
+      val e = back.edges.select(col("src"), col("dst"))
+      val joined = e.as("a").join(e.as("b"), "src")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed src join must not shuffle:\n$p")
+      // and a src-keyed aggregation doesn't shuffle either
+      val agg = back.edges.groupBy(col("src")).count()
+      agg.collect()
+      val p2 = agg.queryExecution.executedPlan.toString
+      assert(!p2.contains("Exchange hashpartitioning"),
+        s"bucketed src aggregation must not shuffle:\n$p2")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bk_g1_edges")
+      spark.sql("DROP TABLE IF EXISTS bk_g1_vertices")
+    }
+  }
+
   test("edge-list text ingestion: comments skipped, ids indexed, dups collapse") {
     val dir = java.nio.file.Files.createTempDirectory("graft-edgelist")
     java.nio.file.Files.writeString(dir.resolve("g.tsv"),
