@@ -84,7 +84,10 @@ object DocQueries {
       import org.apache.spark.sql.expressions.Window
       // hash input is id mod 2^31 so the multiply stays < 5.7e18: the
       // raw product overflows i64 (ANSI throws; 10x-scale run caught it)
-      // once ids exceed ~3.4e9 — which real corpus ids do
+      // once ids exceed ~3.4e9 — which real corpus ids do. pmod (not %)
+      // so negative ids hash identically here, in d06, and in both
+      // oracles (DuckDB's % is sign-preserving; the oracles add +2^31
+      // before the inner mod to match)
       val h = pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
         lit(4294967296L))
       val base = documents(s, d)
@@ -118,8 +121,10 @@ object DocQueries {
         .select(col("doc_id"), col("lang"),
           tokenCount(col("text")).cast("long").as("n_tokens"))
         .withColumn("_shard",
-          // id mod 2^31 first — the raw multiply overflows i64 at scale
-          expr("(doc_id % 2147483648L) * 2654435761L % 4294967296L div 16777216"))
+          // id mod 2^31 first — the raw multiply overflows i64 at scale;
+          // pmod to share d05's convention for negative ids
+          expr("pmod(pmod(doc_id, 2147483648L) * 2654435761L, 4294967296L)" +
+            " div 16777216"))
       val wIn = Window.partitionBy(col("lang"), col("_shard"))
         .orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -185,22 +190,19 @@ object DocQueries {
           sha2(array_join(col("col"), " "), 256).as("sha256"))
     }),
 
-    "d09_dedup_then_neardup" -> ((s, d) => {
-      // the production near-dup composition: exact-dedup FIRST, MinHash
-      // LSH on the surviving representatives only. On a duplicate-heavy
-      // corpus this is the difference between pair counts growing with
-      // the square of the copy count and not growing at all (the 10x
+    "d09_dedup_then_neardup" -> ((s, d) =>
+      // the production near-dup composition, via the library API
+      // Dedup.dedupedNearDuplicates: exact-dedup FIRST, MinHash LSH on
+      // the surviving representatives only. On a duplicate-heavy corpus
+      // this is the difference between pair counts growing with the
+      // square of the copy count and not growing at all (the 10x
       // exercise measures d02 48 s vs this path ~9 s on 90% duplicates);
       // on a duplicate-free corpus it degenerates to d02 exactly.
-      val docs0 = documents(s, d)
-      val kept = Dedup.exactGroups(docs0, "doc_id", "text")
-        .select(col("keep_id").as("doc_id"))
-      Dedup.minhashDuplicates(docs0.join(kept, Seq("doc_id")),
-        "doc_id", "text",
+      Dedup.dedupedNearDuplicates(documents(s, d), "doc_id", "text",
         shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.4)
+        .pairs
         .select(col("id_a"), col("id_b"),
-          round(col("jaccard"), 6).as("jaccard"))
-    }),
+          round(col("jaccard"), 6).as("jaccard"))),
 
     "t05_winnow" -> ((s, d) =>
       // oracle-checked end to end via the portable sha256-prefix k-gram
@@ -360,7 +362,8 @@ object DocQueries {
          |WHERE jaccard >= 0.4""".stripMargin,
     "d05_stratified_sample" ->
       """WITH h AS (SELECT doc_id, lang,
-        |  ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h FROM documents)
+        |  (((doc_id % 2147483648 + 2147483648) % 2147483648)
+        |   * 2654435761) % 4294967296 AS h FROM documents)
         |SELECT doc_id, lang, CAST(rnk AS INTEGER) AS rnk FROM (
         |  SELECT doc_id, lang,
         |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rnk
@@ -371,7 +374,8 @@ object DocQueries {
     "d06_token_pack" ->
       s"""WITH t0 AS (SELECT doc_id, lang,
          |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
-         |  (((doc_id % 2147483648) * 2654435761) % 4294967296) // 16777216 AS shard
+         |  ((((doc_id % 2147483648 + 2147483648) % 2147483648)
+         |    * 2654435761) % 4294967296) // 16777216 AS shard
          |  FROM documents)
          |SELECT doc_id, lang, n_tokens,
          |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang

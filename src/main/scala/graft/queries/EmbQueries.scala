@@ -82,6 +82,16 @@ object EmbQueries {
         .select(col("qid"), col("nid"), round(col("cos"), 9).as("cos"))
     }),
 
+    "e08_neardup_deduped" -> ((s, d) =>
+      // e04's same-cell near-dup contract with the d09 composition applied
+      // to embeddings: identical quantized vectors collapse to one
+      // representative BEFORE the pair join, so output grows with distinct
+      // vectors, not with the square of the copy count (e04 was the 10x
+      // stress run's worst query at 90% duplicates). Copy counts ride
+      // along so a consumer can expand representative pairs when needed.
+      Ann.dedupedNearDupPairs(embeddings(s, d),
+        "vec_id", "embedding", "label", minDot = 250000L)),
+
     "e04_embedding_neardup" -> ((s, d) => {
       // embedding-cosine near-duplicate pairs: quantized-dot self-join
       // pruned by shared IVF cell (label) — same-cell pairs only
@@ -301,6 +311,20 @@ object EmbQueries {
     "e06_knn_ivf_full_probe" -> exactKnnSql,
     "e01_knn_exact" -> exactKnnSql,
     "e07_cosine_topk" -> cosineKnnSql,
+    "e08_neardup_deduped" ->
+      """WITH q AS (SELECT vec_id, label,
+        |    [CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |     FOR i IN range(1, len(embedding) + 1)] AS qv
+        |  FROM embeddings),
+        |g AS (SELECT label, qv, min(vec_id) AS rep, count(*) AS n_copies
+        |      FROM q GROUP BY label, qv)
+        |SELECT x.rep AS id_a, y.rep AS id_b,
+        |  CAST(list_sum([x.qv[i] * y.qv[i]
+        |       FOR i IN range(1, len(x.qv) + 1)]) AS BIGINT) AS qdot,
+        |  x.n_copies AS n_copies_a, y.n_copies AS n_copies_b
+        |FROM g x JOIN g y ON x.label = y.label AND x.rep < y.rep
+        |WHERE CAST(list_sum([x.qv[i] * y.qv[i]
+        |      FOR i IN range(1, len(x.qv) + 1)]) AS BIGINT) > 250000""".stripMargin,
     "e04_embedding_neardup" ->
       """SELECT x.vec_id AS id_a, y.vec_id AS id_b,
         |  CAST(list_sum([CAST(round(CAST(x.embedding[i] AS DOUBLE) * 1000) AS BIGINT)

@@ -239,6 +239,20 @@ object GraphQueries {
       indexedGraph(vertsOf(e), e, directed = true).hubVertices(12L)
     }),
 
+    "g26_tagged_hubs" -> ((s, d) => {
+      // withVertexColumn (graph.py's vertex-attribute extension point)
+      // routed through the oracle: tag every vertex with a derived
+      // attribute on the Graph's vertex frame, then join the tag into the
+      // hub listing so the oracle checks the attribute VALUES per vertex,
+      // not just the column's existence (the last §2 component whose
+      // correctness rested on a unit spec alone)
+      val e = ordersEdges(s, d)
+      val g = indexedGraph(vertsOf(e), e, directed = true)
+        .withVertexColumn("id_tag", pmod(col(ID), lit(7L)))
+      g.hubVertices(12L)
+        .join(g.vertices.select(col(ID), col("id_tag")), Seq(ID))
+    }),
+
     "g23_triangles_per_vertex" -> ((s, d) => {
       // local-clustering numerator on the supplier-part graph, real ids so
       // the oracle can reproduce values
@@ -538,6 +552,10 @@ object GraphQueries {
     "g20_hubs" ->
       s"""WITH e AS ($ordersEdgesSql)
          |SELECT src AS id, count(*) AS out_degree FROM e
+         |GROUP BY src HAVING count(*) >= 12""".stripMargin,
+    "g26_tagged_hubs" ->
+      s"""WITH e AS ($ordersEdgesSql)
+         |SELECT src AS id, count(*) AS out_degree, src % 7 AS id_tag FROM e
          |GROUP BY src HAVING count(*) >= 12""".stripMargin,
     "g22_scc" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id, CAST(0 AS BIGINT) AS component

@@ -144,6 +144,63 @@ object Ann {
   def rhpBucketsPortable(vec: Column, bits: Int, tables: Int): Column =
     graft.functions.RhpBucketsPortable(vec, bits, tables)
 
+  /** Exact-duplicate embedding groups at quantization granularity: vectors
+    * whose 1e-3-quantized forms are identical — indistinguishable to every
+    * scorer in this module, whose arithmetic runs on the quantized form —
+    * collapse into one group. Output one row per group:
+    * (groupCols..., rep_id = min member id, n_copies, ids sorted).
+    *
+    * One map-side-combinable groupBy keyed by the quantized vector (plus
+    * `groupCols`); on a duplicate-heavy corpus this is the same
+    * copy-cluster collapse [[graft.dedup.Dedup.exactGroups]] performs for
+    * text.
+    */
+  def embeddingExactGroups(items: DataFrame, idCol: String, vecCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val qv = expr(
+      s"transform(`$vecCol`, x -> cast(round(cast(x as double) * 1000) as bigint))")
+    items.groupBy(groupCols.map(col) :+ qv.as("_qv"): _*)
+      .agg(
+        min(col(idCol)).as("rep_id"),
+        count(lit(1)).as("n_copies"),
+        sort_array(collect_list(col(idCol))).as("ids"))
+      .drop("_qv")
+  }
+
+  /** Embedding-space near-duplicate pairs with exact-duplicate collapse —
+    * the composition a duplicate-heavy corpus needs. A same-cell pair
+    * query over raw vectors emits n_a * n_b rows for every pair of copy
+    * clusters (quadratic in the copy count: the single worst query of the
+    * 10x stress run); collapsing identical quantized vectors FIRST makes
+    * the pair set grow with the number of DISTINCT vectors only. Output
+    * (id_a, id_b, qdot, n_copies_a, n_copies_b): pairs among cluster
+    * representatives with `qdot > minDot`, plus the copy counts that
+    * expand a representative pair back to its member pairs (every member
+    * scores identically by construction, so no information is lost).
+    *
+    * Plan: one groupBy keyed (cell, quantized vector), then the same
+    * cell-pruned equi-self-join as the raw query but over the collapsed
+    * frame. [[embeddingExactGroups]] exposes the rep -> members map.
+    */
+  def dedupedNearDupPairs(items: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, minDot: Long): DataFrame = {
+    val groups = items
+      .select(col(labelCol).as("cell"), col(idCol).as("_id"), col(vecCol).as("_v"))
+      .groupBy(col("cell"), expr(
+        "transform(_v, x -> cast(round(cast(x as double) * 1000) as bigint))").as("_qv"))
+      .agg(
+        min(col("_id")).as("rep"),
+        count(lit(1)).as("n_copies"),
+        min_by(col("_v"), col("_id")).as("_rv"))
+    groups.as("x").join(groups.as("y"),
+        col("x.cell") === col("y.cell") && col("x.rep") < col("y.rep"))
+      .select(
+        col("x.rep").as("id_a"), col("y.rep").as("id_b"),
+        quantizedDot(col("x._rv"), col("y._rv")).as("qdot"),
+        col("x.n_copies").as("n_copies_a"), col("y.n_copies").as("n_copies_b"))
+      .filter(col("qdot") > lit(minDot))
+  }
+
   /** IVF-Flat approximate top-k using `labelCol` as the coarse quantizer
     * cell: per-cell centroids, each query probes the `nprobe` nearest
     * cells, exact scoring within probed cells only. Output (qid, nid, qdot).
@@ -165,6 +222,12 @@ object Ann {
     val comp = items.select(
       col(labelCol).as("cell"),
       posexplode(col(vecCol)).as(Seq("dim", "x")))
+    // the member count n is the per-dim row count, which is well-defined
+    // only when every vector in the cell has the same length — ragged
+    // lengths would silently skew the probe divisor, so they raise instead
+    // (min(nd) == max(nd) iff lengths are uniform; a separate
+    // groupBy(cell).count() would re-run the whole upstream plan, which for
+    // k-means-labelled items is the entire fit)
     val centroids = comp.groupBy(col("cell"), col("dim"))
       .agg(
         sum(expr("cast(round(cast(x as double) * 1000) as bigint)")).as("sx"),
@@ -172,9 +235,15 @@ object Ann {
       .groupBy(col("cell"))
       .agg(
         array_sort(collect_list(struct(col("dim"), col("sx")))).as("pairs"),
-        max(col("nd")).as("n"))
+        min(col("nd")).as("_nmin"), max(col("nd")).as("_nmax"))
       .select(col("cell"),
-        transform(col("pairs"), p => p.getField("sx")).as("cs"), col("n"))
+        transform(col("pairs"), p => p.getField("sx")).as("cs"),
+        when(col("_nmin") === col("_nmax"), col("_nmax"))
+          .otherwise(raise_error(concat(
+            lit("graft.Ann.ivfTopK: ragged vector lengths in cell "),
+            col("cell").cast("string"),
+            lit(" — member count is ill-defined; pad or filter to uniform dims"))))
+          .as("n"))
 
     // each query picks its nprobe closest centroids (centroid count is tiny)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))

@@ -130,12 +130,32 @@ object KMeans {
     * centroid instead of vanishing — `fit` always returns exactly k
     * cells with dense ids, so `ivfTopK(nprobe)` probes the codebook size
     * it asked for.
+    *
+    * `fitSampleSize > 0` runs every Lloyd round on a bounded
+    * deterministic sample — the `fitSampleSize` vectors with the smallest
+    * `xxhash64(id)`, the same device as the seed pool — instead of the
+    * full corpus. This is the 100 TB shape: an unsampled fit reads the
+    * corpus ~2x per round (assignment + update), while a coarse quantizer
+    * estimated from a few-hundred-thousand-vector sample is statistically
+    * indistinguishable for IVF probing and leaves the full corpus to be
+    * touched exactly once, by the final assignment. With
+    * `fitSampleSize >= corpus size` the sample IS the corpus and the
+    * result is identical to the unsampled fit (AnnSpec pins this).
     */
   def fit(items: DataFrame, idCol: String, vecCol: String,
       k: Int, maxIterations: Int = 10,
-      checkpoint: graft.core.CheckpointPolicy = graft.core.CheckpointPolicy.Local): DataFrame = {
+      checkpoint: graft.core.CheckpointPolicy = graft.core.CheckpointPolicy.Local,
+      fitSampleSize: Int = 0): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val it = items.select(col(idCol), col(vecCol))
+    val all = items.select(col(idCol), col(vecCol))
+    // pinned so the sample's (bounded) top-n funnel is paid once, not once
+    // per Lloyd round; re-spread after the single-partition limit so the
+    // rounds keep full parallelism
+    val it =
+      if (fitSampleSize <= 0) all
+      else checkpoint.pin(
+        all.orderBy(xxhash64(col(idCol)), col(idCol)).limit(fitSampleSize)
+          .repartition(col(idCol)))
     var centroids = checkpoint.pin(farthestFirstSeeds(it, idCol, vecCol, k))
     var i = 0
     while (i < maxIterations) {
@@ -150,11 +170,16 @@ object KMeans {
     centroids
   }
 
-  /** Fit + assign: (idCol, cell) cluster labels for every item. */
+  /** Fit + assign: (idCol, cell) cluster labels for every item. The full
+    * corpus is always assigned; `fitSampleSize` bounds only what the
+    * Lloyd rounds read. */
   def fitPredict(items: DataFrame, idCol: String, vecCol: String,
       k: Int, maxIterations: Int = 10,
-      checkpoint: graft.core.CheckpointPolicy = graft.core.CheckpointPolicy.Local): DataFrame =
-    assign(items, fit(items, idCol, vecCol, k, maxIterations, checkpoint), idCol, vecCol)
+      checkpoint: graft.core.CheckpointPolicy = graft.core.CheckpointPolicy.Local,
+      fitSampleSize: Int = 0): DataFrame =
+    assign(items,
+      fit(items, idCol, vecCol, k, maxIterations, checkpoint, fitSampleSize),
+      idCol, vecCol)
 
   // --- portable (cross-engine-replayable) variant --------------------------
   //
@@ -191,18 +216,51 @@ object KMeans {
       .agg(min_by(col("cell"), struct(col("_s"), col("cell"))).as("cell"))
   }
 
+  /** |S|^2 as an exact i64 — with a LOUD overflow guard. DuckDB raises on
+    * bigint overflow while non-ANSI Spark wraps silently, so an unguarded
+    * sum-of-squares breaks the "bit-identical across engines" contract
+    * exactly at large-cell scale: a cell of n members holds component sums
+    * |cs_i| ~ n * 1000 * |x_i|, and dims * max(cs_i)^2 crosses 2^63 around
+    * n ~ 4e8 members at 64 dims / unit-scale floats. The guard enforces the
+    * sufficient per-component bound max|cs_i| <= floor(sqrt((2^63-1)/dims))
+    * — conservative by at most the dims factor — and raises loudly
+    * Spark-side, mirroring DuckDB, instead of corrupting ranks.
+    */
   private def withSs(centroids: DataFrame): DataFrame =
     centroids.withColumn("ss",
-      expr("aggregate(cs, 0L, (a, x) -> a + x * x)"))
+      when(
+        expr("aggregate(cs, 0L, (a, x) -> greatest(a, abs(x)))").cast("double")
+          <= floor(sqrt(lit(Long.MaxValue).cast("double") /
+               greatest(size(col("cs")), lit(1)).cast("double"))),
+        expr("aggregate(cs, 0L, (a, x) -> a + x * x)"))
+        .otherwise(raise_error(concat(
+          lit("graft.KMeans: centroid sum-of-squares would overflow i64 "),
+          lit("(cell "), col("cell").cast("string"),
+          lit(", n="), col("n").cast("string"),
+          lit(") — reduce quantization scale or split the cell")))))
 
   /** Portable fit: integer-sum centroids after `maxIterations` Lloyd
-    * rounds from sha256-Forgy seeds. Output (cell, cs, n, ss). */
+    * rounds from sha256-Forgy seeds. Output (cell, cs, n, ss).
+    *
+    * `fitSampleSize > 0` fits on the `fitSampleSize` items with the
+    * smallest (sha256(id), id) — the SAME key that picks the Forgy seeds,
+    * so the sampled fit draws identical seeds to the full fit and, with
+    * `fitSampleSize >= corpus size`, is bit-identical to it (the sample
+    * becomes the whole corpus). See [[fit]] for the 100 TB rationale.
+    */
   def fitPortable(items: DataFrame, idCol: String, vecCol: String,
       k: Int, maxIterations: Int = 10,
-      checkpoint: graft.core.CheckpointPolicy = graft.core.CheckpointPolicy.Local): DataFrame = {
+      checkpoint: graft.core.CheckpointPolicy = graft.core.CheckpointPolicy.Local,
+      fitSampleSize: Int = 0): DataFrame = {
     require(k >= 1, "k must be >= 1")
     import org.apache.spark.sql.expressions.Window
-    val it = items.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    val all = items.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    val it =
+      if (fitSampleSize <= 0) all
+      else checkpoint.pin(
+        all.orderBy(sha2(col("_id").cast("string"), 256), col("_id"))
+          .limit(fitSampleSize)
+          .repartition(col("_id")))
     val seedKey = sha2(col("_id").cast("string"), 256)
     // top-k by (hash, id): TakeOrderedAndProject, then a k-row window
     // assigns dense cell ids in the same order
@@ -218,14 +276,24 @@ object KMeans {
       val assignments = assignPortable(it, centroids, "_id", "_v")
       val comp = it.join(assignments, Seq("_id"))
         .select(col("cell"), posexplode(quantized("_v")).as(Seq("dim", "x")))
+      // n = per-dim row count, exact iff vector lengths are uniform in the
+      // cell; ragged lengths raise loudly (same device as Ann.ivfTopK — a
+      // separate count over `assignments` would re-run the whole
+      // corpus-by-k assignment a second time per round)
       val fresh = comp.groupBy(col("cell"), col("dim"))
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("nd"))
         .groupBy(col("cell"))
         .agg(
           array_sort(collect_list(struct(col("dim"), col("sx")))).as("pairs"),
-          max(col("nd")).as("n"))
+          min(col("nd")).as("_nmin"), max(col("nd")).as("_nmax"))
         .select(col("cell"),
-          transform(col("pairs"), p => p.getField("sx")).as("cs"), col("n"))
+          transform(col("pairs"), p => p.getField("sx")).as("cs"),
+          when(col("_nmin") === col("_nmax"), col("_nmax"))
+            .otherwise(raise_error(concat(
+              lit("graft.KMeans: ragged vector lengths in cell "),
+              col("cell").cast("string"),
+              lit(" — member count is ill-defined; pad or filter to uniform dims"))))
+            .as("n"))
       // a cell that loses every member keeps its previous centroid, like fit
       centroids = checkpoint.pin(withSs(
         centroids.select(col("cell"), col("cs").as("_pc"), col("n").as("_pn"))
@@ -239,13 +307,15 @@ object KMeans {
   }
 
   /** Portable fit + assign: (idCol, cell) labels, bit-identical to a SQL
-    * replay of the same seeding and iteration. */
+    * replay of the same seeding and iteration. The full corpus is always
+    * assigned; `fitSampleSize` bounds only what the Lloyd rounds read. */
   def fitPredictPortable(items: DataFrame, idCol: String, vecCol: String,
       k: Int, maxIterations: Int = 10,
-      checkpoint: graft.core.CheckpointPolicy = graft.core.CheckpointPolicy.Local): DataFrame = {
+      checkpoint: graft.core.CheckpointPolicy = graft.core.CheckpointPolicy.Local,
+      fitSampleSize: Int = 0): DataFrame = {
     val labels = assignPortable(
       items.select(col(idCol).as("_id"), col(vecCol).as("_v")),
-      fitPortable(items, idCol, vecCol, k, maxIterations, checkpoint),
+      fitPortable(items, idCol, vecCol, k, maxIterations, checkpoint, fitSampleSize),
       "_id", "_v")
     labels.select(col("_id").as(idCol), col("cell"))
   }

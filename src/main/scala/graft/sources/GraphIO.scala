@@ -48,10 +48,12 @@ object GraphIO {
     * jobs; for one-shot reads prefer [[write]] (`partitionByKey`), which
     * keeps plain portable parquet files.
     *
-    * Catalog tables `<name>_edges` / `<name>_vertices` are (over)written;
-    * the directedness flag rides on `<name>_edges` as a table property
-    * lookup-free boolean column would break bucketing, so it is stored in
-    * the vertices table instead (constant column, pruned on read).
+    * Catalog tables `<name>_edges` / `<name>_vertices` are (over)written.
+    * The directedness flag is stored as a constant `_directed` column in
+    * the VERTICES table (not on the edges table, whose layout is owned by
+    * the bucketing spec; not as a catalog table property, which would tie
+    * the format to one metastore). The column is a single literal, so it
+    * compresses to nothing and is pruned from reads that don't ask for it.
     */
   def writeBucketed(g: Graph, name: String, buckets: Int = 32): Unit = {
     import org.apache.spark.sql.functions._
@@ -64,7 +66,10 @@ object GraphIO {
 
   def readBucketed(spark: SparkSession, name: String): Graph = {
     val vs = spark.table(s"${name}_vertices")
-    val directed = vs.select("_directed").head().getBoolean(0)
+    // an empty vertices table carries no flag rows — default to directed
+    // rather than throwing on head() of an empty frame
+    val directed = vs.select("_directed").limit(1).collect()
+      .headOption.forall(_.getBoolean(0))
     Graph(vs.drop("_directed"), spark.table(s"${name}_edges"), directed)
   }
 

@@ -67,6 +67,44 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall")
   }
 
+  test("dedupedNearDupPairs collapses identical vectors; counts expand to the raw pair set") {
+    import spark.implicits._
+    // two distinct near-dup vectors in cell 0 (3 and 2 exact copies) plus
+    // an unrelated cell-1 vector: the raw same-cell query pays 3*2 cross
+    // pairs + 3 + 1 intra pairs; the deduped path emits ONE rep pair
+    val a = Seq(1.0f, 2.0f, 3.0f, 4.0f)
+    val b = Seq(1.0f, 2.0f, 3.0f, 3.9f)
+    val c = Seq(-5.0f, 0.0f, 0.0f, 0.1f)
+    val items = Seq(
+      (1L, a, 0), (2L, a, 0), (3L, a, 0),
+      (10L, b, 0), (11L, b, 0),
+      (20L, c, 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Ann.dedupedNearDupPairs(items, "vec_id", "embedding", "label",
+      minDot = 25000L).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) === (1L, 10L))
+    assert((r.getAs[Long]("n_copies_a"), r.getAs[Long]("n_copies_b")) === (3L, 2L))
+    // the rep-pair qdot equals the raw pair qdot (members score identically)
+    val rawDot = items.filter(col("vec_id").isin(1L, 10L))
+      .agg(collect_list(col("embedding"))).head()
+      .getAs[scala.collection.Seq[scala.collection.Seq[Float]]](0)
+    assert(r.getAs[Long]("qdot") ===
+      rawDot(0).zip(rawDot(1)).map { case (x, y) =>
+        math.round(x * 1000.0) * math.round(y * 1000.0) }.sum)
+    // cross-cluster expansion: n_copies_a * n_copies_b reproduces the raw
+    // same-cell pair count between the two clusters
+    assert(r.getAs[Long]("n_copies_a") * r.getAs[Long]("n_copies_b") === 6L)
+    val groups = Ann.embeddingExactGroups(items, "vec_id", "embedding", Seq("label"))
+    val m = groups.collect().map(g =>
+      g.getAs[Long]("rep_id") ->
+        (g.getAs[Long]("n_copies"), g.getAs[scala.collection.Seq[Long]]("ids").toSeq)).toMap
+    assert(m(1L) === ((3L, Seq(1L, 2L, 3L))))
+    assert(m(10L) === ((2L, Seq(10L, 11L))))
+    assert(m(20L) === ((1L, Seq(20L))))
+  }
+
   test("k-means recovers planted clusters and the learned-cell IVF keeps recall") {
     import graft.similarity.KMeans
     val items = clustered()
@@ -114,6 +152,37 @@ class AnnSpec extends SparkSpec {
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(lsh).size.toDouble / exact.size
     assert(recall >= 0.5, s"portable LSH recall $recall")
+  }
+
+  test("sampled k-means fit: degenerate identity at fitSampleSize >= corpus, recall on a real subsample") {
+    import graft.similarity.KMeans
+    val items = clustered()
+    // fitSampleSize >= corpus: the sample IS the corpus, so the portable
+    // fit must be bit-identical to the unsampled fit (shared sha256 key
+    // means even the Forgy seeds coincide)
+    val full = KMeans.fitPredictPortable(
+      items, "vec_id", "embedding", k = 4, maxIterations = 5)
+    val degenerate = KMeans.fitPredictPortable(
+      items, "vec_id", "embedding", k = 4, maxIterations = 5,
+      fitSampleSize = 100000)
+    assert(rowSet(degenerate) === rowSet(full),
+      "fitSampleSize >= corpus must reproduce the unsampled fit exactly")
+
+    // real subsample: fit on half the corpus, assign everything; the
+    // learned quantizer must still give IVF clearly-better-than-random
+    // recall (the 100 TB shape: Lloyd never reads the full corpus)
+    val labels = KMeans.fitPredict(
+      items, "vec_id", "embedding", k = 4, maxIterations = 5,
+      fitSampleSize = 40)
+    assert(labels.count() === 80L, "assignment must cover the FULL corpus")
+    val withCell = items.join(labels, Seq("vec_id"))
+    val q = withCell.filter(col("vec_id") % 20 === 0)
+    val exact = Ann.bruteForceTopK(items, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(withCell, q, "vec_id", "embedding", "cell", 5, nprobe = 2)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.75, s"sampled-fit IVF recall $recall")
   }
 
   test("portable k-means: deterministic, k cells, and usable IVF recall") {

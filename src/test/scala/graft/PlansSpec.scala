@@ -123,6 +123,16 @@ class PlansSpec extends SparkSpec {
     assert(ivf.contains("BroadcastHashJoin"), s"cell join must be keyed:\n$ivf")
   }
 
+  test("e08 deduped near-dup: collapse partial-aggregates, pair join is keyed") {
+    val p = plan(EmbQueries.queries("e08_neardup_deduped")(spark, SF))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"rep-pair join must stay keyed on cell:\n$p")
+    // array group keys use SortAggregate; the scale property is the
+    // map-side combine (partial_*) running before the exchange
+    assert(p.contains("partial_min_by") || p.contains("partial_count"),
+      s"quantized-vector collapse must partial-aggregate before the shuffle:\n$p")
+  }
+
   test("d06 token pack: the big running-sum window shards WITHIN a language") {
     val p = plan(DocQueries.queries("d06_token_pack")(spark, SF))
     // the corpus-sized window exchange must be keyed by (lang, _shard) —

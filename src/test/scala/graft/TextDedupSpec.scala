@@ -89,6 +89,71 @@ class TextDedupSpec extends SparkSpec {
     assert(uncapped.size === 1 + 12 * 11 / 2, "uncapped finds all 66 boilerplate pairs")
   }
 
+  test("dedupedNearDuplicates on a duplicate-free corpus equals raw minhashDuplicates") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val near = base.replace("sigma", "zigma")
+    val other = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    val d = docs((1L, base), (2L, near), (3L, other))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a"), col("id_b"), round(col("jaccard"), 9))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val composed = Dedup.dedupedNearDuplicates(d, "doc_id", "text", threshold = 0.4)
+    val raw = Dedup.minhashDuplicates(d, "doc_id", "text", threshold = 0.4)
+    assert(canon(composed.pairs) === canon(raw))
+    // trivial copy clusters: every doc is its own representative
+    assert(composed.copyClusters.filter(col("n_copies") > 1).isEmpty)
+  }
+
+  test("dedupedNearDuplicates collapses copy clusters; clusters expand back") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val near = base.replace("sigma", "zigma")
+    // 5 exact copies of base (ids 1..5) + 3 copies of near (ids 10..12):
+    // the raw path pays 5*3 cross-cluster pairs + 10 + 3 intra pairs; the
+    // composed path emits ONE representative pair and the cluster map
+    val rows = (1L to 5L).map(i => (i, base)) ++ (10L to 12L).map(i => (i, near))
+    val res = Dedup.dedupedNearDuplicates(docs(rows: _*), "doc_id", "text",
+      threshold = 0.4)
+    val pairs = res.pairs.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 10L)), "one pair among representatives only")
+    val clusters = res.copyClusters.collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(clusters === Map(1L -> 5L, 10L -> 3L))
+  }
+
+  test("capped minhash + exactGroups union keeps full recall on a boilerplate cluster") {
+    // pins the recall contract documented on minhashDuplicates(maxBucketSize):
+    // pairs the cap can lose are exactly those inside large clusters of
+    // IDENTICAL documents, which exactGroups recovers — the union of the
+    // capped run and the exact-group expansion must equal the uncapped run
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val near = base.replace("sigma", "zigma")
+    val boiler = "this content is provided as is without warranty of any " +
+      "kind either express or implied including fitness for a purpose"
+    val rows = Seq((1L, base), (2L, near)) ++ (10L to 21L).map(i => (i, boiler))
+    val d = docs(rows: _*)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairSet(Dedup.minhashDuplicates(d, "doc_id", "text", threshold = 0.4))
+    val capped = pairSet(Dedup.minhashDuplicates(d, "doc_id", "text",
+      threshold = 0.4, maxBucketSize = 5))
+    // expand exact groups to their intra-cluster pairs (all J = 1.0)
+    val exactPairs = Dedup.exactGroups(d, "doc_id", "text")
+      .filter(col("n_copies") > 1)
+      .select(explode(expr(
+        "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), " +
+          "p -> p.a < p.b)")).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    val expanded = exactPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((capped union expanded) === uncapped)
+    assert((capped union expanded).nonEmpty && capped != uncapped,
+      "fixture must actually exercise the cap")
+  }
+
   test("ngram jaccard: exact value for a known pair") {
     val a = "w1 w2 w3 w4 w5" // shingles: {w1w2w3, w2w3w4, w3w4w5}
     val b = "w1 w2 w3 w4 zz" // shingles: {w1w2w3, w2w3w4, w3w4zz}
