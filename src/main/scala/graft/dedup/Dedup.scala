@@ -250,6 +250,17 @@ object Dedup {
     * never touches the frequent tail shingles whose df^2 blow-up dominates
     * the naive join. Candidates are then verified with the exact
     * intersection, so the filter changes cost, not results.
+    *
+    * Sizing at scale: the prefix self-join and the exact-verify join move
+    * WIDE rows (the hashed shingle arrays), so
+    * `spark.sql.shuffle.partitions` must be sized to the corpus — the
+    * 100x stress run OOM'd at one partition per core (~2M wide rows per
+    * partition) and completed, 27.3M output pairs, at 8 partitions per
+    * core. Like every operator here the parallelism lever is the
+    * session's, not hardcoded; see BASELINE.md "100x self-scaled run".
+    * On duplicate-heavy corpora compose with [[exactGroups]] /
+    * [[dedupedNearDuplicates]] first — a copy cluster of n docs otherwise
+    * costs n^2 candidate pairs.
     */
   def ngramJaccardPairs(
       docs: DataFrame,

@@ -86,6 +86,14 @@ final case class PregelResult(state: DataFrame, converged: Boolean, iterations: 
   *                      hashmap on one reducer into two skew-free hash
   *                      aggregations. When set, `aggExpr` and
   *                      `saltBuckets` are ignored.
+  * @param superstepListener called after every materialized superstep with
+  *                      (iteration, seconds since the previous callback) —
+  *                      the progress/ops hook for multi-hour propagations
+  *                      (emit metrics, watch for per-superstep time growth,
+  *                      which signals lineage or checkpoint trouble). With
+  *                      `convergenceCheckInterval > 1` the skipped
+  *                      supersteps are lazy, so their cost lands on the
+  *                      next checked iteration's callback.
   */
 final case class Pregel(
     initialState: Column,
@@ -98,7 +106,8 @@ final case class Pregel(
     checkpoint: CheckpointPolicy = CheckpointPolicy.Local,
     convergenceCheckInterval: Int = 1,
     saltBuckets: Int = 0,
-    messageAggregator: Option[DataFrame => DataFrame] = None) {
+    messageAggregator: Option[DataFrame => DataFrame] = None,
+    superstepListener: Option[(Int, Double) => Unit] = None) {
   import Columns._
 
   require(msgToSrc.nonEmpty || msgToDst.nonEmpty,
@@ -121,6 +130,7 @@ final case class Pregel(
       .withColumn(OLD_STATE, lit(null))
     var changed = state
     var converged = false
+    var stepClock = System.nanoTime()
     var i = 0
     while (i < maxIterations && !converged) {
       val messages = GraphUtil.multipleUnion(Seq(
@@ -157,8 +167,14 @@ final case class Pregel(
         .filter(col(UPDATED) && comparison(col(STATE), col(OLD_STATE)))
         .drop(UPDATED)
       i += 1
-      if (i % convergenceCheckInterval == 0 || i == maxIterations)
+      if (i % convergenceCheckInterval == 0 || i == maxIterations) {
         converged = changed.count() == 0
+        superstepListener.foreach { f =>
+          val now = System.nanoTime()
+          f(i, (now - stepClock) / 1e9)
+          stepClock = now
+        }
+      }
     }
     PregelResult(state, converged, i)
   }
