@@ -48,7 +48,12 @@ object EmbQueries {
       // by DuckDB through every Lloyd round, then the IVF probe + top-k
       // on the learned cells — the strongest correctness signal the
       // learned-quantizer path can have. The farthest-first fitPredict
-      // keeps its recall contract in the ScalaTest spec.
+      // keeps its recall contract in the ScalaTest spec. Deliberately a
+      // FULL-corpus fit: the oracle CTEs replay every Lloyd round over
+      // the whole table, so sampling here would desync the replay. The
+      // production 100 TB shape (fitSampleSize: Lloyd on a bounded
+      // sample, corpus read once) runs oracle-checked in e06, whose
+      // full-probe identity holds under ANY fit.
       val emb = embeddings(s, d)
       val labels = KMeans.fitPredictPortable(
         emb, "vec_id", "embedding", k = 10, maxIterations = 5)
@@ -63,9 +68,13 @@ object EmbQueries {
       // the candidate set the full corpus, so KMeans.fit + ivfTopK must
       // reproduce the exact top-k bit-for-bit — an end-to-end oracle row
       // for the whole IVF machinery (the approximate nprobe < cells paths
-      // e03/e05 stay rows-only with recall specs)
+      // e03/e05 stay rows-only with recall specs). The fit runs in the
+      // 100 TB shape — Lloyd rounds on a bounded deterministic sample,
+      // the corpus read once by the final assignment — which the oracle
+      // tolerates by construction: full probe is exact under ANY fit
       val emb = embeddings(s, d)
-      val labels = KMeans.fitPredict(emb, "vec_id", "embedding", k = 10, maxIterations = 3)
+      val labels = KMeans.fitPredict(emb, "vec_id", "embedding", k = 10, maxIterations = 3,
+        fitSampleSize = 1000)
       val items = emb.select(col("vec_id"), col("embedding"))
         .join(labels, Seq("vec_id"))
       Ann.ivfTopK(items, items.filter(col("vec_id") < NQUERIES),
