@@ -204,6 +204,26 @@ object DocQueries {
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard"))),
 
+    "d10_stream_neardup" -> ((s, d) => {
+      // batch twin of the STREAMING ingestion-dedup path (DocStream):
+      // "new" documents (the doc_id % 10 == 0 slice) checked against the
+      // LSH-indexed remainder of the corpus through EXACTLY the code a
+      // stream runs — nearDupAgainstCorpus is stream/batch agnostic
+      // (StreamingSpec drives the same function live on a MemoryStream).
+      // Oracle equality holds by the d02 recall argument: every true
+      // cross-slice pair on this corpus has J >= 0.9, missed with
+      // probability (1 - 0.9^4)^32 ~= 1.4e-15 at 32 bands of 4.
+      val docs0 = documents(s, d)
+      val idx = graft.streaming.DocStream.indexCorpus(
+        docs0.filter(pmod(col("doc_id"), lit(10L)) =!= 0L), "doc_id", "text",
+        shingleSize = 3, numHashes = 128, bands = 32)
+      graft.streaming.DocStream.nearDupAgainstCorpus(
+        docs0.filter(pmod(col("doc_id"), lit(10L)) === 0L), idx,
+        "doc_id", "text", threshold = 0.4)
+        .select(col("doc_id"), col("corpus_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     "t05_winnow" -> ((s, d) =>
       // oracle-checked end to end via the portable sha256-prefix k-gram
       // hash: DuckDB reproduces the exact fingerprint set (the xxhash64
@@ -392,6 +412,20 @@ object DocQueries {
          |SELECT doc_id, chunk_idx, CAST(len(c) AS INTEGER) AS n_tokens,
          |       sha256(array_to_string(c, ' ')) AS sha256
          |FROM ch""".stripMargin,
+    // exact cross-slice twin of the streaming ingestion-dedup: new docs
+    // (doc_id % 10 = 0) against the corpus remainder, all-pairs
+    "d10_stream_neardup" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS s FROM t0),
+         |nz AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0),
+         |inc AS (SELECT * FROM nz WHERE doc_id % 10 = 0),
+         |cor AS (SELECT * FROM nz WHERE doc_id % 10 <> 0)
+         |SELECT doc_id, corpus_id, round(jaccard, 6) AS jaccard FROM (
+         |  SELECT a.doc_id AS doc_id, b.doc_id AS corpus_id,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / (a.n + b.n - len(list_intersect(a.s, b.s))) AS jaccard
+         |  FROM inc a, cor b)
+         |WHERE jaccard >= 0.4""".stripMargin,
     // exact-dedup representatives first, then the d02 exact-twin logic
     // over the survivors (recall argument identical to d02's)
     "d09_dedup_then_neardup" ->

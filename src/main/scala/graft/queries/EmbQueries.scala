@@ -18,6 +18,10 @@ object EmbQueries {
 
   private val K = 5
   private val NQUERIES = 10
+  /** e05's k-means fit sample: smaller than every sf's embeddings table,
+    * so the sampled-Lloyd path is genuinely exercised (sf0.01 ships 2000
+    * vectors). */
+  private val FitSample = 1000
 
   private def queriesDf(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).filter(col("vec_id") < NQUERIES)
@@ -43,20 +47,20 @@ object EmbQueries {
         "vec_id", "embedding", "label", K, nprobe = 3)),
 
     "e05_knn_ivf_kmeans" -> ((s, d) => {
-      // oracle-checked end to end: the PORTABLE k-means (sha256-Forgy
-      // seeds, integer-sum centroids, fixed iteration count) is replayed
-      // by DuckDB through every Lloyd round, then the IVF probe + top-k
-      // on the learned cells — the strongest correctness signal the
-      // learned-quantizer path can have. The farthest-first fitPredict
-      // keeps its recall contract in the ScalaTest spec. Deliberately a
-      // FULL-corpus fit: the oracle CTEs replay every Lloyd round over
-      // the whole table, so sampling here would desync the replay. The
-      // production 100 TB shape (fitSampleSize: Lloyd on a bounded
-      // sample, corpus read once) runs oracle-checked in e06, whose
-      // full-probe identity holds under ANY fit.
+      // oracle-checked end to end IN THE 100 TB SHAPE: the PORTABLE
+      // k-means (sha256-Forgy seeds, integer-sum centroids, fixed
+      // iteration count) runs its Lloyd rounds on a bounded
+      // deterministic sample — the fitSampleSize smallest (sha256(id),
+      // id) vectors, a pure ORDER BY/LIMIT any engine can replay — and
+      // reads the corpus exactly once, for the final assignment. DuckDB
+      // replays the sampled fit round by round, then the IVF probe +
+      // top-k on the learned cells — the strongest correctness signal
+      // the learned-quantizer path can have. The farthest-first
+      // fitPredict keeps its recall contract in the ScalaTest spec.
       val emb = embeddings(s, d)
       val labels = KMeans.fitPredictPortable(
-        emb, "vec_id", "embedding", k = 10, maxIterations = 5)
+        emb, "vec_id", "embedding", k = 10, maxIterations = 5,
+        fitSampleSize = FitSample)
       val items = emb.select(col("vec_id"), col("embedding"))
         .join(labels, Seq("vec_id"))
       Ann.ivfTopK(items, items.filter(col("vec_id") < NQUERIES),
@@ -238,14 +242,18 @@ object EmbQueries {
        |  FROM sc)
        |WHERE rn <= $K""".stripMargin
 
-  /** Full portable-k-means + IVF replay for e05: sha256-Forgy seeds,
-    * `iters` unrolled Lloyd rounds with exact integer-sum centroids and
-    * the -2*dot/n + |S|^2/n^2 rank key (two divisions + one addition, all
-    * correctly rounded — identical bits to the Spark side), final
-    * assignment, then the same probe + top-k as the e03 oracle. */
-  private def kmeansIvfSql(k: Int, iters: Int, nprobe: Int): String = {
-    // assignment of every item to its nearest centroid c{i-1} -> a$i
-    def assignCte(i: Int): String =
+  /** Full portable-k-means + IVF replay for e05 in the sampled-fit shape:
+    * the fit set `itf` is the `fitSample` items with the smallest
+    * (sha256(id), id) — a plain ORDER BY/LIMIT, byte-identical to the
+    * Spark sample — sha256-Forgy seeds, `iters` unrolled Lloyd rounds
+    * over `itf` with exact integer-sum centroids and the
+    * -2*dot/n + |S|^2/n^2 rank key (two divisions + one addition, all
+    * correctly rounded — identical bits to the Spark side), ONE final
+    * assignment of the FULL corpus, then the same probe + top-k as the
+    * e03 oracle. */
+  private def kmeansIvfSql(k: Int, iters: Int, nprobe: Int, fitSample: Int): String = {
+    // assignment of every `src` item to its nearest centroid c{i-1} -> a$i
+    def assignCte(i: Int, src: String): String =
       s"""s$i AS (SELECT i.id, c.cell,
          |  CAST(-2 * CAST(list_sum([i.qv[j] * c.cs[j]
          |         FOR j IN range(1, len(i.qv) + 1)]) AS BIGINT) AS DOUBLE)
@@ -253,14 +261,14 @@ object EmbQueries {
          |  + CAST(CAST(list_sum([c.cs[j] * c.cs[j]
          |         FOR j IN range(1, len(c.cs) + 1)]) AS BIGINT) AS DOUBLE)
          |    / CAST(c.n * c.n AS DOUBLE) AS score
-         |  FROM it i, c${i - 1} c),
+         |  FROM $src i, c${i - 1} c),
          |a$i AS (SELECT id, cell FROM (
          |  SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY score, cell) AS rn
          |  FROM s$i) WHERE rn = 1)""".stripMargin
     // centroid update from a$i -> c$i (empty cells keep their previous)
     def updateCte(i: Int): String =
       s"""u$i AS (SELECT a.cell, u.d AS d, sum(i.qv[CAST(u.d AS INTEGER)]) AS sx
-         |  FROM a$i a JOIN it i ON i.id = a.id,
+         |  FROM a$i a JOIN itf i ON i.id = a.id,
          |       unnest(range(1, len(i.qv) + 1)) AS u(d)
          |  GROUP BY a.cell, u.d),
          |n$i AS (SELECT cell, count(*) AS n FROM a$i GROUP BY cell),
@@ -269,17 +277,19 @@ object EmbQueries {
          |c$i AS (SELECT p.cell, coalesce(f.cs, p.cs) AS cs, coalesce(f.n, p.n) AS n
          |  FROM c${i - 1} p LEFT JOIN f$i f ON f.cell = p.cell)""".stripMargin
     val fin = iters + 1
-    val rounds = (1 to iters).map(i => assignCte(i) + ",\n" + updateCte(i))
+    val rounds = (1 to iters).map(i => assignCte(i, "itf") + ",\n" + updateCte(i))
     s"""WITH it AS (SELECT vec_id AS id,
        |    [CAST(round(CAST(embedding[j] AS DOUBLE) * 1000) AS BIGINT)
        |     FOR j IN range(1, len(embedding) + 1)] AS qv
        |  FROM embeddings),
+       |itf AS (SELECT id, qv FROM it
+       |  ORDER BY sha256(CAST(id AS VARCHAR)), id LIMIT $fitSample),
        |c0 AS (SELECT cell, cs, n FROM (
        |  SELECT row_number() OVER (ORDER BY sha256(CAST(id AS VARCHAR)), id) - 1 AS cell,
        |         qv AS cs, CAST(1 AS BIGINT) AS n
-       |  FROM it) WHERE cell < $k),
+       |  FROM itf) WHERE cell < $k),
        |${rounds.mkString(",\n")},
-       |${assignCte(fin)},
+       |${assignCte(fin, "it")},
        |lab AS (SELECT id, cell FROM a$fin),
        |cd AS (SELECT l.cell, u.d AS d, sum(i.qv[CAST(u.d AS INTEGER)]) AS sx
        |  FROM lab l JOIN it i ON i.id = l.id,
@@ -314,7 +324,8 @@ object EmbQueries {
   }
 
   val oracle: Map[String, String] = Map(
-    "e05_knn_ivf_kmeans" -> kmeansIvfSql(k = 10, iters = 5, nprobe = 3),
+    "e05_knn_ivf_kmeans" ->
+      kmeansIvfSql(k = 10, iters = 5, nprobe = 3, fitSample = FitSample),
     "e02_knn_lsh" -> lshKnnSql,
     "e03_knn_ivf" -> ivfKnnSql,
     "e06_knn_ivf_full_probe" -> exactKnnSql,

@@ -18,6 +18,11 @@ object SmokeTest {
     args.toSeq.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       df.coalesce(1).write.mode("overwrite").parquet(s"/tmp/smoke_out/$n.parquet")
+      graft.SparkEntry.oracleSql.get(n).foreach { sql =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"/tmp/smoke_out/$n.sql"),
+          sql.getBytes("UTF-8"))
+      }
       println(s"=== $n rows=${spark.read.parquet(s"/tmp/smoke_out/$n.parquet").count()}")
     }
     spark.stop()

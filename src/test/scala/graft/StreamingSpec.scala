@@ -107,6 +107,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup against a static corpus index flags dup/near-dup, passes fresh docs") {
+    import spark.implicits._
+    import graft.streaming.DocStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen"
+    val idx = DocStream.indexCorpus(
+      Seq((100L, base), (101L, other)).toDF("doc_id", "text"), "doc_id", "text")
+
+    val stream = MemoryStream[(Long, Long, String)]
+    val hits = DocStream.nearDupAgainstCorpus(
+      stream.toDF().toDF("doc_id", "ts_ns", "text")
+        .withColumn("ts", timestamp_micros((col("ts_ns") / 1000).cast("long"))),
+      idx, "doc_id", "text", tsCol = Some("ts"), threshold = 0.4)
+    val q = hits.writeStream.format("memory").queryName("neardup").start()
+    try {
+      // batch 1: an exact copy of a corpus doc + a fresh doc
+      stream.addData((1L, 1000L * H, base), (2L, 1000L * H, "unrelated words entirely distinct content here today"))
+      q.processAllAvailable()
+      // batch 2: a near-duplicate (one token edited)
+      stream.addData((3L, 1001L * H, base.replace("sigma", "zigma")))
+      q.processAllAvailable()
+      val rows = spark.table("neardup")
+        .select("doc_id", "corpus_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val byDoc = rows.groupBy(_._1)
+      assert(byDoc(1L).toSeq === Seq((1L, 100L, 1.0)), "exact copy flags J=1 vs its corpus twin")
+      assert(!byDoc.contains(2L), "fresh doc passes clean")
+      val near = byDoc(3L).toSeq
+      assert(near.map(n => (n._1, n._2)) === Seq((3L, 100L)))
+      assert(near.head._3 > 0.4 && near.head._3 < 1.0)
+      // batch result through the SAME function equals the streamed result
+      val batchRows = DocStream.nearDupAgainstCorpus(
+        Seq((1L, base), (2L, "unrelated words entirely distinct content here today"),
+          (3L, base.replace("sigma", "zigma"))).toDF("doc_id", "text"),
+        idx, "doc_id", "text", threshold = 0.4)
+        .select("doc_id", "corpus_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.toSet === batchRows)
+    } finally q.stop()
+  }
+
   test("subgraph keeps only surviving-endpoint edges; filterEdges keeps vertices") {
     import org.apache.spark.sql.functions.col
     val g = Fixtures.labelled(spark, directed = true)
