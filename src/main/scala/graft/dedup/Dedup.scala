@@ -181,6 +181,51 @@ object Dedup {
     DedupedNearDuplicates(pairs, clusters)
   }
 
+  /** Eval-set decontamination: per-document n-gram CONTAINMENT against a
+    * reference corpus — |shingles(doc) ∩ shingles(eval)| / |shingles(doc)|
+    * — the standard "did a benchmark leak into the training set?" check
+    * (containment, not Jaccard: a 50-token eval question buried in a
+    * 10k-token page scores ~1.0 here but near 0 on Jaccard).
+    *
+    * Output (idCol, n_shingles, n_hit, containment), one row per document
+    * with at least one shingle.
+    *
+    * Plan shape for 100 TB: the eval side collapses to its DISTINCT
+    * shingle set (eval benchmarks are tiny next to the corpus) and the
+    * probe is a left-semi equi-join on the shingle — Spark broadcasts the
+    * eval set when it fits, and the per-doc counts are one
+    * map-side-combinable groupBy. The corpus is read once, no pair
+    * explosion anywhere.
+    */
+  def evalContainment(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      eval: DataFrame,
+      evalTextCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    val docSh = docs.select(
+      col(idCol),
+      explode(array_distinct(
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize)))
+        .as("_g"))
+    val evalSh = eval.select(
+      explode(array_distinct(
+        TextFunctions.shingles(TextFunctions.tokens(col(evalTextCol)), shingleSize)))
+        .as("_g"))
+      .distinct()
+    val hits = docSh.join(evalSh, Seq("_g"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    docSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_shingles"))
+          .as("containment"))
+  }
+
   /** 64-bit SimHash of the token multiset: bit b is set when the b-th bit
     * of the token hashes wins the weighted majority vote.
     *

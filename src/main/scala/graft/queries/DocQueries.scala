@@ -224,6 +224,20 @@ object DocQueries {
           round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    "d11_decontaminate" -> ((s, d) => {
+      // eval-set decontamination: n-gram containment of every training
+      // doc against the "benchmark" slice (doc_id % 10 == 0 stands in
+      // for an eval set). Containment, not Jaccard — a short leaked
+      // eval item inside a long page must still score high.
+      val docs0 = documents(s, d)
+      Dedup.evalContainment(
+        docs0.filter(pmod(col("doc_id"), lit(10L)) =!= 0L), "doc_id", "text",
+        docs0.filter(pmod(col("doc_id"), lit(10L)) === 0L), "text",
+        shingleSize = 3)
+        .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+          round(col("containment"), 6).as("containment"))
+    }),
+
     "t05_winnow" -> ((s, d) =>
       // oracle-checked end to end via the portable sha256-prefix k-gram
       // hash: DuckDB reproduces the exact fingerprint set (the xxhash64
@@ -412,6 +426,20 @@ object DocQueries {
          |SELECT doc_id, chunk_idx, CAST(len(c) AS INTEGER) AS n_tokens,
          |       sha256(array_to_string(c, ' ')) AS sha256
          |FROM ch""".stripMargin,
+    // exact containment twin: distinct eval shingles, per-doc hit counts
+    "d11_decontaminate" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS s FROM t0),
+         |doc AS (SELECT doc_id, unnest(s) AS g FROM sh
+         |        WHERE doc_id % 10 <> 0 AND len(s) > 0),
+         |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 = 0),
+         |n AS (SELECT doc_id, count(*) AS n_shingles FROM doc GROUP BY doc_id),
+         |h AS (SELECT doc_id, count(*) AS n_hit FROM doc
+         |      WHERE g IN (SELECT g FROM ev) GROUP BY doc_id)
+         |SELECT n.doc_id, n.n_shingles, coalesce(h.n_hit, 0) AS n_hit,
+         |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / n.n_shingles, 6)
+         |    AS containment
+         |FROM n LEFT JOIN h ON h.doc_id = n.doc_id""".stripMargin,
     // exact cross-slice twin of the streaming ingestion-dedup: new docs
     // (doc_id % 10 = 0) against the corpus remainder, all-pairs
     "d10_stream_neardup" ->

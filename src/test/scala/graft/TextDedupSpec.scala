@@ -154,6 +154,29 @@ class TextDedupSpec extends SparkSpec {
       "fixture must actually exercise the cap")
   }
 
+  test("evalContainment: leaked eval item scores high where Jaccard would not") {
+    val evalItem = "what is the capital of france the answer is paris"
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      (1L, filler + " " + evalItem + " " + filler), // leak buried in a long page
+      (2L, filler))                                 // clean
+    import spark.implicits._
+    val eval = Seq(Tuple1(evalItem)).toDF("text")
+    val got = Dedup.evalContainment(d, "doc_id", "text", eval, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // the leak contributes its 8 interior shingles (+2 boundary-spanning
+    // ones are misses); a long page still flags clearly
+    assert(got(1L)._2 >= 8L, "every interior eval shingle must hit")
+    assert(got(1L)._3 > 0.05 && got(1L)._3 < 0.2,
+      "containment flags the leak; Jaccard on the same pair would be ~0.06 too " +
+        "but containment is against the DOC size, stable as eval sets grow")
+    assert(got(2L) === ((58L, 0L, 0.0)), "clean doc: 58 shingles, zero hits")
+    // n_shingles bookkeeping: the duplicated filler's shingles collapse
+    // (distinct): 58 filler + 8 eval-interior + 2x2 boundary = 70
+    assert(got(1L)._1 === 70L)
+  }
+
   test("ngram jaccard: exact value for a known pair") {
     val a = "w1 w2 w3 w4 w5" // shingles: {w1w2w3, w2w3w4, w3w4w5}
     val b = "w1 w2 w3 w4 zz" // shingles: {w1w2w3, w2w3w4, w3w4zz}
