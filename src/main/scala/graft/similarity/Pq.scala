@@ -1,0 +1,98 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011) — the memory layout that makes
+  * billion-vector search feasible: split each D-dim vector into `m`
+  * subvectors, k-means each subspace to `ksub` centroids, store each
+  * vector as `m` small codes. A query never touches raw corpus vectors
+  * again: it scores the m * ksub codebook once per subspace (the ADC
+  * lookup table), and every corpus vector's approximate dot is the sum of
+  * m table lookups — a D-dim float read becomes an m-byte read, the
+  * bandwidth win that matters at 100 TB.
+  *
+  * Everything is expressed relationally, UDF-free:
+  *  - training = `m` independent [[KMeans]] fits over sliced columns
+  *    (each inherits `fitSampleSize`, so training never scans the corpus
+  *    more than the final encode pass does);
+  *  - encoding = `m` broadcast-assign passes, long format (id, subspace,
+  *    code) — one narrow frame, no row ever wider than three ints;
+  *  - ADC scoring = the lookup table IS a broadcast equi-join: query x
+  *    codebook partial dots (m * ksub rows per query) joined to the
+  *    encoded corpus on (subspace, code), then one map-side-combinable
+  *    sum per (query, vector). No shuffle of the corpus, no raw-vector
+  *    reads, no cartesian anywhere.
+  *
+  * Like the other approximate paths (LSH, IVF probing), ADC ranking is
+  * spec-verified by recall against the exact scan rather than
+  * oracle-replayed (the m codebooks would need m unrolled Lloyd replays);
+  * the exact paths it approximates (e01/e07) and the learned-quantizer
+  * machinery it reuses (e05/e06) are all hash-verified.
+  */
+object Pq {
+
+  /** `codebooks`: (subspace, code, cv) — m * ksub rows. */
+  final case class PqModel(codebooks: DataFrame, m: Int, subDim: Int)
+
+  private def subVec(vecCol: String, j: Int, subDim: Int) =
+    slice(col(vecCol), j * subDim + 1, subDim)
+
+  /** Train m codebooks of `ksub` centroids each. `dims` must be divisible
+    * by `m`; vectors are assumed uniform-length (the KMeans fit raises
+    * loudly otherwise). */
+  def fit(items: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, ksub: Int,
+      maxIterations: Int = 5, fitSampleSize: Int = 0): PqModel = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val subDim = dims / m
+    val books = (0 until m).map { j =>
+      KMeans.fit(
+        items.select(col(idCol), subVec(vecCol, j, subDim).as("_sv")),
+        idCol, "_sv", ksub, maxIterations,
+        fitSampleSize = fitSampleSize)
+        .select(lit(j).as("subspace"), col("cell").cast("int").as("code"), col("cv"))
+    }
+    PqModel(books.reduce(_ unionByName _).localCheckpoint(), m, subDim)
+  }
+
+  /** Encode every vector as m (subspace, code) rows — the compact corpus
+    * representation ADC scoring reads instead of raw vectors. */
+  def encode(items: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame =
+    (0 until model.m).map { j =>
+      KMeans.assign(
+        items.select(col(idCol), subVec(vecCol, j, model.subDim).as("_sv")),
+        model.codebooks.filter(col("subspace") === j)
+          .select(col("code").cast("long").as("cell"), col("cv")),
+        idCol, "_sv")
+        .select(col(idCol), lit(j).as("subspace"), col("cell").cast("int").as("code"))
+    }.reduce(_ unionByName _)
+
+  /** Approximate top-k by ADC: per-query lookup tables (quantized dot of
+    * each query subvector with each codebook centroid) broadcast-joined
+    * to the encoded corpus, summed per (query, vector). Output
+    * (qid, nid, adc). `encoded` is [[encode]]'s output for the corpus.
+    */
+  def adcTopK(encoded: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, model: PqModel, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = (0 until model.m).map { j =>
+      queries.select(col(idCol).as("qid"), subVec(vecCol, j, model.subDim).as("_qs"))
+        .join(broadcast(model.codebooks.filter(col("subspace") === j)),
+          expr("true"))
+        .select(col("qid"), col("subspace"), col("code"),
+          Ann.quantizedDot(col("_qs"), col("cv")).as("_part"))
+    }.reduce(_ unionByName _)
+    val scored = encoded
+      .join(broadcast(parts), Seq("subspace", "code"))
+      .filter(col(idCol) =!= col("qid"))
+      .groupBy(col("qid"), col(idCol).as("nid"))
+      .agg(sum(col("_part")).as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+}

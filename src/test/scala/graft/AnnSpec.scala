@@ -185,6 +185,44 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.75, s"sampled-fit IVF recall $recall")
   }
 
+  test("PQ: codes are compact and in range, ADC top-k keeps recall vs exact scan") {
+    import graft.similarity.Pq
+    val items = clustered()
+    // ksub=16 on 80 points: fine enough that ADC rank tracks true dots;
+    // a coarser book (ksub=4) collapses same-cluster points onto one code
+    // and in-cluster order is quantized away entirely
+    val model = Pq.fit(items, "vec_id", "embedding", dims = 8, m = 4, ksub = 16)
+    assert(model.codebooks.count() === 64L, "4 subspaces x 16 codes")
+    val encoded = Pq.encode(items, "vec_id", "embedding", model).localCheckpoint()
+    assert(encoded.count() === 320L, "80 vectors x 4 subspace codes")
+    val range = encoded.agg(min("code"), max("code")).head()
+    assert(range.getInt(0) >= 0 && range.getInt(1) < 16)
+
+    val q = items.filter(col("vec_id") % 20 === 0)
+    val exact = Ann.bruteForceTopK(items, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = Pq.adcTopK(encoded, q, "vec_id", "embedding", model, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(adc).size.toDouble / exact.size
+    // 4 clusters, 2-dim subspaces: same-cluster points share codes, so
+    // ADC must at least keep neighbours in-cluster; exact rank inside the
+    // cluster is quantized away, hence the modest bar
+    assert(recall >= 0.5, s"PQ ADC recall $recall")
+    // every retrieved neighbour of a cluster-0 query stays in cluster 0
+    val nidsOfQ0 = Pq.adcTopK(encoded, items.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", model, 5)
+      .select("nid").collect().map(_.getLong(0))
+    assert(nidsOfQ0.forall(_ < 20L), s"ADC must not cross clusters: ${nidsOfQ0.toSeq}")
+
+    // plan shape: the corpus-side scoring join must be a KEYED broadcast
+    // join on (subspace, code); the only nested-loop crosses are the
+    // query x m*ksub-row codebook table builds
+    val plan = Pq.adcTopK(encoded, q, "vec_id", "embedding", model, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian in ADC:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"ADC lookup must be keyed:\n$plan")
+  }
+
   test("portable k-means: deterministic, k cells, and usable IVF recall") {
     import graft.similarity.KMeans
     val items = clustered()

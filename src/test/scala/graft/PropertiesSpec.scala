@@ -192,6 +192,48 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("dedup-first near-dup equals raw near-dup restricted to representatives") {
+    // the d09/e08 semantics claim on random duplicate-heavy corpora:
+    // composed pairs == raw minhashDuplicates run on the representative
+    // set, and every raw pair maps onto a composed pair through the
+    // copy-cluster map (same text -> same representative)
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    for (seed <- seeds) {
+      val rnd = new scala.util.Random(700 + seed)
+      // a few base texts, each with random exact copies and one mutant
+      val bases = Seq.fill(3 + rnd.nextInt(3))(
+        Seq.fill(12 + rnd.nextInt(6))(words(rnd.nextInt(words.length))).mkString(" "))
+      var id = 0L
+      val rows = bases.flatMap { t =>
+        val copies = (0 to rnd.nextInt(3)).map { _ => id += 1; (id, t) }
+        val mutant = { id += 1; (id, t.replaceFirst(words(rnd.nextInt(words.length)), "zzz")) }
+        copies :+ mutant
+      }
+      val d = rows.toDF("doc_id", "text")
+      val composed = Dedup.dedupedNearDuplicates(d, "doc_id", "text", threshold = 0.3)
+      val reps = composed.copyClusters.select(col("keep_id").as("doc_id"))
+      val rawOnReps = Dedup.minhashDuplicates(d.join(reps, Seq("doc_id")),
+        "doc_id", "text", threshold = 0.3)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs(composed.pairs) === pairs(rawOnReps), s"seed $seed")
+      // raw pairs project onto composed pairs via the text -> rep map
+      val toRep = d.join(
+        composed.copyClusters.select(col("keep_id"), explode(col("ids")).as("doc_id")),
+        Seq("doc_id")).select(col("doc_id"), col("keep_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val raw = pairs(Dedup.minhashDuplicates(d, "doc_id", "text", threshold = 0.3))
+      val projected = raw.map { case (a, b) =>
+        val (ra, rb) = (toRep(a), toRep(b))
+        if (ra < rb) (ra, rb) else (rb, ra)
+      }.filter { case (a, b) => a != b }
+      assert(projected === pairs(composed.pairs), s"seed $seed: raw pairs must project onto composed pairs")
+    }
+  }
+
   test("two-phase sharded top-k equals the single-window top-k") {
     // the d05 scale rewrite: per-(stratum, shard) local top-k then a
     // final window must equal the single global window, on random data
