@@ -133,6 +133,16 @@ class PlansSpec extends SparkSpec {
       s"quantized-vector collapse must partial-aggregate before the shuffle:\n$p")
   }
 
+  test("d11 decontamination: eval probe is a left-semi join with partial counts") {
+    val p = plan(DocQueries.queries("d11_decontaminate")(spark, SF))
+    assert(p.contains("LeftSemi"),
+      s"eval membership must be a semi join (no eval columns dragged):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no unkeyed joins in the containment path:\n$p")
+    assert(p.contains("partial_count"),
+      s"per-doc counts must map-side combine:\n$p")
+  }
+
   test("d06 token pack: the big running-sum window shards WITHIN a language") {
     val p = plan(DocQueries.queries("d06_token_pack")(spark, SF))
     // the corpus-sized window exchange must be keyed by (lang, _shard) —
