@@ -181,6 +181,62 @@ object Dedup {
     DedupedNearDuplicates(pairs, clusters)
   }
 
+  /** Fuzzy-dedup CLUSTER assignment — the step after pair generation that
+    * production dedup actually needs: near-duplication is not transitive
+    * (a~b and b~c does not imply a~c above threshold), so keeping "one doc
+    * per pair" under-deletes; the standard remedy is to take connected
+    * components of the near-dup pair graph and keep one document per
+    * component.
+    *
+    * Composition, all reusing this library's own scale paths:
+    *  1. [[dedupedNearDuplicates]] — exact-dedup collapses copy clusters,
+    *     MinHash-LSH emits pairs among representatives only;
+    *  2. [[graft.algorithms.AlternatingConnectedComponents]] over the pair
+    *     graph — the O(log² n)-round edge-list CC (no vertex-frame Pregel
+    *     state), fine for pair graphs whose components are document
+    *     clusters;
+    *  3. every exact copy inherits its representative's component.
+    *
+    * Output (idCol, cluster_id), ONE ROW PER INPUT DOCUMENT:
+    * `cluster_id` is the minimum doc id of the merged
+    * (exact ∪ transitive-near-dup) cluster; unique documents are their own
+    * singleton cluster. Survivors = `groupBy(cluster_id).agg(min(idCol))`.
+    *
+    * 100 TB shape: the CC step runs on the PAIR graph only — pairs are a
+    * vanishing fraction of the corpus — so the added cost over
+    * [[dedupedNearDuplicates]] is a handful of joins over a small edge
+    * list; the corpus itself is touched once more for the final expansion
+    * join (broadcastable whenever the pair graph is small).
+    */
+  def nearDupClusters(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 0,
+      maxIterations: Int = 20): DataFrame = {
+    import graft.core.{Columns, Graph}
+    val dd = dedupedNearDuplicates(docs, idCol, textCol,
+      shingleSize, numHashes, bands, threshold, maxBucketSize)
+    val reps = dd.copyClusters
+      .select(col("keep_id").as(Columns.ID), col("ids"))
+      .localCheckpoint() // CC iterates; don't recompute the dedup per round
+    val edges = dd.pairs
+      .select(col("id_a").as(Columns.SRC), col("id_b").as(Columns.DST))
+    val cc = graft.algorithms.AlternatingConnectedComponents(maxIterations)
+      .run(Graph(reps.select(col(Columns.ID)), edges, directed = false))
+    // roots and isolated representatives never appear on the CC output's
+    // id side — they label themselves
+    reps
+      .join(cc, Seq(Columns.ID), "left")
+      .select(
+        explode(col("ids")).as(idCol),
+        coalesce(col(Columns.COMPONENT), col(Columns.ID)).as("cluster_id"))
+  }
+
   /** Eval-set decontamination: per-document n-gram CONTAINMENT against a
     * reference corpus — |shingles(doc) ∩ shingles(eval)| / |shingles(doc)|
     * — the standard "did a benchmark leak into the training set?" check

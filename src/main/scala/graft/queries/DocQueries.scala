@@ -238,6 +238,18 @@ object DocQueries {
           round(col("containment"), 6).as("containment"))
     }),
 
+    "d12_neardup_clusters" -> ((s, d) =>
+      // fuzzy-dedup CLUSTER assignment: exact-dedup -> LSH pairs among
+      // representatives -> connected components of the pair graph ->
+      // every exact copy inherits its representative's component. Pair
+      // output alone under-deletes because near-duplication is not
+      // transitive; one survivor per CLUSTER is the production contract.
+      // Exercises the dedup and graph halves of the library in one query.
+      // Oracle: exact pair twin (d02/d09 recall argument) + a recursive
+      // min-label closure replayed in DuckDB.
+      Dedup.nearDupClusters(documents(s, d), "doc_id", "text",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.4)),
+
     "t05_winnow" -> ((s, d) =>
       // oracle-checked end to end via the portable sha256-prefix k-gram
       // hash: DuckDB reproduces the exact fingerprint set (the xxhash64
@@ -469,6 +481,30 @@ object DocQueries {
          |      / (a.n + b.n - len(list_intersect(a.s, b.s))) AS jaccard
          |  FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.4""".stripMargin,
+    // exact twin of the cluster step: representative pairs as in d09,
+    // then a recursive min-label closure (= connected components), then
+    // every doc mapped through its exact-dedup representative
+    "d12_neardup_clusters" ->
+      s"""WITH RECURSIVE
+         |keep AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
+         |mem AS (SELECT d.doc_id, k.rep FROM documents d JOIN keep k ON k.text = d.text),
+         |t0 AS (SELECT rep AS doc_id, $toksSql AS t FROM keep),
+         |sh AS (SELECT doc_id, $shinglesSql AS s FROM t0),
+         |nz AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0),
+         |pr AS (SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |        / (a.n + b.n - len(list_intersect(a.s, b.s))) AS jaccard
+         |    FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.4),
+         |eg AS (SELECT id_a AS es, id_b AS ed FROM pr
+         |       UNION ALL SELECT id_b, id_a FROM pr),
+         |reach(id, lab) AS (
+         |  SELECT rep, rep FROM keep
+         |  UNION
+         |  SELECT eg.ed, r.lab FROM reach r JOIN eg ON eg.es = r.id),
+         |comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+         |SELECT m.doc_id, c.cluster_id FROM mem m JOIN comp c ON c.id = m.rep""".stripMargin,
     // composed pipeline: d01's dedup + t02's quality formula + t03's
     // argmax + d07's chunking, chained exactly like the Spark side
     "d08_pipeline" ->

@@ -22,6 +22,13 @@ object EmbQueries {
     * so the sampled-Lloyd path is genuinely exercised (sf0.01 ships 2000
     * vectors). */
   private val FitSample = 1000
+  /** e09's PQ shape: 2 subspaces of 32 dims, 8 codes each, 2 Lloyd rounds
+    * on the shared [[FitSample]] sample — small enough that the oracle's
+    * m unrolled fit replays stay readable, large enough that codes are
+    * non-trivial (64 distinct code pairs). */
+  private val PqM = 2
+  private val PqKsub = 8
+  private val PqIters = 2
 
   private def queriesDf(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).filter(col("vec_id") < NQUERIES)
@@ -104,6 +111,24 @@ object EmbQueries {
       // along so a consumer can expand representative pairs when needed.
       Ann.dedupedNearDupPairs(embeddings(s, d),
         "vec_id", "embedding", "label", minDot = 250000L)),
+
+    "e09_knn_pq_adc" -> ((s, d) => {
+      // product quantization, oracle-checked END TO END: m portable
+      // codebook fits (sampled Lloyd, sha256-Forgy seeds, integer-sum
+      // centroids), portable encode, and ADC scoring whose per-code
+      // partial is one correctly-rounded division + one half-away round
+      // into exact i64 — DuckDB replays all m fits from one shared sample
+      // CTE, the full-corpus encode, and the ADC join bit for bit. The
+      // float-centroid Pq path keeps its recall contract in PqSpec.
+      val emb = embeddings(s, d)
+      val model = graft.similarity.Pq.fitPortable(
+        emb, "vec_id", "embedding", dims = 64, m = PqM, ksub = PqKsub,
+        maxIterations = PqIters, fitSampleSize = FitSample)
+      val encoded = graft.similarity.Pq.encodePortable(
+        emb, "vec_id", "embedding", model)
+      graft.similarity.Pq.adcTopKPortable(
+        encoded, queriesDf(s, d), "vec_id", "embedding", model, K)
+    }),
 
     "e04_embedding_neardup" -> ((s, d) => {
       // embedding-cosine near-duplicate pairs: quantized-dot self-join
@@ -323,7 +348,87 @@ object EmbQueries {
        |WHERE rn <= $K""".stripMargin
   }
 
+  /** Full PQ replay for e09: m portable codebook fits (each the same
+    * sampled-Lloyd machinery as the e05 oracle, over a SLICED copy of the
+    * one shared sample CTE), the full-corpus encode per subspace, then ADC
+    * — per-(query, code) integer partials joined to the encoded corpus on
+    * (subspace, code) and summed exactly. */
+  private def pqAdcSql(m: Int, ksub: Int, iters: Int, fitSample: Int,
+      dims: Int = 64): String = {
+    val subDim = dims / m
+    def assignCte(j: Int, i: Int, src: String): String =
+      s"""s${i}_$j AS (SELECT i.id, c.cell,
+         |  CAST(-2 * CAST(list_sum([i.qv[x] * c.cs[x]
+         |         FOR x IN range(1, len(i.qv) + 1)]) AS BIGINT) AS DOUBLE)
+         |    / CAST(c.n AS DOUBLE)
+         |  + CAST(CAST(list_sum([c.cs[x] * c.cs[x]
+         |         FOR x IN range(1, len(c.cs) + 1)]) AS BIGINT) AS DOUBLE)
+         |    / CAST(c.n * c.n AS DOUBLE) AS score
+         |  FROM $src i, c${i - 1}_$j c),
+         |a${i}_$j AS (SELECT id, cell FROM (
+         |  SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY score, cell) AS rn
+         |  FROM s${i}_$j) WHERE rn = 1)""".stripMargin
+    def updateCte(j: Int, i: Int): String =
+      s"""u${i}_$j AS (SELECT a.cell, u.d AS d, sum(i.qv[CAST(u.d AS INTEGER)]) AS sx
+         |  FROM a${i}_$j a JOIN itf_$j i ON i.id = a.id,
+         |       unnest(range(1, len(i.qv) + 1)) AS u(d)
+         |  GROUP BY a.cell, u.d),
+         |n${i}_$j AS (SELECT cell, count(*) AS n FROM a${i}_$j GROUP BY cell),
+         |f${i}_$j AS (SELECT u.cell, list(u.sx ORDER BY u.d) AS cs, any_value(n.n) AS n
+         |  FROM u${i}_$j u JOIN n${i}_$j n ON n.cell = u.cell GROUP BY u.cell),
+         |c${i}_$j AS (SELECT p.cell, coalesce(f.cs, p.cs) AS cs, coalesce(f.n, p.n) AS n
+         |  FROM c${i - 1}_$j p LEFT JOIN f${i}_$j f ON f.cell = p.cell)""".stripMargin
+    val fin = iters + 1
+    val perSub = (0 until m).map { j =>
+      val lo = j * subDim + 1
+      val hi = (j + 1) * subDim
+      val slices =
+        s"""it_$j AS (SELECT id, qv[$lo:$hi] AS qv FROM it),
+           |itf_$j AS (SELECT id, qv[$lo:$hi] AS qv FROM itf)""".stripMargin
+      val seeds =
+        s"""c0_$j AS (SELECT cell, cs, n FROM (
+           |  SELECT row_number() OVER (ORDER BY sha256(CAST(id AS VARCHAR)), id) - 1 AS cell,
+           |         qv AS cs, CAST(1 AS BIGINT) AS n
+           |  FROM itf_$j) WHERE cell < $ksub)""".stripMargin
+      val rounds = (1 to iters).map(i =>
+        assignCte(j, i, s"itf_$j") + ",\n" + updateCte(j, i))
+      val enc = assignCte(j, fin, s"it_$j")
+      val pt =
+        s"""pt_$j AS (SELECT q.qid, $j AS subspace, c.cell AS code,
+           |  CAST(round(CAST(CAST(list_sum([q.qv[x] * c.cs[x]
+           |         FOR x IN range(1, len(q.qv) + 1)]) AS BIGINT) AS DOUBLE)
+           |       / CAST(c.n AS DOUBLE)) AS BIGINT) AS part
+           |  FROM (SELECT id AS qid, qv FROM it_$j WHERE id < $NQUERIES) q,
+           |       c${iters}_$j c)""".stripMargin
+      (Seq(slices, seeds) ++ rounds ++ Seq(enc, pt)).mkString(",\n")
+    }
+    val encUnion = (0 until m)
+      .map(j => s"SELECT id, $j AS subspace, cell AS code FROM a${fin}_$j")
+      .mkString("\n  UNION ALL ")
+    val ptUnion = (0 until m).map(j => s"SELECT * FROM pt_$j")
+      .mkString("\n  UNION ALL ")
+    s"""WITH it AS (SELECT vec_id AS id,
+       |    [CAST(round(CAST(embedding[j] AS DOUBLE) * 1000) AS BIGINT)
+       |     FOR j IN range(1, len(embedding) + 1)] AS qv
+       |  FROM embeddings),
+       |itf AS (SELECT id, qv FROM it
+       |  ORDER BY sha256(CAST(id AS VARCHAR)), id LIMIT $fitSample),
+       |${perSub.mkString(",\n")},
+       |enc AS ($encUnion),
+       |pt AS ($ptUnion),
+       |sc AS (SELECT p.qid, e.id AS nid, CAST(sum(p.part) AS BIGINT) AS adc
+       |  FROM enc e JOIN pt p ON p.subspace = e.subspace AND p.code = e.code
+       |  WHERE e.id <> p.qid
+       |  GROUP BY p.qid, e.id)
+       |SELECT qid, nid, adc FROM (
+       |  SELECT qid, nid, adc,
+       |         row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rn
+       |  FROM sc)
+       |WHERE rn <= $K""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "e09_knn_pq_adc" -> pqAdcSql(PqM, PqKsub, PqIters, FitSample),
     "e05_knn_ivf_kmeans" ->
       kmeansIvfSql(k = 10, iters = 5, nprobe = 3, fitSample = FitSample),
     "e02_knn_lsh" -> lshKnnSql,

@@ -75,6 +75,71 @@ object Pq {
     * to the encoded corpus, summed per (query, vector). Output
     * (qid, nid, adc). `encoded` is [[encode]]'s output for the corpus.
     */
+  /** Portable PQ model: codebooks carry the INTEGER-SUM centroid columns
+    * of [[KMeans.fitPortable]] — (subspace, cell, cs, n, ss) — so every
+    * downstream step is exact-integer + correctly-rounded-IEEE, replayable
+    * bit for bit by a SQL oracle. */
+  final case class PqPortableModel(codebooks: DataFrame, m: Int, subDim: Int)
+
+  /** Train m portable codebooks. Every subspace fit samples and seeds by
+    * the SAME (sha256(id), id) key, so one sampled row set drives all m
+    * fits — the oracle replays them from a single shared CTE. */
+  def fitPortable(items: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, ksub: Int,
+      maxIterations: Int = 5, fitSampleSize: Int = 0): PqPortableModel = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val subDim = dims / m
+    val books = (0 until m).map { j =>
+      KMeans.fitPortable(
+        items.select(col(idCol), subVec(vecCol, j, subDim).as("_sv")),
+        idCol, "_sv", ksub, maxIterations, fitSampleSize = fitSampleSize)
+        .select(lit(j).as("subspace"), col("cell"), col("cs"), col("n"), col("ss"))
+    }
+    PqPortableModel(books.reduce(_ unionByName _).localCheckpoint(), m, subDim)
+  }
+
+  /** Portable encode: per-subspace [[KMeans.assignPortable]] (exact-integer
+    * rank key). Output (idCol, subspace, code). */
+  def encodePortable(items: DataFrame, idCol: String, vecCol: String,
+      model: PqPortableModel): DataFrame =
+    (0 until model.m).map { j =>
+      KMeans.assignPortable(
+        items.select(col(idCol), subVec(vecCol, j, model.subDim).as("_sv")),
+        model.codebooks.filter(col("subspace") === j),
+        idCol, "_sv")
+        .select(col(idCol), lit(j).as("subspace"), col("cell").cast("int").as("code"))
+    }.reduce(_ unionByName _)
+
+  /** Portable ADC top-k: per-(query, subspace, code) partial =
+    * round(float_long_dot(q_sub, cs) / n) — ONE correctly-rounded IEEE
+    * division and one half-away-from-zero round, then exact i64 all the
+    * way (integer partials sum identically in any order, so the
+    * map-side-combined aggregation is engine- and partitioning-proof).
+    * Output (qid, nid, adc); ties break on nid. Same broadcast-lookup plan
+    * shape as [[adcTopK]]: the corpus never shuffles its codes more than
+    * once, queries x codebook stays tiny. */
+  def adcTopKPortable(encoded: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, model: PqPortableModel, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = (0 until model.m).map { j =>
+      queries.select(col(idCol).as("qid"), subVec(vecCol, j, model.subDim).as("_qs"))
+        .join(broadcast(model.codebooks.filter(col("subspace") === j)), expr("true"))
+        .select(col("qid"), col("subspace"),
+          col("cell").cast("int").as("code"),
+          round(graft.functions.FloatLongDot(col("_qs"), col("cs")).cast("double")
+            / col("n").cast("double")).cast("bigint").as("_part"))
+    }.reduce(_ unionByName _)
+    val scored = encoded
+      .join(broadcast(parts), Seq("subspace", "code"))
+      .filter(col(idCol) =!= col("qid"))
+      .groupBy(col("qid"), col(idCol).as("nid"))
+      .agg(sum(col("_part")).as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   def adcTopK(encoded: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, model: PqModel, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -223,6 +223,37 @@ class AnnSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"ADC lookup must be keyed:\n$plan")
   }
 
+  test("portable PQ: deterministic, sample-invariant at full size, recall kept, keyed plan") {
+    import graft.similarity.Pq
+    val items = clustered()
+    val model = Pq.fitPortable(items, "vec_id", "embedding",
+      dims = 8, m = 4, ksub = 16, maxIterations = 3)
+    val again = Pq.fitPortable(items, "vec_id", "embedding",
+      dims = 8, m = 4, ksub = 16, maxIterations = 3)
+    assert(rowSet(model.codebooks) === rowSet(again.codebooks),
+      "portable PQ fit must be deterministic")
+    // sampled fit at fitSampleSize >= corpus is the identity
+    val sampled = Pq.fitPortable(items, "vec_id", "embedding",
+      dims = 8, m = 4, ksub = 16, maxIterations = 3, fitSampleSize = 1000)
+    assert(rowSet(model.codebooks) === rowSet(sampled.codebooks),
+      "fitSampleSize >= corpus must equal the full fit")
+
+    val encoded = Pq.encodePortable(items, "vec_id", "embedding", model)
+      .localCheckpoint()
+    assert(encoded.count() === 320L, "80 vectors x 4 subspace codes")
+    val q = items.filter(col("vec_id") % 20 === 0)
+    val exact = Ann.bruteForceTopK(items, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = Pq.adcTopKPortable(encoded, q, "vec_id", "embedding", model, 5)
+    val got = adc.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"portable PQ ADC recall $recall")
+    val plan = adc.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian in portable ADC:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"portable ADC lookup must be keyed:\n$plan")
+  }
+
   test("portable k-means: deterministic, k cells, and usable IVF recall") {
     import graft.similarity.KMeans
     val items = clustered()

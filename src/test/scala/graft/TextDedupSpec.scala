@@ -154,6 +154,29 @@ class TextDedupSpec extends SparkSpec {
       "fixture must actually exercise the cap")
   }
 
+  test("nearDupClusters merges a transitive chain that pairwise thresholds would split") {
+    // a~b and b~c are near-dups but a~c is NOT (near-duplication is not
+    // transitive) — the cluster step must still place a, b, c together.
+    // Doc 4 is an exact copy of a (inherits the cluster via the copy map),
+    // doc 9 is unrelated (its own singleton cluster).
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val a = base
+    val b = (3 to 14).map(i => s"w$i").mkString(" ")      // shifted window
+    val c = (5 to 16).map(i => s"w$i").mkString(" ")      // shifted further
+    val d = docs((1L, a), (2L, b), (3L, c), (4L, a), (9L, "zz yy xx ww vv uu"))
+    val t = 0.5
+    // fixture sanity: the chain holds pairwise but not end to end
+    def j(x: String, y: String): Double = {
+      def sh(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val (sx, sy) = (sh(x), sh(y))
+      sx.intersect(sy).size.toDouble / sx.union(sy).size
+    }
+    assert(j(a, b) >= t && j(b, c) >= t && j(a, c) < t)
+    val out = Dedup.nearDupClusters(d, "doc_id", "text", threshold = t)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L))
+  }
+
   test("evalContainment: leaked eval item scores high where Jaccard would not") {
     val evalItem = "what is the capital of france the answer is paris"
     val filler = (1 to 60).map(i => s"w$i").mkString(" ")
