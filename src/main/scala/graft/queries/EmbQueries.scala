@@ -130,6 +130,22 @@ object EmbQueries {
         encoded, queriesDf(s, d), "vec_id", "embedding", model, K)
     }),
 
+    "e10_knn_ivfpq" -> ((s, d) => {
+      // IVF-PQ, the billion-vector serving layout, oracle-checked END TO
+      // END: coarse portable k-means prunes the corpus to nprobe cells,
+      // ADC then reads m codes per surviving vector — the query path
+      // never touches a raw embedding. DuckDB replays the coarse fit,
+      // both codebook fits, the encode, the probe ranking and the ADC
+      // join bit for bit (shared sample CTE, exact-integer rank keys).
+      val emb = embeddings(s, d)
+      val model = graft.similarity.Pq.fitIvfPqPortable(
+        emb, "vec_id", "embedding", dims = 64, coarseK = 8,
+        m = PqM, ksub = PqKsub, maxIterations = PqIters,
+        fitSampleSize = FitSample)
+      graft.similarity.Pq.ivfAdcTopKPortable(
+        model, queriesDf(s, d), "vec_id", "embedding", nprobe = 3, K)
+    }),
+
     "e04_embedding_neardup" -> ((s, d) => {
       // embedding-cosine near-duplicate pairs: quantized-dot self-join
       // pruned by shared IVF cell (label) — same-cell pairs only
@@ -348,51 +364,72 @@ object EmbQueries {
        |WHERE rn <= $K""".stripMargin
   }
 
-  /** Full PQ replay for e09: m portable codebook fits (each the same
-    * sampled-Lloyd machinery as the e05 oracle, over a SLICED copy of the
-    * one shared sample CTE), the full-corpus encode per subspace, then ADC
-    * — per-(query, code) integer partials joined to the encoded corpus on
-    * (subspace, code) and summed exactly. */
-  private def pqAdcSql(m: Int, ksub: Int, iters: Int, fitSample: Int,
-      dims: Int = 64): String = {
+  // ---- shared DuckDB sampled-Lloyd replay builders. `sfx` disambiguates
+  // independent fits coexisting in ONE WITH list (the m PQ subspaces and
+  // the IVF-PQ coarse quantizer). Same machinery as the e05 oracle. ----
+
+  /** s$i$sfx: every `src` row scored against centroids c{i-1}$sfx with the
+    * portable -2*dot/n + |S|^2/n^2 key; a$i$sfx: argmin per id. */
+  private def lloydAssignCte(sfx: String, i: Int, src: String): String =
+    s"""s$i$sfx AS (SELECT i.id, c.cell,
+       |  CAST(-2 * CAST(list_sum([i.qv[x] * c.cs[x]
+       |         FOR x IN range(1, len(i.qv) + 1)]) AS BIGINT) AS DOUBLE)
+       |    / CAST(c.n AS DOUBLE)
+       |  + CAST(CAST(list_sum([c.cs[x] * c.cs[x]
+       |         FOR x IN range(1, len(c.cs) + 1)]) AS BIGINT) AS DOUBLE)
+       |    / CAST(c.n * c.n AS DOUBLE) AS score
+       |  FROM $src i, c${i - 1}$sfx c),
+       |a$i$sfx AS (SELECT id, cell FROM (
+       |  SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY score, cell) AS rn
+       |  FROM s$i$sfx) WHERE rn = 1)""".stripMargin
+
+  /** centroid update a$i$sfx -> c$i$sfx (emptied cells keep previous). */
+  private def lloydUpdateCte(sfx: String, i: Int, itf: String): String =
+    s"""u$i$sfx AS (SELECT a.cell, u.d AS d, sum(i.qv[CAST(u.d AS INTEGER)]) AS sx
+       |  FROM a$i$sfx a JOIN $itf i ON i.id = a.id,
+       |       unnest(range(1, len(i.qv) + 1)) AS u(d)
+       |  GROUP BY a.cell, u.d),
+       |n$i$sfx AS (SELECT cell, count(*) AS n FROM a$i$sfx GROUP BY cell),
+       |f$i$sfx AS (SELECT u.cell, list(u.sx ORDER BY u.d) AS cs, any_value(n.n) AS n
+       |  FROM u$i$sfx u JOIN n$i$sfx n ON n.cell = u.cell GROUP BY u.cell),
+       |c$i$sfx AS (SELECT p.cell, coalesce(f.cs, p.cs) AS cs, coalesce(f.n, p.n) AS n
+       |  FROM c${i - 1}$sfx p LEFT JOIN f$i$sfx f ON f.cell = p.cell)""".stripMargin
+
+  /** sha256-Forgy seeds + `iters` rounds over `itf` + the final
+    * assignment a{iters+1}$sfx of every `it` row against c{iters}$sfx. */
+  private def lloydChain(sfx: String, k: Int, iters: Int,
+      it: String, itf: String): String = {
+    val seeds =
+      s"""c0$sfx AS (SELECT cell, cs, n FROM (
+         |  SELECT row_number() OVER (ORDER BY sha256(CAST(id AS VARCHAR)), id) - 1 AS cell,
+         |         qv AS cs, CAST(1 AS BIGINT) AS n
+         |  FROM $itf) WHERE cell < $k)""".stripMargin
+    val rounds = (1 to iters).map(i =>
+      lloydAssignCte(sfx, i, itf) + ",\n" + lloydUpdateCte(sfx, i, itf))
+    (Seq(seeds) ++ rounds ++ Seq(lloydAssignCte(sfx, iters + 1, it)))
+      .mkString(",\n")
+  }
+
+  /** the quantized corpus + the shared bounded deterministic fit sample. */
+  private def itCtes(fitSample: Int): String =
+    s"""it AS (SELECT vec_id AS id,
+       |    [CAST(round(CAST(embedding[j] AS DOUBLE) * 1000) AS BIGINT)
+       |     FOR j IN range(1, len(embedding) + 1)] AS qv
+       |  FROM embeddings),
+       |itf AS (SELECT id, qv FROM it
+       |  ORDER BY sha256(CAST(id AS VARCHAR)), id LIMIT $fitSample)""".stripMargin
+
+  /** per-subspace PQ machinery: sliced it/itf copies, the codebook fit
+    * chain, and the per-query ADC lookup table pt_j (integer partials:
+    * one rounded division per (query, code)). */
+  private def pqPerSubspace(m: Int, ksub: Int, iters: Int, dims: Int): String = {
     val subDim = dims / m
-    def assignCte(j: Int, i: Int, src: String): String =
-      s"""s${i}_$j AS (SELECT i.id, c.cell,
-         |  CAST(-2 * CAST(list_sum([i.qv[x] * c.cs[x]
-         |         FOR x IN range(1, len(i.qv) + 1)]) AS BIGINT) AS DOUBLE)
-         |    / CAST(c.n AS DOUBLE)
-         |  + CAST(CAST(list_sum([c.cs[x] * c.cs[x]
-         |         FOR x IN range(1, len(c.cs) + 1)]) AS BIGINT) AS DOUBLE)
-         |    / CAST(c.n * c.n AS DOUBLE) AS score
-         |  FROM $src i, c${i - 1}_$j c),
-         |a${i}_$j AS (SELECT id, cell FROM (
-         |  SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY score, cell) AS rn
-         |  FROM s${i}_$j) WHERE rn = 1)""".stripMargin
-    def updateCte(j: Int, i: Int): String =
-      s"""u${i}_$j AS (SELECT a.cell, u.d AS d, sum(i.qv[CAST(u.d AS INTEGER)]) AS sx
-         |  FROM a${i}_$j a JOIN itf_$j i ON i.id = a.id,
-         |       unnest(range(1, len(i.qv) + 1)) AS u(d)
-         |  GROUP BY a.cell, u.d),
-         |n${i}_$j AS (SELECT cell, count(*) AS n FROM a${i}_$j GROUP BY cell),
-         |f${i}_$j AS (SELECT u.cell, list(u.sx ORDER BY u.d) AS cs, any_value(n.n) AS n
-         |  FROM u${i}_$j u JOIN n${i}_$j n ON n.cell = u.cell GROUP BY u.cell),
-         |c${i}_$j AS (SELECT p.cell, coalesce(f.cs, p.cs) AS cs, coalesce(f.n, p.n) AS n
-         |  FROM c${i - 1}_$j p LEFT JOIN f${i}_$j f ON f.cell = p.cell)""".stripMargin
-    val fin = iters + 1
-    val perSub = (0 until m).map { j =>
+    (0 until m).map { j =>
       val lo = j * subDim + 1
       val hi = (j + 1) * subDim
       val slices =
         s"""it_$j AS (SELECT id, qv[$lo:$hi] AS qv FROM it),
            |itf_$j AS (SELECT id, qv[$lo:$hi] AS qv FROM itf)""".stripMargin
-      val seeds =
-        s"""c0_$j AS (SELECT cell, cs, n FROM (
-           |  SELECT row_number() OVER (ORDER BY sha256(CAST(id AS VARCHAR)), id) - 1 AS cell,
-           |         qv AS cs, CAST(1 AS BIGINT) AS n
-           |  FROM itf_$j) WHERE cell < $ksub)""".stripMargin
-      val rounds = (1 to iters).map(i =>
-        assignCte(j, i, s"itf_$j") + ",\n" + updateCte(j, i))
-      val enc = assignCte(j, fin, s"it_$j")
       val pt =
         s"""pt_$j AS (SELECT q.qid, $j AS subspace, c.cell AS code,
            |  CAST(round(CAST(CAST(list_sum([q.qv[x] * c.cs[x]
@@ -400,35 +437,77 @@ object EmbQueries {
            |       / CAST(c.n AS DOUBLE)) AS BIGINT) AS part
            |  FROM (SELECT id AS qid, qv FROM it_$j WHERE id < $NQUERIES) q,
            |       c${iters}_$j c)""".stripMargin
-      (Seq(slices, seeds) ++ rounds ++ Seq(enc, pt)).mkString(",\n")
-    }
-    val encUnion = (0 until m)
-      .map(j => s"SELECT id, $j AS subspace, cell AS code FROM a${fin}_$j")
-      .mkString("\n  UNION ALL ")
-    val ptUnion = (0 until m).map(j => s"SELECT * FROM pt_$j")
-      .mkString("\n  UNION ALL ")
-    s"""WITH it AS (SELECT vec_id AS id,
-       |    [CAST(round(CAST(embedding[j] AS DOUBLE) * 1000) AS BIGINT)
-       |     FOR j IN range(1, len(embedding) + 1)] AS qv
-       |  FROM embeddings),
-       |itf AS (SELECT id, qv FROM it
-       |  ORDER BY sha256(CAST(id AS VARCHAR)), id LIMIT $fitSample),
-       |${perSub.mkString(",\n")},
-       |enc AS ($encUnion),
-       |pt AS ($ptUnion),
-       |sc AS (SELECT p.qid, e.id AS nid, CAST(sum(p.part) AS BIGINT) AS adc
-       |  FROM enc e JOIN pt p ON p.subspace = e.subspace AND p.code = e.code
-       |  WHERE e.id <> p.qid
-       |  GROUP BY p.qid, e.id)
-       |SELECT qid, nid, adc FROM (
+      Seq(slices, lloydChain(s"_$j", ksub, iters, s"it_$j", s"itf_$j"), pt)
+        .mkString(",\n")
+    }.mkString(",\n")
+  }
+
+  private def pqEncUnion(m: Int, iters: Int): String = (0 until m)
+    .map(j => s"SELECT id, $j AS subspace, cell AS code FROM a${iters + 1}_$j")
+    .mkString("\n  UNION ALL ")
+
+  private def pqPtUnion(m: Int): String =
+    (0 until m).map(j => s"SELECT * FROM pt_$j").mkString("\n  UNION ALL ")
+
+  private val adcTopKSql =
+    s"""SELECT qid, nid, adc FROM (
        |  SELECT qid, nid, adc,
        |         row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rn
        |  FROM sc)
        |WHERE rn <= $K""".stripMargin
-  }
+
+  /** Full PQ replay for e09: m portable codebook fits (each the same
+    * sampled-Lloyd machinery as the e05 oracle, over a SLICED copy of the
+    * one shared sample CTE), the full-corpus encode per subspace, then ADC
+    * — per-(query, code) integer partials joined to the encoded corpus on
+    * (subspace, code) and summed exactly. */
+  private def pqAdcSql(m: Int, ksub: Int, iters: Int, fitSample: Int,
+      dims: Int = 64): String =
+    s"""WITH ${itCtes(fitSample)},
+       |${pqPerSubspace(m, ksub, iters, dims)},
+       |enc AS (${pqEncUnion(m, iters)}),
+       |pt AS (${pqPtUnion(m)}),
+       |sc AS (SELECT p.qid, e.id AS nid, CAST(sum(p.part) AS BIGINT) AS adc
+       |  FROM enc e JOIN pt p ON p.subspace = e.subspace AND p.code = e.code
+       |  WHERE e.id <> p.qid
+       |  GROUP BY p.qid, e.id)
+       |$adcTopKSql""".stripMargin
+
+  /** Full IVF-PQ replay for e10: the coarse quantizer's sampled-Lloyd
+    * chain (suffix _g) AND the m PQ codebook chains share one it/itf;
+    * probing ranks coarse cells by the exact-integer dot/n key (as the
+    * e03/e05 oracles), candidates are probed cells' members, ADC scores
+    * them from codes alone. */
+  private def ivfPqSql(coarseK: Int, nprobe: Int, m: Int, ksub: Int,
+      iters: Int, fitSample: Int, dims: Int = 64): String =
+    s"""WITH ${itCtes(fitSample)},
+       |${lloydChain("_g", coarseK, iters, "it", "itf")},
+       |${pqPerSubspace(m, ksub, iters, dims)},
+       |enc AS (${pqEncUnion(m, iters)}),
+       |pt AS (${pqPtUnion(m)}),
+       |qg AS (SELECT id AS qid, qv FROM it WHERE id < $NQUERIES),
+       |p0 AS (SELECT q.qid, c.cell,
+       |    CAST(CAST(list_sum([q.qv[x] * c.cs[x]
+       |         FOR x IN range(1, len(q.qv) + 1)]) AS BIGINT) AS DOUBLE)
+       |      / CAST(c.n AS DOUBLE) AS score
+       |  FROM qg q, c${iters}_g c),
+       |pr AS (SELECT qid, cell FROM (
+       |  SELECT qid, cell,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cell) AS rn
+       |  FROM p0) WHERE rn <= $nprobe),
+       |cand AS (SELECT p.qid, a.id FROM pr p JOIN a${iters + 1}_g a ON a.cell = p.cell
+       |         WHERE a.id <> p.qid),
+       |sc AS (SELECT c.qid, e.id AS nid, CAST(sum(p.part) AS BIGINT) AS adc
+       |  FROM cand c JOIN enc e ON e.id = c.id
+       |  JOIN pt p ON p.qid = c.qid AND p.subspace = e.subspace AND p.code = e.code
+       |  GROUP BY c.qid, e.id)
+       |$adcTopKSql""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "e09_knn_pq_adc" -> pqAdcSql(PqM, PqKsub, PqIters, FitSample),
+    "e10_knn_ivfpq" ->
+      ivfPqSql(coarseK = 8, nprobe = 3, m = PqM, ksub = PqKsub,
+        iters = PqIters, fitSample = FitSample),
     "e05_knn_ivf_kmeans" ->
       kmeansIvfSql(k = 10, iters = 5, nprobe = 3, fitSample = FitSample),
     "e02_knn_lsh" -> lshKnnSql,

@@ -110,18 +110,15 @@ object Pq {
         .select(col(idCol), lit(j).as("subspace"), col("cell").cast("int").as("code"))
     }.reduce(_ unionByName _)
 
-  /** Portable ADC top-k: per-(query, subspace, code) partial =
-    * round(float_long_dot(q_sub, cs) / n) — ONE correctly-rounded IEEE
-    * division and one half-away-from-zero round, then exact i64 all the
-    * way (integer partials sum identically in any order, so the
-    * map-side-combined aggregation is engine- and partitioning-proof).
-    * Output (qid, nid, adc); ties break on nid. Same broadcast-lookup plan
-    * shape as [[adcTopK]]: the corpus never shuffles its codes more than
-    * once, queries x codebook stays tiny. */
-  def adcTopKPortable(encoded: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, model: PqPortableModel, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val parts = (0 until model.m).map { j =>
+  /** Per-(query, subspace, code) ADC lookup tables on the portable rank
+    * key: partial = round(float_long_dot(q_sub, cs) / n) — ONE correctly
+    * rounded IEEE division and one half-away-from-zero round, then exact
+    * i64 all the way (integer partials sum identically in any order, so
+    * the map-side-combined aggregation is engine- and partitioning-proof).
+    */
+  private def adcParts(queries: DataFrame, idCol: String, vecCol: String,
+      model: PqPortableModel): DataFrame =
+    (0 until model.m).map { j =>
       queries.select(col(idCol).as("qid"), subVec(vecCol, j, model.subDim).as("_qs"))
         .join(broadcast(model.codebooks.filter(col("subspace") === j)), expr("true"))
         .select(col("qid"), col("subspace"),
@@ -129,15 +126,94 @@ object Pq {
           round(graft.functions.FloatLongDot(col("_qs"), col("cs")).cast("double")
             / col("n").cast("double")).cast("bigint").as("_part"))
     }.reduce(_ unionByName _)
-    val scored = encoded
-      .join(broadcast(parts), Seq("subspace", "code"))
-      .filter(col(idCol) =!= col("qid"))
-      .groupBy(col("qid"), col(idCol).as("nid"))
-      .agg(sum(col("_part")).as("adc"))
+
+  private def adcTopKFromScored(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .drop("rn")
+  }
+
+  /** Portable ADC top-k over the whole encoded corpus. Output
+    * (qid, nid, adc); ties break on nid. Same broadcast-lookup plan shape
+    * as [[adcTopK]]: the corpus never shuffles its codes more than once,
+    * queries x codebook stays tiny. */
+  def adcTopKPortable(encoded: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, model: PqPortableModel, k: Int): DataFrame = {
+    val scored = encoded
+      .join(broadcast(adcParts(queries, idCol, vecCol, model)), Seq("subspace", "code"))
+      .filter(col(idCol) =!= col("qid"))
+      .groupBy(col("qid"), col(idCol).as("nid"))
+      .agg(sum(col("_part")).as("adc"))
+    adcTopKFromScored(scored, k)
+  }
+
+  /** IVF-PQ, portable end to end — the standard billion-vector serving
+    * layout (FAISS IVFPQ without the residual step): a coarse quantizer
+    * prunes the corpus to `nprobe` of `coarseK` cells, and inside probed
+    * cells ADC reads m small codes per vector instead of D floats. The
+    * stored corpus is (cell, m codes) — raw vectors are never read by the
+    * query path at all, which is the whole point at 100 TB: storage
+    * bandwidth drops by ~D*4/m bytes per vector AND the probe skips
+    * (coarseK - nprobe)/coarseK of even that.
+    *
+    * Both quantizers fit on the SAME bounded deterministic sample (one
+    * shared ORDER BY sha256(id) LIMIT), every rank key is exact-integer +
+    * correctly-rounded-IEEE, so a SQL oracle replays coarse fit, m
+    * codebook fits, encode, probe and ADC bit for bit.
+    */
+  final case class IvfPqPortableModel(
+      coarse: DataFrame,   // (cell, cs, n, ss) — coarse integer-sum centroids
+      cells: DataFrame,    // (idCol, cell)     — coarse assignment of the corpus
+      pq: PqPortableModel, // m codebooks
+      encoded: DataFrame)  // (idCol, subspace, code)
+
+  def fitIvfPqPortable(items: DataFrame, idCol: String, vecCol: String,
+      dims: Int, coarseK: Int, m: Int, ksub: Int,
+      maxIterations: Int = 5, fitSampleSize: Int = 0): IvfPqPortableModel = {
+    val coarse = KMeans.fitPortable(items, idCol, vecCol, coarseK,
+      maxIterations, fitSampleSize = fitSampleSize).localCheckpoint()
+    val cells = KMeans.assignPortable(
+      items.select(col(idCol), col(vecCol)), coarse, idCol, vecCol)
+    val pq = fitPortable(items, idCol, vecCol, dims, m, ksub,
+      maxIterations, fitSampleSize)
+    IvfPqPortableModel(coarse, cells, pq,
+      encodePortable(items, idCol, vecCol, pq))
+  }
+
+  /** Probe + ADC over an [[IvfPqPortableModel]]: queries rank coarse
+    * cells by the exact-integer centroid dot (same key as
+    * [[Ann.ivfTopK]]), candidates are the probed cells' members, ADC
+    * scores them from codes alone. Output (qid, nid, adc).
+    *
+    * Plan shape: the probed (qid, cell) frame and the per-query lookup
+    * tables are broadcast; the corpus-side work is ONE keyed join of
+    * `cells` to `encoded` on the id — no corpus self-join, no raw-vector
+    * reads, no cartesian. */
+  def ivfAdcTopKPortable(model: IvfPqPortableModel, queries: DataFrame,
+      idCol: String, vecCol: String, nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probeScore =
+      graft.functions.FloatLongDot(col("_qv"), col("cs")).cast("double") /
+        col("n").cast("double")
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("_s").desc, col("cell"))
+    val probed = queries.select(col(idCol).as("qid"), col(vecCol).as("_qv"))
+      .join(broadcast(model.coarse), expr("true"))
+      .select(col("qid"), col("cell"), probeScore.as("_s"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("cell"))
+    val cand = model.cells.join(broadcast(probed), Seq("cell"))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol))
+    val scored = cand.join(model.encoded, Seq(idCol))
+      .join(broadcast(adcParts(queries, idCol, vecCol, model.pq)),
+        Seq("qid", "subspace", "code"))
+      .groupBy(col("qid"), col(idCol).as("nid"))
+      .agg(sum(col("_part")).as("adc"))
+    adcTopKFromScored(scored, k)
   }
 
   def adcTopK(encoded: DataFrame, queries: DataFrame,

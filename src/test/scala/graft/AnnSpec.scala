@@ -254,6 +254,43 @@ class AnnSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"portable ADC lookup must be keyed:\n$plan")
   }
 
+  test("IVF-PQ: full probe equals brute ADC exactly; narrow probe stays in-cluster; keyed plan") {
+    import graft.similarity.Pq
+    val items = clustered()
+    val model = Pq.fitIvfPqPortable(items, "vec_id", "embedding",
+      dims = 8, coarseK = 4, m = 4, ksub = 16, maxIterations = 3)
+    val q = items.filter(col("vec_id") % 20 === 0)
+
+    // probing EVERY coarse cell makes the candidate set the whole corpus,
+    // so IVF-PQ must reproduce brute-force ADC bit for bit — the same
+    // full-probe identity the e06 oracle uses for IVF
+    val full = Pq.ivfAdcTopKPortable(model, q, "vec_id", "embedding",
+      nprobe = 4, k = 5)
+    val brute = Pq.adcTopKPortable(model.encoded, q, "vec_id", "embedding",
+      model.pq, 5)
+    assert(rowSet(full) === rowSet(brute),
+      "full-probe IVF-PQ must equal brute ADC")
+
+    // nprobe=1 on well-separated clusters: neighbours stay in the
+    // query's own cluster and recall vs the exact scan survives pruning
+    val narrow = Pq.ivfAdcTopKPortable(model, q, "vec_id", "embedding",
+      nprobe = 1, k = 5)
+    val nidsOfQ0 = narrow.filter(col("qid") === 0L)
+      .select("nid").collect().map(_.getLong(0))
+    assert(nidsOfQ0.forall(_ < 20L),
+      s"nprobe=1 must not cross clusters: ${nidsOfQ0.toSeq}")
+    val exact = Ann.bruteForceTopK(items, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = narrow.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF-PQ recall $recall")
+
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian in IVF-PQ:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"candidate+ADC joins must be keyed:\n$plan")
+  }
+
   test("portable k-means: deterministic, k cells, and usable IVF recall") {
     import graft.similarity.KMeans
     val items = clustered()
