@@ -72,4 +72,66 @@ final case class PageRank(
     }
     rank
   }
+
+  /** Personalized PageRank: teleport (and dangling) mass returns to a
+    * seed distribution instead of uniformly to all vertices — "importance
+    * relative to THESE nodes", the standard recommendation / local-graph
+    * relevance primitive. `reset` is (id, weight >= 0); weights are
+    * normalized to sum 1, vertices absent from `reset` get weight 0 (and
+    * can hold rank only through inbound links).
+    *
+    * Per round: rank := w * ((1-d) + d * danglingMass) + d * inbound —
+    * the same one-join one-aggregation shape as [[run]] with the scalar
+    * teleport replaced by the per-vertex `w` column. The seed vector is
+    * joined once and checkpointed; rounds add no extra shuffle over the
+    * uniform variant. Rank mass is conserved (sums to 1). */
+  def runPersonalized(g: Graph, reset: DataFrame): DataFrame = {
+    val edges = (if (g.directed) g.edges else g.symmetricEdges)
+      .select(col(SRC), col(DST))
+    val outDeg = edges.groupBy(col(SRC)).agg(count(lit(1)).as("_od"))
+    val routes = checkpoint.pin(edges.join(outDeg, Seq(SRC))
+      .select(col(SRC), col(DST), (lit(1.0) / col("_od")).as("_share")))
+
+    val totRow = reset.agg(sum(col("weight").cast("double"))).head()
+    require(!totRow.isNullAt(0) && totRow.getDouble(0) > 0.0,
+      "personalized PageRank needs a reset set with positive total weight")
+    val tot = totRow.getDouble(0)
+    val w = checkpoint.pin(g.vertices.select(col(ID))
+      .join(reset.select(col(ID),
+        (col("weight").cast("double") / tot).as("_w")), Seq(ID), "left")
+      .select(col(ID), coalesce(col("_w"), lit(0.0)).as("_w")))
+
+    var rank = checkpoint.pin(w.select(col(ID), col("_w").as(RANK)))
+    var i = 0
+    var done = false
+    while (i < maxIterations && !done) {
+      val danglingRow = rank
+        .join(routes.select(col(SRC).as(ID)).distinct(), Seq(ID), "left_anti")
+        .agg(coalesce(sum(col(RANK)), lit(0.0))).head()
+      // scalar multiplier on the seed vector: teleport + returned
+      // dangling mass, one driver double so every engine replays it
+      val fac = (1.0 - damping) + damping * danglingRow.getDouble(0)
+
+      val contrib = rank
+        .join(routes, rank(ID) === routes(SRC))
+        .groupBy(col(DST).as(ID))
+        .agg(sum(col(RANK) * col("_share")).as("_in"))
+      val next = w
+        .join(contrib, Seq(ID), "left")
+        .select(col(ID),
+          (col("_w") * lit(fac) +
+            lit(damping) * coalesce(col("_in"), lit(0.0))).as(RANK))
+      val pinned = checkpoint.pin(next, eager = false)
+
+      done = tolerance.exists { t =>
+        val delta = pinned.join(rank.withColumnRenamed(RANK, "_prev"), Seq(ID))
+          .agg(max(abs(col(RANK) - col("_prev")))).head().getDouble(0)
+        delta < t
+      }
+      if (tolerance.isEmpty) pinned.count()
+      rank = pinned
+      i += 1
+    }
+    rank
+  }
 }

@@ -250,6 +250,24 @@ object DocQueries {
       Dedup.nearDupClusters(documents(s, d), "doc_id", "text",
         shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.4)),
 
+    "d13_mixture_sample" -> ((s, d) => {
+      // corpus composition ("data mixing"): deterministic per-source
+      // Bernoulli sampling at source-specific rates — upsample curated
+      // sources, downsample crawl. The keep decision is a pure hash of
+      // the id, so the mix is reproducible across engines/retries AND
+      // stable under corpus growth (new docs never flip old keeps).
+      // Rates here derive from the source ordinal (1.0 / 0.5 / 0.25 by
+      // ordinal mod 3) so the oracle can rebuild the same rates table.
+      val docs = documents(s, d)
+      val rates = docs.select(col("source")).distinct()
+        .withColumn("rate", element_at(
+          array(lit(1.0), lit(0.5), lit(0.25)),
+          (pmod(expr("cast(substring(source, 4) as bigint)"), lit(3L)) + 1)
+            .cast("int")))
+      graft.sample.Sampling.mixtureSample(docs, "doc_id", "source", rates)
+        .select(col("doc_id"), col("source"), col("lang"))
+    }),
+
     "t05_winnow" -> ((s, d) =>
       // oracle-checked end to end via the portable sha256-prefix k-gram
       // hash: DuckDB reproduces the exact fingerprint set (the xxhash64
@@ -438,6 +456,18 @@ object DocQueries {
          |SELECT doc_id, chunk_idx, CAST(len(c) AS INTEGER) AS n_tokens,
          |       sha256(array_to_string(c, ' ')) AS sha256
          |FROM ch""".stripMargin,
+    // same rates table rebuilt from the source ordinal; same Knuth hash
+    // and floor()'d threshold, so keep decisions match bit for bit
+    "d13_mixture_sample" ->
+      """WITH r AS (SELECT source,
+        |    CASE CAST(substr(source, 4) AS BIGINT) % 3
+        |      WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 ELSE 0.25 END AS rate
+        |  FROM (SELECT DISTINCT source FROM documents))
+        |SELECT d.doc_id, d.source, d.lang
+        |FROM documents d JOIN r ON r.source = d.source
+        |WHERE (((d.doc_id % 2147483648 + 2147483648) % 2147483648)
+        |       * 2654435761) % 4294967296
+        |      < CAST(floor(rate * 4294967296.0) AS BIGINT)""".stripMargin,
     // exact containment twin: distinct eval shingles, per-doc hit counts
     "d11_decontaminate" ->
       s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),

@@ -29,6 +29,8 @@ object EmbQueries {
   private val PqM = 2
   private val PqKsub = 8
   private val PqIters = 2
+  /** e11's shortlist: 4x the final k, the usual re-rank overprovision. */
+  private val RerankShortlist = 20
 
   private def queriesDf(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).filter(col("vec_id") < NQUERIES)
@@ -144,6 +146,23 @@ object EmbQueries {
         fitSampleSize = FitSample)
       graft.similarity.Pq.ivfAdcTopKPortable(
         model, queriesDf(s, d), "vec_id", "embedding", nprobe = 3, K)
+    }),
+
+    "e11_knn_ivfpq_rerank" -> ((s, d) => {
+      // two-stage retrieval, oracle-checked END TO END: the e10 IVF-PQ
+      // machinery shortlists 20 candidates per query from codes alone,
+      // then ONLY those raw vectors are read back for an exact
+      // quantized-dot re-rank — the standard serving pattern (compressed
+      // index recall, exact final ranking). DuckDB replays shortlist AND
+      // re-rank bit for bit on top of the shared e10 body.
+      val emb = embeddings(s, d)
+      val model = graft.similarity.Pq.fitIvfPqPortable(
+        emb, "vec_id", "embedding", dims = 64, coarseK = 8,
+        m = PqM, ksub = PqKsub, maxIterations = PqIters,
+        fitSampleSize = FitSample)
+      graft.similarity.Pq.ivfAdcRerankTopKPortable(
+        model, emb, queriesDf(s, d), "vec_id", "embedding",
+        nprobe = 3, shortlist = RerankShortlist, k = K)
     }),
 
     "e04_embedding_neardup" -> ((s, d) => {
@@ -477,8 +496,10 @@ object EmbQueries {
     * chain (suffix _g) AND the m PQ codebook chains share one it/itf;
     * probing ranks coarse cells by the exact-integer dot/n key (as the
     * e03/e05 oracles), candidates are probed cells' members, ADC scores
-    * them from codes alone. */
-  private def ivfPqSql(coarseK: Int, nprobe: Int, m: Int, ksub: Int,
+    * them from codes alone. The shared body ends at `sc` (qid, nid, adc)
+    * so e10 (plain ADC top-k) and e11 (shortlist + exact re-rank) replay
+    * the same machinery. */
+  private def ivfPqBody(coarseK: Int, nprobe: Int, m: Int, ksub: Int,
       iters: Int, fitSample: Int, dims: Int = 64): String =
     s"""WITH ${itCtes(fitSample)},
        |${lloydChain("_g", coarseK, iters, "it", "itf")},
@@ -500,14 +521,43 @@ object EmbQueries {
        |sc AS (SELECT c.qid, e.id AS nid, CAST(sum(p.part) AS BIGINT) AS adc
        |  FROM cand c JOIN enc e ON e.id = c.id
        |  JOIN pt p ON p.qid = c.qid AND p.subspace = e.subspace AND p.code = e.code
-       |  GROUP BY c.qid, e.id)
+       |  GROUP BY c.qid, e.id)""".stripMargin
+
+  private def ivfPqSql(coarseK: Int, nprobe: Int, m: Int, ksub: Int,
+      iters: Int, fitSample: Int, dims: Int = 64): String =
+    s"""${ivfPqBody(coarseK, nprobe, m, ksub, iters, fitSample, dims)}
        |$adcTopKSql""".stripMargin
+
+  /** e11: same IVF-PQ body, but the ADC ranking only SHORTLISTS —
+    * the top `shortlist` per query by (adc, nid) are re-scored with the
+    * exact quantized dot against the raw vectors, and the final top-k
+    * ranks on that exact score. */
+  private def ivfPqRerankSql(coarseK: Int, nprobe: Int, m: Int, ksub: Int,
+      iters: Int, fitSample: Int, shortlist: Int, dims: Int = 64): String =
+    s"""${ivfPqBody(coarseK, nprobe, m, ksub, iters, fitSample, dims)},
+       |rr AS (SELECT qid, nid FROM (
+       |  SELECT qid, nid,
+       |         row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rn
+       |  FROM sc) WHERE rn <= $shortlist),
+       |ex AS (SELECT r.qid, r.nid,
+       |    CAST(list_sum([qi.qv[i] * ni.qv[i]
+       |         FOR i IN range(1, len(qi.qv) + 1)]) AS BIGINT) AS qdot
+       |  FROM rr r
+       |  JOIN it qi ON qi.id = r.qid
+       |  JOIN it ni ON ni.id = r.nid)
+       |SELECT qid, nid, qdot FROM (
+       |  SELECT qid, nid, qdot,
+       |         row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, nid) AS rn
+       |  FROM ex) WHERE rn <= $K""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "e09_knn_pq_adc" -> pqAdcSql(PqM, PqKsub, PqIters, FitSample),
     "e10_knn_ivfpq" ->
       ivfPqSql(coarseK = 8, nprobe = 3, m = PqM, ksub = PqKsub,
         iters = PqIters, fitSample = FitSample),
+    "e11_knn_ivfpq_rerank" ->
+      ivfPqRerankSql(coarseK = 8, nprobe = 3, m = PqM, ksub = PqKsub,
+        iters = PqIters, fitSample = FitSample, shortlist = RerankShortlist),
     "e05_knn_ivf_kmeans" ->
       kmeansIvfSql(k = 10, iters = 5, nprobe = 3, fitSample = FitSample),
     "e02_knn_lsh" -> lshKnnSql,

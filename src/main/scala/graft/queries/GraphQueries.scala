@@ -289,6 +289,21 @@ object GraphQueries {
         .select(col(ID), round(col("rank"), 9).as("rank"))
     }),
 
+    "g27_ppr" -> ((s, d) => {
+      // personalized PageRank from the id%17==0 seed set: teleport and
+      // dangling mass return to the seeds, so rank measures closeness to
+      // THEM, not global importance. Oracle-checked like g21: 5 fixed
+      // rounds mirrored op-for-op by an unrolled CTE, round(...,9)
+      // absorbing last-ulp summation-order drift.
+      val e = ordersEdges(s, d)
+      val v = vertsOf(e)
+      val seeds = v.filter(pmod(col(ID), lit(17L)) === 0L)
+        .select(col(ID), lit(1.0).as("weight"))
+      PageRank(maxIterations = 5)
+        .runPersonalized(indexedGraph(v, e, directed = true), seeds)
+        .select(col(ID), round(col("rank"), 9).as("rank"))
+    }),
+
     "g06_label_propagation" -> ((s, d) => {
       // oracle-checked: 5 fixed supersteps of deterministic-mode label
       // propagation, mirrored by an unrolled CTE (labelPropagationOracleSql)
@@ -342,6 +357,41 @@ object GraphQueries {
          |            + (0.85 * (SELECT dm FROM d$k)) / (SELECT n FROM nn))
          |           + 0.85 * coalesce(c.contrib, 0.0) AS rank
          |         FROM v LEFT JOIN c$k c ON v.id = c.id)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT id, round(rank, 9) AS rank FROM pr$iterations"
+  }
+
+  /** Unrolled personalized-PageRank oracle: same machinery as
+    * [[pageRankOracleSql]] with the uniform teleport replaced by the
+    * normalized seed vector `w` (id%17==0, equal weights). The scalar
+    * round factor ((1-d) + d*danglingMass) is forced to DOUBLE arithmetic
+    * (leading CAST) so it reproduces the Scala driver's doubles bit for
+    * bit; only the aggregation sums can drift, absorbed by round(...,9).
+    */
+  private def personalizedPageRankOracleSql(iterations: Int): String = {
+    val head =
+      s"""WITH e AS ($ordersEdgesSql),
+         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+         |routes AS (SELECT e.src, e.dst, 1.0 / od.od AS share
+         |           FROM e JOIN od ON e.src = od.src),
+         |sw AS (SELECT id, CASE WHEN id % 17 = 0
+         |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS w0
+         |       FROM v),
+         |wt AS (SELECT sum(w0) AS t FROM sw),
+         |w AS (SELECT id, w0 / (SELECT t FROM wt) AS w FROM sw),
+         |pr0 AS (SELECT id, w AS rank FROM w)""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      s"""d$k AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM pr${k - 1}
+         |        WHERE id NOT IN (SELECT src FROM od)),
+         |c$k AS (SELECT r.dst AS id, sum(p.rank * r.share) AS contrib
+         |        FROM pr${k - 1} p JOIN routes r ON p.id = r.src GROUP BY r.dst),
+         |pr$k AS (SELECT w.id,
+         |          w.w * ((CAST(1.0 AS DOUBLE) - 0.85)
+         |                  + 0.85 * (SELECT dm FROM d$k))
+         |           + 0.85 * coalesce(c.contrib, 0.0) AS rank
+         |         FROM w LEFT JOIN c$k c ON w.id = c.id)""".stripMargin
     }
     (head +: iters).mkString(",\n") +
       s"\nSELECT id, round(rank, 9) AS rank FROM pr$iterations"
@@ -404,6 +454,7 @@ object GraphQueries {
         |       FROM ee JOIN l2 p ON p.id = ee.b GROUP BY ee.a)
         |SELECT sha256(string_agg(l, '' ORDER BY l)) AS wl_hash FROM l3""".stripMargin,
     "g21_pagerank" -> pageRankOracleSql(5),
+    "g27_ppr" -> personalizedPageRankOracleSql(5),
     "g06_label_propagation" -> labelPropagationOracleSql(5),
     "q08_triangles" ->
       s"""WITH raw AS ($suppPartEdgesSql),

@@ -216,6 +216,40 @@ object Pq {
     adcTopKFromScored(scored, k)
   }
 
+  /** Two-stage retrieval: IVF-PQ produces a `shortlist`-sized candidate
+    * set per query from codes alone (cheap, approximate), then ONLY those
+    * `|queries| * shortlist` raw vectors are read back for an exact
+    * quantized-dot re-rank — the standard serving pattern (shortlist with
+    * a compressed index, re-rank with exact math) that recovers most of
+    * the recall ADC loses while still never scanning the corpus's raw
+    * vectors. Output (qid, nid, qdot); ties break on nid.
+    *
+    * Plan shape: the shortlist (tiny) is broadcast against `items`, so
+    * the re-rank is one keyed broadcast join + per-pair dot — the corpus
+    * is scanned once, never shuffled, and raw-vector bandwidth is
+    * `|queries| * shortlist` rows regardless of corpus size. With
+    * `shortlist` >= the corpus size and `nprobe` = coarseK this
+    * degenerates to the exact scan (the spec's identity check).
+    */
+  def ivfAdcRerankTopKPortable(model: IvfPqPortableModel, items: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      nprobe: Int, shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    import org.apache.spark.sql.expressions.Window
+    val short = ivfAdcTopKPortable(model, queries, idCol, vecCol,
+      nprobe, shortlist).select(col("qid"), col("nid"))
+    val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("_qv"))
+    val scored = items.select(col(idCol).as("nid"), col(vecCol).as("_nv"))
+      .join(broadcast(short), Seq("nid"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        Ann.quantizedDot(col("_qv"), col("_nv")).as("qdot"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   def adcTopK(encoded: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, model: PqModel, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -291,6 +291,46 @@ class AnnSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"candidate+ADC joins must be keyed:\n$plan")
   }
 
+  test("IVF-PQ + exact re-rank: degenerates to the exact scan, beats plain ADC, keyed plan") {
+    import graft.similarity.Pq
+    val items = clustered()
+    val model = Pq.fitIvfPqPortable(items, "vec_id", "embedding",
+      dims = 8, coarseK = 4, m = 4, ksub = 16, maxIterations = 3)
+    val q = items.filter(col("vec_id") % 20 === 0)
+    val exact = Ann.bruteForceTopK(items, q, "vec_id", "embedding", 5)
+
+    // full probe + shortlist >= corpus: the shortlist IS the corpus and
+    // the re-rank IS the exact scan, so the result must be bit-identical
+    // to bruteForceTopK (scores included — both are the quantized dot)
+    val degenerate = Pq.ivfAdcRerankTopKPortable(model, items, q,
+      "vec_id", "embedding", nprobe = 4, shortlist = 1000, k = 5)
+    assert(rowSet(degenerate) === rowSet(exact),
+      "full-probe full-shortlist re-rank must equal the exact scan")
+
+    // realistic shape: re-ranking a 4x shortlist can only improve on the
+    // ADC ranking it starts from (same candidates, exact final scores)
+    val exactSet = exact.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcSet = Pq.ivfAdcTopKPortable(model, q, "vec_id", "embedding",
+        nprobe = 2, k = 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rerank = Pq.ivfAdcRerankTopKPortable(model, items, q,
+      "vec_id", "embedding", nprobe = 2, shortlist = 20, k = 5)
+    val rerankSet = rerank.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcRecall = exactSet.intersect(adcSet).size.toDouble / exactSet.size
+    val rerankRecall = exactSet.intersect(rerankSet).size.toDouble / exactSet.size
+    assert(rerankRecall >= adcRecall,
+      s"re-rank recall $rerankRecall must be >= plain ADC recall $adcRecall")
+    assert(rerankRecall >= 0.5, s"re-rank recall $rerankRecall")
+
+    // plan shape: the re-rank join pulls shortlist rows by KEY — no
+    // cartesian, no corpus shuffle beyond the one keyed read-back
+    val plan = rerank.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian in re-rank:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"re-rank read-back must be keyed:\n$plan")
+  }
+
   test("portable k-means: deterministic, k cells, and usable IVF recall") {
     import graft.similarity.KMeans
     val items = clustered()

@@ -128,6 +128,58 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("personalized PageRank: mass conserved, localized to the seed side, uniform seeds = plain") {
+    import spark.implicits._
+    for (seed <- seeds.take(3)) {
+      val edges = randomEdges(seed)
+      val g = graphOf(edges, directed = true)
+      val ids = g.vertices.select(col("id")).collect().map(_.getLong(0)).sorted
+      // seeds = half the vertices
+      val seedSet = ids.take(math.max(1, ids.length / 2))
+      val reset = seedSet.toSeq.toDF("id").withColumn("weight", lit(1.0))
+      val ppr = PageRank(maxIterations = 5).runPersonalized(g, reset)
+      val ranks = ppr.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(math.abs(ranks.values.sum - 1.0) < 1e-9, s"seed $seed mass")
+      assert(ranks.values.forall(_ >= 0.0), s"seed $seed negative rank")
+
+      // personalization with EVERY vertex as a seed == plain PageRank
+      // (identical formula; only float association differs)
+      val uniform = PageRank(maxIterations = 5)
+        .runPersonalized(g, ids.toSeq.toDF("id").withColumn("weight", lit(1.0)))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val plain = PageRank(maxIterations = 5).run(g)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      uniform.foreach { case (k, v) =>
+        assert(math.abs(plain(k) - v) < 1e-12, s"seed $seed uniform-vs-plain at $k") }
+    }
+    // two disconnected 3-cycles: seeding only the first keeps ALL rank
+    // in it — the defining localization property
+    val cycE = Seq((0L, 1L), (1L, 2L), (2L, 0L), (10L, 11L), (11L, 12L), (12L, 10L))
+      .toDF("src", "dst")
+    val cycV = Seq(0L, 1L, 2L, 10L, 11L, 12L).toDF("id")
+    // construct directly (reference indexed=True) so ids stay readable
+    val g2 = Graph(cycV,
+      cycE.withColumn("edge_id", xxhash64(col("src"), col("dst"))),
+      directed = true)
+    // 30 iterations: the initial all-mass-at-seed spike rotates around
+    // the cycle and decays as d^k (~0.008 at k=30), well under the
+    // stationary gaps (~0.05), so the stationary ordering is visible
+    val ppr2 = PageRank(maxIterations = 30)
+      .runPersonalized(g2, Seq(0L).toDF("id").withColumn("weight", lit(2.5)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ppr2.values.sum - 1.0) < 1e-9)
+    Seq(10L, 11L, 12L).foreach(v =>
+      assert(ppr2(v) === 0.0, s"rank must not leak into the unseeded component ($v)"))
+    // analytic stationary solution of PPR on a directed 3-cycle seeded
+    // at 0: r0 = (1-d)/(1-d^3), r1 = d*r0, r2 = d^2*r0
+    val d = 0.85
+    val r0 = (1 - d) / (1 - d * d * d)
+    Seq(0L -> r0, 1L -> d * r0, 2L -> d * d * r0).foreach { case (v, exp) =>
+      assert(math.abs(ppr2(v) - exp) < 0.02, s"vertex $v: ${ppr2(v)} vs $exp") }
+    assert(ppr2(0L) > ppr2(1L) && ppr2(1L) > ppr2(2L),
+      "rank decays with walk distance from the seed")
+  }
+
   test("AsOfJoin matches a naive in-memory reference on random inputs") {
     import spark.implicits._
     for (seed <- seeds) {
