@@ -268,6 +268,35 @@ object DocQueries {
         .select(col("doc_id"), col("source"), col("lang"))
     }),
 
+    "d14_balanced_shards" -> ((s, d) => {
+      // equal-token output sharding: the write side of a training
+      // pipeline. Every doc gets a shard in [0,16) such that shard token
+      // totals differ by at most one doc — via a deterministic global
+      // running token sum in (id-hash, id) order, computed 256-way
+      // parallel (two-level, no single reducer). The oracle checks the
+      // equivalent single global window formulation.
+      val docs = documents(s, d)
+        .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.sample.Sampling.balancedShards(docs, "doc_id", "n_tokens", 16)
+        .select(col("doc_id"), col("n_tokens"), col("shard"))
+    }),
+
+    "d15_quality_quantile" -> ((s, d) => {
+      // per-language quality gating at an EXACT quantile: drop each
+      // language's worst decile by t02's quality score. The threshold is
+      // computed over distinct (lang, score) pairs — never a sort of the
+      // corpus — then broadcast back as a filter. Deterministic and
+      // cross-engine exact (the score is round(...,6), the rank is one
+      // double multiply + ceil on both engines).
+      val scored = documents(s, d).select(col("doc_id"), col("lang"),
+        qualityScore(col("text")).as("quality"))
+      val thr = graft.sample.Sampling.quantileThresholds(
+        scored, "lang", "quality", 0.10)
+      scored.join(broadcast(thr), Seq("lang"))
+        .filter(col("quality") >= col("threshold"))
+        .select(col("doc_id"), col("lang"), col("quality"))
+    }),
+
     "t05_winnow" -> ((s, d) =>
       // oracle-checked end to end via the portable sha256-prefix k-gram
       // hash: DuckDB reproduces the exact fingerprint set (the xxhash64
@@ -468,6 +497,52 @@ object DocQueries {
         |WHERE (((d.doc_id % 2147483648 + 2147483648) % 2147483648)
         |       * 2654435761) % 4294967296
         |      < CAST(floor(rate * 4294967296.0) AS BIGINT)""".stripMargin,
+    // same global running sum, written as ONE window in (hash, id) order
+    // — the formulation the two-level Spark plan is provably equal to
+    "d14_balanced_shards" ->
+      s"""WITH t0 AS (SELECT doc_id,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    ((((doc_id % 2147483648 + 2147483648) % 2147483648)
+         |      * 2654435761) % 4294967296) // 16777216 AS hs
+         |  FROM documents),
+         |w AS (SELECT doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY hs, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum
+         |  FROM t0),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM t0)
+         |SELECT doc_id, n_tokens,
+         |       CAST((cum * 16) // (SELECT t FROM tot) AS BIGINT) AS shard
+         |FROM w""".stripMargin,
+    // t02's exact quality formula + the distinct-value cumulative-count
+    // quantile: smallest score whose running count reaches ceil(0.1*n)
+    // per lang, then keep score >= threshold
+    "d15_quality_quantile" ->
+      s"""WITH t0 AS (SELECT doc_id, lang, text, $toksSql AS t FROM documents),
+         |m AS (SELECT doc_id, lang,
+         |  CAST(len(t) AS DOUBLE) AS ntok,
+         |  CAST(len(list_filter(t, x -> list_contains(
+         |    ['the','a','an','of','and','to','in','is','it','on'], x))) AS DOUBLE) AS nstop,
+         |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS npunct,
+         |  CAST(length(text) AS DOUBLE) AS ltext
+         |  FROM t0),
+         |sc AS (SELECT doc_id, lang,
+         |  round(least(ntok/20.0, 1.0) * (1.0 - npunct/greatest(ltext,1.0))
+         |    * (0.5 + least(nstop/greatest(ntok,1.0)*2.0, 0.5)), 6) AS quality
+         |  FROM m),
+         |cc AS (SELECT lang, quality, count(*) AS c FROM sc GROUP BY lang, quality),
+         |cw AS (SELECT lang, quality,
+         |         sum(c) OVER (PARTITION BY lang ORDER BY quality
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |       FROM cc),
+         |n AS (SELECT lang, count(*) AS n FROM sc GROUP BY lang),
+         |thr AS (SELECT cw.lang, min(cw.quality) AS threshold
+         |        FROM cw JOIN n ON cw.lang = n.lang
+         |        WHERE cw.cum >= CAST(ceil(0.1 * n.n) AS BIGINT)
+         |        GROUP BY cw.lang)
+         |SELECT sc.doc_id, sc.lang, sc.quality
+         |FROM sc JOIN thr ON sc.lang = thr.lang
+         |WHERE sc.quality >= thr.threshold""".stripMargin,
     // exact containment twin: distinct eval shingles, per-doc hit counts
     "d11_decontaminate" ->
       s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),

@@ -304,6 +304,18 @@ object GraphQueries {
         .select(col(ID), round(col("rank"), 9).as("rank"))
     }),
 
+    "g28_hits" -> ((s, d) => {
+      // HITS hubs/authorities, 3 power-iteration rounds with L2
+      // normalization; oracle-checked like g21/g27 via an unrolled CTE
+      // that mirrors every half-round (gather, scalar norm, divide)
+      // op-for-op, round(...,9) absorbing summation-order drift.
+      val e = ordersEdges(s, d)
+      Hits(maxIterations = 3)
+        .run(indexedGraph(vertsOf(e), e, directed = true))
+        .select(col(ID), round(col("hub"), 9).as("hub"),
+          round(col("authority"), 9).as("authority"))
+    }),
+
     "g06_label_propagation" -> ((s, d) => {
       // oracle-checked: 5 fixed supersteps of deterministic-mode label
       // propagation, mirrored by an unrolled CTE (labelPropagationOracleSql)
@@ -397,6 +409,37 @@ object GraphQueries {
       s"\nSELECT id, round(rank, 9) AS rank FROM pr$iterations"
   }
 
+  /** Unrolled HITS oracle: per round, authority = Σ inbound hub then
+    * L2-normalize, hub = Σ outbound authority then L2-normalize — the
+    * scalar norms are subquery aggregates, mirroring the driver's
+    * single-row scalar jobs. round(...,9) absorbs last-ulp
+    * summation-order drift exactly as in [[pageRankOracleSql]]. */
+  private def hitsOracleSql(iterations: Int): String = {
+    val head =
+      s"""WITH e AS ($ordersEdgesSql),
+         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM v)""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      s"""ar$k AS (SELECT e.dst AS id, sum(h.hub) AS a
+         |         FROM h${k - 1} h JOIN e ON h.id = e.src GROUP BY e.dst),
+         |an$k AS (SELECT sqrt(sum(a * a)) AS nrm FROM ar$k),
+         |a$k AS (SELECT v.id,
+         |          coalesce(r.a, 0.0) / (SELECT nrm FROM an$k) AS authority
+         |        FROM v LEFT JOIN ar$k r ON v.id = r.id),
+         |hr$k AS (SELECT e.src AS id, sum(a.authority) AS h
+         |         FROM a$k a JOIN e ON a.id = e.dst GROUP BY e.src),
+         |hn$k AS (SELECT sqrt(sum(h * h)) AS nrm FROM hr$k),
+         |h$k AS (SELECT v.id,
+         |          coalesce(r.h, 0.0) / (SELECT nrm FROM hn$k) AS hub
+         |        FROM v LEFT JOIN hr$k r ON v.id = r.id)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"""
+         |SELECT h.id, round(h.hub, 9) AS hub,
+         |       round(a.authority, 9) AS authority
+         |FROM h$iterations h JOIN a$iterations a ON h.id = a.id""".stripMargin
+  }
+
   /** Unrolled label-propagation oracle over the undirected supplier–part
     * graph, one CTE block per superstep, reproducing
     * [[graft.pregel.Pregel]]'s message discipline exactly: superstep k's
@@ -455,6 +498,7 @@ object GraphQueries {
         |SELECT sha256(string_agg(l, '' ORDER BY l)) AS wl_hash FROM l3""".stripMargin,
     "g21_pagerank" -> pageRankOracleSql(5),
     "g27_ppr" -> personalizedPageRankOracleSql(5),
+    "g28_hits" -> hitsOracleSql(3),
     "g06_label_propagation" -> labelPropagationOracleSql(5),
     "q08_triangles" ->
       s"""WITH raw AS ($suppPartEdgesSql),

@@ -46,6 +46,78 @@ object Sampling {
       .drop(rateCol)
   }
 
+  /** Assign every row to one of `numShards` output shards so the shard
+    * WEIGHT totals (e.g. token counts) are near-equal — the write side of
+    * a training-data pipeline, where equal-token shards mean equal-cost
+    * training files. Deterministic: rows are laid out in (idHash top
+    * byte, id) order, the exclusive running weight sum w_cum is computed
+    * in that order, and shard = (w_cum * numShards) div total_weight —
+    * so each shard's imbalance is bounded by the single largest row
+    * weight, and reruns produce identical assignments.
+    *
+    * Scale shape (the d06 two-level trick, global instead of per-group):
+    * the running sum is computed per hash-shard (256-way parallel — no
+    * single reducer ever sees the corpus), then a tiny second pass
+    * (256 rows) offsets each hash-shard by the exclusive prefix sum of
+    * its predecessors' totals. Equivalent to ONE global running sum in
+    * (hash_shard, id) order, which is what the DuckDB oracle checks.
+    * Overflow bound: w_cum * numShards must stay under 2^63 — at 1e14
+    * total tokens and 4096 shards that is 4e17, comfortably inside.
+    *
+    * Output: input columns + `shard` in [0, numShards). */
+  def balancedShards(items: DataFrame, idCol: String, weightCol: String,
+      numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    import org.apache.spark.sql.expressions.Window
+    val hs = shiftright(idHash(col(idCol)), 24) // top byte, 0..255
+    val base = items.withColumn("_hs", hs)
+    val wIn = Window.partitionBy(col("_hs")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inShard = base.withColumn("_cum",
+      coalesce(sum(col(weightCol)).over(wIn), lit(0L)))
+    val wOff = Window.orderBy(col("_hs"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val offsets = base.groupBy(col("_hs"))
+      .agg(sum(col(weightCol)).as("_tot"))
+      .withColumn("_off", coalesce(sum(col("_tot")).over(wOff), lit(0L)))
+      .withColumn("_total", sum(col("_tot")).over(wAll))
+      .select(col("_hs"), col("_off"), col("_total"))
+    inShard.join(broadcast(offsets), Seq("_hs"))
+      .withColumn("shard",
+        expr(s"((_off + _cum) * $numShards) div _total"))
+      .drop("_hs", "_cum", "_off", "_total")
+  }
+
+  /** EXACT per-stratum lower-quantile threshold — the "drop the worst
+    * decile per language" primitive. Returns (strataCol, threshold) where
+    * threshold is the smallest value whose cumulative count reaches
+    * ceil(quantile * n) in the stratum; filtering `value >= threshold`
+    * keeps at least the top (1-quantile) share, with ties kept.
+    *
+    * Exact, not a sketch, yet never sorts the corpus: the running count
+    * is over DISTINCT (stratum, value) pairs — for bucketed scores
+    * (e.g. round(...,6) quality) that is orders of magnitude smaller
+    * than the corpus, and the corpus itself is touched only by one
+    * map-side-combinable groupBy. ceil(quantile * n) is one IEEE double
+    * multiply + ceil on both engines, so the rank is cross-engine
+    * reproducible. */
+  def quantileThresholds(items: DataFrame, strataCol: String,
+      valueCol: String, quantile: Double): DataFrame = {
+    require(quantile > 0.0 && quantile < 1.0,
+      s"quantile must be in (0,1), got $quantile")
+    import org.apache.spark.sql.expressions.Window
+    val counts = items.groupBy(col(strataCol), col(valueCol))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = counts.withColumn("_cum", sum(col("_c")).over(w))
+    val n = items.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+    cum.join(n, Seq(strataCol))
+      .filter(col("_cum") >= ceil(lit(quantile) * col("_n")).cast("long"))
+      .groupBy(col(strataCol)).agg(min(col(valueCol)).as("threshold"))
+  }
+
   /** Achieved composition of a (possibly sampled) corpus: rows and token
     * share per stratum — the report a mixing run is judged by. One
     * map-side-combinable aggregation. */

@@ -270,6 +270,28 @@ class AlgorithmsSpec extends SparkSpec {
     assert(rowSet(m) === rowSet(expected))
   }
 
+  test("HITS: hub/authority structure on a two-hub star, L2-normalized") {
+    import spark.implicits._
+    // hub 0 endorses 10,11,12; weaker hub 1 endorses only 10
+    val e = Seq((0L, 10L), (0L, 11L), (0L, 12L), (1L, 10L)).toDF(SRC, DST)
+    val v = Seq(0L, 1L, 10L, 11L, 12L).toDF(ID)
+    val g = Graph(v, e.withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+      directed = true)
+    val res = Hits(maxIterations = 10).run(g)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val hub = res.view.mapValues(_._1).toMap
+    val auth = res.view.mapValues(_._2).toMap
+    // the doubly-endorsed authority dominates; the 3-endorsement hub wins
+    assert(auth(10L) > auth(11L) && auth(11L) === auth(12L) && auth(11L) > 0.0)
+    assert(hub(0L) > hub(1L) && hub(1L) > 0.0)
+    // pure authorities have no hub score, pure hubs no authority
+    Seq(10L, 11L, 12L).foreach(x => assert(hub(x) === 0.0))
+    Seq(0L, 1L).foreach(x => assert(auth(x) === 0.0))
+    // both vectors are L2-normalized
+    assert(math.abs(hub.values.map(x => x * x).sum - 1.0) < 1e-9)
+    assert(math.abs(auth.values.map(x => x * x).sum - 1.0) < 1e-9)
+  }
+
   test("pregel: max-id propagation reaches the global max on a connected graph") {
     val g = Fixtures.sample2(spark, directed = false)
     val res = Pregel(

@@ -54,6 +54,75 @@ class SamplingSpec extends SparkSpec {
       s"corpus must not shuffle:\n$plan")
   }
 
+  test("balancedShards: covers [0,n), balanced within one max weight, deterministic") {
+    val items = corpus(1000)
+    val n = 8
+    val sharded = Sampling.balancedShards(items, "doc_id", "n_tokens", n)
+    assert(sharded.count() === 1000L, "every row is assigned")
+    val totals = sharded.groupBy("shard").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(totals.keySet === (0 until n).map(_.toLong).toSet,
+      s"all $n shards must be used: ${totals.keySet}")
+    val maxW = 16L // weights are 10..16
+    assert(totals.values.max - totals.values.min <= 2 * maxW,
+      s"imbalance ${totals.values.max - totals.values.min} exceeds bound")
+    // deterministic: a rerun assigns identically
+    val a = sharded.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Sampling.balancedShards(items, "doc_id", "n_tokens", n)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("balancedShards: two-level plan equals the single global running sum") {
+    import org.apache.spark.sql.expressions.Window
+    val items = corpus(500)
+    val n = 16
+    val got = Sampling.balancedShards(items, "doc_id", "n_tokens", n)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive single-window reference: one global exclusive running sum in
+    // (hash top byte, id) order
+    val hs = shiftright(Sampling.idHash(col("doc_id")), 24)
+    val w = Window.orderBy(col("_hs"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = items.agg(sum("n_tokens")).collect()(0).getLong(0)
+    val want = items.withColumn("_hs", hs)
+      .withColumn("_cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("shard", expr(s"(_cum * $n) div $tot"))
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want, "two-level must equal the global window")
+  }
+
+  test("quantileThresholds: exact decile, ties kept, matches a sorted reference") {
+    import spark.implicits._
+    // two strata with known distributions; values deliberately repeat
+    val rows = (0 until 100).map(i => ("a", (i % 10).toDouble)) ++
+      (0 until 50).map(i => ("b", (i % 5).toDouble))
+    val df = rows.toDF("lang", "q")
+    val thr = Sampling.quantileThresholds(df, "lang", "q", 0.10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // stratum a: 100 rows, ceil(10)=10th smallest value; sorted values are
+    // 0 x10, 1 x10, ... -> cum(0)=10 >= 10, threshold 0.0
+    assert(thr("a") === 0.0)
+    // stratum b: 50 rows, ceil(5)=5th; cum(0.0)=10 >= 5 -> 0.0
+    assert(thr("b") === 0.0)
+    // a tighter quantile crosses into the next bucket
+    val thr35 = Sampling.quantileThresholds(df, "lang", "q", 0.35)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // a: ceil(35)=35; cum: 10,20,30,40 -> smallest value with cum>=35 is 3.0
+    assert(thr35("a") === 3.0)
+    // filtering >= threshold keeps at least 1-q of each stratum
+    val kept = df.join(broadcast(
+        Sampling.quantileThresholds(df, "lang", "q", 0.35)), Seq("lang"))
+      .filter(col("q") >= col("threshold"))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("a") >= 65L && kept("b") >= 33L, s"kept $kept")
+  }
+
   test("composition reports row and token shares") {
     val items = corpus(100)
     val m = Sampling.composition(items, "source", Some("n_tokens"))
