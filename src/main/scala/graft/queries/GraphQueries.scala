@@ -316,6 +316,18 @@ object GraphQueries {
           round(col("authority"), 9).as("authority"))
     }),
 
+    "g29_walks" -> ((s, d) => {
+      // deterministic uniform random walks (DeepWalk/node2vec p=q=1
+      // training data): 4 steps from every id%13==0 vertex over the
+      // UNDIRECTED orders graph. Each step is a pure hash choice, so
+      // DuckDB replays every walk bit for bit with unrolled CTEs.
+      val e = ordersEdges(s, d)
+      val v = vertsOf(e)
+      val g = indexedGraph(v, e, directed = false)
+      RandomWalks.uniformWalks(g,
+        v.filter(pmod(col(ID), lit(13L)) === 0L).select(col(ID)), steps = 4)
+    }),
+
     "g06_label_propagation" -> ((s, d) => {
       // oracle-checked: 5 fixed supersteps of deterministic-mode label
       // propagation, mirrored by an unrolled CTE (labelPropagationOracleSql)
@@ -440,6 +452,34 @@ object GraphQueries {
          |FROM h$iterations h JOIN a$iterations a ON h.id = a.id""".stripMargin
   }
 
+  /** Unrolled random-walk oracle: symmetric (undirected) edge closure,
+    * then per step k the walker moves to the neighbor minimizing
+    * (stepHash(walker, k, dst), dst) — replayed exactly, since the hash
+    * is pure integer arithmetic. One CTE pair per step. */
+  private def walksOracleSql(steps: Int): String = {
+    val head =
+      s"""WITH e0 AS ($ordersEdgesSql),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |w0 AS (SELECT id AS walker, id AS vertex FROM v WHERE id % 13 = 0)""".stripMargin
+    val iters = (1 to steps).map { k =>
+      s"""s$k AS (SELECT w.walker, e.dst,
+         |  ((((w.walker % 2147483648 + 2147483648) % 2147483648) * 1000003
+         |    + ${k.toLong * 8191L}
+         |    + ((e.dst % 2147483648 + 2147483648) % 2147483648))
+         |   % 2147483648) * 2654435761 % 4294967296 AS h
+         |  FROM w${k - 1} w JOIN e ON w.vertex = e.src),
+         |w$k AS (SELECT walker, dst AS vertex FROM (
+         |  SELECT walker, dst,
+         |    row_number() OVER (PARTITION BY walker ORDER BY h, dst) AS rn
+         |  FROM s$k) WHERE rn = 1)""".stripMargin
+    }
+    val union = (0 to steps)
+      .map(k => s"SELECT walker, $k AS step, vertex FROM w$k")
+      .mkString("\n", "\nUNION ALL ", "")
+    (head +: iters).mkString(",\n") + union
+  }
+
   /** Unrolled label-propagation oracle over the undirected supplier–part
     * graph, one CTE block per superstep, reproducing
     * [[graft.pregel.Pregel]]'s message discipline exactly: superstep k's
@@ -499,6 +539,7 @@ object GraphQueries {
     "g21_pagerank" -> pageRankOracleSql(5),
     "g27_ppr" -> personalizedPageRankOracleSql(5),
     "g28_hits" -> hitsOracleSql(3),
+    "g29_walks" -> walksOracleSql(4),
     "g06_label_propagation" -> labelPropagationOracleSql(5),
     "q08_triangles" ->
       s"""WITH raw AS ($suppPartEdgesSql),

@@ -292,6 +292,37 @@ class AlgorithmsSpec extends SparkSpec {
     assert(math.abs(auth.values.map(x => x * x).sum - 1.0) < 1e-9)
   }
 
+  test("random walks: follow edges, stop at sinks, deterministic across runs") {
+    import spark.implicits._
+    // 0->1->2 chain plus a branch 1->3; 2 and 3 are sinks
+    val e = Seq((0L, 1L), (1L, 2L), (1L, 3L)).toDF(SRC, DST)
+    val v = Seq(0L, 1L, 2L, 3L).toDF(ID)
+    val g = Graph(v, e.withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+      directed = true)
+    val edgeSet = Set((0L, 1L), (1L, 2L), (1L, 3L))
+    val walks = RandomWalks.uniformWalks(g, v.select(col(ID)), steps = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every walk starts at its walker
+    walks.filter(_._2 == 0).foreach { case (w, _, x) => assert(w === x) }
+    // every consecutive pair is a real edge
+    val byWalker = walks.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(_._3).toSeq).toMap
+    byWalker.values.foreach { path =>
+      path.sliding(2).foreach {
+        case Seq(a, b) => assert(edgeSet((a, b)), s"($a,$b) not an edge")
+        case _ => ()
+      }
+    }
+    // sinks stop immediately; the chain walker stops when it hits a sink
+    assert(byWalker(2L) === Seq(2L) && byWalker(3L) === Seq(3L))
+    assert(byWalker(0L).length <= 4 && byWalker(0L).length >= 3,
+      s"walk from 0 runs 0 -> 1 -> sink: ${byWalker(0L)}")
+    // deterministic: a second run is identical
+    val again = RandomWalks.uniformWalks(g, v.select(col(ID)), steps = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(walks.toSet === again.toSet)
+  }
+
   test("pregel: max-id propagation reaches the global max on a connected graph") {
     val g = Fixtures.sample2(spark, directed = false)
     val res = Pregel(
