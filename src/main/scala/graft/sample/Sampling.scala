@@ -111,10 +111,15 @@ object Sampling {
       .agg(count(lit(1)).as("_c"))
     val w = Window.partitionBy(col(strataCol)).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = counts.withColumn("_cum", sum(col("_c")).over(w))
-    val n = items.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
-    cum.join(n, Seq(strataCol))
-      .filter(col("_cum") >= ceil(lit(quantile) * col("_n")).cast("long"))
+    val wAll = Window.partitionBy(col(strataCol))
+    // stratum size = sum of the distinct-value counts: derived from the
+    // aggregated frame, so the corpus is scanned ONCE (for expensive
+    // computed values — a regexp-heavy quality score at 100x corpus
+    // scale — the saved pass is the dominant cost)
+    val cum = counts
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+    cum.filter(col("_cum") >= ceil(lit(quantile) * col("_n")).cast("long"))
       .groupBy(col(strataCol)).agg(min(col(valueCol)).as("threshold"))
   }
 
