@@ -60,4 +60,24 @@ object TriangleCount {
       .select(explode(array(col("a"), col("b"), col("c"))).as(ID))
       .groupBy(col(ID))
       .agg(count(lit(1)).as("n_triangles"))
+
+  /** Local clustering coefficient: 2·tri(v) / (deg(v)·(deg(v)−1)) over
+    * the canonicalized simple graph, 0 when deg(v) < 2. Both operands
+    * are exact integers and the division is one correctly-rounded IEEE
+    * op, so the value is bit-identical in any engine — no rounding
+    * needed. Vertices with no surviving canonical edge are absent (an
+    * isolated vertex has no defined coefficient). Output (id, degree,
+    * clustering). */
+  def clusteringCoefficient(g: Graph): DataFrame = {
+    val canonical = GraphUtil.orderEdges(g.edges)
+    val deg = canonical.select(col(SRC).as(ID))
+      .unionAll(canonical.select(col(DST).as(ID)))
+      .groupBy(col(ID)).agg(count(lit(1)).as(DEGREE))
+    deg.join(perVertex(g), Seq(ID), "left")
+      .select(col(ID), col(DEGREE),
+        when(col(DEGREE) >= 2,
+          (lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double")) /
+            (col(DEGREE) * (col(DEGREE) - lit(1L))).cast("double"))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
 }

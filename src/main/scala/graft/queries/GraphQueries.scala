@@ -316,6 +316,23 @@ object GraphQueries {
           round(col("authority"), 9).as("authority"))
     }),
 
+    "g30_clustering_coeff" -> ((s, d) => {
+      // local clustering coefficient on the supplier-part graph: exact
+      // integer numerator/denominator, ONE correctly-rounded IEEE
+      // division — bit-identical across engines with no rounding
+      val e = suppPartEdges(s, d)
+      TriangleCount.clusteringCoefficient(
+        indexedGraph(vertsOf(e), e, directed = false))
+    }),
+
+    "g31_kcore" -> ((s, d) => {
+      // 15-core of the orders graph by iterative peeling (converges in
+      // <=4 rounds here; the oracle unrolls 8 — extra rounds are no-ops
+      // past the fixpoint, so convergence-based and unrolled agree)
+      val e = ordersEdges(s, d)
+      KCore.run(indexedGraph(vertsOf(e), e, directed = false), k = 15)
+    }),
+
     "g29_walks" -> ((s, d) => {
       // deterministic uniform random walks (DeepWalk/node2vec p=q=1
       // training data): 4 steps from every id%13==0 vertex over the
@@ -480,6 +497,33 @@ object GraphQueries {
     (head +: iters).mkString(",\n") + union
   }
 
+  /** Unrolled k-core peeling oracle: per round, degrees over the
+    * surviving canonical edges, keep >= k, prune edges to kept endpoints.
+    * Rounds past the fixpoint are no-ops, so unrolling more rounds than
+    * the peeling needs reproduces the convergence-based result. The
+    * edge CTEs are MATERIALIZED: each round references its predecessor
+    * three times, and DuckDB's default inlining would expand the chain
+    * to 3^rounds base-table scans. */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      s"""WITH raw AS ($ordersEdgesSql),
+         |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+         |       FROM raw WHERE src <> dst)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT v AS id, count(*) AS deg FROM (
+         |  SELECT src AS v FROM e${r - 1} UNION ALL SELECT dst FROM e${r - 1})
+         |  GROUP BY v),
+         |k$r AS (SELECT id FROM d$r WHERE deg >= $k),
+         |e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
+         |        JOIN k$r a ON e.src = a.id JOIN k$r b ON e.dst = b.id)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"""
+         |SELECT v AS id, count(*) AS degree FROM (
+         |  SELECT src AS v FROM e$rounds UNION ALL SELECT dst FROM e$rounds)
+         |GROUP BY v""".stripMargin
+  }
+
   /** Unrolled label-propagation oracle over the undirected supplier–part
     * graph, one CTE block per superstep, reproducing
     * [[graft.pregel.Pregel]]'s message discipline exactly: superstep k's
@@ -540,6 +584,25 @@ object GraphQueries {
     "g27_ppr" -> personalizedPageRankOracleSql(5),
     "g28_hits" -> hitsOracleSql(3),
     "g29_walks" -> walksOracleSql(4),
+    "g31_kcore" -> kcoreOracleSql(15, 8),
+    "g30_clustering_coeff" ->
+      s"""WITH raw AS ($suppPartEdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+         |      FROM raw WHERE src <> dst),
+         |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |        FROM e e1
+         |        JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+         |        JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         |tc AS (SELECT v AS id, count(*) AS t FROM (
+         |  SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri) GROUP BY v),
+         |deg AS (SELECT v AS id, count(*) AS degree FROM (
+         |  SELECT src AS v FROM e UNION ALL SELECT dst FROM e) GROUP BY v)
+         |SELECT d.id, d.degree,
+         |  CASE WHEN d.degree >= 2
+         |    THEN 2.0 * coalesce(tc.t, 0) / (d.degree * (d.degree - 1))
+         |    ELSE 0.0 END AS clustering
+         |FROM deg d LEFT JOIN tc ON d.id = tc.id""".stripMargin,
     "g06_label_propagation" -> labelPropagationOracleSql(5),
     "q08_triangles" ->
       s"""WITH raw AS ($suppPartEdgesSql),

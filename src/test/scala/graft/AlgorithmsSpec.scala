@@ -292,6 +292,33 @@ class AlgorithmsSpec extends SparkSpec {
     assert(math.abs(auth.values.map(x => x * x).sum - 1.0) < 1e-9)
   }
 
+  test("clustering coefficient: triangle + pendant matches hand computation") {
+    import spark.implicits._
+    val e = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L)).toDF(SRC, DST)
+    val v = Seq(0L, 1L, 2L, 3L).toDF(ID)
+    val g = Graph(v, e.withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+      directed = false)
+    val cc = TriangleCount.clusteringCoefficient(g)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(cc(0L) === ((2L, 1.0)) && cc(1L) === ((2L, 1.0)))
+    assert(cc(2L)._1 === 3L && math.abs(cc(2L)._2 - 1.0 / 3.0) < 1e-15)
+    assert(cc(3L) === ((1L, 0.0)))
+  }
+
+  test("k-core: peeling removes shells transitively; empty core is empty") {
+    import spark.implicits._
+    // triangle {0,1,2} + chain 2-3-4: the 2-core is exactly the triangle
+    // (4 peels first, exposing 3)
+    val e = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L)).toDF(SRC, DST)
+    val v = Seq(0L, 1L, 2L, 3L, 4L).toDF(ID)
+    val g = Graph(v, e.withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+      directed = false)
+    val core2 = KCore.run(g, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    assert(KCore.run(g, 3).isEmpty, "no 3-core in a single triangle + tail")
+  }
+
   test("random walks: follow edges, stop at sinks, deterministic across runs") {
     import spark.implicits._
     // 0->1->2 chain plus a branch 1->3; 2 and 3 are sinks
