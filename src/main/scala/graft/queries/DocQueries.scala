@@ -326,6 +326,23 @@ object DocQueries {
         redactPii(dirty).as("redacted"))
     }),
 
+    "t09_bm25" -> ((s, d) =>
+      // keyword retrieval over the corpus: Okapi BM25 top-20 for a
+      // three-term query. Scores need ln, so they are rounded to 6
+      // decimals before ranking (the g21 margin argument) and ties break
+      // on doc_id; everything else is fixed-order double arithmetic over
+      // exact integer stats, mirrored op-for-op by the oracle.
+      graft.text.Search.bm25TopK(documents(s, d), "doc_id", "text",
+        terms = Seq("hash", "merge", "window"), topK = 20)),
+
+    "t10_bigram_lm" -> ((s, d) =>
+      // corpus-trained bigram LM quality signal, log-free: every
+      // transition scores the exact integer (1e6 * c(w1,w2)) div c(w1)
+      // and a doc's score is the exact integer mean — no ln, no float
+      // sum, bit-identical across engines at any partitioning
+      graft.text.LanguageModel.bigramTransitionScore(
+        documents(s, d), "doc_id", "text")),
+
     "t07_repetition" -> ((s, d) => {
       // boilerplate/repetition score: fraction of repeated 3-gram
       // occurrences per document. Pure codegen'd column map, no shuffle.
@@ -657,6 +674,54 @@ object DocQueries {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\+?[0-9][0-9()\-. ]{6,}[0-9]', '<PHONE>', 'g') AS redacted
         |FROM a""".stripMargin,
+    "t09_bm25" -> {
+      val terms = Seq("hash", "merge", "window")
+      // one BM25 summand, textually mirroring Search.bm25TopK's
+      // fixed-order Column expression (left-assoc *,/ throughout)
+      def s(i: Int) =
+        s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - df$i + 0.5) / (df$i + 0.5))
+           |      * (tf$i * 2.2)
+           |      / (tf$i + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+           |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))""".stripMargin
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(coalesce(max(CASE WHEN tok = '$t' THEN tf END), 0) AS DOUBLE) AS tf$i"
+      }.mkString(",\n          ")
+      val dfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(coalesce(max(CASE WHEN tok = '$t' THEN df END), 0) AS DOUBLE) AS df$i"
+      }.mkString(",\n          ")
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM t0),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM lens),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+         |         SELECT doc_id, unnest(t) AS tok FROM t0)
+         |       WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")})
+         |       GROUP BY doc_id, tok),
+         |piv AS (SELECT doc_id,
+         |          $tfCols
+         |        FROM tf GROUP BY doc_id),
+         |dfr AS (SELECT
+         |          $dfCols
+         |        FROM (SELECT tok, count(*) AS df FROM tf GROUP BY tok)),
+         |scored AS (SELECT p.doc_id,
+         |  round(${terms.indices.map(s).mkString("\n  + ")}, 6) AS bm25
+         |  FROM piv p JOIN lens USING (doc_id) CROSS JOIN stats CROSS JOIN dfr)
+         |SELECT doc_id, bm25, rnk FROM (
+         |  SELECT doc_id, bm25,
+         |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 20""".stripMargin
+    },
+    "t10_bigram_lm" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM (
+         |         SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM t0)),
+         |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+         |uc AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+         |sc AS (SELECT doc_id, (1000000 * cb) // cu AS p
+         |       FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1))
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       CAST(sum(p) AS BIGINT) // count(*) AS avg_p
+         |FROM sc GROUP BY doc_id""".stripMargin,
     "t07_repetition" ->
       s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
          |m AS (SELECT doc_id,
