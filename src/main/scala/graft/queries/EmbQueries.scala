@@ -114,6 +114,16 @@ object EmbQueries {
       Ann.dedupedNearDupPairs(embeddings(s, d),
         "vec_id", "embedding", "label", minDot = 250000L)),
 
+    "e12_semantic_dedup" -> ((s, d) =>
+      // SemDeDup: one survivor per embedding-space near-dup CLUSTER
+      // (connected components of the e08 pair graph; pair output alone
+      // under-deletes because near-duplication is not transitive). The
+      // embedding twin of d12, sharing its recursive min-label oracle
+      // shape; exact copies collapse before the pair join, so the CC
+      // input grows with distinct vectors only.
+      Ann.semanticDedupClusters(embeddings(s, d),
+        "vec_id", "embedding", "label", minDot = 250000L)),
+
     "e09_knn_pq_adc" -> ((s, d) => {
       // product quantization, oracle-checked END TO END: m portable
       // codebook fits (sampled Lloyd, sha256-Forgy seeds, integer-sum
@@ -565,6 +575,30 @@ object EmbQueries {
     "e06_knn_ivf_full_probe" -> exactKnnSql,
     "e01_knn_exact" -> exactKnnSql,
     "e07_cosine_topk" -> cosineKnnSql,
+    "e12_semantic_dedup" ->
+      """WITH RECURSIVE
+        |q AS (SELECT vec_id, label,
+        |    [CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |     FOR i IN range(1, len(embedding) + 1)] AS qv
+        |  FROM embeddings),
+        |g AS (SELECT label, qv, min(vec_id) AS rep
+        |      FROM q GROUP BY label, qv),
+        |pr AS (SELECT x.rep AS id_a, y.rep AS id_b
+        |       FROM g x JOIN g y ON x.label = y.label AND x.rep < y.rep
+        |       WHERE CAST(list_sum([x.qv[i] * y.qv[i]
+        |             FOR i IN range(1, len(x.qv) + 1)]) AS BIGINT) > 250000),
+        |eg AS (SELECT id_a AS es, id_b AS ed FROM pr
+        |       UNION ALL SELECT id_b, id_a FROM pr),
+        |reach(id, lab) AS (
+        |  SELECT rep, rep FROM g
+        |  UNION
+        |  SELECT eg.ed, r.lab FROM reach r JOIN eg ON eg.es = r.id),
+        |comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+        |mem AS (SELECT q.vec_id, g.rep
+        |        FROM q JOIN g ON g.label = q.label AND g.qv = q.qv)
+        |SELECT m.vec_id, c.cluster_id,
+        |       CAST(m.vec_id = c.cluster_id AS INTEGER) AS keep
+        |FROM mem m JOIN comp c ON c.id = m.rep""".stripMargin,
     "e08_neardup_deduped" ->
       """WITH q AS (SELECT vec_id, label,
         |    [CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)

@@ -201,6 +201,51 @@ object Ann {
       .filter(col("qdot") > lit(minDot))
   }
 
+  /** SemDeDup-style semantic dedup: CLUSTER assignment plus a one-
+    * survivor-per-cluster keep flag over embedding space. Near-duplication
+    * is not transitive, so pair output alone under-deletes; the
+    * production contract is connected components of the near-dup pair
+    * graph, every member keeping exactly one representative.
+    *
+    * Pipeline (all shapes proven elsewhere in the library): collapse
+    * exactly-identical quantized vectors ([[embeddingExactGroups]]'s
+    * groupBy — kills the quadratic copy-cluster blow-up), same-cell
+    * near-dup pairs among representatives only (`qdot > minDot`), then
+    * [[graft.algorithms.AlternatingConnectedComponents]] over the rep
+    * graph; exact copies inherit their representative's component.
+    *
+    * Output (idCol, cluster_id, keep): `cluster_id` is the minimum member
+    * id of the cluster (CC labels components by min rep id, and each rep
+    * is already the min id of its copy group, so the min rep IS the min
+    * member), `keep` = 1 exactly for the one member equal to it.
+    */
+  def semanticDedupClusters(items: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, minDot: Long, maxIterations: Int = 20): DataFrame = {
+    import graft.core.{Columns, Graph}
+    val groups = items
+      .select(col(labelCol).as("cell"), col(idCol).as("_id"), col(vecCol).as("_v"))
+      .groupBy(col("cell"), expr(
+        "transform(_v, x -> cast(round(cast(x as double) * 1000) as bigint))").as("_qv"))
+      .agg(
+        min(col("_id")).as("rep"),
+        sort_array(collect_list(col("_id"))).as("ids"),
+        min_by(col("_v"), col("_id")).as("_rv"))
+      .localCheckpoint() // CC iterates; don't recompute the collapse per round
+    val pairs = groups.as("x").join(groups.as("y"),
+        col("x.cell") === col("y.cell") && col("x.rep") < col("y.rep") &&
+          quantizedDot(col("x._rv"), col("y._rv")) > lit(minDot))
+      .select(col("x.rep").as(Columns.SRC), col("y.rep").as(Columns.DST))
+    val cc = graft.algorithms.AlternatingConnectedComponents(maxIterations)
+      .run(Graph(groups.select(col("rep").as(Columns.ID)), pairs, directed = false))
+    // isolated reps never appear on the CC output — they label themselves
+    groups
+      .join(cc, groups("rep") === cc(Columns.ID), "left")
+      .select(
+        explode(col("ids")).as(idCol),
+        coalesce(col(Columns.COMPONENT), col("rep")).as("cluster_id"))
+      .withColumn("keep", (col(idCol) === col("cluster_id")).cast("int"))
+  }
+
   /** IVF-Flat approximate top-k using `labelCol` as the coarse quantizer
     * cell: per-cell centroids, each query probes the `nprobe` nearest
     * cells, exact scoring within probed cells only. Output (qid, nid, qdot).

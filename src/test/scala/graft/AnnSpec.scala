@@ -359,4 +359,24 @@ class AnnSpec extends SparkSpec {
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.5, s"portable-cell IVF recall $recall")
   }
+
+  test("semantic dedup: transitive chains cluster, exactly one keep each") {
+    import spark.implicits._
+    // cell 0: A~B and B~C but A!~C (near-dup is not transitive) plus an
+    // exact copy of A; cell 1: an isolated vector. quantized dots:
+    // A.B = B.C = 1.0*0.5*1e6 = 500000 > 250000; A.C = 0.
+    val items = Seq(
+      (10L, Seq(1.0f, 0.0f), 0), // A
+      (11L, Seq(1.0f, 0.0f), 0), // exact copy of A
+      (12L, Seq(0.5f, 0.5f), 0), // B: near A and C
+      (13L, Seq(0.0f, 1.0f), 0), // C
+      (20L, Seq(1.0f, 1.0f), 1)) // isolated (other cell)
+      .toDF("vec_id", "embedding", "label")
+    val got = Ann.semanticDedupClusters(
+        items, "vec_id", "embedding", "label", minDot = 250000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set(
+      (10L, 10L, 1), (11L, 10L, 0), (12L, 10L, 0), (13L, 10L, 0),
+      (20L, 20L, 1)))
+  }
 }
