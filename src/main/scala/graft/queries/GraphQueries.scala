@@ -133,6 +133,16 @@ object GraphQueries {
       BreadthFirstSearch.distances(
         hierarchyGraph(s, d), startExpr = col(ID) >= 10000L)),
 
+    "g33_harmonic_closeness" -> ((s, d) => {
+      // landmark harmonic centrality on the supplier-part graph: exact
+      // integer Σ (lcm(1..24) div d) over 10 fixed landmarks — no float
+      // sum, so DuckDB replays the BFS and the fold bit for bit
+      val e = suppPartEdges(s, d)
+      Closeness.harmonic(
+        indexedGraph(vertsOf(e), e, directed = false),
+        landmarks = (1L to 10L))
+    }),
+
     "g07_jaccard" -> ((s, d) =>
       JaccardSimilarity().run(starGraph(s, d))),
 
@@ -756,6 +766,23 @@ object GraphQueries {
       s"""WITH e AS ($ordersEdgesSql)
          |SELECT src AS id, count(*) AS out_degree, src % 7 AS id_tag FROM e
          |GROUP BY src HAVING count(*) >= 12""".stripMargin,
+    "g33_harmonic_closeness" ->
+      s"""WITH RECURSIVE raw AS ($suppPartEdgesSql),
+         |e AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+         |      FROM raw
+         |      UNION SELECT CAST(dst AS BIGINT), CAST(src AS BIGINT) FROM raw),
+         |lm AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9, 10]) AS landmark),
+         |walk AS (
+         |  SELECT CAST(landmark AS BIGINT) AS landmark,
+         |         CAST(landmark AS BIGINT) AS id, 0 AS dist FROM lm
+         |  UNION
+         |  SELECT w.landmark, e.dst, w.dist + 1 FROM walk w
+         |  JOIN e ON e.src = w.id WHERE w.dist < 15),
+         |md AS (SELECT landmark, id, min(dist) AS dist FROM walk
+         |       GROUP BY landmark, id)
+         |SELECT id, count(*) AS n_reached,
+         |       CAST(sum(5354228880 // dist) AS BIGINT) AS h_scaled
+         |FROM md WHERE dist > 0 GROUP BY id""".stripMargin,
     "g22_scc" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id, CAST(0 AS BIGINT) AS component
         |FROM nation
