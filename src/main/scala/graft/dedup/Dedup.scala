@@ -428,4 +428,56 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Per-document duplicated-SPAN coverage — the substring-level
+    * complement of document-level dedup (cf. Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": verbatim
+    * repeated spans hurt LMs even when the containing documents differ).
+    * A position is *duplicated* when its `n`-token span occurs at least
+    * one more time anywhere in the corpus, and *cross-duplicated* when it
+    * also occurs in a DIFFERENT document.
+    *
+    * Output: (idCol, n_spans, n_dup_spans, n_cross_dup_spans) — the
+    * fractions to filter/trim on are ratios of these exact counts.
+    * Documents shorter than `n` tokens yield n_spans = 0.
+    *
+    * Scale shape (100 TB): positional spans are hashed to 64-bit longs so
+    * the wide token text never shuffles; one map-side-combinable groupBy
+    * builds the span inventory ((hash) -> occurrences, min/max doc — the
+    * min!=max trick detects cross-document occurrence without a
+    * countDistinct's second shuffle); one equi-join flags positions and a
+    * final groupBy(id) folds per-document counts. No window over the
+    * corpus, no driver state; skewed boilerplate spans are absorbed by
+    * partial aggregation (count/min/max are all decomposable).
+    */
+  def duplicatedSpanStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val spans = docs.select(
+      col(idCol).as("id"),
+      TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n).as("sp"))
+      .select(col("id"), explode(col("sp")).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("h"))
+    val inventory = spans.groupBy(col("h")).agg(
+      count(lit(1)).as("occ"),
+      min(col("id")).as("mn"),
+      max(col("id")).as("mx"))
+    val perDoc = spans.join(inventory, Seq("h"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_spans"),
+        sum(when(col("mn") =!= col("mx"), 1L).otherwise(0L))
+          .as("n_cross_dup_spans"))
+    // restore sub-n-token documents (explode drops their empty span
+    // arrays) with explicit zero counts
+    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_cross_dup_spans"), lit(0L)).as("n_cross_dup_spans"))
+  }
 }

@@ -387,7 +387,16 @@ object DocQueries {
         .toDF()
         .select(col("media_id"), col("n_bytes"),
           round(col("mean_byte"), 6).as("mean_byte"),
-          round(col("byte_entropy"), 6).as("byte_entropy"))))
+          round(col("byte_entropy"), 6).as("byte_entropy"))),
+
+    "d16_dup_spans" -> ((s, d) =>
+      // substring-level dedup signal (Lee et al. 2022): per-doc counts of
+      // 8-token spans that recur anywhere / in another document. The
+      // oracle replays the full span inventory on raw span strings; Spark
+      // groups on xxhash64(span) — an internal key that never leaves the
+      // plan, so the only cross-engine surface is the exact counts
+      Dedup.duplicatedSpanStats(documents(s, d), "doc_id", "text", n = 8)
+        .withColumnRenamed("id", "doc_id")))
 
   /** DuckDB-side tokenization mirroring TextFunctions.tokens. */
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -428,6 +437,28 @@ object DocQueries {
     "d01_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    // full duplicated-span replay on raw 8-token span strings: inventory
+    // occurrences + min/max doc per span, then per-doc coverage counts;
+    // sub-8-token docs come back via the left join with zero counts
+    "d16_dup_spans" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sp AS (SELECT doc_id, unnest(
+         |    CASE WHEN len(t) >= 8
+         |      THEN [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)]
+         |      ELSE [] END) AS g
+         |  FROM t0),
+         |inv AS (SELECT g, count(*) AS occ, min(doc_id) AS mn, max(doc_id) AS mx
+         |        FROM sp GROUP BY g),
+         |per AS (SELECT sp.doc_id,
+         |          count(*) AS n_spans,
+         |          sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS n_dup,
+         |          sum(CASE WHEN mn <> mx THEN 1 ELSE 0 END) AS n_cross
+         |        FROM sp JOIN inv USING (g) GROUP BY sp.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_spans,
+         |  CAST(coalesce(per.n_cross, 0) AS BIGINT) AS n_cross_dup_spans
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
     // full simhash replay: per-token sha256-prefix hash -> 64 bit votes
     // over the token multiset -> signature bits -> all-pairs Hamming <= 3.
     // Bit b of the big-endian 8-byte hash prefix lives at bit (b % 4) of

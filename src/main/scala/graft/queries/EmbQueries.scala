@@ -31,6 +31,10 @@ object EmbQueries {
   private val PqIters = 2
   /** e11's shortlist: 4x the final k, the usual re-rank overprovision. */
   private val RerankShortlist = 20
+  /** e13's Matryoshka shape: rank on an 8-dim prefix (1/8 of the scan
+    * bytes), re-rank the 50 best per query with all 64 dims. */
+  private val MrlPrefixDims = 8
+  private val MrlShortlist = 50
 
   private def queriesDf(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).filter(col("vec_id") < NQUERIES)
@@ -187,7 +191,18 @@ object EmbQueries {
           col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
           Ann.quantizedDot(col("x.embedding"), col("y.embedding")).as("qdot"))
         .filter(col("qdot") > 250000L)
-    }))
+    }),
+
+    "e13_mrl_rerank" -> ((s, d) =>
+      // Matryoshka-style two-stage search, oracle-checked END TO END:
+      // candidates from the integer dot over the first 8 of 64 dims (an
+      // 8x narrower corpus scan — the memory-bound serving shape for
+      // MRL-trained embeddings), exact full-dim re-rank of the 50 best.
+      // Both stages are integer dots with id tiebreaks, so DuckDB
+      // replays shortlist and re-rank bit for bit.
+      Ann.prefixRerankTopK(embeddings(s, d), queriesDf(s, d),
+        "vec_id", "embedding", K,
+        prefixDims = MrlPrefixDims, shortlist = MrlShortlist)))
 
   /** Exact brute-force top-k in DuckDB — the oracle for e01 AND for the
     * full-probe IVF identity e06 (same rows by construction). */
@@ -575,6 +590,25 @@ object EmbQueries {
     "e06_knn_ivf_full_probe" -> exactKnnSql,
     "e01_knn_exact" -> exactKnnSql,
     "e07_cosine_topk" -> cosineKnnSql,
+    // full two-stage Matryoshka replay: 8-dim-prefix shortlist of 50,
+    // exact 64-dim re-rank — both integer dots with id tiebreaks
+    "e13_mrl_rerank" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, embedding[1:$MrlPrefixDims] AS qp
+         |           FROM embeddings WHERE vec_id < $NQUERIES),
+         |it AS (SELECT vec_id AS nid, embedding AS nv, embedding[1:$MrlPrefixDims] AS np
+         |       FROM embeddings),
+         |s1 AS (SELECT q.qid, it.nid, ${qdotSql("q.qp", "it.np")} AS pdot
+         |       FROM q, it WHERE it.nid <> q.qid),
+         |short AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |           row_number() OVER (PARTITION BY qid ORDER BY pdot DESC, nid) AS rn
+         |    FROM s1) WHERE rn <= $MrlShortlist),
+         |s2 AS (SELECT sh.qid, sh.nid, ${qdotSql("q.qv", "it.nv")} AS qdot
+         |       FROM short sh JOIN q ON q.qid = sh.qid JOIN it ON it.nid = sh.nid)
+         |SELECT qid, nid, qdot FROM (
+         |  SELECT qid, nid, qdot,
+         |         row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, nid) AS rn
+         |  FROM s2) WHERE rn <= $K""".stripMargin,
     "e12_semantic_dedup" ->
       """WITH RECURSIVE
         |q AS (SELECT vec_id, label,

@@ -143,6 +143,17 @@ object GraphQueries {
         landmarks = (1L to 10L))
     }),
 
+    "g34_modularity" -> ((s, d) => {
+      // modularity scoring of a vertex partition on the supplier-part
+      // graph (community = id mod 7 — a fixed analytic labelling, so the
+      // oracle needs no iterative replay): per-community m_in / deg_sum
+      // exact integers + one fixed-order float contribution
+      val e = suppPartEdges(s, d)
+      val g = indexedGraph(vertsOf(e), e, directed = false)
+      Modularity.perCommunity(g,
+        g.vertices.select(col(ID), pmod(col(ID), lit(7L)).as("community")))
+    }),
+
     "g07_jaccard" -> ((s, d) =>
       JaccardSimilarity().run(starGraph(s, d))),
 
@@ -656,6 +667,30 @@ object GraphQueries {
       """SELECT CAST(0 AS BIGINT) AS start, CAST(8 AS BIGINT) AS "end",
         | CAST(8 AS BIGINT) AS path_len
         |FROM nation WHERE n_nationkey = 0""".stripMargin,
+    "g34_modularity" ->
+      s"""WITH raw AS ($suppPartEdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+         |      FROM raw WHERE src <> dst),
+         |v AS (SELECT src AS id FROM raw UNION SELECT dst FROM raw),
+         |a AS (SELECT id, id % 7 AS community FROM v),
+         |m AS (SELECT count(*) AS m FROM e),
+         |mi AS (SELECT a1.community, count(*) AS m_in
+         |       FROM e JOIN a a1 ON e.src = a1.id JOIN a a2 ON e.dst = a2.id
+         |       WHERE a1.community = a2.community GROUP BY a1.community),
+         |dg AS (SELECT a.community, count(*) AS deg_sum
+         |       FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e) x
+         |       JOIN a ON x.id = a.id GROUP BY a.community)
+         |SELECT ac.community,
+         |  CAST(coalesce(mi.m_in, 0) AS BIGINT) AS m_in,
+         |  CAST(coalesce(dg.deg_sum, 0) AS BIGINT) AS deg_sum,
+         |  round(CAST(coalesce(mi.m_in, 0) AS DOUBLE) / m.m
+         |    - (CAST(coalesce(dg.deg_sum, 0) AS DOUBLE) / (2 * m.m))
+         |      * (CAST(coalesce(dg.deg_sum, 0) AS DOUBLE) / (2 * m.m)), 9)
+         |    AS contribution
+         |FROM (SELECT DISTINCT community FROM a) ac
+         |CROSS JOIN m
+         |LEFT JOIN mi ON mi.community = ac.community
+         |LEFT JOIN dg ON dg.community = ac.community""".stripMargin,
     "g07_jaccard" ->
       s"""WITH e AS ($starEdgesSql),
          |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),

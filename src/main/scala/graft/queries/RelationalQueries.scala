@@ -101,7 +101,31 @@ object RelationalQueries {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
           count(lit(1)).as("cnt"),
-          sum(col("l_quantity")).as("sum_qty"))))
+          sum(col("l_quantity")).as("sum_qty"))),
+
+    "q12_pivot" -> ((s, d) =>
+      // pivot surface: one grouped pass producing one column per pivoted
+      // value. The value list is EXPLICIT — with an inferred list Spark
+      // runs an extra distinct job over the fact table first, a needless
+      // full scan at 100 TB (and nondeterministic column order)
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("O", "F"))
+        .agg(sum(col("l_quantity")))
+        .withColumnsRenamed(Map("O" -> "qty_open", "F" -> "qty_filled"))),
+
+    "q13_percentile" -> ((s, d) =>
+      // exact interpolated percentiles per group (both engines use the
+      // 0-based (n-1)*p linear interpolation); quartile fractions of
+      // integer-valued quantities are exact binary doubles, so the
+      // interpolated results are bit-identical cross-engine
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          expr("percentile(l_quantity, array(0.1, 0.9))[1]").as("p90"))))
 
   val oracle: Map[String, String] = Map(
     "q01_agg" ->
@@ -149,5 +173,17 @@ object RelationalQueries {
     "q11_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | sum(l_quantity) AS sum_qty
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q12_pivot" ->
+      """SELECT l_returnflag,
+        | sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_open,
+        | sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_filled
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q13_percentile" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.25) AS p25,
+        | quantile_cont(l_quantity, 0.5) AS p50,
+        | quantile_cont(l_quantity, 0.75) AS p75,
+        | quantile_cont(l_quantity, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
 }

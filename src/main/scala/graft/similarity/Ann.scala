@@ -68,6 +68,53 @@ object Ann {
       .drop("rn")
   }
 
+  /** Matryoshka-style two-stage search (Kusupati et al. 2022: nested
+    * representations rank well on a dimension prefix): candidates are
+    * generated with the quantized dot over only the first `prefixDims`
+    * components, then the `shortlist` best per query are re-ranked with
+    * the full-dimension exact dot.
+    *
+    * Why this is the memory-bound 100 TB shape: stage 1 streams a
+    * prefix-projected corpus — `prefixDims`/dims of the bytes (8/64 = an
+    * 8x smaller scan than [[bruteForceTopK]], and the projection prunes
+    * at the parquet reader when the prefix is stored as its own column) —
+    * and shuffles only narrow (qid, nid, score) rows into the per-query
+    * window. Stage 2 touches full vectors for `shortlist` x |queries|
+    * rows only, fetched by a broadcast semi-join against the shortlist,
+    * so the wide corpus is never shuffled at all.
+    *
+    * Exact when `shortlist` >= corpus size; otherwise recall depends on
+    * how front-loaded the embedding dimensions are (for MRL-trained
+    * models the prefix IS a trained embedding). Deterministic on both
+    * stages: integer dots, ties on neighbour id. Output (qid, nid, qdot)
+    * with qdot the full-dimension quantized dot.
+    */
+  def prefixRerankTopK(
+      items: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      prefixDims: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      slice(col(vecCol), 1, prefixDims).as("qp"))
+    val itPrefix = items.select(col(idCol).as("nid"),
+      slice(col(vecCol), 1, prefixDims).as("np"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("pdot").desc, col("nid"))
+    val short = itPrefix.join(broadcast(q.select(col("qid"), col("qp"))),
+        col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), quantizedDot(col("qp"), col("np")).as("pdot"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= shortlist)
+      .select(col("qid"), col("nid"))
+    val full = items.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .join(broadcast(short), Seq("nid"))
+      .join(broadcast(q.select(col("qid"), col("qv"))), Seq("qid"))
+      .select(col("qid"), col("nid"), quantizedDot(col("qv"), col("nv")).as("qdot"))
+    val wf = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("nid"))
+    full.withColumn("rn", row_number().over(wf))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Exact top-k by COSINE, cross-engine deterministic: the dot and both
     * squared norms are exact quantized integers, and the only float ops
     * are two `sqrt` and two divisions — each correctly rounded under

@@ -362,4 +362,23 @@ class AlgorithmsSpec extends SparkSpec {
     val maxId = g.vertices.agg(max(ID)).head().getLong(0)
     assert(res.select(STATE).distinct().collect().map(_.getLong(0)).toSeq === Seq(maxId))
   }
+
+  test("modularity: two triangles joined by a bridge, analytic Q = 5/14") {
+    import spark.implicits._
+    // triangles {0,1,2} and {3,4,5} with bridge 2-3: m = 7, each
+    // community has m_in = 3 and deg_sum = 7, so each contributes
+    // 3/7 - (7/14)^2 = 5/28 and Q = 5/14
+    val v = (0L to 5L).toDF(ID)
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (5L, 3L),
+      (2L, 3L)).toDF(SRC, DST)
+    val g = Graph(v, e, directed = false)
+    val assign = v.select(col(ID), (col(ID) / 3).cast("long").as("community"))
+    val got = Modularity.perCommunity(g, assign)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0L) === ((3L, 7L, math.rint(5.0 / 28 * 1e9) / 1e9)))
+    assert(got(1L) === ((3L, 7L, math.rint(5.0 / 28 * 1e9) / 1e9)))
+    val q = got.values.map(_._3).sum
+    assert(math.abs(q - 5.0 / 14) < 1e-8)
+  }
 }

@@ -379,4 +379,29 @@ class AnnSpec extends SparkSpec {
       (10L, 10L, 1), (11L, 10L, 0), (12L, 10L, 0), (13L, 10L, 0),
       (20L, 20L, 1)))
   }
+
+  test("prefix re-rank: exact when shortlist covers the corpus") {
+    val items = clustered()
+    val queries = items.filter(col("vec_id") < 3)
+    val exact = rowSet(
+      Ann.bruteForceTopK(items, queries, "vec_id", "embedding", 5))
+    val got = rowSet(Ann.prefixRerankTopK(items, queries,
+      "vec_id", "embedding", 5, prefixDims = 4, shortlist = 100))
+    assert(got === exact)
+  }
+
+  test("prefix re-rank: high recall on clustered data with a real shortlist") {
+    val items = clustered()
+    val queries = items.filter(col("vec_id") < 10)
+    val exact = Ann.bruteForceTopK(items, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Ann.prefixRerankTopK(items, queries,
+      "vec_id", "embedding", 5, prefixDims = 4, shortlist = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size === exact.size)
+    // half the dimensions still carry the cluster structure: the prefix
+    // shortlist should recover nearly all true neighbours
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
 }

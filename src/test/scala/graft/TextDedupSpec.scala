@@ -249,4 +249,22 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L)._1 === "nothing sensitive here")
     assert((out(3L)._2, out(3L)._3, out(3L)._4) === (0, 0, 0))
   }
+
+  test("duplicated-span stats: cross-doc, within-doc, and short docs") {
+    // doc 1 and 2 share one 4-token span ("w x y z"); doc 3 repeats its
+    // own span twice (within-doc dup, not cross); doc 4 is too short
+    val d = docs(
+      1L -> "a b c w x y z q",       // spans at pos1..5; "w x y z" shared
+      2L -> "w x y z r s t",         // spans at pos1..4
+      3L -> "p q r s p q r s",       // "p q r s" occurs twice (pos 1, 5)
+      4L -> "too short")
+    val got = Dedup.duplicatedSpanStats(d, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((5L, 1L, 1L)))  // only "w x y z" duplicated, cross
+    assert(got(2L) === ((4L, 1L, 1L)))
+    // doc 3: spans p1..p5; "p q r s" (p1, p5) duplicated but same-doc
+    assert(got(3L) === ((5L, 2L, 0L)))
+    assert(got(4L) === ((0L, 0L, 0L)))
+  }
 }
