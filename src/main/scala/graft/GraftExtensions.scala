@@ -4,14 +4,15 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{FloatLongDot, MinHashSig, QuantizedDot, RhpBuckets,
-  RhpBucketsPortable, SimHash64, SimHashSha64}
+import graft.functions.{FloatLongDot, LongLongDot, MinHashSig, QuantizedDot,
+  RhpBuckets, RhpBucketsPortable, SimHash64, SimHashSha64}
 
 /** Registers graft's native expressions as SQL functions, making them
   * callable from `spark.sql(...)` and usable over Spark Connect / JDBC:
   *
   *  - `graft_quantized_dot(a, b)`      — exact quantized embedding dot
   *  - `graft_float_long_dot(v, s)`     — exact dot vs an integer-sum vector
+  *  - `graft_long_long_dot(a, b)`      — exact dot of two integer vectors
   *  - `graft_rhp_buckets(v, bits, t)`  — random-hyperplane LSH bucket keys
   *  - `graft_rhp_buckets_portable(v, bits, t)` — sha256-derived, oracle-able
   *  - `graft_simhash64(tokens)`        — 64-bit SimHash of a token array
@@ -61,6 +62,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_float_long_dot"),
       new ExpressionInfo(classOf[FloatLongDot].getName, "graft_float_long_dot"),
       (args: Seq[Expression]) => FloatLongDot(args(0), args(1))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_long_long_dot"),
+      new ExpressionInfo(classOf[LongLongDot].getName, "graft_long_long_dot"),
+      (args: Seq[Expression]) => LongLongDot(args(0), args(1))))
 
     ext.injectFunction((
       new FunctionIdentifier("graft_rhp_buckets_portable"),

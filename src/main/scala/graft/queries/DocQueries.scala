@@ -396,7 +396,15 @@ object DocQueries {
       // groups on xxhash64(span) — an internal key that never leaves the
       // plan, so the only cross-engine surface is the exact counts
       Dedup.duplicatedSpanStats(documents(s, d), "doc_id", "text", n = 8)
-        .withColumnRenamed("id", "doc_id")))
+        .withColumnRenamed("id", "doc_id")),
+
+    "d17_kmv_distinct" -> ((s, d) =>
+      // portable K-Minimum-Values cardinality sketch per language:
+      // sha256-prefix hashes, k = 16 smallest, (k-1)*2^48/h_k — DuckDB
+      // replays hash, rank AND estimate bit for bit (the auditability
+      // HLL-style sketches can't offer across engines)
+      graft.sketch.Kmv.distinctEstimate(
+        documents(s, d), Seq("lang"), col("text"), k = 16)))
 
   /** DuckDB-side tokenization mirroring TextFunctions.tokens. */
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -459,6 +467,26 @@ object DocQueries {
          |  CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_spans,
          |  CAST(coalesce(per.n_cross, 0) AS BIGINT) AS n_cross_dup_spans
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
+    // full KMV replay: 48-bit sha256-prefix hashes (digit-decoded so
+    // every intermediate stays exact), global per-lang rank, same
+    // exact-fallback estimator
+    "d17_kmv_distinct" ->
+      """WITH h0 AS (SELECT DISTINCT lang,
+        |    CAST(list_sum([(strpos('0123456789abcdef', substr(h12, i, 1)) - 1)
+        |                   * CAST(power(16, 12 - i) AS BIGINT)
+        |                   FOR i IN range(1, 13)]) AS BIGINT) AS h
+        |  FROM (SELECT lang, substr(sha256(text), 1, 12) AS h12 FROM documents)),
+        |kept AS (SELECT lang, h,
+        |           row_number() OVER (PARTITION BY lang ORDER BY h) AS rnk
+        |         FROM h0),
+        |agg AS (SELECT lang, count(*) AS n_kept, max(h) AS kth_hash
+        |        FROM kept WHERE rnk <= 16 GROUP BY lang)
+        |SELECT lang, n_kept, kth_hash,
+        |  CASE WHEN n_kept < 16 THEN CAST(n_kept AS DOUBLE)
+        |       ELSE round(CAST(15 * 281474976710656 AS DOUBLE)
+        |                  / CAST(kth_hash AS DOUBLE), 6)
+        |  END AS est_distinct
+        |FROM agg""".stripMargin,
     // full simhash replay: per-token sha256-prefix hash -> 64 bit votes
     // over the token multiset -> signature bits -> all-pairs Hamming <= 3.
     // Bit b of the big-endian 8-byte hash prefix lives at bit (b % 4) of

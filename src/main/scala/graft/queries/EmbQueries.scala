@@ -202,7 +202,16 @@ object EmbQueries {
       // replays shortlist and re-rank bit for bit.
       Ann.prefixRerankTopK(embeddings(s, d), queriesDf(s, d),
         "vec_id", "embedding", K,
-        prefixDims = MrlPrefixDims, shortlist = MrlShortlist)))
+        prefixDims = MrlPrefixDims, shortlist = MrlShortlist)),
+
+    "e14_knn_sq8" -> ((s, d) =>
+      // int8 scalar-quantized serving, oracle-checked END TO END:
+      // per-dim max-abs scales (exact max, no summation), symmetric
+      // round(x*127/mx) codes, integer-dot shortlist of 20, exact
+      // full-precision re-rank — DuckDB replays scales, codes, shortlist
+      // and re-rank bit for bit
+      Ann.sqInt8TopK(embeddings(s, d), queriesDf(s, d),
+        "vec_id", "embedding", K, shortlist = RerankShortlist)))
 
   /** Exact brute-force top-k in DuckDB — the oracle for e01 AND for the
     * full-probe IVF identity e06 (same rows by construction). */
@@ -605,6 +614,37 @@ object EmbQueries {
          |    FROM s1) WHERE rn <= $MrlShortlist),
          |s2 AS (SELECT sh.qid, sh.nid, ${qdotSql("q.qv", "it.nv")} AS qdot
          |       FROM short sh JOIN q ON q.qid = sh.qid JOIN it ON it.nid = sh.nid)
+         |SELECT qid, nid, qdot FROM (
+         |  SELECT qid, nid, qdot,
+         |         row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, nid) AS rn
+         |  FROM s2) WHERE rn <= $K""".stripMargin,
+    // full int8-SQ replay: per-dim max-abs scales, symmetric codes,
+    // integer-dot shortlist, exact re-rank
+    "e14_knn_sq8" ->
+      s"""WITH sc AS (SELECT i, max(abs(CAST(embedding[i] AS DOUBLE))) AS mx
+         |            FROM embeddings, unnest(range(1, 65)) AS u(i)
+         |            GROUP BY i),
+         |scl AS (SELECT list(mx ORDER BY i) AS scales FROM sc),
+         |qz AS (SELECT vec_id,
+         |         [CASE WHEN scl.scales[i] > 0
+         |            THEN CAST(round(CAST(embedding[i] AS DOUBLE) * 127.0
+         |                            / scl.scales[i]) AS BIGINT)
+         |            ELSE 0 END FOR i IN range(1, 65)] AS q
+         |       FROM embeddings, scl),
+         |qq AS (SELECT vec_id AS qid, q AS qa FROM qz WHERE vec_id < $NQUERIES),
+         |s1 AS (SELECT qq.qid, e.vec_id AS nid,
+         |         CAST(list_sum([qq.qa[i] * e.q[i] FOR i IN range(1, 65)])
+         |              AS BIGINT) AS sdot
+         |       FROM qq, qz e WHERE e.vec_id <> qq.qid),
+         |short AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |           row_number() OVER (PARTITION BY qid ORDER BY sdot DESC, nid) AS rn
+         |    FROM s1) WHERE rn <= $RerankShortlist),
+         |qv AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |       WHERE vec_id < $NQUERIES),
+         |s2 AS (SELECT sh.qid, sh.nid, ${qdotSql("q.qv", "e.embedding")} AS qdot
+         |       FROM short sh JOIN qv q ON q.qid = sh.qid
+         |       JOIN embeddings e ON e.vec_id = sh.nid)
          |SELECT qid, nid, qdot FROM (
          |  SELECT qid, nid, qdot,
          |         row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, nid) AS rn

@@ -154,6 +154,14 @@ object GraphQueries {
         g.vertices.select(col(ID), pmod(col(ID), lit(7L)).as("community")))
     }),
 
+    "g35_assortativity" -> ((s, d) => {
+      // degree assortativity of the supplier-part graph: exact integer
+      // moment sums + one fixed-order double formula
+      val e = suppPartEdges(s, d)
+      Assortativity.degreeAssortativity(
+        indexedGraph(vertsOf(e), e, directed = false))
+    }),
+
     "g07_jaccard" -> ((s, d) =>
       JaccardSimilarity().run(starGraph(s, d))),
 
@@ -691,6 +699,26 @@ object GraphQueries {
          |CROSS JOIN m
          |LEFT JOIN mi ON mi.community = ac.community
          |LEFT JOIN dg ON dg.community = ac.community""".stripMargin,
+    "g35_assortativity" ->
+      s"""WITH raw AS ($suppPartEdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+         |      FROM raw WHERE src <> dst),
+         |deg AS (SELECT id, count(*) AS deg
+         |        FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e) x
+         |        GROUP BY id),
+         |p AS (SELECT src AS x, dst AS y FROM e
+         |      UNION ALL SELECT dst, src FROM e),
+         |sums AS (SELECT count(*) AS m2,
+         |           CAST(sum(a.deg) AS BIGINT) AS s_x,
+         |           CAST(sum(a.deg * a.deg) AS BIGINT) AS s_xx,
+         |           CAST(sum(a.deg * b.deg) AS BIGINT) AS s_xy
+         |         FROM p JOIN deg a ON p.x = a.id JOIN deg b ON p.y = b.id)
+         |SELECT m2, s_x, s_xx, s_xy,
+         |  round((CAST(m2 AS DOUBLE) * CAST(s_xy AS DOUBLE)
+         |          - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))
+         |      / (CAST(m2 AS DOUBLE) * CAST(s_xx AS DOUBLE)
+         |          - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE)), 9) AS r
+         |FROM sums""".stripMargin,
     "g07_jaccard" ->
       s"""WITH e AS ($starEdgesSql),
          |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),

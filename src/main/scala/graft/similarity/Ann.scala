@@ -115,6 +115,63 @@ object Ann {
       .drop("rn")
   }
 
+  /** Scalar-quantized (int8-range) two-stage search — the standard
+    * memory-compressed serving layout when PQ's codebook fit is not
+    * wanted: every dimension is symmetrically quantized to
+    * round(x·127/maxabs_d) (per-dimension corpus max-abs scales, an
+    * exact max — no summation — so deterministic), candidates are ranked
+    * by the integer dot of the quantized vectors, and the `shortlist`
+    * best per query are re-ranked with the exact full-precision
+    * [[quantizedDot]].
+    *
+    * Scale shape (100 TB): the scale fit is one columnar pass reduced to
+    * dims rows (map-side partial max); candidate generation streams the
+    * quantized corpus (1 byte of information per component vs 4 — the
+    * stored form would be `array<tinyint>`) against broadcast quantized
+    * queries, shuffling only narrow (qid, nid, score) rows; stage 2
+    * fetches full vectors for shortlist × |queries| rows by broadcast
+    * semi-join. The corpus itself never shuffles. Integer dots via the
+    * codegen'd [[graft.functions.LongLongDot]].
+    *
+    * Output (qid, nid, qdot) with qdot the exact full-precision dot.
+    */
+  def sqInt8TopK(
+      items: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val dimMax = items
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(max(abs(col("x").cast("double"))).as("mx"))
+    val scales = dimMax.agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+        s => s.getField("mx")).as("scales"))
+    def quantize(vec: Column): Column =
+      zip_with(vec, col("scales"), (x, m) =>
+        when(m > lit(0.0), round(x.cast("double") * lit(127.0) / m))
+          .otherwise(lit(0.0)).cast("long"))
+    val qq = queries.crossJoin(broadcast(scales))
+      .select(col(idCol).as("qid"), quantize(col(vecCol)).as("qq"))
+    val nq = items.crossJoin(broadcast(scales))
+      .select(col(idCol).as("nid"), quantize(col(vecCol)).as("nq"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sdot").desc, col("nid"))
+    val short = nq.join(broadcast(qq), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        graft.functions.LongLongDot(col("qq"), col("nq")).as("sdot"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= shortlist)
+      .select(col("qid"), col("nid"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val full = items.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .join(broadcast(short), Seq("nid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("nid"), quantizedDot(col("qv"), col("nv")).as("qdot"))
+    val wf = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("nid"))
+    full.withColumn("rn", row_number().over(wf))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Exact top-k by COSINE, cross-engine deterministic: the dot and both
     * squared norms are exact quantized integers, and the only float ops
     * are two `sqrt` and two divisions — each correctly rounded under

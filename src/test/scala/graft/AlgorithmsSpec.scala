@@ -381,4 +381,16 @@ class AlgorithmsSpec extends SparkSpec {
     val q = got.values.map(_._3).sum
     assert(math.abs(q - 5.0 / 14) < 1e-8)
   }
+
+  test("assortativity: star graph is perfectly disassortative (r = -1)") {
+    import spark.implicits._
+    // K1,3: every edge joins degree 3 to degree 1 — textbook r = -1
+    val v = (0L to 3L).toDF(ID)
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF(SRC, DST)
+    val row = Assortativity.degreeAssortativity(Graph(v, e, directed = false))
+      .head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      === ((6L, 12L, 30L, 18L)))
+    assert(row.getDouble(4) === -1.0)
+  }
 }

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sketch.Kmv
+
+class KmvSpec extends SparkSpec {
+
+  test("kmv: exact fallback below k, bounded estimate above") {
+    import spark.implicits._
+    // group "small": 5 distinct keys (< k = 16) -> exact count;
+    // group "big": 500 distinct keys -> estimate within the KMV error
+    // band (sigma ~ n/sqrt(k-2) ~ 134; assert a generous 4-sigma window)
+    val rows =
+      (1 to 5).map(i => ("small", s"s$i")) ++
+        (1 to 500).map(i => ("big", s"b$i")) ++
+        (1 to 500).map(i => ("big", s"b$i")) // duplicates must not matter
+    val df = rows.toDF("lang", "text")
+    val got = Kmv.distinctEstimate(df, Seq("lang"), col("text"), k = 16)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(3)))).toMap
+    val small = got("small")
+    assert(small === ((5L, 5.0)))
+    val (nBig, estBig) = got("big")
+    assert(nBig === 16L)
+    assert(estBig > 100 && estBig < 1100, s"estimate $estBig for true 500")
+  }
+
+  test("kmv: deterministic across partitionings") {
+    import spark.implicits._
+    val df1 = (1 to 300).map(i => ("g", s"k$i")).toDF("lang", "text")
+    val df32 = df1.repartition(32)
+    val a = Kmv.distinctEstimate(df1, Seq("lang"), col("text"), 16).collect()
+    val b = Kmv.distinctEstimate(df32, Seq("lang"), col("text"), 16).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+}
