@@ -154,4 +154,47 @@ class PlansSpec extends SparkSpec {
     // and the offsets side stays a broadcast, never a shuffle join
     assert(p.contains("BroadcastHashJoin"), s"offset join not broadcast:\n$p")
   }
+
+  test("d16 dup spans: inventory partial-aggregates, flag join stays keyed") {
+    val p = plan(DocQueries.queries("d16_dup_spans")(spark, SF))
+    assert(p.contains("partial_count"),
+      s"span inventory must map-side combine before the shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span-flag join must be keyed on the span hash:\n$p")
+  }
+
+  test("d17 kmv: corpus top-k window is sharded, never one reducer per group") {
+    val p = plan(DocQueries.queries("d17_kmv_distinct")(spark, SF))
+    // the corpus-sized rank exchange must carry the shard key (projected
+    // as _w0) next to lang — a lang-only key would serialize each group
+    assert("hashpartitioning\\(lang#\\d+, _w0".r.findFirstIn(p).isDefined,
+      s"kmv rank window not sharded within the group:\n$p")
+    // and Spark's rank-limit pushdown keeps only 16 rows per map task
+    // BEFORE each exchange (partial WindowGroupLimit)
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"kmv top-k not partially limited map-side:\n$p")
+  }
+
+  test("e13/e14 two-stage: only broadcast crosses, full corpus never shuffles wide") {
+    for (q <- Seq("e13_mrl_rerank", "e14_knn_sq8")) {
+      val p = plan(EmbQueries.queries(q)(spark, SF))
+      assert(!p.contains("CartesianProduct"),
+        s"$q: cartesian in the two-stage plan:\n$p")
+      // the qid<>nid candidate cross rides the broadcast query set; the
+      // stage-2 fetch must be keyed broadcast joins
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: shortlist fetch must be a broadcast hash join:\n$p")
+    }
+  }
+
+  test("g34/g35 graph stats: id-keyed joins plus combinable aggregates only") {
+    for (q <- Seq("g34_modularity", "g35_assortativity")) {
+      val p = plan(GraphQueries.queries(q)(spark, SF))
+      assert(!p.contains("CartesianProduct") ||
+        "CartesianProduct".r.findAllIn(p).size <= 1, // the 1-row m cross
+        s"$q: unexpected cartesian:\n$p")
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q: aggregates must map-side combine:\n$p")
+    }
+  }
 }
