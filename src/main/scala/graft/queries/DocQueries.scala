@@ -404,7 +404,25 @@ object DocQueries {
       // replays hash, rank AND estimate bit for bit (the auditability
       // HLL-style sketches can't offer across engines)
       graft.sketch.Kmv.distinctEstimate(
-        documents(s, d), Seq("lang"), col("text"), k = 16)))
+        documents(s, d), Seq("lang"), col("text"), k = 16)),
+
+    "t11_vocab_stats" -> ((s, d) => {
+      // corpus vocabulary profile per language — type/token ratio and
+      // hapax mass are the classic quality/diversity signals for corpus
+      // comparison. Two map-side-combinable groupBys (term frequencies,
+      // then per-lang folds); the ratio is one correctly-rounded division
+      // of exact integers
+      val tf = documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("lang")).agg(
+          sum(col("tf")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("lang"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+            .as("ttr"))
+    }))
 
   /** DuckDB-side tokenization mirroring TextFunctions.tokens. */
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -487,6 +505,19 @@ object DocQueries {
         |                  / CAST(kth_hash AS DOUBLE), 6)
         |  END AS est_distinct
         |FROM agg""".stripMargin,
+    "t11_vocab_stats" ->
+      s"""WITH t0 AS (SELECT lang, $toksSql AS t FROM documents),
+         |tk AS (SELECT lang, unnest(t) AS tok FROM t0),
+         |tf AS (SELECT lang, tok, count(*) AS tf FROM tk GROUP BY lang, tok),
+         |agg AS (SELECT lang,
+         |          CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |          count(*) AS n_types,
+         |          CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS n_hapax
+         |        FROM tf GROUP BY lang)
+         |SELECT lang, n_tokens, n_types, n_hapax,
+         |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr
+         |FROM agg""".stripMargin,
     // full simhash replay: per-token sha256-prefix hash -> 64 bit votes
     // over the token multiset -> signature bits -> all-pairs Hamming <= 3.
     // Bit b of the big-endian 8-byte hash prefix lives at bit (b % 4) of

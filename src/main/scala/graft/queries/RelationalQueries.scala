@@ -114,6 +114,16 @@ object RelationalQueries {
         .agg(sum(col("l_quantity")))
         .withColumnsRenamed(Map("O" -> "qty_open", "F" -> "qty_filled"))),
 
+    "q14_cube" -> ((s, d) =>
+      // full grouping-sets lattice: (flag, status), (flag), (status), ()
+      // in one Expand + aggregate pass — completes the rollup (q11) /
+      // pivot (q12) grouping surface
+      lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).as("sum_qty"))),
+
     "q13_percentile" -> ((s, d) =>
       // exact interpolated percentiles per group (both engines use the
       // 0-based (n-1)*p linear interpolation); quartile fractions of
@@ -179,6 +189,10 @@ object RelationalQueries {
         | sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_open,
         | sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_filled
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q14_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q13_percentile" ->
       """SELECT l_returnflag,
         | quantile_cont(l_quantity, 0.25) AS p25,

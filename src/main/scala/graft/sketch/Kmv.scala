@@ -1,8 +1,9 @@
 package graft.sketch
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** K-Minimum-Values distinct-count sketch (Bar-Yossef et al. 2002), the
   * mergeable cardinality estimator behind theta sketches: hash every key
@@ -61,5 +62,45 @@ object Kmv {
             lit((k - 1L) * HashSpace).cast("double") / col("kth_hash").cast("double"),
             6))
           .as("est_distinct")): _*)
+  }
+
+  /** Keyed sketch state: the ≤ k smallest distinct hashes, ascending. */
+  final case class KmvState(hashes: Seq[Long])
+  /** Per-group estimate emitted each micro-batch. */
+  final case class KmvEstimate(group: String, n_kept: Long, kth_hash: Long,
+      est_distinct: Double)
+
+  /** Streaming face of the same sketch: keyed state holds each group's k
+    * smallest distinct hashes and every micro-batch emits the group's
+    * refreshed estimate (use OutputMode.Update). Because KMV state is a
+    * MERGE (set-union then take-k) the streaming result after any batch
+    * split equals [[distinctEstimate]] over the union of the batches —
+    * the mergeability property that makes the sketch exactly-restateable
+    * from a checkpoint, and the property the spec pins.
+    *
+    * State is O(k) per group forever — the unbounded-distinct-count
+    * problem (true distinct state grows with the stream) reduced to a
+    * constant, which is the reason to run a sketch on a stream at all.
+    */
+  def distinctEstimateStream(
+      df: DataFrame, groupCol: String, key: Column, k: Int): Dataset[KmvEstimate] = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import df.sparkSession.implicits._
+    val hashed = df
+      .select(col(groupCol).cast("string").as("g"), portableHash(key).as("h"))
+      .as[(String, Long)]
+    hashed.groupByKey(_._1)
+      .mapGroupsWithState[KmvState, KmvEstimate](GroupStateTimeout.NoTimeout()) {
+        case (g, it, state: GroupState[KmvState]) =>
+          val merged = (state.getOption.map(_.hashes).getOrElse(Seq.empty) ++
+            it.map(_._2)).distinct.sorted.take(k)
+          state.update(KmvState(merged))
+          val n = merged.size
+          val est =
+            if (n < k) n.toDouble
+            else BigDecimal((k - 1L) * HashSpace.toDouble / merged.last)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          KmvEstimate(g, n.toLong, if (n == 0) 0L else merged.last, est)
+      }
   }
 }

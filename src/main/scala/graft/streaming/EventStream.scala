@@ -56,6 +56,39 @@ object EventStream {
     else withTs.dropDuplicates("event_id").drop("event_time")
   }
 
+  /** Stream-STREAM interval join — the attribution shape (impression
+    * stream × conversion stream): pair events of the same user where the
+    * right event arrives within `withinSeconds` AFTER the left. Both
+    * sides are watermarked with the same horizon and the join condition
+    * carries the explicit event-time range, which is what lets Spark
+    * evict buffered rows once the opposite watermark passes — without the
+    * range bound a stream-stream inner join buffers both streams forever.
+    * State is therefore O(events per horizon) per side.
+    *
+    * Output: (user_id, l_id, r_id, lag_seconds). Works on batch frames
+    * too (the watermark is a no-op there), so batch backfill and the live
+    * pipeline share one definition.
+    */
+  def correlateStreams(
+      left: DataFrame, right: DataFrame,
+      withinSeconds: Long, watermark: String = "1 hour"): DataFrame = {
+    def side(df: DataFrame, p: String): DataFrame = {
+      val withTs = df.select(
+        col("user_id").as(s"${p}_user"),
+        col("event_id").as(s"${p}_id"),
+        tsFromNanos(col("ts")).as(s"${p}_ts"))
+      if (df.isStreaming) withTs.withWatermark(s"${p}_ts", watermark) else withTs
+    }
+    side(left, "l").join(side(right, "r"),
+        col("l_user") === col("r_user") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinSeconds SECONDS"))
+      .select(
+        col("l_user").as("user_id"), col("l_id"), col("r_id"),
+        (unix_timestamp(col("r_ts")) - unix_timestamp(col("l_ts")))
+          .as("lag_seconds"))
+  }
+
   final case class Event(event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double)
   final case class Session(user_id: Long, session_start: Long, session_end: Long,

@@ -25,6 +25,33 @@ class KmvSpec extends SparkSpec {
     assert(estBig > 100 && estBig < 1100, s"estimate $estBig for true 500")
   }
 
+  test("kmv streaming: batch-split estimates equal the batch sketch (mergeability)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val q = Kmv.distinctEstimateStream(stream.toDF().toDF("lang", "text"),
+        "lang", col("text"), k = 16)
+      .writeStream.format("memory").queryName("kmv").outputMode("update").start()
+    try {
+      // batch 1: 10 distinct (< k) -> exact; batch 2: 40 more -> estimate
+      stream.addData((1 to 10).map(i => ("g", s"k$i")))
+      q.processAllAvailable()
+      val first = spark.table("kmv").as[Kmv.KmvEstimate].collect().last
+      assert((first.n_kept, first.est_distinct) === ((10L, 10.0)))
+      stream.addData((11 to 50).map(i => ("g", s"k$i")))
+      q.processAllAvailable()
+      val streamed = spark.table("kmv").as[Kmv.KmvEstimate].collect()
+        .maxBy(_.n_kept)
+      val batch = Kmv.distinctEstimate(
+          (1 to 50).map(i => ("g", s"k$i")).toDF("lang", "text"),
+          Seq("lang"), col("text"), k = 16)
+        .collect().head
+      assert(streamed.n_kept === batch.getLong(1))
+      assert(streamed.kth_hash === batch.getLong(2))
+      assert(streamed.est_distinct === batch.getDouble(3))
+    } finally q.stop()
+  }
+
   test("kmv: deterministic across partitionings") {
     import spark.implicits._
     val df1 = (1 to 300).map(i => ("g", s"k$i")).toDF("lang", "text")

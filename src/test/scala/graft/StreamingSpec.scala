@@ -49,6 +49,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs same-user events inside the horizon") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val S = 1000L * 1000 * 1000 // second in ns
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val q = EventStream.correlateStreams(clicks.toDF(), buys.toDF(),
+        withinSeconds = 3600)
+      .writeStream.format("memory").queryName("corr").outputMode("append").start()
+    try {
+      clicks.addData(ev(1, 10L * H, 7), ev(2, 10L * H, 8))
+      buys.addData(
+        ev(100, 10L * H + 600 * S, 7), // 10 min after click 1 -> match
+        ev(101, 13L * H, 7),           // 3 h later -> outside horizon
+        ev(102, 10L * H + 60 * S, 9))  // no same-user click
+      q.processAllAvailable()
+      val rows = spark.table("corr")
+        .select(col("user_id"), col("l_id"), col("r_id"), col("lag_seconds"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+      assert(rows === Seq((7L, 1L, 100L, 600L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops an event_id replayed in a later batch") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
