@@ -13,7 +13,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores TIMESTAMP(NANOS); read as raw long ns
+      // legacy events layouts store TIMESTAMP(NANOS); read those as raw long ns
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

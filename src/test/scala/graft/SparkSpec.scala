@@ -23,7 +23,7 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores TIMESTAMP(NANOS); read as raw long ns, the
+      // legacy events layouts store TIMESTAMP(NANOS); read those as raw long ns, the
       // same convention Verify/Bench run under
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
