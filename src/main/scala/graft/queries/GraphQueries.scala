@@ -362,6 +362,15 @@ object GraphQueries {
       KCore.run(indexedGraph(vertsOf(e), e, directed = false), k = 15)
     }),
 
+    "g36_ktruss" -> ((s, d) => {
+      // 5-truss of the orders graph: every surviving edge closes >= 3
+      // triangles within the truss. Edge-support peeling converges in
+      // <=7 rounds at both gate SFs; the oracle unrolls 10 (rounds past
+      // the fixpoint are identity, same argument as g31)
+      val e = ordersEdges(s, d)
+      KTruss.run(indexedGraph(vertsOf(e), e, directed = false), k = 5)
+    }),
+
     "g29_walks" -> ((s, d) => {
       // deterministic uniform random walks (DeepWalk/node2vec p=q=1
       // training data): 4 steps from every id%13==0 vertex over the
@@ -553,6 +562,38 @@ object GraphQueries {
          |GROUP BY v""".stripMargin
   }
 
+  /** Unrolled k-truss oracle: one (triangle list, per-edge support,
+    * pruned edge set) CTE triple per peeling round over the canonical
+    * (least, greatest)-oriented orders graph, mirroring
+    * [[graft.algorithms.KTruss]] exactly — each triangle (x<y<z) is
+    * enumerated once from its smallest-vertex wedge, contributes to all
+    * three of its edges, and edges below k-2 support drop. The final
+    * select recomputes supports inside the converged truss.
+    */
+  private def ktrussOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      s"""WITH raw AS ($ordersEdgesSql),
+         |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+         |       FROM raw WHERE src <> dst)""".stripMargin
+    def triSup(r: Int, in: String) =
+      s"""t$r AS (SELECT w.c, w.a, w.b FROM (
+         |    SELECT e1.src AS c, e1.dst AS a, e2.dst AS b
+         |    FROM $in e1 JOIN $in e2 ON e1.src = e2.src AND e1.dst < e2.dst) w
+         |  JOIN $in e ON w.a = e.src AND w.b = e.dst),
+         |s$r AS (SELECT src, dst, count(*) AS support FROM (
+         |    SELECT c AS src, a AS dst FROM t$r UNION ALL
+         |    SELECT c, b FROM t$r UNION ALL
+         |    SELECT a, b FROM t$r) GROUP BY src, dst)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      s"""${triSup(r, s"e${r - 1}")},
+         |e$r AS MATERIALIZED (SELECT src, dst FROM s$r WHERE support >= ${k - 2})""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s""",
+         |${triSup(rounds + 1, s"e$rounds")}
+         |SELECT src, dst, support FROM s${rounds + 1}""".stripMargin
+  }
+
   /** Unrolled label-propagation oracle over the undirected supplier–part
     * graph, one CTE block per superstep, reproducing
     * [[graft.pregel.Pregel]]'s message discipline exactly: superstep k's
@@ -614,6 +655,7 @@ object GraphQueries {
     "g28_hits" -> hitsOracleSql(3),
     "g29_walks" -> walksOracleSql(4),
     "g31_kcore" -> kcoreOracleSql(15, 8),
+    "g36_ktruss" -> ktrussOracleSql(5, 10),
     "g30_clustering_coeff" ->
       s"""WITH raw AS ($suppPartEdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst

@@ -124,6 +124,24 @@ object RelationalQueries {
           count(lit(1)).as("cnt"),
           sum(col("l_quantity")).as("sum_qty"))),
 
+    "q15_grouping_sets" -> ((s, d) =>
+      // arbitrary (non-lattice) grouping sets in one Expand pass: the
+      // flag×status breakdown, the flag×ship-year breakdown, and the
+      // grand total — sets neither rollup (q11) nor cube (q14) produce.
+      // Group columns are non-null in the data, so a NULL unambiguously
+      // means "aggregated out" without needing grouping_id
+      lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          year(col("l_shipdate")).as("ship_year"), col("l_quantity"))
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag"), col("ship_year")),
+            Seq.empty[org.apache.spark.sql.Column]),
+          col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).as("sum_qty"))),
+
     "q13_percentile" -> ((s, d) =>
       // exact interpolated percentiles per group (both engines use the
       // 0-based (n-1)*p linear interpolation); quartile fractions of
@@ -199,5 +217,10 @@ object RelationalQueries {
         | quantile_cont(l_quantity, 0.5) AS p50,
         | quantile_cont(l_quantity, 0.75) AS p75,
         | quantile_cont(l_quantity, 0.9) AS p90
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q15_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year,
+        | count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS
+        | ((l_returnflag, l_linestatus), (l_returnflag, ship_year), ())""".stripMargin)
 }

@@ -319,6 +319,25 @@ class AlgorithmsSpec extends SparkSpec {
     assert(KCore.run(g, 3).isEmpty, "no 3-core in a single triangle + tail")
   }
 
+  test("k-truss: under-supported edges peel transitively; empty truss is empty") {
+    import spark.implicits._
+    // K4 on {0,1,2,3} (every edge closes 2 triangles) + pendant triangle
+    // {3,4,5} (each edge closes 1): the 4-truss is exactly the K4 — the
+    // pendant triangle's edges all fall below support 2 and peel together
+    val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    val pendant = Seq((3L, 4L), (3L, 5L), (4L, 5L))
+    val e = (k4 ++ pendant).toDF(SRC, DST)
+    val v = (0L to 5L).toDF(ID)
+    val g = Graph(v, e.withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+      directed = false)
+    val truss4 = KTruss.run(g, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(truss4 === k4.map(_ -> 2L).toMap)
+    // 3-truss (support >= 1) keeps everything; 5-truss is empty
+    assert(KTruss.run(g, 3).count() === 9L)
+    assert(KTruss.run(g, 5).isEmpty, "no 5-truss in K4 + pendant triangle")
+  }
+
   test("random walks: follow edges, stop at sinks, deterministic across runs") {
     import spark.implicits._
     // 0->1->2 chain plus a branch 1->3; 2 and 3 are sinks
