@@ -406,6 +406,29 @@ object DocQueries {
       graft.sketch.Kmv.distinctEstimate(
         documents(s, d), Seq("lang"), col("text"), k = 16)),
 
+    "d18_heavy_hitters" -> ((s, d) => {
+      // Count-Min token-frequency estimation: a depth-4 sketch built in
+      // one map-side-combinable pass over every token occurrence (the
+      // fixed-size alternative to a full groupBy(token) at 100 TB),
+      // probed for the tokens of docs 0-9 and reported next to the
+      // exact counts — est >= exact always, equal when the token's
+      // buckets are collision-free. Width 16 is sized DOWN to the toy
+      // 31-token vocabulary so bucket collisions (and the min-probe
+      // that absorbs most of them) actually happen; a corpus-scale
+      // deployment sizes width ~2/eps. DuckDB replays hash, sketch AND
+      // min-probe bit for bit
+      val occ = documents(s, d).select(explode(tokens(col("text"))).as("tok"))
+      val sk = graft.sketch.CountMin.sketch(occ, col("tok"), depth = 4, width = 16)
+      val probes = documents(s, d).filter(col("doc_id") < 10)
+        .select(explode(tokens(col("text"))).as("tok")).distinct()
+      val exact = occ.join(probes, Seq("tok"), "left_semi")
+        .groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      graft.sketch.CountMin.estimate(sk, probes, col("tok"), depth = 4, width = 16)
+        .withColumnRenamed("probe_key", "tok")
+        .join(exact, Seq("tok"))
+        .select(col("tok"), col("est"), col("exact_cnt"))
+    }),
+
     "t11_vocab_stats" -> ((s, d) => {
       // corpus vocabulary profile per language — type/token ratio and
       // hapax mass are the classic quality/diversity signals for corpus
@@ -426,6 +449,15 @@ object DocQueries {
 
   /** DuckDB-side tokenization mirroring TextFunctions.tokens. */
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** DuckDB-side 48-bit sha256-prefix hash of a string expression
+    * (digit-decoded so every intermediate stays exact) — the replay of
+    * [[graft.sketch.Kmv.portableHash]]. */
+  private def sha48Sql(x: String) =
+    s"""CAST(list_sum([(strpos('0123456789abcdef',
+       |                       substr(substr(sha256($x), 1, 12), j, 1)) - 1)
+       |               * CAST(power(16, 12 - j) AS BIGINT)
+       |               FOR j IN range(1, 13)]) AS BIGINT)""".stripMargin
 
   /** DuckDB-side 3-gram shingle set (distinct). */
   private val shinglesSql =
@@ -485,6 +517,26 @@ object DocQueries {
          |  CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_spans,
          |  CAST(coalesce(per.n_cross, 0) AS BIGINT) AS n_cross_dup_spans
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
+    // full Count-Min replay: per-occurrence 48-bit sha256-prefix bucket
+    // per hash row, the 4x16 counter build, and the min-probe — every
+    // step exact-integer, so est AND exact_cnt match bit for bit
+    "d18_heavy_hitters" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |occ AS (SELECT unnest(t) AS tok FROM t0),
+         |cell AS (SELECT row_i, bucket, count(*) AS cnt FROM (
+         |    SELECT i AS row_i,
+         |      ${sha48Sql("tok || '#' || i")} % 16 AS bucket
+         |    FROM occ, range(4) r(i)) GROUP BY row_i, bucket),
+         |probes AS (SELECT DISTINCT unnest(t) AS tok FROM t0 WHERE doc_id < 10),
+         |pb AS (SELECT tok, i AS row_i,
+         |      ${sha48Sql("tok || '#' || i")} % 16 AS bucket
+         |    FROM probes, range(4) r(i)),
+         |est AS (SELECT pb.tok, min(coalesce(cell.cnt, 0)) AS est
+         |        FROM pb LEFT JOIN cell USING (row_i, bucket) GROUP BY pb.tok),
+         |exact AS (SELECT tok, count(*) AS exact_cnt FROM occ
+         |          WHERE tok IN (SELECT tok FROM probes) GROUP BY tok)
+         |SELECT est.tok, est.est, exact.exact_cnt
+         |FROM est JOIN exact USING (tok)""".stripMargin,
     // full KMV replay: 48-bit sha256-prefix hashes (digit-decoded so
     // every intermediate stays exact), global per-lang rank, same
     // exact-fallback estimator

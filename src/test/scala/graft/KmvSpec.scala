@@ -2,9 +2,43 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.sketch.Kmv
+import graft.sketch.{CountMin, Kmv}
 
 class KmvSpec extends SparkSpec {
+
+  test("count-min: never underestimates, exact when collision-free, merge = whole-stream") {
+    import spark.implicits._
+    // 50 keys with frequency = key index, probed exhaustively
+    val occ = (1 to 50).flatMap(i => Seq.fill(i)(s"k$i")).toDF("tok")
+    val probes = (1 to 50).map(i => s"k$i").toDF("tok")
+    val exact = (1 to 50).map(i => s"k$i" -> i.toLong).toMap
+
+    // tight sketch (width 8): collisions certain, min-probe must still
+    // never go below truth
+    val tight = CountMin.sketch(occ, col("tok"), depth = 4, width = 8)
+    CountMin.estimate(tight, probes, col("tok"), depth = 4, width = 8)
+      .collect().foreach { r =>
+        assert(r.getLong(1) >= exact(r.getString(0)),
+          s"${r.getString(0)} underestimated")
+      }
+
+    // roomy sketch (width 4096 >> 50 keys): estimates are exact unless
+    // some pair collides in ALL 4 rows (p ~ 50^2/2 * 4096^-4 ~ 1e-12)
+    val roomy = CountMin.sketch(occ, col("tok"), depth = 4, width = 4096)
+    CountMin.estimate(roomy, probes, col("tok"), depth = 4, width = 4096)
+      .collect().foreach { r =>
+        assert(r.getLong(1) === exact(r.getString(0)))
+      }
+
+    // shard-merge: sketches of a partition of the stream sum to the
+    // whole-stream sketch, counter for counter
+    val (evens, odds) = (occ.filter(expr("substr(tok, 2) % 2 = 0")),
+      occ.filter(expr("substr(tok, 2) % 2 = 1")))
+    val merged = CountMin.merge(
+      CountMin.sketch(evens, col("tok"), depth = 4, width = 8),
+      CountMin.sketch(odds, col("tok"), depth = 4, width = 8))
+    assert(rowSet(merged) === rowSet(tight))
+  }
 
   test("kmv: exact fallback below k, bounded estimate above") {
     import spark.implicits._
