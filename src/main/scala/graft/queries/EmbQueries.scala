@@ -98,6 +98,15 @@ object EmbQueries {
         "vec_id", "embedding", "cell", K, nprobe = 10)
     }),
 
+    "e15_filtered_knn" -> ((s, d) =>
+      // metadata-pre-filtered exact search: each query ranks only the
+      // vectors of its own `label` group (tenant/language-scoped vector
+      // search). The filter key rides the broadcast equi-join — work
+      // SHRINKS with selectivity, the corpus never shuffles, and the
+      // integer scores stay oracle-exact
+      Ann.filteredTopK(embeddings(s, d), queriesDf(s, d),
+        "vec_id", "embedding", "label", K)),
+
     "e07_cosine_topk" -> ((s, d) => {
       // exact cosine ranking: integer quantized dot + norms, two
       // correctly-rounded sqrt/divisions in fixed order — bit-identical
@@ -598,6 +607,16 @@ object EmbQueries {
     "e03_knn_ivf" -> ivfKnnSql,
     "e06_knn_ivf_full_probe" -> exactKnnSql,
     "e01_knn_exact" -> exactKnnSql,
+    "e15_filtered_knn" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label FROM embeddings
+         |           WHERE vec_id < $NQUERIES),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id AS nid, ${qdotSql("q.qv", "e.embedding")} AS qdot
+         |  FROM q JOIN embeddings e ON e.label = q.label AND e.vec_id <> q.qid)
+         |SELECT qid, nid, qdot FROM (
+         |  SELECT qid, nid, qdot,
+         |         row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, nid) AS rn
+         |  FROM scored) WHERE rn <= $K""".stripMargin,
     "e07_cosine_topk" -> cosineKnnSql,
     // full two-stage Matryoshka replay: 8-dim-prefix shortlist of 50,
     // exact 64-dim re-rank — both integer dots with id tiebreaks

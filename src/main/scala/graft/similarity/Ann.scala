@@ -68,6 +68,36 @@ object Ann {
       .drop("rn")
   }
 
+  /** Metadata-PRE-filtered exact search: each query ranks only corpus
+    * items sharing its `filterCol` value (the "search within my
+    * tenant/language/shard" contract every production vector store
+    * exposes). Pre-filtering beats post-filtering a global top-k exactly
+    * when the filter is selective — a global-k post-filter can return
+    * FEWER than k survivors, this never does while the group holds k.
+    *
+    * Scale shape: the filter key rides the broadcast equi-join, so each
+    * corpus row scores against only the (usually few) queries of its own
+    * group — selectivity CUTS work proportionally instead of adding a
+    * post-pass — and the corpus still never shuffles; only narrow
+    * (qid, nid, score) rows move into the per-query window. Output
+    * (qid, nid, qdot), exact integer scores as [[bruteForceTopK]].
+    */
+  def filteredTopK(
+      items: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, filterCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      col(filterCol).as("fkey"))
+    val it = items.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      col(filterCol).as("fkey"))
+    val scored = it.join(broadcast(q), Seq("fkey"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), quantizedDot(col("qv"), col("nv")).as("qdot"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Matryoshka-style two-stage search (Kusupati et al. 2022: nested
     * representations rank well on a dimension prefix): candidates are
     * generated with the quantized dot over only the first `prefixDims`

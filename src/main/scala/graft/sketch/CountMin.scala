@@ -36,7 +36,14 @@ object CountMin {
 
   /** Build the sketch over every row of `df` (multiset semantics — one
     * increment per row). Output: (row_i, bucket, cnt), ≤ depth·width
-    * rows. */
+    * rows.
+    *
+    * Runs UNCHANGED on a streaming DataFrame (write with
+    * OutputMode.Complete): counters are additive, so Spark's built-in
+    * stateful aggregation IS the streaming sketch — bounded state of
+    * ≤ depth·width counters, no custom state function — and after any
+    * batch split the counters equal the batch sketch of the union
+    * (KmvSpec pins this). */
   def sketch(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 1, s"bad sketch shape ${depth}x$width")
     val cells = (0 until depth).map(i =>

@@ -56,6 +56,25 @@ class AnnSpec extends SparkSpec {
     assert(nids.forall(_ < 20L))
   }
 
+  test("filteredTopK: same-group neighbors only, equal to per-group brute force") {
+    import spark.implicits._
+    val items = clustered().withColumn("grp", (col("vec_id") % 2).cast("int"))
+    val q = items.filter(col("vec_id") < 4L)
+    val got = Ann.filteredTopK(items, q, "vec_id", "embedding", "grp", 3)
+    // every neighbor shares its query's parity group
+    got.collect().foreach(r =>
+      assert(r.getLong(0) % 2 === r.getLong(1) % 2,
+        s"neighbor ${r.getLong(1)} outside query ${r.getLong(0)}'s group"))
+    // and per group the result IS the brute-force top-k over that group
+    (0 to 1).foreach { g =>
+      val sub = items.filter(col("grp") === g)
+      val expect = Ann.bruteForceTopK(sub, q.filter(col("grp") === g),
+        "vec_id", "embedding", 3)
+      assert(rowSet(got.join(expect.select("qid").distinct(), Seq("qid"), "left_semi"))
+        === rowSet(expect))
+    }
+  }
+
   test("IVF top-k achieves high recall vs brute force") {
     val items = clustered()
     val q = items.filter(col("vec_id") % 20 === 0) // one query per cluster

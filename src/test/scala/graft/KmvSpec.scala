@@ -59,6 +59,27 @@ class KmvSpec extends SparkSpec {
     assert(estBig > 100 && estBig < 1100, s"estimate $estBig for true 500")
   }
 
+  test("count-min streaming: built-in stateful agg, counters equal the batch sketch") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = CountMin.sketch(stream.toDF().toDF("tok"), col("tok"),
+        depth = 4, width = 8)
+      .writeStream.format("memory").queryName("cm").outputMode("complete").start()
+    try {
+      val batch1 = (1 to 30).flatMap(i => Seq.fill(i % 5 + 1)(s"k$i"))
+      val batch2 = (20 to 50).map(i => s"k$i")
+      stream.addData(batch1)
+      q.processAllAvailable()
+      stream.addData(batch2)
+      q.processAllAvailable()
+      val streamed = spark.table("cm")
+      val batch = CountMin.sketch((batch1 ++ batch2).toDF("tok"), col("tok"),
+        depth = 4, width = 8)
+      assert(rowSet(streamed) === rowSet(batch))
+    } finally q.stop()
+  }
+
   test("kmv streaming: batch-split estimates equal the batch sketch (mergeability)") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

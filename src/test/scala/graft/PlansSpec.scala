@@ -187,6 +187,21 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("e15 filtered knn: filter key rides a broadcast equi-join, corpus stays put") {
+    val p = plan(EmbQueries.queries("e15_filtered_knn")(spark, SF))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"filtered search must be a keyed join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+  }
+
+  test("g36 k-truss: wedge and closing joins are keyed, support agg is partial") {
+    val p = plan(GraphQueries.queries("g36_ktruss")(spark, SF))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle-support plan must stay keyed:\n$p")
+    assert(p.contains("partial_count"), s"support aggregation not map-side partial:\n$p")
+  }
+
   test("g34/g35 graph stats: id-keyed joins plus combinable aggregates only") {
     for (q <- Seq("g34_modularity", "g35_assortativity")) {
       val p = plan(GraphQueries.queries(q)(spark, SF))
