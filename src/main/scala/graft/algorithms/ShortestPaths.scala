@@ -19,11 +19,18 @@ import graft.core.{CheckpointPolicy, Columns, Graph}
   * join + min-aggregate that Catalyst/AQE can optimize and skew-split.
   * Distances only ever decrease and rows only accrue, so a
   * (count, sum(dist)) fingerprint detects the fixed point exactly.
+  *
+  * `weightCol` switches the relaxation from hop counting to min-plus
+  * over that LONG edge column (Bellman-Ford): same join + min-aggregate
+  * round, the +1 becomes +weight, and `maxIterations` bounds the path
+  * length as usual (negative cycles cannot spin forever). Weights must
+  * be non-negative for the distances to be true shortest paths.
   */
 final case class ShortestPaths(
     landmarks: Seq[Long],
     maxIterations: Int = 10,
-    checkpoint: CheckpointPolicy = CheckpointPolicy.Local) {
+    checkpoint: CheckpointPolicy = CheckpointPolicy.Local,
+    weightCol: Option[String] = None) {
   import Columns._
 
   private val LANDMARK = "landmark"
@@ -38,12 +45,14 @@ final case class ShortestPaths(
     val lm = landmarks.toDF(LANDMARK)
     val edges = checkpoint.pin(
       (if (g.directed) g.edges else g.symmetricEdges)
-        .select(col(SRC), col(DST)))
+        .select(Seq(col(SRC), col(DST)) ++ weightCol.map(col): _*))
+    val step = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1))
 
     // seed: each landmark is at distance 0 from itself
     var dist = checkpoint.pin(g.vertices
       .join(broadcast(lm), col(ID) === col(LANDMARK), "left_semi")
-      .select(col(ID), col(ID).as(LANDMARK), lit(0).as(DIST)))
+      .select(col(ID), col(ID).as(LANDMARK),
+        (if (weightCol.isDefined) lit(0L) else lit(0)).as(DIST)))
 
     var prev = (-1L, 0L)
     var converged = false
@@ -52,7 +61,7 @@ final case class ShortestPaths(
       // a vertex v with edge v->w inherits w's distances + 1
       val relaxed = edges
         .join(dist, edges(DST) === dist(ID))
-        .select(edges(SRC).as(ID), col(LANDMARK), (col(DIST) + 1).as(DIST))
+        .select(edges(SRC).as(ID), col(LANDMARK), (col(DIST) + step).as(DIST))
       dist = checkpoint.pin(dist.unionByName(relaxed)
         .groupBy(col(ID), col(LANDMARK))
         .agg(min(col(DIST)).as(DIST)),
@@ -72,7 +81,8 @@ final case class ShortestPaths(
     g.vertices.select(col(ID))
       .join(packed, Seq(ID), "left")
       .select(col(ID),
-        coalesce(col(DISTANCES), map_from_entries(array().cast("array<struct<landmark:bigint,dist:int>>")))
+        coalesce(col(DISTANCES), map_from_entries(array().cast(
+          s"array<struct<landmark:bigint,dist:${if (weightCol.isDefined) "bigint" else "int"}>>")))
           .as(DISTANCES))
   }
 }

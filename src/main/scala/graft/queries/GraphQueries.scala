@@ -362,6 +362,23 @@ object GraphQueries {
       KCore.run(indexedGraph(vertsOf(e), e, directed = false), k = 15)
     }),
 
+    "g37_weighted_sssp" -> ((s, d) => {
+      // weighted single-source shortest paths (Bellman-Ford min-plus):
+      // the supplier-part graph with weight = min l_quantity per edge
+      // (exact integer), undirected, one landmark. Every relaxation
+      // round is the same join + min-aggregate as g12 with +1 replaced
+      // by +weight; the oracle unrolls the rounds (min-plus is monotone,
+      // so rounds past the fixpoint are identity)
+      val e = lineitem(s, d)
+        .groupBy(col("l_suppkey").as(SRC), pmod(col("l_partkey"), lit(97)).as(DST))
+        .agg(min(col("l_quantity")).cast("long").as("weight"))
+      val g = indexedGraph(vertsOf(e), e, directed = false)
+      ShortestPaths(landmarks = Seq(1L), maxIterations = 10,
+          weightCol = Some("weight"))
+        .run(g)
+        .select(col(ID), explode(col("distances")).as(Seq("landmark", "dist")))
+    }),
+
     "g36_ktruss" -> ((s, d) => {
       // 5-truss of the orders graph: every surviving edge closes >= 3
       // triangles within the truss. Edge-support peeling converges in
@@ -562,6 +579,36 @@ object GraphQueries {
          |GROUP BY v""".stripMargin
   }
 
+  /** Unrolled Bellman-Ford oracle over the weighted undirected
+    * supplier–part graph (weight = min l_quantity per edge, an exact
+    * integer): one min-plus CTE per relaxation round, mirroring
+    * [[graft.algorithms.ShortestPaths]] with `weightCol` set. Sound for
+    * any fixed round count >= the Spark side's `maxIterations` because
+    * min-plus rounds are monotone and identity past the fixpoint — and
+    * when neither side has converged, both ran exactly the same rounds.
+    */
+  private def weightedSsspOracleSql(landmark: Long, rounds: Int): String = {
+    val head =
+      s"""WITH raw AS (SELECT l_suppkey AS src, l_partkey % 97 AS dst,
+         |             CAST(min(l_quantity) AS BIGINT) AS w
+         |             FROM lineitem GROUP BY 1, 2),
+         |sym AS (SELECT src, dst, w FROM raw
+         |        UNION ALL SELECT dst, src, w FROM raw),
+         |d0 AS (SELECT CAST($landmark AS BIGINT) AS id,
+         |              CAST($landmark AS BIGINT) AS landmark,
+         |              CAST(0 AS BIGINT) AS dist)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT id, landmark, min(dist) AS dist FROM (
+         |  SELECT id, landmark, dist FROM d${r - 1}
+         |  UNION ALL
+         |  SELECT e.src AS id, d.landmark, d.dist + e.w AS dist
+         |  FROM sym e JOIN d${r - 1} d ON e.dst = d.id)
+         |  GROUP BY id, landmark)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT id, landmark, dist FROM d$rounds"
+  }
+
   /** Unrolled k-truss oracle: one (triangle list, per-edge support,
     * pruned edge set) CTE triple per peeling round over the canonical
     * (least, greatest)-oriented orders graph, mirroring
@@ -656,6 +703,7 @@ object GraphQueries {
     "g29_walks" -> walksOracleSql(4),
     "g31_kcore" -> kcoreOracleSql(15, 8),
     "g36_ktruss" -> ktrussOracleSql(5, 10),
+    "g37_weighted_sssp" -> weightedSsspOracleSql(1L, 10),
     "g30_clustering_coeff" ->
       s"""WITH raw AS ($suppPartEdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst

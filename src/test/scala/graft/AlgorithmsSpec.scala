@@ -231,6 +231,21 @@ class AlgorithmsSpec extends SparkSpec {
     assert(dists(3L) === -1 && dists(4L) === -1 && dists(5L) === -1)
   }
 
+  test("weighted shortest paths: cheap two-hop path beats the heavy direct edge") {
+    import spark.implicits._
+    // 0->2 costs 10 direct, but 0->1->2 costs 2+3=5; hop-count SP would
+    // prefer the direct edge, min-plus must not
+    val e = Seq((0L, 2L, 10L), (0L, 1L, 2L), (1L, 2L, 3L)).toDF(SRC, DST, "weight")
+    val v = Seq(0L, 1L, 2L).toDF(ID)
+    val g = Graph(v, e.withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+      directed = true)
+    val sp = ShortestPaths(Seq(2L), maxIterations = 10,
+        weightCol = Some("weight")).run(g)
+    val dists = sp.select(col(ID), element_at(col("distances"), 2L))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(dists === Map(0L -> 5L, 1L -> 3L, 2L -> 0L))
+  }
+
   test("katz index on a 2-edge chain matches the hand-computed series") {
     import spark.implicits._
     val g = Graph.index(
