@@ -362,6 +362,16 @@ object GraphQueries {
       KCore.run(indexedGraph(vertsOf(e), e, directed = false), k = 15)
     }),
 
+    "g38_mis" -> ((s, d) => {
+      // deterministic Luby maximal independent set on the orders graph:
+      // per-round (vertex, round) sha256 priorities, winners beat every
+      // undecided neighbor, neighbors of winners drop out. Converges in
+      // 2-3 rounds here; the oracle unrolls 6 (identity once the
+      // undecided set is empty)
+      val e = ordersEdges(s, d)
+      MaximalIndependentSet.run(indexedGraph(vertsOf(e), e, directed = false))
+    }),
+
     "g37_weighted_sssp" -> ((s, d) => {
       // weighted single-source shortest paths (Bellman-Ford min-plus):
       // the supplier-part graph with weight = min l_quantity per edge
@@ -579,6 +589,44 @@ object GraphQueries {
          |GROUP BY v""".stripMargin
   }
 
+  /** Unrolled deterministic-Luby MIS oracle over the undirected orders
+    * graph: one (priority, neighbor-min, winners, dropouts) CTE block
+    * per round, mirroring [[graft.algorithms.MaximalIndependentSet]] —
+    * priorities are the 48-bit sha256 prefix of "id#round" (digit-
+    * decoded so every intermediate stays exact), the winner test is a
+    * lexicographic (priority, id) compare, and rounds past the empty
+    * undecided set are identity. */
+  private def misOracleSql(rounds: Int): String = {
+    def sha48(x: String) =
+      s"""CAST(list_sum([(strpos('0123456789abcdef',
+         |  substr(substr(sha256($x), 1, 12), j, 1)) - 1)
+         |  * CAST(power(16, 12 - j) AS BIGINT)
+         |  FOR j IN range(1, 13)]) AS BIGINT)""".stripMargin
+    val head =
+      s"""WITH raw AS ($ordersEdgesSql),
+         |c AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+         |      FROM raw WHERE src <> dst),
+         |e AS MATERIALIZED (SELECT src, dst FROM c
+         |     UNION ALL SELECT dst, src FROM c),
+         |u0 AS (SELECT src AS id FROM e UNION SELECT dst FROM e)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""pr$r AS MATERIALIZED (SELECT id, ${sha48(s"id || '#' || $r")} AS p FROM u$p),
+         |nb$r AS (SELECT e.src AS id, min((np.p, np.id)) AS mn
+         |         FROM e JOIN pr$r np ON e.dst = np.id
+         |         JOIN u$p u ON e.src = u.id
+         |         GROUP BY e.src),
+         |w$r AS MATERIALIZED (SELECT pr$r.id FROM pr$r LEFT JOIN nb$r ON pr$r.id = nb$r.id
+         |        WHERE nb$r.mn IS NULL OR (pr$r.p, pr$r.id) < nb$r.mn),
+         |u$r AS MATERIALIZED (SELECT u.id FROM u$p u
+         |        WHERE u.id NOT IN (SELECT id FROM w$r)
+         |          AND u.id NOT IN (SELECT e.dst FROM e JOIN w$r w ON e.src = w.id))""".stripMargin
+    }
+    val unions = (1 to rounds)
+      .map(r => s"SELECT id, $r AS round FROM w$r").mkString("\nUNION ALL\n")
+    (head +: iters).mkString(",\n") + "\n" + unions
+  }
+
   /** Unrolled Bellman-Ford oracle over the weighted undirected
     * supplier–part graph (weight = min l_quantity per edge, an exact
     * integer): one min-plus CTE per relaxation round, mirroring
@@ -704,6 +752,7 @@ object GraphQueries {
     "g31_kcore" -> kcoreOracleSql(15, 8),
     "g36_ktruss" -> ktrussOracleSql(5, 10),
     "g37_weighted_sssp" -> weightedSsspOracleSql(1L, 10),
+    "g38_mis" -> misOracleSql(6),
     "g30_clustering_coeff" ->
       s"""WITH raw AS ($suppPartEdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst

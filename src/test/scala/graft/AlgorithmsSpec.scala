@@ -231,6 +231,29 @@ class AlgorithmsSpec extends SparkSpec {
     assert(dists(3L) === -1 && dists(4L) === -1 && dists(5L) === -1)
   }
 
+  test("MIS: independent, maximal, deterministic; isolated vertices always join") {
+    import spark.implicits._
+    // path 0-1-2-3-4 + isolated 9: MIS must be independent (no adjacent
+    // pair), maximal (every non-member has a member neighbor), include 9
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF(SRC, DST)
+    val v = Seq(0L, 1L, 2L, 3L, 4L, 9L).toDF(ID)
+    val g = Graph(v, e.withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+      directed = false)
+    val mis = MaximalIndependentSet.run(g).select(col(ID))
+      .collect().map(_.getLong(0)).toSet
+    val edges = Set((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    edges.foreach { case (a, b) =>
+      assert(!(mis(a) && mis(b)), s"adjacent pair ($a,$b) both in MIS") }
+    (0L to 4L).filterNot(mis).foreach { x =>
+      assert(edges.exists { case (a, b) =>
+        (a == x && mis(b)) || (b == x && mis(a)) }, s"$x has no MIS neighbor") }
+    assert(mis(9L), "isolated vertex must join")
+    // deterministic: a second run returns the identical set
+    val again = MaximalIndependentSet.run(g).select(col(ID))
+      .collect().map(_.getLong(0)).toSet
+    assert(again === mis)
+  }
+
   test("weighted shortest paths: cheap two-hop path beats the heavy direct edge") {
     import spark.implicits._
     // 0->2 costs 10 direct, but 0->1->2 costs 2+3=5; hop-count SP would
