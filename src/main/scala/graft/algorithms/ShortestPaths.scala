@@ -23,8 +23,11 @@ import graft.core.{CheckpointPolicy, Columns, Graph}
   * `weightCol` switches the relaxation from hop counting to min-plus
   * over that LONG edge column (Bellman-Ford): same join + min-aggregate
   * round, the +1 becomes +weight, and `maxIterations` bounds the path
-  * length as usual (negative cycles cannot spin forever). Weights must
-  * be non-negative for the distances to be true shortest paths.
+  * length as usual (negative cycles cannot spin forever). Weights are
+  * CHECKED non-null and non-negative on the pinned edge frame — a NULL
+  * weight would otherwise relax to a NULL distance that `min` silently
+  * ignores (the edge would vanish without a trace), and a negative one
+  * would break the min-plus shortest-path invariant.
   */
 final case class ShortestPaths(
     landmarks: Seq[Long],
@@ -45,7 +48,13 @@ final case class ShortestPaths(
     val lm = landmarks.toDF(LANDMARK)
     val edges = checkpoint.pin(
       (if (g.directed) g.edges else g.symmetricEdges)
-        .select(Seq(col(SRC), col(DST)) ++ weightCol.map(col): _*))
+        .select(Seq(col(SRC), col(DST)) ++ weightCol.map { c =>
+          when(col(c).isNull || col(c) < 0,
+            raise_error(concat(lit(s"ShortestPaths: weight column '$c' must be " +
+              "non-null and non-negative, got "),
+              coalesce(col(c).cast("string"), lit("NULL")))))
+            .otherwise(col(c)).as(c)
+        }: _*))
     val step = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1))
 
     // seed: each landmark is at distance 0 from itself

@@ -375,12 +375,16 @@ object GraphQueries {
     "g37_weighted_sssp" -> ((s, d) => {
       // weighted single-source shortest paths (Bellman-Ford min-plus):
       // the supplier-part graph with weight = min l_quantity per edge
-      // (exact integer), undirected, one landmark. Every relaxation
-      // round is the same join + min-aggregate as g12 with +1 replaced
-      // by +weight; the oracle unrolls the rounds (min-plus is monotone,
-      // so rounds past the fixpoint are identity)
+      // (exact integer), undirected, one landmark. The part-bucket side
+      // is offset by 1e6 (the starGraph device) so supplier ids and
+      // part buckets live in disjoint namespaces and the graph is
+      // genuinely bipartite. Every relaxation round is the same join +
+      // min-aggregate as g12 with +1 replaced by +weight; the oracle
+      // unrolls the rounds (min-plus is monotone, so rounds past the
+      // fixpoint are identity)
       val e = lineitem(s, d)
-        .groupBy(col("l_suppkey").as(SRC), pmod(col("l_partkey"), lit(97)).as(DST))
+        .groupBy(col("l_suppkey").as(SRC),
+          (pmod(col("l_partkey"), lit(97)) + 1000000L).as(DST))
         .agg(min(col("l_quantity")).cast("long").as("weight"))
       val g = indexedGraph(vertsOf(e), e, directed = false)
       ShortestPaths(landmarks = Seq(1L), maxIterations = 10,
@@ -608,7 +612,7 @@ object GraphQueries {
          |      FROM raw WHERE src <> dst),
          |e AS MATERIALIZED (SELECT src, dst FROM c
          |     UNION ALL SELECT dst, src FROM c),
-         |u0 AS (SELECT src AS id FROM e UNION SELECT dst FROM e)""".stripMargin
+         |u0 AS (SELECT src AS id FROM raw UNION SELECT dst FROM raw)""".stripMargin
     val iters = (1 to rounds).map { r =>
       val p = r - 1
       s"""pr$r AS MATERIALIZED (SELECT id, ${sha48(s"id || '#' || $r")} AS p FROM u$p),
@@ -637,7 +641,7 @@ object GraphQueries {
     */
   private def weightedSsspOracleSql(landmark: Long, rounds: Int): String = {
     val head =
-      s"""WITH raw AS (SELECT l_suppkey AS src, l_partkey % 97 AS dst,
+      s"""WITH raw AS (SELECT l_suppkey AS src, l_partkey % 97 + 1000000 AS dst,
          |             CAST(min(l_quantity) AS BIGINT) AS w
          |             FROM lineitem GROUP BY 1, 2),
          |sym AS (SELECT src, dst, w FROM raw

@@ -376,6 +376,27 @@ class AlgorithmsSpec extends SparkSpec {
     assert(KTruss.run(g, 5).isEmpty, "no 5-truss in K4 + pendant triangle")
   }
 
+  test("k-truss: incremental decrement path matches peeling across cascaded rounds") {
+    import spark.implicits._
+    // K6 on {0..5} + vertex 6 adj {0,1} + vertex 7 adj {0,6}. Supports:
+    // K6 edges 4 except (0,1)=5; (0,6)=2; (0,7)=(6,7)=(1,6)=1. A 4-truss
+    // peel drops {(0,7),(6,7),(1,6)} in round 1 — 3 of 19 edges, under
+    // the 1/4 crossover, so the INCREMENTAL path runs: destroyed
+    // triangles {0,6,7} and {0,1,6} decrement (0,6) by 2 (to 0) and
+    // (0,1) by 1 (to 4). Round 2 drops (0,6) (a 0-support edge, again
+    // incremental, zero destroyed triangles); round 3 converges on the
+    // bare K6 with every support 4.
+    val k6 = for { a <- 0L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    val extra = Seq((0L, 6L), (1L, 6L), (0L, 7L), (6L, 7L))
+    val e = (k6 ++ extra).toDF(SRC, DST)
+    val v = (0L to 7L).toDF(ID)
+    val g = Graph(v, e.withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+      directed = false)
+    val truss4 = KTruss.run(g, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(truss4 === k6.map(_ -> 4L).toMap)
+  }
+
   test("random walks: follow edges, stop at sinks, deterministic across runs") {
     import spark.implicits._
     // 0->1->2 chain plus a branch 1->3; 2 and 3 are sinks
