@@ -29,14 +29,26 @@ final case class PageRank(
 
   val RANK = "rank"
 
-  def run(g: Graph): DataFrame = {
-    val spark = g.vertices.sparkSession
+  /** (src, dst, 1/out-degree(src)) routing table — fixed for the whole
+    * iteration. Over a BUCKETED edge table
+    * ([[graft.sources.GraphIO.writeBucketed]], directed graphs — an
+    * undirected graph unions reversed edges and loses the layout) this
+    * plans ZERO exchanges: the out-degree aggregation and the src-keyed
+    * join both reuse the write-time bucketing, so the only shuffle left
+    * per [[run]] round is the inherent message groupBy(dst)
+    * (GraphIOSpec asserts both properties). That is the
+    * write-once-shuffle-then-iterate story: on a 100 TB edge set the
+    * bucketing shuffle is paid once at write time, not once per job. */
+  def routes(g: Graph): DataFrame = {
     val edges = (if (g.directed) g.edges else g.symmetricEdges)
       .select(col(SRC), col(DST))
     val outDeg = edges.groupBy(col(SRC)).agg(count(lit(1)).as("_od"))
-    // (src, dst, 1/out_degree(src)) — fixed for the whole iteration
-    val routes = checkpoint.pin(edges.join(outDeg, Seq(SRC))
-      .select(col(SRC), col(DST), (lit(1.0) / col("_od")).as("_share")))
+    edges.join(outDeg, Seq(SRC))
+      .select(col(SRC), col(DST), (lit(1.0) / col("_od")).as("_share"))
+  }
+
+  def run(g: Graph): DataFrame = {
+    val routes = checkpoint.pin(this.routes(g))
     val n = g.vertices.count().toDouble
     val teleport = (1.0 - damping) / n
 
@@ -86,11 +98,7 @@ final case class PageRank(
     * joined once and checkpointed; rounds add no extra shuffle over the
     * uniform variant. Rank mass is conserved (sums to 1). */
   def runPersonalized(g: Graph, reset: DataFrame): DataFrame = {
-    val edges = (if (g.directed) g.edges else g.symmetricEdges)
-      .select(col(SRC), col(DST))
-    val outDeg = edges.groupBy(col(SRC)).agg(count(lit(1)).as("_od"))
-    val routes = checkpoint.pin(edges.join(outDeg, Seq(SRC))
-      .select(col(SRC), col(DST), (lit(1.0) / col("_od")).as("_share")))
+    val routes = checkpoint.pin(this.routes(g))
 
     val totRow = reset.agg(sum(col("weight").cast("double"))).head()
     require(!totRow.isNullAt(0) && totRow.getDouble(0) > 0.0,

@@ -33,6 +33,22 @@ object CheckpointPolicy {
       df.localCheckpoint(eager)
   }
 
+  /** No pinning at all: `pin` returns the frame unchanged, so every
+    * round re-evaluates its input plan. WRONG for long loops (lineage
+    * doubles per round — the reference's failure this trait exists to
+    * fix) but RIGHT when the loop-invariant inputs are already
+    * materialized in a layout the per-round plan exploits: a
+    * checkpointed frame reports UnknownPartitioning under AQE, so
+    * localCheckpoint-pinning the routing table of a BUCKETED edge table
+    * ([[graft.sources.GraphIO.writeBucketed]]) would force the src
+    * exchange back into every round, while re-reading the bucketed
+    * table costs a scan and NO shuffle (GraphIOSpec asserts both
+    * sides). Use for the static side of an iteration over bucketed
+    * storage; keep Local/Reliable for the evolving per-round state. */
+  case object Passthrough extends CheckpointPolicy {
+    def pin(df: DataFrame, eager: Boolean = true): DataFrame = df
+  }
+
   case object Reliable extends CheckpointPolicy {
     def pin(df: DataFrame, eager: Boolean = true): DataFrame = {
       require(

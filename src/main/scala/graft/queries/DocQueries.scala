@@ -205,23 +205,30 @@ object DocQueries {
           round(col("jaccard"), 6).as("jaccard"))),
 
     "d10_stream_neardup" -> ((s, d) => {
-      // batch twin of the STREAMING ingestion-dedup path (DocStream):
-      // "new" documents (the doc_id % 10 == 0 slice) checked against the
-      // LSH-indexed remainder of the corpus through EXACTLY the code a
-      // stream runs — nearDupAgainstCorpus is stream/batch agnostic
-      // (StreamingSpec drives the same function live on a MemoryStream).
+      // batch twin of the STREAMING ingestion-dedup path (DocStream),
+      // dedup-first: "new" documents (the doc_id % 10 == 0 slice) are
+      // collapsed to exact-duplicate representatives, checked against
+      // the LSH index of the corpus-remainder REPRESENTATIVES, and each
+      // representative hit carries the copy counts that expand it back
+      // — the same composition as d09/e08, through EXACTLY the code a
+      // stream runs (dedupedNearDupAgainstCorpus is stream/batch
+      // agnostic; StreamingSpec drives it live on a MemoryStream). On a
+      // duplicate-heavy corpus this probes and emits once per DISTINCT
+      // text instead of once per copy-pair (100x: 470k raw hit rows
+      // collapse to the distinct cross-slice pairs only).
       // Oracle equality holds by the d02 recall argument: every true
       // cross-slice pair on this corpus has J >= 0.9, missed with
       // probability (1 - 0.9^4)^32 ~= 1.4e-15 at 32 bands of 4.
       val docs0 = documents(s, d)
-      val idx = graft.streaming.DocStream.indexCorpus(
+      val idx = graft.streaming.DocStream.indexCorpusDeduped(
         docs0.filter(pmod(col("doc_id"), lit(10L)) =!= 0L), "doc_id", "text",
         shingleSize = 3, numHashes = 128, bands = 32)
-      graft.streaming.DocStream.nearDupAgainstCorpus(
+      val r = graft.streaming.DocStream.dedupedNearDupAgainstCorpus(
         docs0.filter(pmod(col("doc_id"), lit(10L)) === 0L), idx,
         "doc_id", "text", threshold = 0.4)
-        .select(col("doc_id"), col("corpus_id"),
-          round(col("jaccard"), 6).as("jaccard"))
+      r.hits.join(r.copyCounts, Seq("doc_id"))
+        .select(col("doc_id"), col("n_copies"), col("corpus_id"),
+          col("corpus_n_copies"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
     "d11_decontaminate" -> ((s, d) => {
@@ -716,16 +723,25 @@ object DocQueries {
          |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / n.n_shingles, 6)
          |    AS containment
          |FROM n LEFT JOIN h ON h.doc_id = n.doc_id""".stripMargin,
-    // exact cross-slice twin of the streaming ingestion-dedup: new docs
-    // (doc_id % 10 = 0) against the corpus remainder, all-pairs
+    // exact cross-slice twin of the dedup-first streaming ingestion-
+    // dedup: BOTH slices collapse to min-id representatives per distinct
+    // text first (carrying copy counts), then all-pairs over the reps
     "d10_stream_neardup" ->
-      s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |sh AS (SELECT doc_id, $shinglesSql AS s FROM t0),
-         |nz AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0),
-         |inc AS (SELECT * FROM nz WHERE doc_id % 10 = 0),
-         |cor AS (SELECT * FROM nz WHERE doc_id % 10 <> 0)
-         |SELECT doc_id, corpus_id, round(jaccard, 6) AS jaccard FROM (
-         |  SELECT a.doc_id AS doc_id, b.doc_id AS corpus_id,
+      s"""WITH inc0 AS (SELECT text, min(doc_id) AS doc_id, count(*) AS n_copies
+         |             FROM documents WHERE doc_id % 10 = 0 GROUP BY text),
+         |cor0 AS (SELECT text, min(doc_id) AS corpus_id,
+         |                count(*) AS corpus_n_copies
+         |         FROM documents WHERE doc_id % 10 <> 0 GROUP BY text),
+         |ti AS (SELECT doc_id, n_copies, $toksSql AS t FROM inc0),
+         |tc AS (SELECT corpus_id, corpus_n_copies, $toksSql AS t FROM cor0),
+         |si AS (SELECT doc_id, n_copies, $shinglesSql AS s FROM ti),
+         |sc AS (SELECT corpus_id, corpus_n_copies, $shinglesSql AS s FROM tc),
+         |inc AS (SELECT doc_id, n_copies, s, len(s) AS n FROM si WHERE len(s) > 0),
+         |cor AS (SELECT corpus_id, corpus_n_copies, s, len(s) AS n FROM sc
+         |        WHERE len(s) > 0)
+         |SELECT doc_id, n_copies, corpus_id, corpus_n_copies,
+         |  round(jaccard, 6) AS jaccard FROM (
+         |  SELECT a.doc_id, a.n_copies, b.corpus_id, b.corpus_n_copies,
          |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |      / (a.n + b.n - len(list_intersect(a.s, b.s))) AS jaccard
          |  FROM inc a, cor b)

@@ -414,6 +414,21 @@ object GraphQueries {
         v.filter(pmod(col(ID), lit(13L)) === 0L).select(col(ID)), steps = 4)
     }),
 
+    "g39_node2vec_walks" -> ((s, d) => {
+      // node2vec-biased walks (p = 1/2, q = 2 scaled to integer weights
+      // 4 : 2 : 1 — return-biased, neighborhood-keeping): 4 steps from
+      // every id%13==0 vertex over the UNDIRECTED orders graph. The
+      // weighted choice is the replica-min pure-hash device
+      // (RandomWalks.biasedWalks), so DuckDB replays every walk bit for
+      // bit with unrolled CTEs; unit weights degenerate to g29 exactly.
+      val e = ordersEdges(s, d)
+      val v = vertsOf(e)
+      val g = indexedGraph(v, e, directed = false)
+      RandomWalks.biasedWalks(g,
+        v.filter(pmod(col(ID), lit(13L)) === 0L).select(col(ID)), steps = 4,
+        wReturn = 4, wCommon = 2, wOutward = 1)
+    }),
+
     "g06_label_propagation" -> ((s, d) => {
       // oracle-checked: 5 fixed supersteps of deterministic-mode label
       // propagation, mirrored by an unrolled CTE (labelPropagationOracleSql)
@@ -558,6 +573,56 @@ object GraphQueries {
          |w$k AS (SELECT walker, dst AS vertex FROM (
          |  SELECT walker, dst,
          |    row_number() OVER (PARTITION BY walker ORDER BY h, dst) AS rn
+         |  FROM s$k) WHERE rn = 1)""".stripMargin
+    }
+    val union = (0 to steps)
+      .map(k => s"SELECT walker, $k AS step, vertex FROM w$k")
+      .mkString("\n", "\nUNION ALL ", "")
+    (head +: iters).mkString(",\n") + union
+  }
+
+  /** Unrolled node2vec-biased-walk oracle: step 1 is g29's uniform step;
+    * each later step carries the previous vertex, classifies every
+    * candidate edge (return / common via a correlated EXISTS on the
+    * symmetric edge set / outward), expands it into `weight` replicas
+    * with `unnest(range(weight))`, and takes the (hash, dst, replica)
+    * argmin — the exact replay of [[graft.algorithms.RandomWalks
+    * .biasedWalks]]' integer-weighted replica-min choice. */
+  private def biasedWalksOracleSql(
+      steps: Int, wReturn: Int, wCommon: Int, wOutward: Int): String = {
+    val head =
+      s"""WITH e0 AS ($ordersEdgesSql),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |w0 AS (SELECT id AS walker, id AS vertex FROM v WHERE id % 13 = 0),
+         |s1 AS (SELECT w.walker, w.vertex AS cur, e.dst,
+         |  ((((w.walker % 2147483648 + 2147483648) % 2147483648) * 1000003
+         |    + ${8191L}
+         |    + ((e.dst % 2147483648 + 2147483648) % 2147483648))
+         |   % 2147483648) * 2654435761 % 4294967296 AS h
+         |  FROM w0 w JOIN e ON w.vertex = e.src),
+         |w1 AS (SELECT walker, cur AS prev, dst AS vertex FROM (
+         |  SELECT walker, cur, dst,
+         |    row_number() OVER (PARTITION BY walker ORDER BY h, dst) AS rn
+         |  FROM s1) WHERE rn = 1)""".stripMargin
+    val iters = (2 to steps).map { k =>
+      s"""s$k AS (SELECT walker, cur, dst, j,
+         |  ((((walker % 2147483648 + 2147483648) % 2147483648) * 1000003
+         |    + ${k.toLong * 8191L}
+         |    + ((dst % 2147483648 + 2147483648) % 2147483648)
+         |    + j * 60493)
+         |   % 2147483648) * 2654435761 % 4294967296 AS h
+         |  FROM (
+         |    SELECT w.walker, w.vertex AS cur, e.dst,
+         |      unnest(range(CASE
+         |        WHEN e.dst = w.prev THEN $wReturn
+         |        WHEN EXISTS (SELECT 1 FROM e x
+         |                     WHERE x.src = w.prev AND x.dst = e.dst) THEN $wCommon
+         |        ELSE $wOutward END)) AS j
+         |    FROM w${k - 1} w JOIN e ON w.vertex = e.src)),
+         |w$k AS (SELECT walker, cur AS prev, dst AS vertex FROM (
+         |  SELECT walker, cur, dst,
+         |    row_number() OVER (PARTITION BY walker ORDER BY h, dst, j) AS rn
          |  FROM s$k) WHERE rn = 1)""".stripMargin
     }
     val union = (0 to steps)
@@ -753,6 +818,7 @@ object GraphQueries {
     "g27_ppr" -> personalizedPageRankOracleSql(5),
     "g28_hits" -> hitsOracleSql(3),
     "g29_walks" -> walksOracleSql(4),
+    "g39_node2vec_walks" -> biasedWalksOracleSql(4, 4, 2, 1),
     "g31_kcore" -> kcoreOracleSql(15, 8),
     "g36_ktruss" -> ktrussOracleSql(5, 10),
     "g37_weighted_sssp" -> weightedSsspOracleSql(1L, 10),

@@ -57,6 +57,104 @@ object DocStream {
     CorpusIndex(buckets, sh, shingleSize, numHashes, bands)
   }
 
+  /** [[CorpusIndex]] built over exact-duplicate REPRESENTATIVES plus the
+    * copy-cluster map that expands a representative hit back to its
+    * copies: `clusters` is (corpus_id, corpus_n_copies) where corpus_id
+    * is the minimum doc id of each distinct-text group. A duplicate-heavy
+    * corpus (the realistic crawl shape) otherwise indexes every copy into
+    * the same LSH buckets, and every incoming probe then verifies + emits
+    * once per copy — quadratic in the copy counts on both sides. */
+  final case class DedupedCorpusIndex(index: CorpusIndex, clusters: DataFrame)
+
+  /** [[indexCorpus]] with exact-dedup collapse first: one combinable
+    * groupBy on the text keeps the minimum id per distinct text (plus the
+    * copy count), and only the representatives are signed and bucketed.
+    * The index this builds is smaller by the corpus duplication factor,
+    * and — because every copy has the same shingle set, hence the same
+    * Jaccard to everything — loses nothing: a hit against the
+    * representative IS a hit against each copy, recoverable through
+    * `clusters`. At warehouse scale persist `clusters`/`index` to a table
+    * instead of the localCheckpoint used here. */
+  def indexCorpusDeduped(
+      corpus: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32): DedupedCorpusIndex = {
+    val groups = corpus.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("corpus_id"), count(lit(1)).as("corpus_n_copies"))
+    val idx = indexCorpus(
+      groups.select(col("corpus_id").as(idCol), col(textCol)),
+      idCol, textCol, shingleSize, numHashes, bands)
+    DedupedCorpusIndex(idx,
+      groups.select(col("corpus_id"), col("corpus_n_copies")).localCheckpoint())
+  }
+
+  /** Result of [[dedupedNearDupAgainstCorpus]]:
+    *  - `hits` — one row per (incoming REPRESENTATIVE, corpus
+    *    representative) near-dup pair: (idCol [, tsCol], corpus_id,
+    *    corpus_n_copies, jaccard);
+    *  - `copyCounts` — the map from incoming representative to its copy
+    *    count, joined to `hits` on idCol to expand a representative hit
+    *    to all its exact copies. Batch: (idCol, n_copies) over the whole
+    *    input. Streaming: a separate watermark-windowed aggregation
+    *    (window, idCol, n_copies) that the caller runs as its own sink —
+    *    counts cannot ride the hits stream because the total per-key
+    *    count is only known when the watermark closes the window,
+    *    while hits should flow as soon as the probe verifies. */
+  final case class DedupedCorpusHits(hits: DataFrame, copyCounts: DataFrame)
+
+  /** Dedup-first [[nearDupAgainstCorpus]] — the composition every
+    * duplicate-heavy ingest stream needs (the batch twins are
+    * [[graft.dedup.Dedup.dedupedNearDuplicates]] and
+    * [[graft.similarity.Ann.dedupedNearDupPairs]]): an incoming slice
+    * that is 90% exact copies otherwise probes the LSH index once per
+    * COPY instead of once per distinct text, and emits every verified
+    * pair once per copy on each side.
+    *
+    * Collapse step, stream/batch agnostic like the probe itself:
+    *  - batch — one combinable groupBy(text) keeping the min id (the
+    *    deterministic representative the oracle replays);
+    *  - streaming — `dropDuplicatesWithinWatermark` keyed by the 64-hex
+    *    sha256 of the text (bounded state: one digest per distinct text
+    *    inside the horizon, not the text itself), keeping the FIRST-seen
+    *    copy as representative; downstream of it the probe is the same
+    *    stream-static bucket join. Copy counts come from the separate
+    *    `copyCounts` windowed aggregation (see [[DedupedCorpusHits]]).
+    */
+  def dedupedNearDupAgainstCorpus(
+      docs: DataFrame, index: DedupedCorpusIndex,
+      idCol: String, textCol: String,
+      tsCol: Option[String] = None,
+      threshold: Double = 0.5,
+      horizon: String = "10 minutes"): DedupedCorpusHits = {
+    require(!docs.isStreaming || tsCol.nonEmpty,
+      "streaming input needs tsCol for the dedup + candidate watermarks")
+    val keep = col(idCol) +: tsCol.map(col).toSeq
+    val (reps, copyCounts) =
+      if (docs.isStreaming) {
+        val keyed = docs
+          .select(keep :+ col(textCol) :+ sha2(col(textCol), 256).as("_th"): _*)
+          .withWatermark(tsCol.get, horizon)
+        val reps = keyed.dropDuplicatesWithinWatermark(Seq("_th")).drop("_th")
+        val counts = keyed
+          .groupBy(window(col(tsCol.get), horizon), col("_th"))
+          .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+          .select(col("window"), col(idCol), col("n_copies"))
+        (reps, counts)
+      } else {
+        val groups = docs.groupBy(col(textCol))
+          .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+        (groups.select(col(idCol), col(textCol)),
+          groups.select(col(idCol), col("n_copies")))
+      }
+    val hits = probe(
+        reps, index.index, idCol, textCol, tsCol, threshold, horizon,
+        applyWatermark = !docs.isStreaming)
+      // clusters is small by construction (distinct corpus texts only,
+      // two narrow columns) — ride the existing stream-static join shape
+      .join(index.clusters, Seq("corpus_id"))
+      .select(keep ++ Seq(col("corpus_id"), col("corpus_n_copies"), col("jaccard")): _*)
+    DedupedCorpusHits(hits, copyCounts)
+  }
+
   /** Near-duplicate hits of `docs` (streaming or batch) against the
     * indexed corpus: one row per (doc, corpus doc) pair with exact
     * shingle Jaccard >= `threshold`. Output columns: idCol (+ tsCol when
@@ -73,7 +171,21 @@ object DocStream {
       idCol: String, textCol: String,
       tsCol: Option[String] = None,
       threshold: Double = 0.5,
-      horizon: String = "10 minutes"): DataFrame = {
+      horizon: String = "10 minutes"): DataFrame =
+    probe(docs, index, idCol, textCol, tsCol, threshold, horizon,
+      applyWatermark = true)
+
+  /** [[nearDupAgainstCorpus]] body; `applyWatermark = false` when the
+    * caller already declared the event-time watermark upstream (the
+    * dedup-first path — Spark disallows redefining a watermark below a
+    * stateful operator). */
+  private def probe(
+      docs: DataFrame, index: CorpusIndex,
+      idCol: String, textCol: String,
+      tsCol: Option[String],
+      threshold: Double,
+      horizon: String,
+      applyWatermark: Boolean): DataFrame = {
     require(!docs.isStreaming || tsCol.nonEmpty,
       "streaming input needs tsCol for the candidate-dedup watermark")
     val keep = col(idCol) +: tsCol.map(col).toSeq
@@ -83,7 +195,8 @@ object DocStream {
           TextFunctions.tokens(col(textCol)), index.shingleSize)).as("_sh"): _*)
       .filter(size(col("_sh")) > 0)
     val base =
-      if (docs.isStreaming) base0.withWatermark(tsCol.get, horizon) else base0
+      if (docs.isStreaming && applyWatermark) base0.withWatermark(tsCol.get, horizon)
+      else base0
     val exploded = base
       .withColumn("_sig", graft.functions.MinHashSig(col("_sh"), index.numHashes))
       .select(keep ++ Seq(col("_sh"),

@@ -428,6 +428,39 @@ class AlgorithmsSpec extends SparkSpec {
     assert(walks.toSet === again.toSet)
   }
 
+  test("biased walks: unit weights degenerate BIT FOR BIT to uniform; weights steer") {
+    import spark.implicits._
+    // 200-cycle, undirected: every vertex has exactly two neighbors, so
+    // step 2 is a clean two-way return-vs-forward choice for each walker
+    val n = 200L
+    val e = (0L until n).map(i => (i, (i + 1) % n)).toDF(SRC, DST)
+    val v = (0L until n).toDF(ID)
+    val g = Graph(v, e.withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+      directed = false)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    // p = q = 1: identical output, not just statistically similar
+    val uni = rows(RandomWalks.uniformWalks(g, v.select(col(ID)), steps = 4))
+    val deg = rows(RandomWalks.biasedWalks(g, v.select(col(ID)), steps = 4))
+    assert(deg === uni)
+
+    def returnFraction(wr: Int, wc: Int, wo: Int): Double = {
+      val w = RandomWalks.biasedWalks(g, v.select(col(ID)), steps = 2,
+        wReturn = wr, wCommon = wc, wOutward = wo)
+        .groupBy("walker").pivot("step", Seq(0, 2)).sum("vertex")
+        .collect().map(r => r.getLong(1) == r.getLong(2))
+      w.count(identity).toDouble / w.length
+    }
+    // heavy return bias pulls walkers back to their start; heavy outward
+    // bias pushes them on (P(return) = wr/(wr+wo) on a cycle: 100/101 vs 1/101)
+    assert(returnFraction(100, 1, 1) > 0.9)
+    assert(returnFraction(1, 1, 100) < 0.1)
+    // moderate bias 4:2:1 (the g39 setting) sits in between: P = 4/5
+    val mid = returnFraction(4, 2, 1)
+    assert(mid > 0.6 && mid < 0.95, s"got $mid")
+  }
+
   test("pregel: max-id propagation reaches the global max on a connected graph") {
     val g = Fixtures.sample2(spark, directed = false)
     val res = Pregel(

@@ -44,6 +44,57 @@ class GraphIOSpec extends SparkSpec {
     }
   }
 
+  test("PageRank over a bucketed edge table: routes build plans ZERO exchange, ranks match") {
+    import org.apache.spark.sql.functions._
+    val g = Fixtures.sample1(spark, directed = true)
+    GraphIO.writeBucketed(g, "bk_pr", buckets = 4)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the exchange count below reflects the
+      // partitioning story, not tiny-table broadcasting
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val back = GraphIO.readBucketed(spark, "bk_pr")
+      val pr = PageRank(maxIterations = 8)
+
+      // the whole routes build (out-degree agg + src-keyed join) reuses
+      // the write-time bucketing: no exchange anywhere in the plan
+      val r = pr.routes(back)
+      r.collect()
+      val p = r.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed routes build must not shuffle:\n$p")
+
+      // the per-round message join with the UNPINNED routes plan (the
+      // CheckpointPolicy.Passthrough mode for bucketed storage): the
+      // routes side re-reads the bucketed table with no exchange, so a
+      // round costs exactly TWO exchanges — the rank side aligning to
+      // the bucket layout, and the inherent message groupBy(dst) — and
+      // NONE on the (100 TB-sized) edge routing table. A localCheckpoint
+      // of routes would NOT do this: under AQE the checkpointed frame
+      // reports UnknownPartitioning and the src exchange returns.
+      val routes2 = pr.routes(back)
+      val rank = back.vertices.select(col("id"), lit(1.0).as("rank"))
+      val contrib = rank.join(routes2, rank("id") === routes2("src"))
+        .groupBy(col("dst")).agg(sum(col("rank") * col("_share")).as("_in"))
+      contrib.collect()
+      // AQE prints Final + Initial plans; count the executed (final) one
+      val pc = contrib.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert("Exchange hashpartitioning".r.findAllIn(pc).size === 2,
+        s"bucketed round = rank-side + message exchange only:\n$pc")
+
+      // end to end: bucketed-run ranks equal the plain-run ranks
+      val a = pr.run(back).collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      val b = pr.run(g).collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      assert(a.keySet === b.keySet)
+      a.foreach { case (id, v) => assert(math.abs(v - b(id)) < 1e-12, s"id $id") }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS bk_pr_edges")
+      spark.sql("DROP TABLE IF EXISTS bk_pr_vertices")
+    }
+  }
+
   test("edge-list text ingestion: comments skipped, ids indexed, dups collapse") {
     val dir = java.nio.file.Files.createTempDirectory("graft-edgelist")
     java.nio.file.Files.writeString(dir.resolve("g.tsv"),

@@ -175,6 +175,71 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup-first streaming near-dup probes once per distinct text; windowed copy counts") {
+    import spark.implicits._
+    import graft.streaming.DocStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen"
+    val near = base.replace("sigma", "zigma")
+    val fresh = "unrelated words entirely distinct content here today"
+
+    // duplicate-heavy corpus: the index must collapse the 3 exact copies
+    // of `base` to their min-id representative before bucketing
+    val idx = DocStream.indexCorpusDeduped(
+      Seq((100L, base), (101L, base), (102L, base), (103L, other))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(idx.clusters.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((100L, 3L), (103L, 1L)), "clusters keep min id + copy count")
+    assert(idx.index.buckets.select("corpus_id").distinct()
+      .collect().map(_.getLong(0)).toSet === Set(100L, 103L),
+      "only representatives are bucketed")
+
+    val stream = MemoryStream[(Long, Long, String)]
+    val r = DocStream.dedupedNearDupAgainstCorpus(
+      stream.toDF().toDF("doc_id", "ts_ns", "text")
+        .withColumn("ts", timestamp_micros((col("ts_ns") / 1000).cast("long"))),
+      idx, "doc_id", "text", tsCol = Some("ts"), threshold = 0.4)
+    val qh = r.hits.writeStream.format("memory").queryName("ddhits").start()
+    val qc = r.copyCounts.writeStream.format("memory").queryName("ddcounts").start()
+    try {
+      // one batch: 3 exact copies of a near-duplicate + 2 copies of a
+      // fresh doc — the probe must fire once per DISTINCT text
+      stream.addData(
+        (1L, 1000L * H, near), (2L, 1000L * H, near), (3L, 1000L * H, near),
+        (4L, 1000L * H, fresh), (5L, 1000L * H, fresh))
+      qh.processAllAvailable()
+      val hits = spark.table("ddhits")
+        .select("doc_id", "corpus_id", "corpus_n_copies", "jaccard").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+      assert(hits.length === 1, "3 exact copies -> ONE representative probe hit")
+      assert(Set(1L, 2L, 3L).contains(hits.head._1), "rep is one of the copies")
+      assert(hits.head._2 === 100L && hits.head._3 === 3L,
+        "hit lands on the corpus representative, carrying its copy count")
+      assert(hits.head._4 > 0.4 && hits.head._4 < 1.0)
+      // advance the watermark past the horizon to close the count windows
+      stream.addData((9L, 1002L * H, fresh))
+      qc.processAllAvailable()
+      val counts = spark.table("ddcounts").select("doc_id", "n_copies")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(counts === Set((1L, 3L), (4L, 2L)),
+        "closed windows emit min-id + copy count per distinct text")
+      // batch path through the SAME function: same rep hits (min-id rep)
+      // and the same copy counts
+      val b = DocStream.dedupedNearDupAgainstCorpus(
+        Seq((1L, near), (2L, near), (3L, near), (4L, fresh), (5L, fresh))
+          .toDF("doc_id", "text"),
+        idx, "doc_id", "text", threshold = 0.4)
+      val bh = b.hits.select("doc_id", "corpus_id", "corpus_n_copies", "jaccard")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+      assert(bh.toSeq === Seq((1L, 100L, 3L, hits.head._4)))
+      assert(b.copyCounts.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+        === Set((1L, 3L), (4L, 2L)))
+    } finally { qh.stop(); qc.stop() }
+  }
+
   test("subgraph keeps only surviving-endpoint edges; filterEdges keeps vertices") {
     import org.apache.spark.sql.functions.col
     val g = Fixtures.labelled(spark, directed = true)
