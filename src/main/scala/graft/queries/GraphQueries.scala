@@ -143,6 +143,19 @@ object GraphQueries {
         landmarks = (1L to 10L))
     }),
 
+    "g40_betweenness" -> ((s, d) => {
+      // landmark (sampled-Brandes) betweenness on the supplier-part
+      // graph: forward sigma-counting BFS + backward dependency
+      // accumulation from 10 fixed landmarks, both replayed level by
+      // level in DuckDB (sigma exact integers; delta double sums with
+      // round-6 absorbing summation-order ulps)
+      val e = suppPartEdges(s, d)
+      Betweenness.landmark(
+        indexedGraph(vertsOf(e), e, directed = false),
+        landmarks = (1L to 10L), maxDepth = 6)
+        .select(col(ID), round(col("bc"), 6).as("bc"))
+    }),
+
     "g34_modularity" -> ((s, d) => {
       // modularity scoring of a vertex partition on the supplier-part
       // graph (community = id mod 7 — a fixed analytic labelling, so the
@@ -581,6 +594,51 @@ object GraphQueries {
     (head +: iters).mkString(",\n") + union
   }
 
+  /** Unrolled landmark-Brandes betweenness oracle: forward CTEs f0..fD
+    * count shortest paths level by level (visited-set pruning via NOT
+    * EXISTS, exactly [[graft.algorithms.Betweenness.landmark]]'s
+    * anti-join), backward CTEs dD..d1 accumulate dependencies with the
+    * same join+sum per level; the final fold unions every depth >= 1
+    * level and sums per vertex. Unrolled levels past the BFS fixpoint
+    * are empty frames on both engines. */
+  private def betweennessOracleSql(depth: Int): String = {
+    val head =
+      s"""WITH raw AS ($suppPartEdgesSql),
+         |e AS MATERIALIZED (
+         |  SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM raw
+         |  UNION SELECT CAST(dst AS BIGINT), CAST(src AS BIGINT) FROM raw),
+         |f0 AS (SELECT CAST(l AS BIGINT) AS l, CAST(l AS BIGINT) AS id,
+         |              CAST(1 AS BIGINT) AS sigma
+         |       FROM (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9, 10]) AS l)),
+         |vis0 AS (SELECT l, id FROM f0)""".stripMargin
+    val fwd = (1 to depth).map { k =>
+      s"""f$k AS MATERIALIZED (
+         |  SELECT f.l, e.dst AS id, sum(f.sigma) AS sigma
+         |  FROM f${k - 1} f JOIN e ON e.src = f.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM vis${k - 1} v
+         |                    WHERE v.l = f.l AND v.id = e.dst)
+         |  GROUP BY f.l, e.dst),
+         |vis$k AS MATERIALIZED (
+         |  SELECT l, id FROM vis${k - 1} UNION ALL SELECT l, id FROM f$k)""".stripMargin
+    }
+    val back = Seq(s"d$depth AS (SELECT l, id, sigma, 0.0 AS delta FROM f$depth)") ++
+      (depth - 1 to 1 by -1).map { k =>
+        s"""p$k AS (SELECT u.l, u.id, sum(CAST(u.sigma AS DOUBLE) / w.sigma
+           |            * (1 + w.delta)) AS dep
+           |  FROM f$k u JOIN e ON e.src = u.id
+           |  JOIN d${k + 1} w ON w.l = u.l AND w.id = e.dst
+           |  GROUP BY u.l, u.id),
+           |d$k AS MATERIALIZED (
+           |  SELECT f.l, f.id, f.sigma, coalesce(p.dep, 0.0) AS delta
+           |  FROM f$k f LEFT JOIN p$k p ON p.l = f.l AND p.id = f.id)""".stripMargin
+      }
+    val union = (1 to depth)
+      .map(k => s"SELECT l, id, delta FROM d$k")
+      .mkString("\nSELECT id, round(sum(delta), 6) AS bc FROM (\n",
+        "\nUNION ALL ", "\n) GROUP BY id")
+    (Seq(head) ++ fwd ++ back).mkString(",\n") + union
+  }
+
   /** Unrolled node2vec-biased-walk oracle: step 1 is g29's uniform step;
     * each later step carries the previous vertex, classifies every
     * candidate edge (return / common via a correlated EXISTS on the
@@ -819,6 +877,7 @@ object GraphQueries {
     "g28_hits" -> hitsOracleSql(3),
     "g29_walks" -> walksOracleSql(4),
     "g39_node2vec_walks" -> biasedWalksOracleSql(4, 4, 2, 1),
+    "g40_betweenness" -> betweennessOracleSql(6),
     "g31_kcore" -> kcoreOracleSql(15, 8),
     "g36_ktruss" -> ktrussOracleSql(5, 10),
     "g37_weighted_sssp" -> weightedSsspOracleSql(1L, 10),

@@ -428,6 +428,28 @@ class AlgorithmsSpec extends SparkSpec {
     assert(walks.toSet === again.toSet)
   }
 
+  test("betweenness: Brandes golden values on a path and a diamond") {
+    import spark.implicits._
+    def bc(es: Seq[(Long, Long)], n: Long, lms: Seq[Long]): Map[Long, Double] = {
+      val g = Graph((0L until n).toDF(ID),
+        es.toDF(SRC, DST).withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+        directed = false)
+      Betweenness.landmark(g, lms, maxDepth = 8)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    // path 0-1-2-3-4, ALL vertices as landmarks = full Brandes: the
+    // directional dependency sums are 0, 6, 8, 6, 0
+    val path = bc(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)), 5, 0L to 4L)
+    assert(path === Map(0L -> 0.0, 1L -> 6.0, 2L -> 8.0, 3L -> 6.0, 4L -> 0.0))
+    // diamond 0-1-3, 0-2-3: two shortest paths 0~3 split sigma; every
+    // vertex accumulates 0.5 + 0.5 = 1.0
+    val dia = bc(Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L)), 4, 0L to 3L)
+    assert(dia === Map(0L -> 1.0, 1L -> 1.0, 2L -> 1.0, 3L -> 1.0))
+    // landmark SUBSET: only source 0's sweep counts on the path
+    val sub = bc(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)), 5, Seq(0L))
+    assert(sub === Map(1L -> 3.0, 2L -> 2.0, 3L -> 1.0, 4L -> 0.0))
+  }
+
   test("biased walks: unit weights degenerate BIT FOR BIT to uniform; weights steer") {
     import spark.implicits._
     // 200-cycle, undirected: every vertex has exactly two neighbors, so
