@@ -80,6 +80,40 @@ class KmvSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("count-min streaming RECOVERY: counters survive a stop/restart from checkpoint") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("cm-ckpt").toString
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    def start() = CountMin.sketch(stream.toDF().toDF("tok"), col("tok"),
+        depth = 4, width = 8)
+      .writeStream.format("memory").queryName("cmr")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+
+    val batch1 = (1 to 30).flatMap(i => Seq.fill(i % 5 + 1)(s"k$i"))
+    val batch2 = (20 to 50).map(i => s"k$i")
+    val q1 = start()
+    try { stream.addData(batch1); q1.processAllAvailable() } finally q1.stop()
+    // data arriving while the query is DOWN, then a restart from the
+    // checkpoint: the aggregation state must resume, not reset
+    stream.addData(batch2)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val recovered = spark.table("cmr")
+      val batch = CountMin.sketch((batch1 ++ batch2).toDF("tok"), col("tok"),
+        depth = 4, width = 8)
+      assert(rowSet(recovered) === rowSet(batch),
+        "restarted sketch must equal the batch sketch of the union")
+      // and the estimate path reads the recovered sketch like any other
+      val probes = (1 to 50).map(i => s"k$i").toDF("tok")
+      val a = CountMin.estimate(recovered, probes, col("tok"), depth = 4, width = 8)
+      val b = CountMin.estimate(batch, probes, col("tok"), depth = 4, width = 8)
+      assert(rowSet(a) === rowSet(b))
+    } finally q2.stop()
+  }
+
   test("kmv streaming: batch-split estimates equal the batch sketch (mergeability)") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -105,6 +139,26 @@ class KmvSpec extends SparkSpec {
       assert(streamed.kth_hash === batch.getLong(2))
       assert(streamed.est_distinct === batch.getDouble(3))
     } finally q.stop()
+  }
+
+  test("kmv at the production parameter k=1024: error inside the 1/sqrt(k-2) band") {
+    import spark.implicits._
+    // three strata of very different true cardinalities; sigma/n =
+    // 1/sqrt(1022) ~ 3.1%, assert a 4-sigma (12.5%) window per stratum
+    val rows = Seq(("a", 50000), ("b", 100000), ("c", 200000)).flatMap {
+      case (g, n) => (1 to n).map(i => (g, s"$g-key-$i"))
+    }
+    val got = Kmv.distinctEstimate(rows.toDF("lang", "text"),
+        Seq("lang"), col("text"), k = 1024)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(got.length === 3)
+    val tol = 4.0 / math.sqrt(1022.0)
+    got.foreach { case (g, nKept, est) =>
+      val truth = Map("a" -> 50000.0, "b" -> 100000.0, "c" -> 200000.0)(g)
+      assert(nKept === 1024L, s"stratum $g sketch not full")
+      val relErr = math.abs(est - truth) / truth
+      assert(relErr < tol, f"stratum $g: est $est%.0f vs $truth%.0f (${relErr * 100}%.1f%%)")
+    }
   }
 
   test("kmv: deterministic across partitionings") {
