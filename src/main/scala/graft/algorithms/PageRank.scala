@@ -20,14 +20,27 @@ import graft.core.{CheckpointPolicy, Columns, Graph}
   * checkpointed once; each round shuffles messages by recipient only.
   * Rank mass is conserved (sums to 1) up to float rounding every round.
   */
+/** @param staticCheckpoint policy for the LOOP-INVARIANT frames (the
+  *        routing table; the seed vector in the personalized variant),
+  *        defaulting to `checkpoint`. Set to
+  *        [[CheckpointPolicy.Passthrough]] when the edges come from a
+  *        bucketed table ([[graft.sources.GraphIO.writeBucketed]]): the
+  *        per-round join then re-reads the bucketed layout with zero
+  *        exchange instead of re-shuffling a checkpointed copy whose
+  *        partitioning AQE no longer sees. The evolving rank frame keeps
+  *        the main policy — it must be pinned or lineage compounds. */
 final case class PageRank(
     damping: Double = 0.85,
     maxIterations: Int = 10,
     tolerance: Option[Double] = None,
-    checkpoint: CheckpointPolicy = CheckpointPolicy.Local) {
+    checkpoint: CheckpointPolicy = CheckpointPolicy.Local,
+    staticCheckpoint: Option[CheckpointPolicy] = None) {
   import Columns._
 
   val RANK = "rank"
+
+  private def pinStatic(df: DataFrame): DataFrame =
+    staticCheckpoint.getOrElse(checkpoint).pin(df)
 
   /** (src, dst, 1/out-degree(src)) routing table — fixed for the whole
     * iteration. Over a BUCKETED edge table
@@ -48,7 +61,7 @@ final case class PageRank(
   }
 
   def run(g: Graph): DataFrame = {
-    val routes = checkpoint.pin(this.routes(g))
+    val routes = pinStatic(this.routes(g))
     val n = g.vertices.count().toDouble
     val teleport = (1.0 - damping) / n
 
@@ -98,13 +111,13 @@ final case class PageRank(
     * joined once and checkpointed; rounds add no extra shuffle over the
     * uniform variant. Rank mass is conserved (sums to 1). */
   def runPersonalized(g: Graph, reset: DataFrame): DataFrame = {
-    val routes = checkpoint.pin(this.routes(g))
+    val routes = pinStatic(this.routes(g))
 
     val totRow = reset.agg(sum(col("weight").cast("double"))).head()
     require(!totRow.isNullAt(0) && totRow.getDouble(0) > 0.0,
       "personalized PageRank needs a reset set with positive total weight")
     val tot = totRow.getDouble(0)
-    val w = checkpoint.pin(g.vertices.select(col(ID))
+    val w = pinStatic(g.vertices.select(col(ID))
       .join(reset.select(col(ID),
         (col("weight").cast("double") / tot).as("_w")), Seq(ID), "left")
       .select(col(ID), coalesce(col("_w"), lit(0.0)).as("_w")))
