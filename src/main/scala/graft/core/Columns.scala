@@ -26,6 +26,7 @@ object Columns {
   val OLD_STATE = "old_state"
   val COMPONENT = "component"
   val LABEL = "label"
+  val COMMUNITY = "community"
 
   // bfs
   val START = "start"

@@ -143,6 +143,15 @@ object GraphQueries {
         landmarks = (1L to 10L))
     }),
 
+    "g41_louvain" -> ((s, d) => {
+      // Louvain phase-1 community refinement on the orders graph: 4
+      // semi-synchronous modularity-greedy rounds (parity-alternating
+      // movers), all scores exact integers scaled by 2m, so DuckDB
+      // replays every round bit for bit
+      val e = ordersEdges(s, d)
+      Louvain.refine(indexedGraph(vertsOf(e), e, directed = false), rounds = 4)
+    }),
+
     "g40_betweenness" -> ((s, d) => {
       // landmark (sampled-Brandes) betweenness on the supplier-part
       // graph: forward sigma-counting BFS + backward dependency
@@ -594,6 +603,53 @@ object GraphQueries {
     (head +: iters).mkString(",\n") + union
   }
 
+  /** Unrolled Louvain-refinement oracle: per round, community degree
+    * totals, per-(vertex, neighbor-community) link counts, the exact
+    * integer score 2m·l − k·(tot − [own]·k), argmax with
+    * smallest-community tiebreak, and the parity-gated label update —
+    * the bit-for-bit replay of [[graft.algorithms.Louvain.refine]].
+    * The vertex universe derives from the RAW edge list (self-loop
+    * endpoints included), mirroring the Spark side's vertsOf. */
+  private def louvainOracleSql(rounds: Int): String = {
+    val head =
+      s"""WITH raw AS ($ordersEdgesSql),
+         |canon AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+         |  FROM raw WHERE src <> dst),
+         |sym AS MATERIALIZED (
+         |  SELECT src, dst FROM canon UNION ALL SELECT dst, src FROM canon),
+         |deg AS MATERIALIZED (SELECT src AS id, count(*) AS k FROM sym GROUP BY src),
+         |mm AS (SELECT count(*) AS m FROM canon),
+         |v AS (SELECT src AS id FROM raw UNION SELECT dst FROM raw),
+         |c0 AS MATERIALIZED (SELECT id, id AS community FROM v)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      s"""tot$r AS (SELECT c.community AS cu, sum(coalesce(d.k, 0)) AS tot
+         |  FROM c${r - 1} c LEFT JOIN deg d ON d.id = c.id GROUP BY c.community),
+         |l$r AS (SELECT e.src AS id, cd.community AS cu, count(*) AS l
+         |  FROM sym e JOIN c${r - 1} cd ON cd.id = e.dst GROUP BY e.src, cd.community),
+         |cand$r AS (SELECT id, cu, max(l) AS l FROM (
+         |  SELECT id, cu, l FROM l$r
+         |  UNION ALL SELECT id, community, 0 FROM c${r - 1}) GROUP BY id, cu),
+         |sc$r AS (SELECT a.id, a.cu,
+         |    2 * (SELECT m FROM mm) * a.l
+         |    - coalesce(d.k, 0) * (coalesce(t.tot, 0)
+         |        - CASE WHEN a.cu = cv.community THEN coalesce(d.k, 0)
+         |               ELSE 0 END) AS score
+         |  FROM cand$r a JOIN c${r - 1} cv ON cv.id = a.id
+         |  LEFT JOIN deg d ON d.id = a.id
+         |  LEFT JOIN tot$r t ON t.cu = a.cu),
+         |b$r AS (SELECT id, cu FROM (
+         |  SELECT id, cu,
+         |    row_number() OVER (PARTITION BY id ORDER BY score DESC, cu) AS rn
+         |  FROM sc$r) WHERE rn = 1),
+         |c$r AS MATERIALIZED (SELECT c.id,
+         |    CASE WHEN c.id % 2 = ${r % 2} THEN b.cu ELSE c.community END AS community
+         |  FROM c${r - 1} c JOIN b$r b ON b.id = c.id)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT id, community FROM c$rounds"
+  }
+
   /** Unrolled landmark-Brandes betweenness oracle: forward CTEs f0..fD
     * count shortest paths level by level (visited-set pruning via NOT
     * EXISTS, exactly [[graft.algorithms.Betweenness.landmark]]'s
@@ -878,6 +934,7 @@ object GraphQueries {
     "g29_walks" -> walksOracleSql(4),
     "g39_node2vec_walks" -> biasedWalksOracleSql(4, 4, 2, 1),
     "g40_betweenness" -> betweennessOracleSql(6),
+    "g41_louvain" -> louvainOracleSql(4),
     "g31_kcore" -> kcoreOracleSql(15, 8),
     "g36_ktruss" -> ktrussOracleSql(5, 10),
     "g37_weighted_sssp" -> weightedSsspOracleSql(1L, 10),

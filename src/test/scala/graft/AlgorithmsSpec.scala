@@ -428,6 +428,37 @@ class AlgorithmsSpec extends SparkSpec {
     assert(walks.toSet === again.toSet)
   }
 
+  test("louvain: greedy refinement finds the triangle communities and holds them") {
+    import spark.implicits._
+    def communities(es: Seq[(Long, Long)], n: Long, rounds: Int): Map[Long, Long] = {
+      val g = Graph((0L until n).toDF(ID),
+        es.toDF(SRC, DST).withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+        directed = false)
+      Louvain.refine(g, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // barbell: two triangles bridged by one edge — the max-modularity
+    // split IS the two triangles, found by round 2
+    val barbell = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L))
+    val c2 = communities(barbell, 6, rounds = 2)
+    assert(Set(c2(0), c2(1), c2(2)).size === 1, s"left triangle together: $c2")
+    assert(Set(c2(3), c2(4), c2(5)).size === 1, s"right triangle together: $c2")
+    assert(c2(0) !== c2(3), s"bridge must separate: $c2")
+    // fixpoint: further rounds change nothing
+    assert(communities(barbell, 6, rounds = 6) === c2)
+    // ring of four bridged triangles -> four communities
+    val ring = (0 until 4).flatMap { i =>
+      val b = 3L * i
+      Seq((b, b + 1), (b + 1, b + 2), (b, b + 2))
+    } ++ Seq((2L, 3L), (5L, 6L), (8L, 9L), (11L, 0L))
+    val cr = communities(ring, 12, rounds = 4)
+    assert((0 until 4).forall { i =>
+      Set(cr(3L * i), cr(3L * i + 1), cr(3L * i + 2)).size == 1
+    }, s"each triangle one community: $cr")
+    assert(Set(cr(0), cr(3), cr(6), cr(9)).size === 4, s"four distinct: $cr")
+  }
+
   test("betweenness: Brandes golden values on a path and a diamond") {
     import spark.implicits._
     def bc(es: Seq[(Long, Long)], n: Long, lms: Seq[Long]): Map[Long, Double] = {
