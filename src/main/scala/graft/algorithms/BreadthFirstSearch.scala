@@ -88,6 +88,40 @@ object BreadthFirstSearch {
     * Multi-source: `dist` is the hop count from the NEAREST vertex
     * matching `startExpr`. Returns (id, dist) for reached vertices only.
     */
+  /** Pseudo-diameter by the standard double-sweep (Magnien, Latapy &
+    * Habib 2009 style lower bound): BFS from the minimum-id vertex, take
+    * the farthest vertex u (ties → smallest id), BFS again from u — u's
+    * eccentricity is a lower bound on the graph diameter that is exact
+    * on trees and empirically tight on real graphs, for the cost of TWO
+    * BFS sweeps instead of |V| (the exact-diameter cost no 100 TB graph
+    * can pay).
+    *
+    * Output: ONE row (start_id, u_id, far_id, diameter_lb) — the seed,
+    * the first sweep's farthest vertex, the second sweep's farthest
+    * vertex, and the bound. Unreachable components are ignored (the
+    * sweep measures the seed's component). Deterministic end to end:
+    * both argmax picks tiebreak by smallest id, so any engine replays
+    * the same two sweeps. */
+  def pseudoDiameter(
+      g: Graph,
+      maxIterations: Int = 30,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    val startRow = g.vertices.agg(min(col(ID))).head()
+    require(!startRow.isNullAt(0), "pseudoDiameter needs a non-empty graph")
+    val start = startRow.getLong(0)
+    def farthest(from: Long): Row =
+      distances(g, col(ID) === from, maxIterations = maxIterations,
+        checkpoint = checkpoint)
+        .orderBy(col("dist").desc, col(ID))
+        .head()
+    val sweep1 = farthest(start)
+    val u = sweep1.getLong(0)
+    val sweep2 = farthest(u)
+    import g.vertices.sparkSession.implicits._
+    Seq((start, u, sweep2.getLong(0), sweep2.getInt(1)))
+      .toDF("start_id", "u_id", "far_id", "diameter_lb")
+  }
+
   def distances(
       g: Graph,
       startExpr: Column,

@@ -143,6 +143,16 @@ object GraphQueries {
         landmarks = (1L to 10L))
     }),
 
+    "g42_pseudo_diameter" -> ((s, d) => {
+      // double-sweep pseudo-diameter of the undirected orders graph:
+      // two BFS sweeps (min-id seed -> farthest u -> farthest from u),
+      // both argmax picks id-tiebroken, so DuckDB replays the sweeps
+      // with two recursive walks
+      val e = ordersEdges(s, d)
+      BreadthFirstSearch.pseudoDiameter(
+        indexedGraph(vertsOf(e), e, directed = false))
+    }),
+
     "g41_louvain" -> ((s, d) => {
       // Louvain phase-1 community refinement on the orders graph: 4
       // semi-synchronous modularity-greedy rounds (parity-alternating
@@ -935,6 +945,29 @@ object GraphQueries {
     "g39_node2vec_walks" -> biasedWalksOracleSql(4, 4, 2, 1),
     "g40_betweenness" -> betweennessOracleSql(6),
     "g41_louvain" -> louvainOracleSql(4),
+    // double-sweep replay: recursive walk from the min-id seed, id-
+    // tiebroken farthest pick, second walk from it
+    "g42_pseudo_diameter" ->
+      s"""WITH RECURSIVE raw AS ($ordersEdgesSql),
+         |e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+         |v AS (SELECT src AS id FROM raw UNION SELECT dst FROM raw),
+         |s0 AS (SELECT min(id) AS id FROM v),
+         |w1(id, dist) AS (
+         |  SELECT id, 0 FROM s0
+         |  UNION
+         |  SELECT e.dst, w.dist + 1 FROM w1 w JOIN e ON e.src = w.id
+         |  WHERE w.dist < 30),
+         |m1 AS (SELECT id, min(dist) AS dist FROM w1 GROUP BY id),
+         |u AS (SELECT id FROM m1 ORDER BY dist DESC, id LIMIT 1),
+         |w2(id, dist) AS (
+         |  SELECT id, 0 FROM u
+         |  UNION
+         |  SELECT e.dst, w.dist + 1 FROM w2 w JOIN e ON e.src = w.id
+         |  WHERE w.dist < 30),
+         |m2 AS (SELECT id, min(dist) AS dist FROM w2 GROUP BY id),
+         |far AS (SELECT id, dist FROM m2 ORDER BY dist DESC, id LIMIT 1)
+         |SELECT (SELECT id FROM s0) AS start_id, (SELECT id FROM u) AS u_id,
+         |  far.id AS far_id, far.dist AS diameter_lb FROM far""".stripMargin,
     "g31_kcore" -> kcoreOracleSql(15, 8),
     "g36_ktruss" -> ktrussOracleSql(5, 10),
     "g37_weighted_sssp" -> weightedSsspOracleSql(1L, 10),

@@ -428,6 +428,23 @@ class AlgorithmsSpec extends SparkSpec {
     assert(walks.toSet === again.toSet)
   }
 
+  test("pseudo-diameter: double sweep is exact on a path, bounds a star") {
+    import spark.implicits._
+    def pd(es: Seq[(Long, Long)], n: Long) = {
+      val g = Graph((0L until n).toDF(ID),
+        es.toDF(SRC, DST).withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+        directed = false)
+      BreadthFirstSearch.pseudoDiameter(g).collect().head
+    }
+    // path 0-1-2-3-4: seed 0, farthest 4, back to 0, diameter 4 (exact)
+    val p = pd(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)), 5)
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getInt(3)) === ((0L, 4L, 0L, 4)))
+    // star 1..4 -> 0: seed 0 reaches all at 1 (u = leaf 1), second sweep
+    // from a leaf spans the true diameter 2
+    val s = pd(Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)), 5)
+    assert((s.getLong(0), s.getLong(1), s.getInt(3)) === ((0L, 1L, 2)))
+  }
+
   test("louvain: greedy refinement finds the triangle communities and holds them") {
     import spark.implicits._
     def communities(es: Seq[(Long, Long)], n: Long, rounds: Int): Map[Long, Long] = {
