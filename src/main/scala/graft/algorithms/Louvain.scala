@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{CheckpointPolicy, Columns, Graph}
 
-/** Distributed Louvain-style community refinement (the phase-1 local
-  * move step of Blondel et al. 2008, "Fast unfolding of communities in
-  * large networks") — modularity-GREEDY label updates, the quality-
-  * objective community detector the library offers next to the purely
-  * structural [[LabelPropagation]].
+/** Distributed Louvain community detection (Blondel et al. 2008, "Fast
+  * unfolding of communities in large networks") — modularity-GREEDY
+  * label refinement plus the community-contraction step that together
+  * form the Louvain coarsening pipeline, the quality-objective
+  * community detector the library offers next to the purely structural
+  * [[LabelPropagation]].
   *
   * Per round every eligible vertex v evaluates joining each community c
   * among its neighbors (or staying): the modularity gain of v→c is,
@@ -17,9 +18,10 @@ import graft.core.{CheckpointPolicy, Columns, Graph}
   *
   *   score(v, c) = 2m·l_vc − k_v · (tot(c) − [c = C(v)]·k_v)
   *
-  * where l_vc = edges from v into c, k_v = degree, tot(c) = Σ degrees of
-  * c's members, m = number of undirected edges. v adopts the argmax
-  * (ties → smallest community id). Updates are SEMI-synchronous with
+  * where l_vc = edge weight from v into c, k_v = weighted degree
+  * (self-loops count twice, the standard convention), tot(c) = Σ k over
+  * c's members, m = total edge weight. v adopts the argmax (ties →
+  * smallest community id). Updates are SEMI-synchronous with
   * deterministic parity alternation — round r moves only vertices with
   * id % 2 = r % 2 — the standard distributed-Louvain device that
   * prevents the ping-pong oscillation a fully synchronous sweep
@@ -27,42 +29,104 @@ import graft.core.{CheckpointPolicy, Columns, Graph}
   * function of the previous labelling (no sequential vertex order, no
   * RNG), so a SQL oracle replays every round bit for bit.
   *
-  * This is ONE level of the Louvain hierarchy: for the full coarsening
-  * pipeline, run `refine`, contract each community to a supervertex
-  * (one groupBy + a re-keyed edge aggregation) and refine again.
+  * The full hierarchy is the composition the scaladoc of each piece
+  * spells out: `refine` → [[contract]] (communities become weighted
+  * supervertices, intra-community mass becomes self-loops) →
+  * [[refineWeighted]] on the contracted graph, repeated until the
+  * labelling stops changing.
   *
   * Scale shape per round: one keyed join edges⋈labels, two combinable
-  * aggregations (per-(vertex, community) link counts; per-community
-  * degree totals — the latter broadcastable, its size is #communities),
-  * and one argmax via min(struct) — no windows over the edge set, no
-  * per-community reducers beyond the combinable sums. Integer guard:
-  * 2m·l and k·tot stay inside i64 for any graph with m < ~2^31 edges
-  * per... strictly, k_v·tot(c) < (2m)², so beyond ~2e9 edges the scores
-  * need decimal — ANSI mode throws loudly rather than wrapping.
+  * aggregations (per-(vertex, community) link weights; per-community
+  * degree totals — the latter sized by #communities), and one argmax
+  * via min(struct) — no windows over the edge set, no per-community
+  * reducers beyond the combinable sums. Integer guard: k_v·tot(c) <
+  * (2m)², so graphs beyond ~2e9 total edge weight need the scores
+  * widened to decimal — ANSI mode throws loudly rather than wrapping.
   */
 object Louvain {
   import Columns._
 
   /** Output (id, community) after `rounds` semi-synchronous greedy
-    * rounds from `init` (default: every vertex its own community).
-    * `init` must be (id, community). */
+    * rounds from `init` (default: every vertex its own community) over
+    * the SIMPLE undirected graph (multi-edges collapsed, self-loops
+    * ignored — level-0 semantics; contracted levels carry weights and
+    * self-loops through [[refineWeighted]]). `init` must be
+    * (id, community). */
   def refine(
       g: Graph, rounds: Int, init: Option[DataFrame] = None,
       checkpoint: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    val canon = g.edges.filter(col(SRC) =!= col(DST))
+      .select(least(col(SRC), col(DST)).as(SRC),
+        greatest(col(SRC), col(DST)).as(DST))
+      .distinct()
+      .withColumn("_w", lit(1L))
+    refineCore(g.vertices, canon, rounds, init, checkpoint)
+  }
+
+  /** [[refine]] over a WEIGHTED undirected graph — the contracted-level
+    * step: `weightCol` is an integer edge weight, multi-edges sum,
+    * self-loops are retained and count twice toward their vertex's
+    * weighted degree (they carry a community's internal mass between
+    * levels; a vertex never "moves to" a self-loop — it only anchors
+    * the stay-home mass). */
+  def refineWeighted(
+      g: Graph, weightCol: String, rounds: Int, init: Option[DataFrame] = None,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    val canon = g.edges
+      .select(least(col(SRC), col(DST)).as(SRC),
+        greatest(col(SRC), col(DST)).as(DST),
+        col(weightCol).cast("long").as("_w"))
+      .groupBy(col(SRC), col(DST)).agg(sum(col("_w")).as("_w"))
+    refineCore(g.vertices, canon, rounds, init, checkpoint)
+  }
+
+  /** Contract a labelling into its community graph: one supervertex per
+    * community, edge weight = number of original (simple, canonical)
+    * edges between the two communities, intra-community edges becoming
+    * self-loop weight. Feed the result to [[refineWeighted]] for the
+    * next Louvain level. One endpoint-mapping join + one combinable
+    * groupBy — the 100 TB contraction is exactly an edge re-key. */
+  def contract(g: Graph, comm: DataFrame): Graph = {
+    val canon = g.edges.filter(col(SRC) =!= col(DST))
+      .select(least(col(SRC), col(DST)).as(SRC),
+        greatest(col(SRC), col(DST)).as(DST))
+      .distinct()
+    val mapped = canon
+      .join(comm.select(col(ID).as(SRC), col(COMMUNITY).as("_ca")), Seq(SRC))
+      .join(comm.select(col(ID).as(DST), col(COMMUNITY).as("_cb")), Seq(DST))
+      .select(least(col("_ca"), col("_cb")).as(SRC),
+        greatest(col("_ca"), col("_cb")).as(DST))
+    val edges = mapped.groupBy(col(SRC), col(DST))
+      .agg(count(lit(1)).as("weight"))
+      .withColumn(EDGE_ID, xxhash64(col(SRC), col(DST)))
+    Graph(
+      comm.select(col(COMMUNITY).as(ID)).distinct(),
+      edges, directed = false)
+  }
+
+  private def refineCore(
+      vertices: DataFrame, canon0: DataFrame, rounds: Int,
+      init: Option[DataFrame], checkpoint: CheckpointPolicy): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val canon = checkpoint.pin(
-      g.edges.filter(col(SRC) =!= col(DST))
-        .select(least(col(SRC), col(DST)).as(SRC),
-          greatest(col(SRC), col(DST)).as(DST))
-        .distinct())
+    val canon = checkpoint.pin(canon0)
+    val noself = canon.filter(col(SRC) =!= col(DST))
     val sym = checkpoint.pin(
-      canon.unionByName(canon.select(col(DST).as(SRC), col(SRC).as(DST))))
+      noself.unionByName(
+        noself.select(col(DST).as(SRC), col(SRC).as(DST), col("_w"))))
+    val selfw = canon.filter(col(SRC) === col(DST))
+      .select(col(SRC).as(ID), col("_w").as("_ws"))
+    // weighted degree; self-loops count twice (2m = sum of all k)
     val deg = checkpoint.pin(
-      sym.groupBy(col(SRC).as(ID)).agg(count(lit(1)).as("_k")))
-    val m = canon.count()
+      sym.groupBy(col(SRC).as(ID)).agg(sum(col("_w")).as("_kd"))
+        .join(selfw, Seq(ID), "full")
+        .select(col(ID),
+          (coalesce(col("_kd"), lit(0L)) +
+            lit(2L) * coalesce(col("_ws"), lit(0L))).as("_k")))
+    val mRow = canon.agg(coalesce(sum(col("_w")), lit(0L))).head()
+    val m = mRow.getLong(0)
 
     var comm = checkpoint.pin(init.getOrElse(
-      g.vertices.select(col(ID), col(ID).as(COMMUNITY))))
+      vertices.select(col(ID), col(ID).as(COMMUNITY))))
     var r = 1
     while (r <= rounds) {
       val tot = comm.join(deg, Seq(ID), "left")
@@ -71,7 +135,7 @@ object Louvain {
       val links = sym
         .join(comm.select(col(ID).as(DST), col(COMMUNITY).as("_cu")), Seq(DST))
         .groupBy(col(SRC).as(ID), col("_cu"))
-        .agg(count(lit(1)).as("_l"))
+        .agg(sum(col("_w")).as("_l"))
       // the stay-home candidate always exists, even for a vertex with no
       // edge into its own community (max keeps the real count when both
       // rows are present)

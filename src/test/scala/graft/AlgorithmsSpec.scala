@@ -476,6 +476,37 @@ class AlgorithmsSpec extends SparkSpec {
     assert(Set(cr(0), cr(3), cr(6), cr(9)).size === 4, s"four distinct: $cr")
   }
 
+  test("louvain coarsening: contract carries mass, weighted refine decides merges") {
+    import spark.implicits._
+    val barbell = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L))
+    val g = Graph((0L to 5L).toDF(ID),
+      barbell.toDF(SRC, DST).withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+      directed = false)
+    val comm = Louvain.refine(g, rounds = 2)
+    val cg = Louvain.contract(g, comm)
+    assert(cg.vertices.count() === 2)
+    val ce = cg.edges.select(SRC, DST, "weight").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // each triangle's 3 internal edges become a self-loop of weight 3;
+    // the bridge survives with weight 1
+    assert(ce.values.toSeq.sorted === Seq(1L, 3L, 3L))
+    assert(ce.count { case ((a, b), _) => a == b } === 2)
+    // level-2 weighted refine: modularity says DON'T merge the triangles
+    // (2m*l = 14 < k_a*k_b = 49)
+    val l2 = Louvain.refineWeighted(cg, "weight", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2.values.toSet.size === 2, s"triangles stay separate: $l2")
+    // ...and a heavy bridge DOES merge: A-B weight 5 with unit self-loops
+    val hg = Graph(Seq(0L, 1L).toDF(ID),
+      Seq((0L, 1L, 5L), (0L, 0L, 1L), (1L, 1L, 1L)).toDF(SRC, DST, "weight")
+        .withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+      directed = false)
+    val hm = Louvain.refineWeighted(hg, "weight", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hm.values.toSet.size === 1, s"heavy bridge merges: $hm")
+  }
+
   test("betweenness: Brandes golden values on a path and a diamond") {
     import spark.implicits._
     def bc(es: Seq[(Long, Long)], n: Long, lms: Seq[Long]): Map[Long, Double] = {
