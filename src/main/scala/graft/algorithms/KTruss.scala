@@ -128,7 +128,7 @@ object KTruss {
     * edge set, via degree-ordered wedge enumeration. Edges closing zero
     * triangles are absent — exactly the edges the first peel would drop
     * for any k >= 3. */
-  private def supports(edges: DataFrame): DataFrame = {
+  private[graft] def supports(edges: DataFrame): DataFrame = {
     val deg = edges.select(col(SRC).as(ID))
       .unionAll(edges.select(col(DST).as(ID)))
       .groupBy(col(ID)).agg(count(lit(1)).as("_deg"))

@@ -78,13 +78,24 @@ object DocStream {
   def indexCorpusDeduped(
       corpus: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32): DedupedCorpusIndex = {
-    val groups = corpus.groupBy(col(textCol))
+    // collapse on the text's sha256, NOT the text: the grouping shuffle
+    // then moves 32-byte digests instead of documents, and the
+    // representative TEXTS are fetched back by a semi-join on the
+    // (usually broadcastable) representative-id set — the full corpus
+    // text never shuffles. Identical groups up to a sha256 collision
+    // (~2^-128; a collision would only merge two near-identical index
+    // entries).
+    val groups = corpus
+      .select(col(idCol), sha2(col(textCol), 256).as("_th"))
+      .groupBy(col("_th"))
       .agg(min(col(idCol)).as("corpus_id"), count(lit(1)).as("corpus_n_copies"))
-    val idx = indexCorpus(
-      groups.select(col("corpus_id").as(idCol), col(textCol)),
+    val clusters = groups
+      .select(col("corpus_id"), col("corpus_n_copies")).localCheckpoint()
+    val reps = corpus.join(
+      clusters.select(col("corpus_id").as(idCol)), Seq(idCol), "left_semi")
+    val idx = indexCorpus(reps.select(col(idCol), col(textCol)),
       idCol, textCol, shingleSize, numHashes, bands)
-    DedupedCorpusIndex(idx,
-      groups.select(col("corpus_id"), col("corpus_n_copies")).localCheckpoint())
+    DedupedCorpusIndex(idx, clusters)
   }
 
   /** Result of [[dedupedNearDupAgainstCorpus]]:
@@ -140,10 +151,16 @@ object DocStream {
           .select(col("window"), col(idCol), col("n_copies"))
         (reps, counts)
       } else {
-        val groups = docs.groupBy(col(textCol))
+        // same narrow-shuffle collapse as indexCorpusDeduped: group on
+        // the sha, fetch representative texts back by id semi-join
+        val groups = docs
+          .select(col(idCol), sha2(col(textCol), 256).as("_th"))
+          .groupBy(col("_th"))
           .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
-        (groups.select(col(idCol), col(textCol)),
-          groups.select(col(idCol), col("n_copies")))
+        val reps = docs
+          .join(groups.select(col(idCol)), Seq(idCol), "left_semi")
+          .select(col(idCol), col(textCol))
+        (reps, groups.select(col(idCol), col("n_copies")))
       }
     val hits = probe(
         reps, index.index, idCol, textCol, tsCol, threshold, horizon,

@@ -196,10 +196,25 @@ class PlansSpec extends SparkSpec {
   }
 
   test("g36 k-truss: wedge and closing joins are keyed, support agg is partial") {
-    val p = plan(GraphQueries.queries("g36_ktruss")(spark, SF))
+    // run() returns the PINNED converged support frame (a checkpoint
+    // scan — the incremental-peeling contract), so the full query's plan
+    // only shows the scan; audit the support pass itself, the per-round
+    // workhorse
+    import spark.implicits._
+    val edges = graft.core.GraphUtil.orderEdges(
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+        .toDF("src", "dst")
+        .withColumn("edge_id", org.apache.spark.sql.functions
+          .xxhash64($"src", $"dst")))
+      .select($"src", $"dst")
+    val p = plan(graft.algorithms.KTruss.supports(edges))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"triangle-support plan must stay keyed:\n$p")
     assert(p.contains("partial_count"), s"support aggregation not map-side partial:\n$p")
+    // and the end-to-end query plans no cartesian either
+    val pq = plan(GraphQueries.queries("g36_ktruss")(spark, SF))
+    assert(!pq.contains("CartesianProduct") && !pq.contains("BroadcastNestedLoopJoin"),
+      s"g36 end-to-end must stay keyed:\n$pq")
   }
 
   test("g34/g35 graph stats: id-keyed joins plus combinable aggregates only") {
