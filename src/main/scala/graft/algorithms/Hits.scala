@@ -28,9 +28,12 @@ final case class Hits(
 
   /** Output: (id, hub, authority), both scores L2-normalized. */
   def run(g: Graph): DataFrame = {
+    // distinct endpoint pairs: symmetricEdges dedups (src, dst, edge_id),
+    // so a reciprocal directed pair would survive as two rows and double
+    // its contribution to the sums
     val edges = checkpoint.pin(
       (if (g.directed) g.edges else g.symmetricEdges)
-        .select(col(SRC), col(DST)))
+        .select(col(SRC), col(DST)).distinct())
     val verts = g.vertices.select(col(ID))
 
     var hub = checkpoint.pin(verts.select(col(ID), lit(1.0).as("hub")))

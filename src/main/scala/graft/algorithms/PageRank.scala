@@ -53,8 +53,13 @@ final case class PageRank(
     * write-once-shuffle-then-iterate story: on a 100 TB edge set the
     * bucketing shuffle is paid once at write time, not once per job. */
   def routes(g: Graph): DataFrame = {
-    val edges = (if (g.directed) g.edges else g.symmetricEdges)
-      .select(col(SRC), col(DST))
+    // undirected: symmetricEdges dedups (src, dst, edge_id), so a
+    // reciprocal directed pair would survive as two (src, dst) rows and
+    // double-count in the degree and the contribution sum — dedup the
+    // endpoint pairs. The directed branch keeps the caller's edge rows
+    // (and, over a bucketed table, its exchange-free plan) untouched.
+    val edges = if (g.directed) g.edges.select(col(SRC), col(DST))
+      else g.symmetricEdges.select(col(SRC), col(DST)).distinct()
     val outDeg = edges.groupBy(col(SRC)).agg(count(lit(1)).as("_od"))
     edges.join(outDeg, Seq(SRC))
       .select(col(SRC), col(DST), (lit(1.0) / col("_od")).as("_share"))

@@ -257,6 +257,32 @@ object DocQueries {
       Dedup.nearDupClusters(documents(s, d), "doc_id", "text",
         shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.4)),
 
+    "d19_best_of_cluster" -> ((s, d) => {
+      // quality-aware canonical selection: d12's fuzzy-dedup clusters,
+      // but the survivor is the HIGHEST-QUALITY member (t02's score),
+      // not the min-id one — the production dedup contract when copies
+      // differ (boilerplate-stripped vs raw crawls of the same page).
+      // The argmax is a lexicographic struct max (quality DESC, id ASC
+      // via negation), so the pick is deterministic and the aggregation
+      // stays map-side combinable — one shuffle of (cluster, best-so-
+      // far, count) partials regardless of cluster sizes; no window
+      // over the corpus. Cross-engine safe because t02's quality is
+      // bit-identical IEEE-754 in both engines (no reassociation).
+      val docs = documents(s, d)
+      val clusters = Dedup.nearDupClusters(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.4)
+      val q = docs.select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      clusters.join(q, Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(
+          max(struct(col("quality"), (-col("doc_id")).as("_nid"))).as("_best"),
+          count(lit(1)).as("n_members"))
+        .select(col("cluster_id"),
+          (-col("_best._nid")).as("keep_id"),
+          round(col("_best.quality"), 6).as("quality"),
+          col("n_members"))
+    }),
+
     "d13_mixture_sample" -> ((s, d) => {
       // corpus composition ("data mixing"): deterministic per-source
       // Bernoulli sampling at source-specific rates — upsample curated
@@ -785,6 +811,50 @@ object DocQueries {
          |  SELECT eg.ed, r.lab FROM reach r JOIN eg ON eg.es = r.id),
          |comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
          |SELECT m.doc_id, c.cluster_id FROM mem m JOIN comp c ON c.id = m.rep""".stripMargin,
+    // d12's cluster closure + t02's bit-identical quality formula; the
+    // survivor pick replayed as a window (quality DESC, doc_id ASC) —
+    // equivalent to the Spark side's lexicographic struct max
+    "d19_best_of_cluster" ->
+      s"""WITH RECURSIVE
+         |keep AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
+         |mem AS (SELECT d.doc_id, k.rep FROM documents d JOIN keep k ON k.text = d.text),
+         |t0 AS (SELECT rep AS doc_id, $toksSql AS t FROM keep),
+         |sh AS (SELECT doc_id, $shinglesSql AS s FROM t0),
+         |nz AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0),
+         |pr AS (SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |        / (a.n + b.n - len(list_intersect(a.s, b.s))) AS jaccard
+         |    FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.4),
+         |eg AS (SELECT id_a AS es, id_b AS ed FROM pr
+         |       UNION ALL SELECT id_b, id_a FROM pr),
+         |reach(id, lab) AS (
+         |  SELECT rep, rep FROM keep
+         |  UNION
+         |  SELECT eg.ed, r.lab FROM reach r JOIN eg ON eg.es = r.id),
+         |comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+         |cl AS (SELECT m.doc_id, c.cluster_id FROM mem m JOIN comp c ON c.id = m.rep),
+         |qt AS (SELECT doc_id, text, $toksSql AS t FROM documents),
+         |qm AS (SELECT doc_id,
+         |  CAST(len(t) AS DOUBLE) AS ntok,
+         |  CAST(len(list_filter(t, x -> list_contains(
+         |    ['the','a','an','of','and','to','in','is','it','on'], x))) AS DOUBLE) AS nstop,
+         |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS npunct,
+         |  CAST(length(text) AS DOUBLE) AS ltext
+         |  FROM qt),
+         |q AS (SELECT doc_id,
+         |  least(ntok/20.0, 1.0) * (1.0 - npunct/greatest(ltext,1.0))
+         |    * (0.5 + least(nstop/greatest(ntok,1.0)*2.0, 0.5)) AS quality
+         |  FROM qm),
+         |j AS (SELECT cl.cluster_id, cl.doc_id, q.quality,
+         |        row_number() OVER (PARTITION BY cl.cluster_id
+         |                           ORDER BY q.quality DESC, cl.doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+         |      FROM cl JOIN q ON q.doc_id = cl.doc_id)
+         |SELECT cluster_id, doc_id AS keep_id, round(quality, 6) AS quality,
+         |       n_members
+         |FROM j WHERE rn = 1""".stripMargin,
     // composed pipeline: d01's dedup + t02's quality formula + t03's
     // argmax + d07's chunking, chained exactly like the Spark side
     "d08_pipeline" ->

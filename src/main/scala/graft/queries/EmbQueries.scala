@@ -35,6 +35,11 @@ object EmbQueries {
     * bytes), re-rank the 50 best per query with all 64 dims. */
   private val MrlPrefixDims = 8
   private val MrlShortlist = 50
+  /** e16's prototype shape: 8 cells, 3 Lloyd rounds on the shared fit
+    * sample, 20 prototypes per cell. */
+  private val ProtoK = 8
+  private val ProtoIters = 3
+  private val ProtoM = 20
 
   private def queriesDf(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).filter(col("vec_id") < NQUERIES)
@@ -106,6 +111,17 @@ object EmbQueries {
       // integer scores stay oracle-exact
       Ann.filteredTopK(embeddings(s, d), queriesDf(s, d),
         "vec_id", "embedding", "label", K)),
+
+    "e16_prototypes" -> ((s, d) =>
+      // cell-balanced prototype selection (SemDeDup/SSL-prototypes
+      // curation): portable k-means cells, then the 20 members closest
+      // to their own fitted centroid per cell — the diversity-bounded
+      // keep set. Oracle-checked end to end: the sampled fit, the
+      // argmin assignment, and the exact i64 centroid dots all replay
+      // bit for bit; DuckDB ranks with the same (dot DESC, id) window.
+      Ann.prototypes(embeddings(s, d), "vec_id", "embedding",
+        k = ProtoK, m = ProtoM, maxIterations = ProtoIters,
+        fitSampleSize = FitSample)),
 
     "e07_cosine_topk" -> ((s, d) => {
       // exact cosine ranking: integer quantized dot + norms, two
@@ -354,6 +370,59 @@ object EmbQueries {
     * correctly rounded — identical bits to the Spark side), ONE final
     * assignment of the FULL corpus, then the same probe + top-k as the
     * e03 oracle. */
+  /** e16 replay: the same sampled portable-k-means fit as
+    * [[kmeansIvfSql]], then every corpus item assigned to its argmin
+    * cell against the FITTED centroids c_iters, scored by the exact i64
+    * dot against that centroid's sum vector, top-m per cell by
+    * (dot DESC, id). */
+  private def prototypesSql(k: Int, iters: Int, m: Int, fitSample: Int): String = {
+    def assignCte(i: Int, src: String): String =
+      s"""s$i AS (SELECT i.id, c.cell,
+         |  CAST(-2 * CAST(list_sum([i.qv[j] * c.cs[j]
+         |         FOR j IN range(1, len(i.qv) + 1)]) AS BIGINT) AS DOUBLE)
+         |    / CAST(c.n AS DOUBLE)
+         |  + CAST(CAST(list_sum([c.cs[j] * c.cs[j]
+         |         FOR j IN range(1, len(c.cs) + 1)]) AS BIGINT) AS DOUBLE)
+         |    / CAST(c.n * c.n AS DOUBLE) AS score
+         |  FROM $src i, c${i - 1} c),
+         |a$i AS (SELECT id, cell FROM (
+         |  SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY score, cell) AS rn
+         |  FROM s$i) WHERE rn = 1)""".stripMargin
+    def updateCte(i: Int): String =
+      s"""u$i AS (SELECT a.cell, u.d AS d, sum(i.qv[CAST(u.d AS INTEGER)]) AS sx
+         |  FROM a$i a JOIN itf i ON i.id = a.id,
+         |       unnest(range(1, len(i.qv) + 1)) AS u(d)
+         |  GROUP BY a.cell, u.d),
+         |n$i AS (SELECT cell, count(*) AS n FROM a$i GROUP BY cell),
+         |f$i AS (SELECT u.cell, list(u.sx ORDER BY u.d) AS cs, any_value(n.n) AS n
+         |  FROM u$i u JOIN n$i n ON n.cell = u.cell GROUP BY u.cell),
+         |c$i AS (SELECT p.cell, coalesce(f.cs, p.cs) AS cs, coalesce(f.n, p.n) AS n
+         |  FROM c${i - 1} p LEFT JOIN f$i f ON f.cell = p.cell)""".stripMargin
+    val fin = iters + 1
+    val rounds = (1 to iters).map(i => assignCte(i, "itf") + ",\n" + updateCte(i))
+    s"""WITH it AS (SELECT vec_id AS id,
+       |    [CAST(round(CAST(embedding[j] AS DOUBLE) * 1000) AS BIGINT)
+       |     FOR j IN range(1, len(embedding) + 1)] AS qv
+       |  FROM embeddings),
+       |itf AS (SELECT id, qv FROM it
+       |  ORDER BY sha256(CAST(id AS VARCHAR)), id LIMIT $fitSample),
+       |c0 AS (SELECT cell, cs, n FROM (
+       |  SELECT row_number() OVER (ORDER BY sha256(CAST(id AS VARCHAR)), id) - 1 AS cell,
+       |         qv AS cs, CAST(1 AS BIGINT) AS n
+       |  FROM itf) WHERE cell < $k),
+       |${rounds.mkString(",\n")},
+       |${assignCte(fin, "it")},
+       |sc AS (SELECT a.id, a.cell,
+       |    CAST(list_sum([i.qv[j] * c.cs[j]
+       |         FOR j IN range(1, len(i.qv) + 1)]) AS BIGINT) AS cdot
+       |  FROM a$fin a JOIN it i ON i.id = a.id
+       |  JOIN c$iters c ON c.cell = a.cell)
+       |SELECT cell, rank, id AS vec_id, cdot FROM (
+       |  SELECT cell, id, cdot,
+       |         row_number() OVER (PARTITION BY cell ORDER BY cdot DESC, id) AS rank
+       |  FROM sc) WHERE rank <= $m""".stripMargin
+  }
+
   private def kmeansIvfSql(k: Int, iters: Int, nprobe: Int, fitSample: Int): String = {
     // assignment of every `src` item to its nearest centroid c{i-1} -> a$i
     def assignCte(i: Int, src: String): String =
@@ -603,6 +672,9 @@ object EmbQueries {
         iters = PqIters, fitSample = FitSample, shortlist = RerankShortlist),
     "e05_knn_ivf_kmeans" ->
       kmeansIvfSql(k = 10, iters = 5, nprobe = 3, fitSample = FitSample),
+    "e16_prototypes" ->
+      prototypesSql(k = ProtoK, iters = ProtoIters, m = ProtoM,
+        fitSample = FitSample),
     "e02_knn_lsh" -> lshKnnSql,
     "e03_knn_ivf" -> ivfKnnSql,
     "e06_knn_ivf_full_probe" -> exactKnnSql,

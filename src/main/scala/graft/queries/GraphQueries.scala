@@ -162,6 +162,17 @@ object GraphQueries {
       Louvain.refine(indexedGraph(vertsOf(e), e, directed = false), rounds = 4)
     }),
 
+    "g43_eigenvector" -> ((s, d) => {
+      // eigenvector centrality on the undirected orders graph: 3 power-
+      // iteration rounds (x <- A x, L2-normalized), oracle-checked like
+      // g28 via an unrolled CTE with round(...,9) absorbing
+      // summation-order ulps
+      val e = ordersEdges(s, d)
+      EigenvectorCentrality(maxIterations = 3)
+        .run(indexedGraph(vertsOf(e), e, directed = false))
+        .select(col(ID), round(col("score"), 9).as("score"))
+    }),
+
     "g40_betweenness" -> ((s, d) => {
       // landmark (sampled-Brandes) betweenness on the supplier-part
       // graph: forward sigma-counting BFS + backward dependency
@@ -585,6 +596,28 @@ object GraphQueries {
          |FROM h$iterations h JOIN a$iterations a ON h.id = a.id""".stripMargin
   }
 
+  /** Unrolled eigenvector-centrality oracle: undirected closure, then per
+    * round score = Σ neighbor scores, L2-normalized via a scalar subquery
+    * aggregate — the single-vector restriction of [[hitsOracleSql]].
+    * round(...,9) absorbs last-ulp summation-order drift. */
+  private def eigenvectorOracleSql(iterations: Int): String = {
+    val head =
+      s"""WITH e0 AS ($ordersEdgesSql),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |x0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS score FROM v)""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      s"""r$k AS (SELECT e.dst AS id, sum(x.score) AS s
+         |        FROM x${k - 1} x JOIN e ON x.id = e.src GROUP BY e.dst),
+         |n$k AS (SELECT sqrt(sum(s * s)) AS nrm FROM r$k),
+         |x$k AS (SELECT v.id,
+         |          coalesce(r.s, 0.0) / (SELECT nrm FROM n$k) AS score
+         |        FROM v LEFT JOIN r$k r ON v.id = r.id)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT id, round(score, 9) AS score FROM x$iterations"
+  }
+
   /** Unrolled random-walk oracle: symmetric (undirected) edge closure,
     * then per step k the walker moves to the neighbor minimizing
     * (stepHash(walker, k, dst), dst) — replayed exactly, since the hash
@@ -941,6 +974,7 @@ object GraphQueries {
     "g21_pagerank" -> pageRankOracleSql(5),
     "g27_ppr" -> personalizedPageRankOracleSql(5),
     "g28_hits" -> hitsOracleSql(3),
+    "g43_eigenvector" -> eigenvectorOracleSql(3),
     "g29_walks" -> walksOracleSql(4),
     "g39_node2vec_walks" -> biasedWalksOracleSql(4, 4, 2, 1),
     "g40_betweenness" -> betweennessOracleSql(6),

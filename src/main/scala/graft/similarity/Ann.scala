@@ -445,4 +445,64 @@ object Ann {
       .filter(col("rn") <= k)
       .drop("rn")
   }
+
+  /** Cell-balanced prototype selection — the curation primitive behind
+    * SemDeDup/SSL-prototypes-style training-data pruning (Sorscher et al.
+    * 2022; Abbas et al. 2023): cluster the corpus with the portable
+    * k-means, then keep the `m` members CLOSEST to their own cell
+    * centroid (ranked by the exact integer dot against the fitted
+    * centroid sum — within a cell the member count is constant, so the
+    * un-divided sum ranks identically to the mean). The complement reads
+    * the same output: the highest ranks are the prototypes to keep (or
+    * drop, for dedup-flavoured pruning); cells bound the per-concept
+    * quota, which is what makes the sample DIVERSE rather than
+    * frequency-weighted.
+    *
+    * Scale shape (100 TB): the fit reads a bounded sample; the corpus is
+    * read ONCE, scored against the broadcast k centroids, and reduced by
+    * one map-side-combinable argmin — the corpus never shuffles. Only
+    * narrow (cell, id, dot) rows enter the top-m, which runs the
+    * two-phase sharded window (a shard's top-m is a superset of its
+    * members of the global top-m), so a giant cell never serializes
+    * through one reducer.
+    *
+    * Fully engine-portable: sha256-Forgy seeds, integer-sum centroids,
+    * exact i64 scores, (dot DESC, id) tiebreak. Output
+    * (cell, rank, idCol, cdot), rank 1 = most prototypical.
+    */
+  def prototypes(items: DataFrame, idCol: String, vecCol: String,
+      k: Int, m: Int, maxIterations: Int = 5,
+      fitSampleSize: Int = 0,
+      checkpoint: graft.core.CheckpointPolicy = graft.core.CheckpointPolicy.Local)
+      : DataFrame = {
+    val cent = KMeans.fitPortable(items, idCol, vecCol, k, maxIterations,
+      checkpoint, fitSampleSize)
+    val it = items.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    // single corpus pass: per (item, cell) the shared i64 dot feeds both
+    // the assignment score (same formula as KMeans.assignPortable) and
+    // the prototype rank; argmin keeps the owning cell and its dot
+    val dotc = graft.functions.FloatLongDot(col("_v"), col("cs"))
+    val score =
+      (lit(-2L) * col("_dot")).cast("double") / col("n").cast("double") +
+        col("ss").cast("double") / (col("n") * col("n")).cast("double")
+    val owned = it
+      .join(broadcast(cent.select(col("cell"), col("cs"), col("n"), col("ss"))))
+      .select(col("_id"), col("cell"), dotc.as("_dot"), col("n"), col("ss"))
+      .select(col("_id"), col("cell"), col("_dot"), score.as("_s"))
+      .groupBy(col("_id"))
+      .agg(min_by(struct(col("cell"), col("_dot")), struct(col("_s"), col("cell")))
+        .as("_b"))
+      .select(col("_id"), col("_b.cell").as("cell"), col("_b._dot").as("cdot"))
+    val shards = 256L
+    val wShard = Window
+      .partitionBy(col("cell"), pmod(xxhash64(col("_id")), lit(shards)))
+      .orderBy(col("cdot").desc, col("_id"))
+    val wFinal = Window.partitionBy(col("cell"))
+      .orderBy(col("cdot").desc, col("_id"))
+    owned
+      .withColumn("_srnk", row_number().over(wShard)).filter(col("_srnk") <= m)
+      .withColumn("rank", row_number().over(wFinal)).filter(col("rank") <= m)
+      .select(col("cell"), col("rank").cast("long").as("rank"),
+        col("_id").as(idCol), col("cdot"))
+  }
 }

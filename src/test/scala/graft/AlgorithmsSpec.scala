@@ -330,6 +330,23 @@ class AlgorithmsSpec extends SparkSpec {
     assert(math.abs(auth.values.map(x => x * x).sum - 1.0) < 1e-9)
   }
 
+  test("eigenvector centrality: triangle + pendant, dominant-eigenvector structure") {
+    import spark.implicits._
+    // 0-1-2 triangle with pendant 3 off vertex 2 (non-bipartite, so the
+    // power iteration converges); eigen-equations give x2 > x0 = x1 > x3
+    val e = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L)).toDF(SRC, DST)
+    val v = Seq(0L, 1L, 2L, 3L).toDF(ID)
+    val g = Graph(v, e.withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+      directed = false)
+    val x = EigenvectorCentrality(maxIterations = 30).run(g)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(x(2L) > x(0L) && x(0L) === x(1L) && x(1L) > x(3L) && x(3L) > 0.0)
+    assert(math.abs(x.values.map(s => s * s).sum - 1.0) < 1e-9)
+    // dominant eigenvalue of this graph: lambda^3 - lambda^2 - 3 lambda + 1 = 0,
+    // root ~2.1700865; at the fixpoint A x = lambda x on the pendant row
+    assert(math.abs(x(2L) / x(3L) - 2.1700865) < 1e-4)
+  }
+
   test("clustering coefficient: triangle + pendant matches hand computation") {
     import spark.implicits._
     val e = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L)).toDF(SRC, DST)

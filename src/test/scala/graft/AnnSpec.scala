@@ -379,6 +379,47 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"portable-cell IVF recall $recall")
   }
 
+  test("prototypes: per-cell quota, rank ordered by centroid dot, deterministic") {
+    import graft.similarity.KMeans
+    val items = clustered()
+    val m = 5
+    val protos = Ann.prototypes(items, "vec_id", "embedding",
+      k = 4, m = m, maxIterations = 5)
+    val again = Ann.prototypes(items, "vec_id", "embedding",
+      k = 4, m = m, maxIterations = 5)
+    assert(rowSet(protos) === rowSet(again), "prototype pick must be deterministic")
+    val rows = protos.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every populated cell yields at most m, ranks dense from 1
+    rows.groupBy(_._1).foreach { case (cell, rs) =>
+      assert(rs.length <= m, s"cell $cell over quota")
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.length).toSeq,
+        s"cell $cell ranks not dense")
+      // rank order is descending centroid dot
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"cell $cell dots not descending by rank")
+    }
+    // the picked set per cell is exactly the m best centroid dots among
+    // that cell's members (cross-check against a direct recompute)
+    val cent = KMeans.fitPortable(items, "vec_id", "embedding",
+      k = 4, maxIterations = 5)
+    val labels = KMeans.assignPortable(
+      items.select(col("vec_id").as("_id"), col("embedding").as("_v")),
+      cent, "_id", "_v")
+    val direct = items.select(col("vec_id").as("_id"), col("embedding").as("_v"))
+      .join(labels, Seq("_id"))
+      .join(cent.select(col("cell"), col("cs")), Seq("cell"))
+      .select(col("cell"), col("_id"),
+        graft.functions.FloatLongDot(col("_v"), col("cs")).as("cdot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = direct.groupBy(_._1).toSeq.flatMap { case (cell, rs) =>
+      rs.sortBy(x => (-x._3, x._2)).take(m).map(x => (cell, x._2)).toSeq
+    }.toSet
+    assert(rows.map(r => (r._1, r._3)).toSet === expect,
+      "prototype membership must equal the direct per-cell top-m")
+  }
+
   test("semantic dedup: transitive chains cluster, exactly one keep each") {
     import spark.implicits._
     // cell 0: A~B and B~C but A!~C (near-dup is not transitive) plus an

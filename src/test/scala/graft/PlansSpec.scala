@@ -195,6 +195,18 @@ class PlansSpec extends SparkSpec {
       s"query side must broadcast:\n$p")
   }
 
+  test("e16 prototypes: corpus never shuffles wide, top-m window sharded within the cell") {
+    val p = plan(EmbQueries.queries("e16_prototypes")(spark, SF))
+    assert(!p.contains("CartesianProduct"),
+      s"prototype scan must not plan a cartesian:\n$p")
+    // the corpus-sized rank exchange carries the shard key next to cell —
+    // a cell-only key would serialize each cell through one reducer
+    assert("hashpartitioning\\(cell#\\d+L, _w".r.findFirstIn(p).isDefined,
+      s"prototype top-m window not sharded within the cell:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"prototype top-m not limited map-side:\n$p")
+  }
+
   test("g36 k-truss: wedge and closing joins are keyed, support agg is partial") {
     // run() returns the PINNED converged support frame (a checkpoint
     // scan — the incremental-peeling contract), so the full query's plan
