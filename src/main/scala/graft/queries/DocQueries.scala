@@ -439,6 +439,18 @@ object DocQueries {
       graft.sketch.Kmv.distinctEstimate(
         documents(s, d), Seq("lang"), col("text"), k = 16)),
 
+    "d20_hll_distinct" -> ((s, d) =>
+      // portable HyperLogLog per language: p=4 (16 registers) is sized
+      // DOWN to the toy per-lang cardinalities like d17's k=16 so the
+      // register dynamics are exercised; HllSpec pins the production
+      // p=11 error band and merge=whole on 50k-key strata. Unlike KMV
+      // this needs NO distinct pre-shuffle — registers are one
+      // map-side-combinable max — which is the 100 TB differentiator.
+      // The raw estimate is the cross-engine face; lc_range flags where
+      // linear counting (estimateCorrected, ln-based) applies.
+      graft.sketch.Hll.distinctEstimate(
+        documents(s, d), Seq("lang"), col("text"), p = 4)),
+
     "d18_heavy_hitters" -> ((s, d) => {
       // Count-Min token-frequency estimation: a depth-4 sketch built in
       // one map-side-combinable pass over every token occurrence (the
@@ -478,7 +490,26 @@ object DocQueries {
         .select(col("lang"), col("n_tokens"), col("n_types"), col("n_hapax"),
           round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
             .as("ttr"))
-    }))
+    }),
+
+    "t12_gopher_quality" -> ((s, d) =>
+      // Gopher-style heuristic quality filter (Rae et al. 2021 §A.1.1)
+      // restricted to the word-level rules that apply to one-line
+      // documents: token-count bounds, mean-word-length band, minimum
+      // stopword evidence, most-common-word repetition cap. Pure
+      // codegen'd column maps — a narrow scan with zero shuffle, the
+      // shape a 100 TB keep/drop pass needs. Signals are emitted next
+      // to the decision so downstream audits can re-threshold without
+      // re-scanning.
+      documents(s, d).select(
+          col("doc_id"),
+          tokenCount(col("text")).as("n_words"),
+          meanWordLen(col("text")).as("mean_word_len"),
+          stopwordCount(col("text"), DefaultStopwords).as("stop_hits"),
+          topTokenFrac(col("text")).as("top_word_frac"))
+        .withColumn("keep",
+          gopherKeep(col("n_words"), col("mean_word_len"),
+            col("stop_hits"), col("top_word_frac")))))
 
   /** DuckDB-side tokenization mirroring TextFunctions.tokens. */
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -573,6 +604,30 @@ object DocQueries {
     // full KMV replay: 48-bit sha256-prefix hashes (digit-decoded so
     // every intermediate stays exact), global per-lang rank, same
     // exact-fallback estimator
+    // HLL replay: 48-bit sha256-prefix hash -> top-4-bit bucket,
+    // 44-bit suffix rank via binary-digit count (bin(x) is unpadded, as
+    // Spark's conv(x,10,2)), register max, exact 2^45-scaled harmonic
+    // sum, one pinned multiply + division for the raw estimate
+    "d20_hll_distinct" ->
+      s"""WITH h0 AS (SELECT lang, ${sha48Sql("text")} AS h FROM documents),
+         |rg AS (SELECT lang, h // 17592186044416 AS bucket,
+         |         max(CASE WHEN h % 17592186044416 = 0 THEN 45
+         |              ELSE 45 - length(bin(h % 17592186044416)) END) AS r
+         |       FROM h0 GROUP BY lang, bucket),
+         |agg AS (SELECT lang,
+         |         CAST(sum(CAST(power(2, 45 - r) AS BIGINT)) AS BIGINT) AS sp,
+         |         count(*) AS nb
+         |       FROM rg GROUP BY lang),
+         |est AS (SELECT lang,
+         |         CAST(16 - nb AS BIGINT) AS n_zero,
+         |         CAST(sp + (16 - nb) * 35184372088832 AS BIGINT) AS s_sum
+         |       FROM agg)
+         |SELECT lang, n_zero, s_sum,
+         |  round(((0.7213/(1.0 + 1.079/16.0)) * 9007199254740992.0)
+         |        / CAST(s_sum AS DOUBLE), 6) AS est_raw,
+         |  (round(((0.7213/(1.0 + 1.079/16.0)) * 9007199254740992.0)
+         |        / CAST(s_sum AS DOUBLE), 6) <= 40.0 AND n_zero > 0) AS lc_range
+         |FROM est""".stripMargin,
     "d17_kmv_distinct" ->
       """WITH h0 AS (SELECT DISTINCT lang,
         |    CAST(list_sum([(strpos('0123456789abcdef', substr(h12, i, 1)) - 1)
@@ -603,6 +658,26 @@ object DocQueries {
          |SELECT lang, n_tokens, n_types, n_hapax,
          |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr
          |FROM agg""".stripMargin,
+    // every signal is exact-integer-derived with one rounded division,
+    // mirroring TextFunctions.meanWordLen/topTokenFrac op for op
+    "t12_gopher_quality" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sg AS (SELECT doc_id,
+         |  CAST(len(t) AS INTEGER) AS n_words,
+         |  round(CAST(list_sum([length(x) FOR x IN t]) AS DOUBLE)
+         |    / greatest(len(t), 1), 6) AS mean_word_len,
+         |  CAST(len(list_filter(t, x -> list_contains(
+         |    ['the','a','an','of','and','to','in','is','it','on'], x)))
+         |    AS INTEGER) AS stop_hits,
+         |  round(CAST(coalesce(list_max(
+         |      [len(list_filter(t, y -> y = x)) FOR x IN list_distinct(t)]),
+         |    0) AS DOUBLE) / greatest(len(t), 1), 6) AS top_word_frac
+         |  FROM t0)
+         |SELECT doc_id, n_words, mean_word_len, stop_hits, top_word_frac,
+         |  (n_words >= 30 AND n_words <= 100000
+         |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |   AND stop_hits >= 2 AND top_word_frac <= 0.2) AS keep
+         |FROM sg""".stripMargin,
     // full simhash replay: per-token sha256-prefix hash -> 64 bit votes
     // over the token multiset -> signature bits -> all-pairs Hamming <= 3.
     // Bit b of the big-endian 8-byte hash prefix lives at bit (b % 4) of

@@ -135,6 +135,25 @@ object EventQueries {
           min(col("k")).as("min_k"),
           max(col("k")).as("max_k"))),
 
+    "s08_retention_cohorts" -> ((s, d) => {
+      // cohort retention matrix: cohort = a user's first active day,
+      // cell (cohort_day, day_offset) = how many of that cohort were
+      // active `offset` days later. Three map-side-combinable steps —
+      // distinct (user, day), min-day per user, count per matrix cell —
+      // all keyed by user_id, so at 100 TB the activity set shuffles
+      // once and the cohort join is co-partitioned by AQE. Day buckets
+      // are exact integer division on epoch-nanos longs.
+      val day = events(s, d)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .distinct()
+      val cohort = day.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      day.join(cohort, "user_id")
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     "s03_sessionize" -> ((s, d) =>
       // session bounds emitted in MICROseconds: DuckDB's TIMESTAMP is
       // µs-precision, so the oracle cannot see the parquet's nanos tail
@@ -205,6 +224,14 @@ object EventQueries {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    "s08_retention_cohorts" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |             epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)
+        |SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+        |       count(*) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "s03_sessionize" ->
       """WITH m AS (
         |  SELECT user_id, epoch_ns(ts) AS tns, event_id, value,

@@ -93,6 +93,48 @@ object TextFunctions {
   /** Stable content fingerprint (hex SHA-256). */
   def fingerprint(text: Column): Column = sha2(text, 256)
 
+  /** Mean token length, rounded to 6 — a Gopher-style quality signal
+    * (Rae et al. 2021 §A.1.1: keep documents whose mean word length is
+    * in [3, 10]). Integer sum ÷ integer count is a single IEEE-754
+    * division, so any engine reproduces it bit for bit.
+    */
+  def meanWordLen(text: Column): Column = {
+    val t = tokens(text)
+    round(
+      aggregate(t, lit(0L), (a, x) => a + length(x)).cast("double") /
+        greatest(size(t), lit(1)), 6)
+  }
+
+  /** Fraction of the document occupied by its single most frequent token
+    * — the Gopher repetition signal (most-common-word fraction). O(u·n)
+    * per document via a distinct-token count scan; documents are
+    * bounded-length by contract, so this stays a narrow codegen'd map.
+    */
+  def topTokenFrac(text: Column): Column = {
+    val t = tokens(text)
+    round(
+      coalesce(
+        array_max(transform(array_distinct(t),
+          x => size(filter(t, y => y === x)))), lit(0))
+        .cast("double") / greatest(size(t), lit(1)), 6)
+  }
+
+  /** Gopher-style heuristic keep decision over the word-level signals
+    * that apply to single-line corpora: token-count bounds, mean-word-
+    * length band, minimum stopword evidence, and a repetition cap.
+    * (Line-shape rules — bullet ratio, terminal punctuation — need
+    * multi-line text and are omitted; the corpus contract here is
+    * one-line documents.) Thresholds are policy knobs.
+    */
+  def gopherKeep(
+      nWords: Column, meanLen: Column, stopHits: Column, topFrac: Column,
+      minWords: Int = 30, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minStopHits: Int = 2, maxTopFrac: Double = 0.2): Column =
+    nWords >= minWords && nWords <= maxWords &&
+      meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+      stopHits >= minStopHits && topFrac <= maxTopFrac
+
   /** PII-scrub patterns: deliberately conservative RE2-compatible classes
     * (no lookaround, no backreferences) so the same pattern strings run
     * in Spark, RE2-based engines, and DuckDB. Tuning the patterns is a

@@ -203,4 +203,37 @@ class FunctionsSpec extends SparkSpec {
     assert(a.zip(b).count { case (x, y) => x == y } <= 2,
       "disjoint sets should agree on (almost) no signature slots")
   }
+
+  test("Gopher quality signals: mean length, repetition cap, keep decision") {
+    import spark.implicits._
+    import TextFunctions._
+    val docs = Seq(
+      // 30 distinct-ish words, mean len in band, stopwords present -> keep
+      (1L, (("the of " * 1) + (0 until 28).map(i => s"word$i").mkString(" "))),
+      // heavy repetition: one token is half the doc -> top_word_frac kills it
+      (2L, ("spam " * 15) + "the of " + (0 until 13).map(i => s"w$i").mkString(" ")),
+      // too short
+      (3L, "the of tiny doc"),
+      // no stopword evidence
+      (4L, (0 until 40).map(i => s"zz$i").mkString(" ")),
+      (5L, "")).toDF("doc_id", "text")
+    val out = docs.select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n"),
+        meanWordLen(col("text")).as("ml"),
+        stopwordCount(col("text"), DefaultStopwords).as("sh"),
+        topTokenFrac(col("text")).as("tf"))
+      .withColumn("keep", gopherKeep(col("n"), col("ml"), col("sh"), col("tf")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getInt(3), r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    assert(out(1L)._5, "well-formed doc must be kept")
+    assert(!out(2L)._5 && out(2L)._4 > 0.2, "repetition cap must drop doc 2")
+    assert(!out(3L)._5, "short doc must be dropped")
+    assert(!out(4L)._5 && out(4L)._3 === 0, "stopword-free doc must be dropped")
+    assert(!out(5L)._5 && out(5L)._1 === 0 && out(5L)._4 === 0.0,
+      "empty doc: zero signals, dropped, no divide-by-zero")
+    // mean length is the exact rounded ratio
+    assert(out(3L)._2 === math.rint(("theoftinydoc".length / 4.0) * 1e6) / 1e6)
+  }
 }
