@@ -173,6 +173,20 @@ object GraphQueries {
         .select(col(ID), round(col("score"), 9).as("score"))
     }),
 
+    "g44_link_prediction" -> ((s, d) => {
+      // item-item co-purchase link prediction: customers are wedge
+      // centers, part buckets the items; common-neighbor, integer-exact
+      // resource-allocation, and Jaccard scores for the top-100 pairs.
+      // Candidates come only from the per-customer equi-self-join with
+      // the hub cap (60) bounding fan-out — no cartesian anywhere
+      val e = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("center"),
+          pmod(col("l_partkey"), lit(211)).as("item"))
+      LinkPrediction.coOccurrenceScores(
+        e, "center", "item", maxCenterDegree = 60, topK = 100)
+    }),
+
     "g40_betweenness" -> ((s, d) => {
       // landmark (sampled-Brandes) betweenness on the supplier-part
       // graph: forward sigma-counting BFS + backward dependency
@@ -975,6 +989,23 @@ object GraphQueries {
     "g27_ppr" -> personalizedPageRankOracleSql(5),
     "g28_hits" -> hitsOracleSql(3),
     "g43_eigenvector" -> eigenvectorOracleSql(3),
+    "g44_link_prediction" ->
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey % 211 AS i
+        |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |cd AS (SELECT c, count(*) AS cdeg FROM e GROUP BY c HAVING count(*) <= 60),
+        |id AS (SELECT i, count(*) AS ideg FROM e GROUP BY i),
+        |w AS (SELECT e1.i AS item_a, e2.i AS item_b, cd.cdeg
+        |      FROM e e1 JOIN e e2 ON e1.c = e2.c AND e1.i < e2.i
+        |      JOIN cd ON cd.c = e1.c),
+        |sc AS (SELECT item_a, item_b, count(*) AS cn,
+        |         CAST(sum(1048576 // cdeg) AS BIGINT) AS ra_scaled
+        |       FROM w GROUP BY item_a, item_b)
+        |SELECT sc.item_a, sc.item_b, sc.cn, sc.ra_scaled,
+        |  round(CAST(sc.cn AS DOUBLE) / (da.ideg + db.ideg - sc.cn), 6)
+        |    AS jaccard
+        |FROM sc JOIN id da ON da.i = sc.item_a JOIN id db ON db.i = sc.item_b
+        |ORDER BY sc.cn DESC, sc.ra_scaled DESC, sc.item_a, sc.item_b
+        |LIMIT 100""".stripMargin,
     "g29_walks" -> walksOracleSql(4),
     "g39_node2vec_walks" -> biasedWalksOracleSql(4, 4, 2, 1),
     "g40_betweenness" -> betweennessOracleSql(6),

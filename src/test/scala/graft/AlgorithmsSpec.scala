@@ -622,4 +622,31 @@ class AlgorithmsSpec extends SparkSpec {
       === ((6L, 12L, 30L, 18L)))
     assert(row.getDouble(4) === -1.0)
   }
+
+  test("link prediction: scores exact on a crafted co-purchase set, hub capped") {
+    import spark.implicits._
+    // centers: c1 buys {10,11,12} (deg 3), c2 buys {10,11} (deg 2),
+    // hub buys {10,11,12,13} (deg 4 > cap) -> contributes nothing
+    val e = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L),
+      (9L, 10L), (9L, 11L), (9L, 12L), (9L, 13L),
+      (2L, 10L)) // duplicate row must collapse
+      .toDF("c", "i")
+    val got = graft.algorithms.LinkPrediction
+      .coOccurrenceScores(e, "c", "i", maxCenterDegree = 3, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val third = (1L << 20) / 3
+    val half = (1L << 20) / 2
+    // (10,11): via c1 (deg 3) and c2 (deg 2); item degs incl. hub: 3, 3
+    assert(got((10L, 11L)) ===
+      ((2L, third + half, math.rint(2.0 / (3 + 3 - 2) * 1e6) / 1e6)))
+    // (10,12) and (11,12): via c1 only; item degs 3 and 2
+    assert(got((10L, 12L)) === ((1L, third, math.rint(1.0 / 4 * 1e6) / 1e6)))
+    assert(got((11L, 12L)) === ((1L, third, 0.25)))
+    // pairs only the hub witnessed are absent entirely
+    assert(!got.contains((12L, 13L)) && !got.contains((10L, 13L)))
+    assert(got.size === 3)
+  }
 }

@@ -229,6 +229,16 @@ class PlansSpec extends SparkSpec {
       s"g36 end-to-end must stay keyed:\n$pq")
   }
 
+  test("g44 link prediction: keyed wedge join, combinable aggs, no cartesian") {
+    val p = plan(GraphQueries.queries("g44_link_prediction")(spark, SF))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"g44 candidate generation must stay an equi-join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"g44 pair scores must map-side combine:\n$p")
+    assert(p.contains("TakeOrdered"),
+      s"g44 top-k must be a bounded TakeOrdered, not a global sort:\n$p")
+  }
+
   test("g34/g35 graph stats: id-keyed joins plus combinable aggregates only") {
     for (q <- Seq("g34_modularity", "g35_assortativity")) {
       val p = plan(GraphQueries.queries(q)(spark, SF))
