@@ -173,6 +173,21 @@ object GraphQueries {
         .select(col(ID), round(col("score"), 9).as("score"))
     }),
 
+    "g45_boruvka_msf" -> ((s, d) => {
+      // Borůvka minimum spanning forest of the weighted bipartite
+      // supplier-part graph (weight = min l_quantity per edge, the g37
+      // device). Each round every component adopts its lightest
+      // outgoing edge ((w, src, dst)-tiebroken, so the forest is
+      // deterministic even where the MSF is not unique) and adopted
+      // edges contract via min-id connected components; the oracle
+      // replays each round with a per-round recursive-closure CTE
+      val e = lineitem(s, d)
+        .groupBy(col("l_suppkey").as(SRC),
+          (pmod(col("l_partkey"), lit(97)) + 1000000L).as(DST))
+        .agg(min(col("l_quantity")).cast("long").as("weight"))
+      Boruvka(maxRounds = 6).run(e)
+    }),
+
     "g44_link_prediction" -> ((s, d) => {
       // item-item co-purchase link prediction: customers are wedge
       // centers, part buckets the items; common-neighbor, integer-exact
@@ -836,6 +851,48 @@ object GraphQueries {
     * decoded so every intermediate stays exact), the winner test is a
     * lexicographic (priority, id) compare, and rounds past the empty
     * undecided set are identity. */
+  /** Unrolled Borůvka oracle: per round, relabel edges by component,
+    * pick each component's lightest edge via (w, src, dst)-ordered
+    * row_number (the total-order twin of the Spark side's min-struct),
+    * and contract with a per-round recursive reachability closure whose
+    * min label replays [[AlternatingConnectedComponents]]' min-id
+    * contract. Rounds past the fixpoint see an empty live set and are
+    * identity, so any unroll >= the Spark side's effective rounds
+    * agrees.
+    */
+  private def boruvkaOracleSql(rounds: Int): String = {
+    val head =
+      s"""WITH RECURSIVE ce AS MATERIALIZED (
+         |  SELECT l_suppkey AS src, l_partkey % 97 + 1000000 AS dst,
+         |         CAST(min(l_quantity) AS BIGINT) AS w
+         |  FROM lineitem GROUP BY 1, 2),
+         |cp0 AS MATERIALIZED (SELECT id, id AS comp FROM
+         |  (SELECT src AS id FROM ce UNION SELECT dst FROM ce))""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""lv$r AS MATERIALIZED (SELECT e.src, e.dst, e.w,
+         |    a.comp AS ea, b.comp AS eb
+         |  FROM ce e JOIN cp$p a ON e.src = a.id JOIN cp$p b ON e.dst = b.id
+         |  WHERE a.comp <> b.comp),
+         |bo$r AS (SELECT ea AS c, src, dst, w, ea, eb FROM lv$r
+         |  UNION ALL SELECT eb AS c, src, dst, w, ea, eb FROM lv$r),
+         |se$r AS MATERIALIZED (SELECT DISTINCT src, dst, w, ea, eb FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY c ORDER BY w, src, dst) AS rn
+         |  FROM bo$r) WHERE rn = 1),
+         |mg$r AS (SELECT ea AS a, eb AS b FROM se$r
+         |  UNION SELECT eb, ea FROM se$r),
+         |wk$r(id, l) AS (SELECT a, a FROM mg$r
+         |  UNION SELECT m.b, k.l FROM wk$r k JOIN mg$r m ON m.a = k.id),
+         |cm$r AS (SELECT id, min(l) AS nc FROM wk$r GROUP BY id),
+         |cp$r AS MATERIALIZED (SELECT c.id, coalesce(m.nc, c.comp) AS comp
+         |  FROM cp$p c LEFT JOIN cm$r m ON c.comp = m.id)""".stripMargin
+    }
+    val unions = (1 to rounds)
+      .map(r => s"SELECT src, dst, w AS weight, $r AS round FROM se$r")
+      .mkString("\nUNION ALL\n")
+    (head +: iters).mkString(",\n") + "\n" + unions
+  }
+
   private def misOracleSql(rounds: Int): String = {
     def sha48(x: String) =
       s"""CAST(list_sum([(strpos('0123456789abcdef',
@@ -989,6 +1046,7 @@ object GraphQueries {
     "g27_ppr" -> personalizedPageRankOracleSql(5),
     "g28_hits" -> hitsOracleSql(3),
     "g43_eigenvector" -> eigenvectorOracleSql(3),
+    "g45_boruvka_msf" -> boruvkaOracleSql(5),
     "g44_link_prediction" ->
       """WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey % 211 AS i
         |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),

@@ -623,6 +623,38 @@ class AlgorithmsSpec extends SparkSpec {
     assert(row.getDouble(4) === -1.0)
   }
 
+  test("boruvka: exact MSF on a known graph, forest across components") {
+    import spark.implicits._
+    // component A: square 1-2-3-4 with chord (1,3); unique MST
+    // {(1,2,1),(3,4,2),(1,3,3)}. component B: pair (10,11).
+    // reciprocal duplicate (2,1) and parallel heavier (1,3,9) collapse.
+    val e = Seq(
+      (1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 5L), (3L, 4L, 2L),
+      (4L, 1L, 4L), (1L, 3L, 3L), (3L, 1L, 9L),
+      (10L, 11L, 7L), (5L, 5L, 0L)) // self-loop dropped
+      .toDF("src", "dst", "weight")
+    val forest = graft.algorithms.Boruvka(maxRounds = 4).run(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(forest === Set((1L, 2L, 1L), (3L, 4L, 2L), (1L, 3L, 3L), (10L, 11L, 7L)))
+    // total weight is the MSF weight; edge count = V - #components
+    assert(forest.toSeq.map(_._3).sum === 13L)
+  }
+
+  test("boruvka: null weight fails loudly; round cap raises when unconverged") {
+    import spark.implicits._
+    val bad = Seq((1L, 2L, Some(1L)), (2L, 3L, None)).toDF("src", "dst", "weight")
+    val ex = intercept[Exception] {
+      graft.algorithms.Boruvka().run(bad).collect()
+    }
+    assert(ex.getMessage.contains("weight") || ex.getCause != null)
+    // a path of 8 vertices cannot finish in 1 round (+1 to observe done)
+    val chain = (0L until 7L).map(i => (i, i + 1, i + 1)).toDF("src", "dst", "weight")
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.algorithms.Boruvka(maxRounds = 1).run(chain).collect()
+    }
+    assert(ex2.getMessage.contains("Boruvka"))
+  }
+
   test("link prediction: scores exact on a crafted co-purchase set, hub capped") {
     import spark.implicits._
     // centers: c1 buys {10,11,12} (deg 3), c2 buys {10,11} (deg 2),
