@@ -123,6 +123,15 @@ object EmbQueries {
         k = ProtoK, m = ProtoM, maxIterations = ProtoIters,
         fitSampleSize = FitSample)),
 
+    "e17_random_projection" -> ((s, d) =>
+      // Johnson-Lindenstrauss ±1 projection to 16 integer components:
+      // the sign matrix is a driver-side sha256-derived literal folded
+      // into the codegen'd plan, so the projection is a narrow
+      // zero-shuffle map; DuckDB rebuilds the same signs from the same
+      // public formula and replays every component exactly
+      graft.similarity.RandomProjection.project(
+        embeddings(s, d), "vec_id", "embedding", dim = 64, k = 16)),
+
     "e07_cosine_topk" -> ((s, d) => {
       // exact cosine ranking: integer quantized dot + norms, two
       // correctly-rounded sqrt/divisions in fixed order — bit-identical
@@ -663,6 +672,26 @@ object EmbQueries {
        |  FROM ex) WHERE rn <= $K""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // JL replay: signs from sha256('rp#j#i') 48-bit-prefix parity,
+    // round(x*1000) quantization (C-style half-away round in both
+    // engines), exact i64 sums — component for component identical
+    "e17_random_projection" ->
+      """WITH sg AS (SELECT j, i,
+        |    CASE WHEN list_sum([(strpos('0123456789abcdef',
+        |           substr(substr(sha256('rp#' || CAST(j AS VARCHAR) || '#'
+        |                  || CAST(i AS VARCHAR)), 1, 12), d, 1)) - 1)
+        |           * CAST(power(16, 12 - d) AS BIGINT)
+        |           FOR d IN range(1, 13)]) % 2 = 0
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM range(0, 16) t1(j), range(0, 64) t2(i)),
+        |q AS (SELECT vec_id, r.i,
+        |        CAST(round(CAST(embedding[r.i + 1] AS DOUBLE) * 1000) AS BIGINT)
+        |          AS qv
+        |      FROM embeddings, range(0, 64) r(i))
+        |SELECT q.vec_id, CAST(sg.j AS INTEGER) AS j,
+        |       CAST(sum(sg.s * q.qv) AS BIGINT) AS y
+        |FROM q JOIN sg ON sg.i = q.i
+        |GROUP BY q.vec_id, sg.j""".stripMargin,
     "e09_knn_pq_adc" -> pqAdcSql(PqM, PqKsub, PqIters, FitSample),
     "e10_knn_ivfpq" ->
       ivfPqSql(coarseK = 8, nprobe = 3, m = PqM, ksub = PqKsub,

@@ -173,6 +173,18 @@ object GraphQueries {
         .select(col(ID), round(col("score"), 9).as("score"))
     }),
 
+    "g46_butterflies" -> ((s, d) =>
+      // butterfly (2x2 biclique) census of the bipartite supplier-part
+      // graph. Suppliers are the centers: the same count arrives from
+      // either side, but supplier degree is capped at 97 buckets while
+      // bucket degree grows with supplier count, so center-side wedge
+      // work is Σ deg(supplier)² — the cheap orientation (g36's
+      // degree-ordering principle, bipartite edition)
+      Butterflies.metrics(
+        lineitem(s, d).select(col("l_suppkey").as("center"),
+          pmod(col("l_partkey"), lit(97)).as("item")),
+        "center", "item")),
+
     "g45_boruvka_msf" -> ((s, d) => {
       // Borůvka minimum spanning forest of the weighted bipartite
       // supplier-part graph (weight = min l_quantity per edge, the g37
@@ -1047,6 +1059,16 @@ object GraphQueries {
     "g28_hits" -> hitsOracleSql(3),
     "g43_eigenvector" -> eigenvectorOracleSql(3),
     "g45_boruvka_msf" -> boruvkaOracleSql(5),
+    "g46_butterflies" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS c, l_partkey % 97 AS i
+        |           FROM lineitem),
+        |p AS (SELECT e1.i AS a, e2.i AS b, count(*) AS cn
+        |      FROM e e1 JOIN e e2 ON e1.c = e2.c AND e1.i < e2.i
+        |      GROUP BY 1, 2)
+        |SELECT count(*) AS n_item_pairs,
+        |  CAST(sum(cn) AS BIGINT) AS n_wedges,
+        |  CAST(sum(cn * (cn - 1) // 2) AS BIGINT) AS n_butterflies
+        |FROM p""".stripMargin,
     "g44_link_prediction" ->
       """WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey % 211 AS i
         |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),

@@ -623,6 +623,16 @@ class AlgorithmsSpec extends SparkSpec {
     assert(row.getDouble(4) === -1.0)
   }
 
+  test("butterflies: exact census on a crafted bipartite graph") {
+    import spark.implicits._
+    // K2,2 on {1,2}x{a=10,b=11} = one butterfly; extra edge (2,12) adds
+    // two cn=1 pairs; duplicate edge row must not inflate counts
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (2L, 12L),
+      (2L, 10L)).toDF("c", "i")
+    val row = graft.algorithms.Butterflies.metrics(e, "c", "i").head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((3L, 4L, 1L)))
+  }
+
   test("boruvka: exact MSF on a known graph, forest across components") {
     import spark.implicits._
     // component A: square 1-2-3-4 with chord (1,3); unique MST

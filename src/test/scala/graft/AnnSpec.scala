@@ -482,4 +482,43 @@ class AnnSpec extends SparkSpec {
     // 8-dim toy vectors; measured 0.88 on this fixture
     assert(recall >= 0.85, s"recall $recall")
   }
+
+  test("random projection: deterministic signs, JL distance band, dim guard") {
+    import spark.implicits._
+    import graft.similarity.RandomProjection
+    // sign formula is a pure function and roughly balanced
+    val signs = for (j <- 0 until 32; i <- 0 until 64) yield RandomProjection.sign(j, i)
+    assert(signs.forall(s => s == 1L || s == -1L))
+    val plus = signs.count(_ == 1L)
+    assert(plus > signs.size * 2 / 5 && plus < signs.size * 3 / 5,
+      s"sign matrix badly unbalanced: $plus/+ of ${signs.size}")
+
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 6).map(id =>
+      (id.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val k = 32
+    val y = RandomProjection.project(df, "vec_id", "embedding", 64, k)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toVector }
+    // JL: E[||ya-yb||^2] = k * ||qa-qb||^2; at k=32 individual ratios
+    // concentrate well inside [0.4, 2.2]
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.rint(x * 1000).toLong).toVector }.toMap
+    for (a <- 0L until 5L; b <- (a + 1) to 5L) {
+      val dProj = y(a).zip(y(b)).map { case (p, r) => (p - r).toDouble }
+        .map(d => d * d).sum / k
+      val dTrue = q(a).zip(q(b)).map { case (p, r) => (p - r).toDouble }
+        .map(d => d * d).sum
+      val ratio = dProj / dTrue
+      assert(ratio > 0.4 && ratio < 2.2, s"pair ($a,$b): JL ratio $ratio")
+    }
+
+    // wrong dimensionality fails loudly instead of zero-padding
+    val bad = Seq((9L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    intercept[Exception] {
+      RandomProjection.project(bad, "vec_id", "embedding", 64, 4).collect()
+    }
+  }
 }
