@@ -229,6 +229,34 @@ class PlansSpec extends SparkSpec {
       s"g36 end-to-end must stay keyed:\n$pq")
   }
 
+  test("t12/e17: quality filter and random projection are zero-shuffle maps") {
+    val t12 = plan(DocQueries.queries("t12_gopher_quality")(spark, SF))
+    assert(!t12.contains("Exchange"),
+      s"t12 must be a narrow scan+project, no shuffle:\n$t12")
+    val e17 = plan(EmbQueries.queries("e17_random_projection")(spark, SF))
+    assert(!e17.contains("Exchange"),
+      s"e17 must be a narrow scan+project, no shuffle:\n$e17")
+  }
+
+  test("d20 HLL: register build map-side combines, no distinct pre-shuffle") {
+    val p = plan(DocQueries.queries("d20_hll_distinct")(spark, SF))
+    assert(p.contains("partial_max"),
+      s"register max must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // KMV needs distinct-then-rank; HLL must not pay a distinct at all:
+    // the only aggregates are the register max and the estimate fold
+    assert("HashAggregate".r.findAllIn(p).size <= 4,
+      s"unexpected extra aggregation (distinct?) in HLL plan:\n$p")
+  }
+
+  test("g46 butterflies: keyed wedge join and combinable census only") {
+    val p = plan(GraphQueries.queries("g46_butterflies")(spark, SF))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"butterfly census must stay an equi-join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"census aggregates must map-side combine:\n$p")
+  }
+
   test("g44 link prediction: keyed wedge join, combinable aggs, no cartesian") {
     val p = plan(GraphQueries.queries("g44_link_prediction")(spark, SF))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
