@@ -135,6 +135,28 @@ object EventQueries {
           min(col("k")).as("min_k"),
           max(col("k")).as("max_k"))),
 
+    "s09_trending_windows" -> ((s, d) => {
+      // sliding-window trending: top-3 event types per 6-hour window
+      // sliding every 3 hours. An event at half-window index h belongs
+      // to windows h-1 and h — a 2-way explode (narrow), then one
+      // combinable (window, type) count; the per-window rank runs over
+      // <= |event types| rows, so the window function never sees more
+      // than a bounded group. All bucket arithmetic is exact integer
+      // division on epoch-nanos longs.
+      import org.apache.spark.sql.expressions.Window
+      val slide = 3L * 3600 * 1000000000L
+      val win = events(s, d)
+        .select(col("event_type"), expr(s"ts div $slide").as("h"))
+        .select(col("event_type"),
+          explode(array(col("h"), col("h") - 1)).as("w"))
+      val counts = win.groupBy(col("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val rw = Window.partitionBy(col("w"))
+        .orderBy(col("n").desc, col("event_type"))
+      counts.withColumn("rank", row_number().over(rw))
+        .filter(col("rank") <= 3)
+    }),
+
     "s08_retention_cohorts" -> ((s, d) => {
       // cohort retention matrix: cohort = a user's first active day,
       // cell (cohort_day, day_offset) = how many of that cohort were
@@ -224,6 +246,15 @@ object EventQueries {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    "s09_trending_windows" ->
+      """WITH ev AS (SELECT event_type,
+        |              epoch_ns(ts) // 10800000000000 AS h FROM events),
+        |win AS (SELECT event_type, unnest([h, h - 1]) AS w FROM ev),
+        |c AS (SELECT w, event_type, count(*) AS n FROM win GROUP BY 1, 2)
+        |SELECT w, event_type, n, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY w
+        |    ORDER BY n DESC, event_type) AS rank FROM c)
+        |WHERE rank <= 3""".stripMargin,
     "s08_retention_cohorts" ->
       """WITH a AS (SELECT DISTINCT user_id,
         |             epoch_ns(ts) // 86400000000000 AS day FROM events),
