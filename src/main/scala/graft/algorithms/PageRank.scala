@@ -29,12 +29,23 @@ import graft.core.{CheckpointPolicy, Columns, Graph}
   *        exchange instead of re-shuffling a checkpointed copy whose
   *        partitioning AQE no longer sees. The evolving rank frame keeps
   *        the main policy — it must be pinned or lineage compounds. */
+/** @param weightCol edge-weight column for weighted PageRank: a vertex
+  *        distributes rank proportionally to edge weight (share =
+  *        w / Σw over its out-edges) instead of uniformly — the standard
+  *        variant for co-occurrence / interaction graphs where edge
+  *        multiplicity carries signal. Zero-weight edges drop (a vertex
+  *        whose edges are all zero-weight is dangling); NULL or negative
+  *        weights fail loudly. Use integer-typed weights where results
+  *        must replay cross-engine: the weight sum then stays exact and
+  *        the share is one correctly-rounded division, so constant
+  *        weights degenerate BIT FOR BIT to the uniform variant. */
 final case class PageRank(
     damping: Double = 0.85,
     maxIterations: Int = 10,
     tolerance: Option[Double] = None,
     checkpoint: CheckpointPolicy = CheckpointPolicy.Local,
-    staticCheckpoint: Option[CheckpointPolicy] = None) {
+    staticCheckpoint: Option[CheckpointPolicy] = None,
+    weightCol: Option[String] = None) {
   import Columns._
 
   val RANK = "rank"
@@ -52,17 +63,32 @@ final case class PageRank(
     * (GraphIOSpec asserts both properties). That is the
     * write-once-shuffle-then-iterate story: on a 100 TB edge set the
     * bucketing shuffle is paid once at write time, not once per job. */
-  def routes(g: Graph): DataFrame = {
-    // undirected: symmetricEdges dedups (src, dst, edge_id), so a
-    // reciprocal directed pair would survive as two (src, dst) rows and
-    // double-count in the degree and the contribution sum — dedup the
-    // endpoint pairs. The directed branch keeps the caller's edge rows
-    // (and, over a bucketed table, its exchange-free plan) untouched.
-    val edges = if (g.directed) g.edges.select(col(SRC), col(DST))
-      else g.symmetricEdges.select(col(SRC), col(DST)).distinct()
-    val outDeg = edges.groupBy(col(SRC)).agg(count(lit(1)).as("_od"))
-    edges.join(outDeg, Seq(SRC))
-      .select(col(SRC), col(DST), (lit(1.0) / col("_od")).as("_share"))
+  def routes(g: Graph): DataFrame = weightCol match {
+    case None =>
+      // undirected: symmetricEdges dedups (src, dst, edge_id), so a
+      // reciprocal directed pair would survive as two (src, dst) rows and
+      // double-count in the degree and the contribution sum — dedup the
+      // endpoint pairs. The directed branch keeps the caller's edge rows
+      // (and, over a bucketed table, its exchange-free plan) untouched.
+      val edges = if (g.directed) g.edges.select(col(SRC), col(DST))
+        else g.symmetricEdges.select(col(SRC), col(DST)).distinct()
+      val outDeg = edges.groupBy(col(SRC)).agg(count(lit(1)).as("_od"))
+      edges.join(outDeg, Seq(SRC))
+        .select(col(SRC), col(DST), (lit(1.0) / col("_od")).as("_share"))
+    case Some(c) =>
+      val guarded = when(col(c).isNull || col(c) < 0,
+        raise_error(concat(lit(s"PageRank: weight column '$c' must be " +
+          "non-null and non-negative, got "),
+          coalesce(col(c).cast("string"), lit("NULL")))))
+        .otherwise(col(c))
+      val base = if (g.directed)
+        g.edges.select(col(SRC), col(DST), guarded.as("_w"))
+      else g.symmetricEdges.select(col(SRC), col(DST), guarded.as("_w"))
+        .distinct()
+      val we = base.filter(col("_w") > 0)
+      val sums = we.groupBy(col(SRC)).agg(sum(col("_w")).as("_sw"))
+      we.join(sums, Seq(SRC))
+        .select(col(SRC), col(DST), (col("_w") / col("_sw")).as("_share"))
   }
 
   def run(g: Graph): DataFrame = {

@@ -173,6 +173,22 @@ object GraphQueries {
         .select(col(ID), round(col("score"), 9).as("score"))
     }),
 
+    "g47_weighted_pagerank" -> ((s, d) => {
+      // weighted PageRank on the orders graph with edge weight = order
+      // multiplicity per (customer, bucket): rank distributes
+      // proportionally to interaction count. Integer weights keep the
+      // weight sums exact, so the share is one correctly-rounded
+      // division and the unrolled oracle replays every round; round(,9)
+      // absorbs summation-order ulps as in g21
+      val e = orders(s, d)
+        .groupBy(col("o_custkey").as(SRC),
+          pmod(col("o_orderkey"), lit(211)).as(DST))
+        .agg(count(lit(1)).as("weight"))
+      PageRank(maxIterations = 3, weightCol = Some("weight"))
+        .run(indexedGraph(vertsOf(e), e, directed = true))
+        .select(col(ID), round(col("rank"), 9).as("rank"))
+    }),
+
     "g46_butterflies" -> ((s, d) =>
       // butterfly (2x2 biclique) census of the bipartite supplier-part
       // graph. Suppliers are the centers: the same count arrives from
@@ -905,6 +921,34 @@ object GraphQueries {
     (head +: iters).mkString(",\n") + "\n" + unions
   }
 
+  /** Weighted twin of [[pageRankOracleSql]]: share = w / Σw per source
+    * (exact integer operands, one correctly-rounded division), dangling
+    * = absent from the weight-sum table. */
+  private def weightedPageRankOracleSql(iterations: Int): String = {
+    val head =
+      s"""WITH e AS (SELECT o_custkey AS src, o_orderkey % 211 AS dst,
+         |            count(*) AS w FROM orders GROUP BY 1, 2),
+         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |sw AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM e GROUP BY src),
+         |routes AS (SELECT e.src, e.dst, e.w / sw.sw AS share
+         |           FROM e JOIN sw ON e.src = sw.src),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+         |pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM v)""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      s"""d$k AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM pr${k - 1}
+         |        WHERE id NOT IN (SELECT src FROM sw)),
+         |c$k AS (SELECT r.dst AS id, sum(p.rank * r.share) AS contrib
+         |        FROM pr${k - 1} p JOIN routes r ON p.id = r.src GROUP BY r.dst),
+         |pr$k AS (SELECT v.id,
+         |          ((1.0 - 0.85) / (SELECT n FROM nn)
+         |            + (0.85 * (SELECT dm FROM d$k)) / (SELECT n FROM nn))
+         |           + 0.85 * coalesce(c.contrib, 0.0) AS rank
+         |         FROM v LEFT JOIN c$k c ON v.id = c.id)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT id, round(rank, 9) AS rank FROM pr$iterations"
+  }
+
   private def misOracleSql(rounds: Int): String = {
     def sha48(x: String) =
       s"""CAST(list_sum([(strpos('0123456789abcdef',
@@ -1059,6 +1103,7 @@ object GraphQueries {
     "g28_hits" -> hitsOracleSql(3),
     "g43_eigenvector" -> eigenvectorOracleSql(3),
     "g45_boruvka_msf" -> boruvkaOracleSql(5),
+    "g47_weighted_pagerank" -> weightedPageRankOracleSql(3),
     "g46_butterflies" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS c, l_partkey % 97 AS i
         |           FROM lineitem),

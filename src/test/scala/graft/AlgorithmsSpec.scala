@@ -623,6 +623,31 @@ class AlgorithmsSpec extends SparkSpec {
     assert(row.getDouble(4) === -1.0)
   }
 
+  test("weighted PageRank: constant weights = uniform bit for bit, bias steers") {
+    import spark.implicits._
+    import graft.algorithms.PageRank
+    val v = (0L to 3L).toDF(ID)
+    val e = Seq((0L, 1L, 7L), (0L, 2L, 7L), (1L, 3L, 7L), (2L, 3L, 7L),
+      (3L, 0L, 7L)).toDF(SRC, DST, "weight")
+    val g = Graph(v, e.withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+      directed = true)
+    val uni = PageRank(maxIterations = 4).run(g)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val const = PageRank(maxIterations = 4, weightCol = Some("weight")).run(g)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uni === const, "constant weights must degenerate exactly")
+
+    // 9:1 weights out of vertex 0 must pull rank toward vertex 1
+    val biased = Seq((0L, 1L, 9L), (0L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (3L, 0L, 1L)).toDF(SRC, DST, "weight")
+    val gb = Graph(v, biased.withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+      directed = true)
+    val wr = PageRank(maxIterations = 8, weightCol = Some("weight")).run(gb)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wr(1L) > wr(2L) * 3, s"rank must follow weight: ${wr(1L)} vs ${wr(2L)}")
+    assert(math.abs(wr.values.sum - 1.0) < 1e-9, "mass conserved")
+  }
+
   test("butterflies: exact census on a crafted bipartite graph") {
     import spark.implicits._
     // K2,2 on {1,2}x{a=10,b=11} = one butterfly; extra edge (2,12) adds
