@@ -123,6 +123,17 @@ object EmbQueries {
         k = ProtoK, m = ProtoM, maxIterations = ProtoIters,
         fitSampleSize = FitSample)),
 
+    "e18_mmr_rerank" -> ((s, d) => {
+      // MMR diversity re-rank at λ=1/2: 5 greedy selections per query
+      // from a 20-candidate relevance shortlist, objective and
+      // similarities all exact i64 quantized dots — the oracle unrolls
+      // the full greedy trajectory step by step
+      val items = embeddings(s, d)
+      graft.similarity.Mmr.rerank(items,
+        items.filter(col("vec_id") < NQUERIES),
+        "vec_id", "embedding", shortlist = 20, k = 5)
+    }),
+
     "e17_random_projection" -> ((s, d) =>
       // Johnson-Lindenstrauss ±1 projection to 16 integer components:
       // the sign matrix is a driver-side sha256-derived literal folded
@@ -671,7 +682,61 @@ object EmbQueries {
        |         row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, nid) AS rn
        |  FROM ex) WHERE rn <= $K""".stripMargin
 
+  /** Unrolled MMR oracle: relevance shortlist, then one (selection,
+    * running-max-similarity) CTE pair per greedy step, every score an
+    * exact i64 quantized dot and ties to the smallest id — the full
+    * trajectory replays bit for bit. */
+  private def mmrOracleSql(nQueries: Int, shortlist: Int, k: Int): String = {
+    val head =
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |           WHERE vec_id < $nQueries),
+         |sc0 AS (SELECT q.qid, e.vec_id AS nid,
+         |          ${qdotSql("q.qv", "e.embedding")} AS qdot
+         |        FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+         |cv AS MATERIALIZED (SELECT s.qid, s.nid, s.qdot, e.embedding AS nv
+         |  FROM (SELECT qid, nid, qdot, row_number() OVER (
+         |          PARTITION BY qid ORDER BY qdot DESC, nid) AS rn
+         |        FROM sc0) s
+         |  JOIN embeddings e ON e.vec_id = s.nid
+         |  WHERE s.rn <= $shortlist),
+         |s1 AS MATERIALIZED (SELECT qid, nid, qdot AS mmr2, 1 AS step FROM (
+         |  SELECT qid, nid, qdot, row_number() OVER (
+         |    PARTITION BY qid ORDER BY qdot DESC, nid) AS p FROM cv)
+         |  WHERE p = 1),
+         |u1 AS (SELECT qid, nid FROM s1),
+         |b1 AS MATERIALIZED (SELECT c.qid, c.nid,
+         |    ${qdotSql("c.nv", "se.embedding")} AS maxsim
+         |  FROM cv c JOIN s1 ON s1.qid = c.qid
+         |  JOIN embeddings se ON se.vec_id = s1.nid)""".stripMargin
+    val steps = (2 to k).map { r =>
+      val p = r - 1
+      val base =
+        s"""s$r AS MATERIALIZED (SELECT qid, nid, sc AS mmr2, $r AS step FROM (
+           |  SELECT c.qid, c.nid, c.qdot - b.maxsim AS sc, row_number() OVER (
+           |    PARTITION BY c.qid ORDER BY c.qdot - b.maxsim DESC, c.nid) AS p
+           |  FROM cv c JOIN b$p b ON b.qid = c.qid AND b.nid = c.nid
+           |  WHERE NOT EXISTS (SELECT 1 FROM u$p
+           |                    WHERE u$p.qid = c.qid AND u$p.nid = c.nid))
+           |  WHERE p = 1),
+           |u$r AS (SELECT qid, nid FROM u$p
+           |  UNION ALL SELECT qid, nid FROM s$r)""".stripMargin
+      if (r == k) base
+      else base + s""",
+           |b$r AS MATERIALIZED (SELECT b.qid, b.nid,
+           |    greatest(b.maxsim, ${qdotSql("c.nv", "se.embedding")}) AS maxsim
+           |  FROM b$p b
+           |  JOIN cv c ON c.qid = b.qid AND c.nid = b.nid
+           |  JOIN s$r ON s$r.qid = b.qid
+           |  JOIN embeddings se ON se.vec_id = s$r.nid)""".stripMargin
+    }
+    val unions = (1 to k)
+      .map(r => s"SELECT qid, nid, mmr2, step FROM s$r")
+      .mkString("\nUNION ALL\n")
+    (head +: steps).mkString(",\n") + "\n" + unions
+  }
+
   val oracle: Map[String, String] = Map(
+    "e18_mmr_rerank" -> mmrOracleSql(NQUERIES, 20, 5),
     // JL replay: signs from sha256('rp#j#i') 48-bit-prefix parity,
     // round(x*1000) quantization (C-style half-away round in both
     // engines), exact i64 sums — component for component identical

@@ -483,6 +483,30 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall")
   }
 
+  test("MMR: second pick trades relevance for diversity; k=1 = pure argmax") {
+    import spark.implicits._
+    import graft.similarity.Mmr
+    // query 100 = (1,0); candidate 1 is the long top hit, candidate 2 a
+    // near-duplicate of it (sim(2,1) > rel(2), so its MMR score goes
+    // negative), candidate 3 less relevant but diverse:
+    //   step2: score(2) = 1.19e6 - 1.428e6 = -238000
+    //          score(3) = 0.5e6  - 0.6e6   = -100000  -> 3 wins
+    val items = Seq(
+      (1L, Seq(1.20f, 0.00f)),
+      (2L, Seq(1.19f, 0.00f)),
+      (3L, Seq(0.50f, 0.50f)),
+      (100L, Seq(1.00f, 0.00f))).toDF("vec_id", "embedding")
+    val qs = items.filter(col("vec_id") === 100L)
+    val got = Mmr.rerank(items, qs, "vec_id", "embedding", shortlist = 3, k = 3)
+      .collect().map(r => r.getInt(3) -> r.getLong(1)).toMap
+    assert(got(1) === 1L, "step 1 is the pure relevance argmax")
+    assert(got(2) === 3L, "step 2 must skip the near-duplicate for diversity")
+    assert(got(3) === 2L)
+    val k1 = Mmr.rerank(items, qs, "vec_id", "embedding", shortlist = 3, k = 1)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(k1.toSeq === Seq((1L, 1)))
+  }
+
   test("random projection: deterministic signs, JL distance band, dim guard") {
     import spark.implicits._
     import graft.similarity.RandomProjection
