@@ -376,6 +376,30 @@ object DocQueries {
       graft.text.LanguageModel.bigramTransitionScore(
         documents(s, d), "doc_id", "text")),
 
+    "d21_ppl_buckets" -> ((s, d) => {
+      // CCNet-style perplexity partition (Wenzek et al. 2020): score
+      // every document with the corpus-trained bigram LM (t10's exact
+      // integer avg transition probability — high = predictable), cut
+      // each language at its exact 1/3 and 2/3 quantiles, and label
+      // head/middle/tail. The standard curation move is to train on
+      // head+middle; the label column keeps the decision re-mixable.
+      // Thresholds are computed over distinct (lang, score) pairs and
+      // broadcast back — the corpus is scored once and never sorted.
+      val scored = documents(s, d)
+        .join(graft.text.LanguageModel.bigramTransitionScore(
+          documents(s, d), "doc_id", "text"), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("avg_p"))
+      val lo = graft.sample.Sampling.quantileThresholds(
+        scored, "lang", "avg_p", 1.0 / 3).withColumnRenamed("threshold", "t_lo")
+      val hi = graft.sample.Sampling.quantileThresholds(
+        scored, "lang", "avg_p", 2.0 / 3).withColumnRenamed("threshold", "t_hi")
+      scored.join(broadcast(lo), Seq("lang")).join(broadcast(hi), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("avg_p"),
+          when(col("avg_p") >= col("t_hi"), "head")
+            .when(col("avg_p") >= col("t_lo"), "middle")
+            .otherwise("tail").as("ppl_bucket"))
+    }),
+
     "t07_repetition" -> ((s, d) => {
       // boilerplate/repetition score: fraction of repeated 3-gram
       // occurrences per document. Pure codegen'd column map, no shuffle.
@@ -1025,6 +1049,35 @@ object DocQueries {
          |SELECT doc_id, count(*) AS n_bigrams,
          |       CAST(sum(p) AS BIGINT) // count(*) AS avg_p
          |FROM sc GROUP BY doc_id""".stripMargin,
+    // t10's exact-integer LM score + two d15-style exact quantile cuts
+    "d21_ppl_buckets" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM (
+         |         SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM t0)),
+         |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+         |uc AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+         |ps AS (SELECT doc_id, (1000000 * cb) // cu AS p
+         |       FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1)),
+         |lm AS (SELECT doc_id, CAST(sum(p) AS BIGINT) // count(*) AS avg_p
+         |       FROM ps GROUP BY doc_id),
+         |sc AS (SELECT d.doc_id, d.lang, lm.avg_p
+         |       FROM documents d JOIN lm ON lm.doc_id = d.doc_id),
+         |cc AS (SELECT lang, avg_p, count(*) AS c FROM sc GROUP BY lang, avg_p),
+         |cw AS (SELECT lang, avg_p,
+         |         sum(c) OVER (PARTITION BY lang ORDER BY avg_p
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         sum(c) OVER (PARTITION BY lang) AS n
+         |       FROM cc),
+         |tlo AS (SELECT lang, min(avg_p) AS t_lo FROM cw
+         |        WHERE cum >= CAST(ceil((1.0/3) * n) AS BIGINT) GROUP BY lang),
+         |thi AS (SELECT lang, min(avg_p) AS t_hi FROM cw
+         |        WHERE cum >= CAST(ceil((2.0/3) * n) AS BIGINT) GROUP BY lang)
+         |SELECT sc.doc_id, sc.lang, sc.avg_p,
+         |  CASE WHEN sc.avg_p >= thi.t_hi THEN 'head'
+         |       WHEN sc.avg_p >= tlo.t_lo THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM sc JOIN tlo ON sc.lang = tlo.lang
+         |JOIN thi ON sc.lang = thi.lang""".stripMargin,
     "t07_repetition" ->
       s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
          |m AS (SELECT doc_id,
