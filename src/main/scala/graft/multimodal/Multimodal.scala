@@ -272,4 +272,34 @@ object Multimodal {
         it.map(decode)
       }
   }
+
+  final case class FrameStats(
+      media_id: Long, frame_idx: Int, n_bytes: Int, mean_raw: Double)
+
+  /** Frame sampling: chop each payload into fixed-size frames and emit
+    * per-frame statistics — the one-to-many decode shape of video frame
+    * extraction / audio windowing, as a partition-batched `flatMap` (one
+    * decoder pass per partition, output rows ≈ bytes/frameSize per
+    * item, payloads pruned after the map). The mean is the exact
+    * integer byte sum over the exact frame length — one IEEE division —
+    * rounded to 6 in the plan, so a SQL oracle replays it.
+    */
+  def frameStats(media: DataFrame, frameSize: Int): DataFrame = {
+    require(frameSize >= 1, s"frameSize must be >= 1, got $frameSize")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content", "format", "width", "height")
+      .as[MediaItem]
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          m.content.grouped(frameSize).zipWithIndex.map { case (fr, i) =>
+            val sum = fr.foldLeft(0L)((a, b) => a + (b & 0xff))
+            FrameStats(m.media_id, i, fr.length, sum.toDouble / fr.length)
+          }
+        }
+      }
+      .toDF()
+      .select(col("media_id"), col("frame_idx"), col("n_bytes"),
+        round(col("mean_raw"), 6).as("mean_byte"))
+  }
 }

@@ -446,6 +446,16 @@ object DocQueries {
           round(col("mean_byte"), 6).as("mean_byte"),
           round(col("byte_entropy"), 6).as("byte_entropy"))),
 
+    "m02_frame_stats" -> ((s, d) =>
+      // frame-sampling plumbing: 64-byte frames per media payload, one
+      // row per frame with exact-integer-derived stats — the
+      // one-to-many decode shape (video frames / audio windows) as a
+      // partition-batched flatMap; ASCII corpus lets DuckDB replay the
+      // byte stats as codepoint stats
+      graft.multimodal.Multimodal.frameStats(
+        graft.multimodal.Multimodal.mediaFromDocuments(documents(s, d)),
+        frameSize = 64)),
+
     "d16_dup_spans" -> ((s, d) =>
       // substring-level dedup signal (Lee et al. 2022): per-doc counts of
       // 8-token spans that recur anywhere / in another document. The
@@ -1151,6 +1161,21 @@ object DocQueries {
     // is pure ASCII (max codepoint 121, measured); mean is one exact
     // integer-sum division, entropy mirrored as ln(p)/ln(2) with
     // round(...,6) absorbing summation-order ulps
+    "m02_frame_stats" ->
+      """WITH t AS (SELECT doc_id AS media_id, text, length(text) AS n
+        |           FROM documents),
+        |f AS (SELECT media_id,
+        |        CAST(i AS INTEGER) AS frame_idx,
+        |        substr(text, CAST(i * 64 + 1 AS INTEGER), 64) AS fr
+        |      FROM (SELECT media_id, text,
+        |              unnest(range(0, (n + 63) // 64)) AS i FROM t)),
+        |e AS (SELECT media_id, frame_idx, length(fr) AS nb,
+        |        list_sum([ascii(substr(fr, CAST(j AS INTEGER), 1))
+        |                  FOR j IN range(1, length(fr) + 1)]) AS s
+        |      FROM f)
+        |SELECT media_id, frame_idx, CAST(nb AS INTEGER) AS n_bytes,
+        |  round(CAST(s AS DOUBLE) / nb, 6) AS mean_byte
+        |FROM e""".stripMargin,
     "m01_media_features" ->
       """WITH t AS (SELECT doc_id AS media_id, text, length(text) AS n
         |           FROM documents),

@@ -90,4 +90,18 @@ class MultimodalSpec extends SparkSpec {
     assert(feats("audio").mean_byte === 50.0) // 6400 >> 7
     assert(feats("raw").n_bytes === 3)
   }
+
+  test("frameStats: frame boundaries, short tail frame, exact means") {
+    import spark.implicits._
+    // 10 bytes at frame size 4 -> frames of 4, 4, 2
+    val media = Seq((1L, Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100),
+        "fake/raw", 1, 1))
+      .toDF("media_id", "content", "format", "width", "height")
+    val got = Multimodal.frameStats(media, frameSize = 4)
+      .collect().map(r => r.getInt(1) -> (r.getInt(2), r.getDouble(3))).toMap
+    assert(got === Map(
+      0 -> ((4, 25.0)),   // (10+20+30+40)/4
+      1 -> ((4, 65.0)),   // (50+60+70+80)/4
+      2 -> ((2, 95.0))))  // (90+100)/2
+  }
 }
