@@ -41,6 +41,27 @@ object EventStream {
         col("n_events"), col("value_cents"))
   }
 
+  /** Sliding-window event-type counts — the trending-feed aggregate
+    * (s09's streaming face). Each event lands in windowLength/slide
+    * windows through the native sliding `window` generator; the count is
+    * map-side combinable and, on a stream, the watermark bounds state to
+    * the window horizon. The top-k rank stays downstream: the count
+    * table is #windows × |event types| — tiny — so a Complete-mode sink
+    * or the s09 batch query ranks it without touching the raw stream.
+    */
+  def trendingCounts(events: DataFrame, windowLength: String = "6 hours",
+      slide: String = "3 hours"): DataFrame = {
+    val withTs = events.withColumn("event_time", tsFromNanos(col("ts")))
+    val watermarked =
+      if (events.isStreaming) withTs.withWatermark("event_time", "10 minutes")
+      else withTs
+    watermarked
+      .groupBy(window(col("event_time"), windowLength, slide).as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("window_start"), col("event_type"), col("n"))
+  }
+
   /** Streaming exactly-once ingestion dedup: drop events whose `event_id`
     * was already seen within the watermark horizon. State is bounded —
     * ids older than the watermark are evicted, so memory is

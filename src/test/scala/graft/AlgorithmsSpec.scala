@@ -623,6 +623,39 @@ class AlgorithmsSpec extends SparkSpec {
     assert(row.getDouble(4) === -1.0)
   }
 
+  test("graph coloring: proper on sample graphs, deterministic, cap raises") {
+    import spark.implicits._
+    import graft.algorithms.GraphColoring
+    for (g <- Seq(Fixtures.sample1(spark), Fixtures.twoComponents(spark, directed = false))) {
+      val colors = GraphColoring().run(g)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // proper: no edge joins two same-colored endpoints
+      val bad = g.symmetricEdges.select(col(SRC), col(DST)).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) => a != b && colors(a) == colors(b) }
+      assert(bad.isEmpty, s"conflicting edges: ${bad.toSeq}")
+      assert(colors.values.min === 0, "colors start at 0")
+      // re-run is bit-identical (pure function of ids)
+      val again = GraphColoring().run(g)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(again === colors)
+    }
+    // a triangle needs 3 colors; K2 needs 2
+    val v = (0L to 2L).toDF(ID)
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF(SRC, DST)
+    val tri = GraphColoring().run(
+      Graph(v, e.withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))), directed = false))
+      .collect().map(_.getInt(1)).toSet
+    assert(tri === Set(0, 1, 2))
+    // cap: a 6-chain cannot finish in 1 round
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF(SRC, DST)
+    intercept[IllegalArgumentException] {
+      GraphColoring(maxRounds = 1).run(Graph((0L to 5L).toDF(ID),
+        chain.withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+        directed = false)).collect()
+    }
+  }
+
   test("weighted PageRank: constant weights = uniform bit for bit, bias steers") {
     import spark.implicits._
     import graft.algorithms.PageRank

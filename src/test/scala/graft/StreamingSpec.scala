@@ -29,6 +29,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trendingCounts: sliding windows on a MemoryStream, 2 windows per event") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStream.trendingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("trend").outputMode("complete").start()
+    try {
+      stream.addData(
+        Event(1, 10L * H + H / 2, 7, "a", 1.0),
+        Event(2, 10L * H + H / 2, 8, "a", 1.0),
+        Event(3, 10L * H + H / 2, 7, "b", 1.0),
+        Event(4, 13L * H + H / 2, 7, "a", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("trend")
+        .select((unix_micros(col("window_start")) / (3600L * 1000000L))
+          .cast("long").as("h"), col("event_type"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      // 10.5h events -> windows starting 6h and 9h; 13.5h -> 9h and 12h
+      assert(got === Map(
+        (6L, "a") -> 2L, (6L, "b") -> 1L,
+        (9L, "a") -> 3L, (9L, "b") -> 1L,
+        (12L, "a") -> 1L))
+    } finally q.stop()
+  }
+
   test("streaming sessionize emits a session once the gap passes, keeps state across batches") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
