@@ -27,10 +27,19 @@ import graft.core.{CheckpointPolicy, Columns, Graph}
   * (id, priority, color) row per vertex, checkpoint-pinned. Loud
   * failure at the round cap.
   */
+/** @param roundListener ops hook called as (round, uncoloredBefore)
+  *        when a round starts — progress visibility for long colorings
+  *        (the [[graft.pregel.Pregel.superstepListener]] pattern). */
 case class GraphColoring(
     maxRounds: Int = 30,
-    checkpoint: CheckpointPolicy = CheckpointPolicy.Local) {
+    checkpoint: CheckpointPolicy = CheckpointPolicy.Local,
+    roundListener: Option[(Int, Long) => Unit] = None) {
   import Columns._
+
+  /** Rounds the last [[run]] actually colored in (excludes the final
+    * empty-set observation round) — the dev face that sizes an unrolled
+    * oracle replay. */
+  @volatile var lastRounds: Int = 0
 
   /** @return (id, color) with colors 0..; adjacent vertices always
     *         differ (spec-pinned); isolated vertices take color 0. */
@@ -49,7 +58,9 @@ case class GraphColoring(
     while (round < maxRounds && !done) {
       round += 1
       val unc = state.filter(col("_color").isNull)
-      if (unc.isEmpty) done = true
+      val nUnc = unc.count()
+      roundListener.foreach(_(round, nUnc))
+      if (nUnc == 0) done = true
       else {
         val uv = unc.select(col(ID), col("_p"))
         val losers = uv.select(col(ID).as(SRC), col("_p").as("_pa"))
@@ -78,6 +89,7 @@ case class GraphColoring(
     }
     require(done, s"GraphColoring: uncolored vertices remain after " +
       s"$maxRounds rounds; raise maxRounds")
+    lastRounds = round - 1
     state.select(col(ID), col("_color").as("color"))
   }
 }

@@ -173,6 +173,26 @@ object GraphQueries {
         .select(col(ID), round(col("score"), 9).as("score"))
     }),
 
+    "g48_coloring" -> ((s, d) => {
+      // Jones-Plassmann coloring of the customer hierarchy plus a
+      // 25-nation ring (the odd cycle forces a third color). The tree-
+      // plus-ring shape drains in 8 rounds at both gate SFs (dense
+      // bipartite graphs stall JP on hub-ordering chains — a hub can't
+      // win until its higher-priority neighbors are colored — so the
+      // sparse hierarchy is the right demo); the oracle unrolls 12
+      // (identity past the fixpoint)
+      val cst = customer(s, d)
+      val nat = nation(s, d)
+      val e = cst.select((col("c_custkey") + 10000L).as(SRC),
+          col("c_nationkey").cast("long").as(DST))
+        .union(nat.select(col("n_nationkey").cast("long"),
+          (col("n_regionkey") + 1000L).cast("long")))
+        .union(nat.select(col("n_nationkey").cast("long"),
+          pmod(col("n_nationkey") + 1, lit(25)).cast("long")))
+      GraphColoring(maxRounds = 12)
+        .run(indexedGraph(vertsOf(e), e, directed = false))
+    }),
+
     "g47_weighted_pagerank" -> ((s, d) => {
       // weighted PageRank on the orders graph with edge weight = order
       // multiplicity per (customer, bucket): rank distributes
@@ -949,6 +969,55 @@ object GraphQueries {
       s"\nSELECT id, round(rank, 9) AS rank FROM pr$iterations"
   }
 
+  /** Unrolled Jones–Plassmann oracle: per round — uncolored set, losers
+    * (an uncolored neighbour with a higher (priority, id) wins), local
+    * maxima, colored-neighbour color sets, and the mex over candidates
+    * 0..|distinct colors| — the exact twin of the Spark side's
+    * sequence+filter mex. Rounds past the fixpoint are identity. */
+  private def coloringOracleSql(rounds: Int): String = {
+    def sha48(x: String) =
+      s"""CAST(list_sum([(strpos('0123456789abcdef',
+         |  substr(substr(sha256($x), 1, 12), j, 1)) - 1)
+         |  * CAST(power(16, 12 - j) AS BIGINT)
+         |  FOR j IN range(1, 13)]) AS BIGINT)""".stripMargin
+    val head =
+      s"""WITH ce AS (SELECT CAST(c_custkey + 10000 AS BIGINT) AS src,
+         |             CAST(c_nationkey AS BIGINT) AS dst FROM customer
+         |  UNION ALL SELECT CAST(n_nationkey AS BIGINT),
+         |             CAST(n_regionkey + 1000 AS BIGINT) FROM nation
+         |  UNION ALL SELECT CAST(n_nationkey AS BIGINT),
+         |             CAST((n_nationkey + 1) % 25 AS BIGINT) FROM nation),
+         |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM ce WHERE src <> dst
+         |  UNION ALL SELECT dst, src FROM ce WHERE src <> dst)),
+         |v AS (SELECT DISTINCT src AS id FROM sym),
+         |st0 AS MATERIALIZED (SELECT id,
+         |  ${sha48("CAST(id AS VARCHAR)")} AS p,
+         |  CAST(NULL AS INTEGER) AS color FROM v)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""un$r AS (SELECT id, p FROM st$p WHERE color IS NULL),
+         |lo$r AS (SELECT DISTINCT a.id FROM un$r a JOIN sym e ON e.src = a.id
+         |         JOIN un$r b ON b.id = e.dst WHERE (b.p, b.id) > (a.p, a.id)),
+         |wi$r AS MATERIALIZED (SELECT id FROM un$r
+         |        WHERE id NOT IN (SELECT id FROM lo$r)),
+         |nc$r AS (SELECT w.id, st.color FROM wi$r w JOIN sym e ON e.src = w.id
+         |         JOIN st$p st ON st.id = e.dst WHERE st.color IS NOT NULL),
+         |du$r AS (SELECT id, count(DISTINCT color) AS c FROM nc$r GROUP BY id),
+         |mx$r AS MATERIALIZED (
+         |  SELECT u.id, CAST(min(u.k) AS INTEGER) AS new_color FROM (
+         |    SELECT w.id, unnest(range(0, coalesce(d.c, 0) + 1)) AS k
+         |    FROM wi$r w LEFT JOIN du$r d ON d.id = w.id) u
+         |  LEFT JOIN nc$r n ON n.id = u.id AND n.color = u.k
+         |  WHERE n.color IS NULL GROUP BY u.id),
+         |st$r AS MATERIALIZED (SELECT s.id, s.p,
+         |  coalesce(s.color, m.new_color) AS color
+         |  FROM st$p s LEFT JOIN mx$r m ON m.id = s.id)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT id, color FROM st$rounds"
+  }
+
   private def misOracleSql(rounds: Int): String = {
     def sha48(x: String) =
       s"""CAST(list_sum([(strpos('0123456789abcdef',
@@ -1104,6 +1173,7 @@ object GraphQueries {
     "g43_eigenvector" -> eigenvectorOracleSql(3),
     "g45_boruvka_msf" -> boruvkaOracleSql(5),
     "g47_weighted_pagerank" -> weightedPageRankOracleSql(3),
+    "g48_coloring" -> coloringOracleSql(12),
     "g46_butterflies" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS c, l_partkey % 97 AS i
         |           FROM lineitem),

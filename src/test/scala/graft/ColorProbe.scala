@@ -8,29 +8,30 @@ import org.apache.spark.sql.functions._
   */
 object ColorProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
-    val e = orders.select(col("o_custkey").as("src"),
-      pmod(col("o_orderkey"), lit(211)).as("dst")).distinct()
-    val v = e.select(col("src").as("id")).union(e.select(col("dst"))).distinct()
-    val g = graft.core.Graph(v,
-      e.withColumn("edge_id", xxhash64(col("src"), col("dst"))),
-      directed = false)
-    // binary search the cap: smallest maxRounds that completes
-    var lo = 1; var hi = 40
-    while (lo < hi) {
-      val mid = (lo + hi) / 2
-      val ok = try {
-        graft.algorithms.GraphColoring(maxRounds = mid).run(g).count(); true
-      } catch { case _: IllegalArgumentException => false }
-      if (ok) hi = mid else lo = mid + 1
+    for (sfDir <- (if (args.isEmpty) Seq("/root/testdata/sf0.01") else args.toSeq)) {
+      val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+      val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+      val e = customer.select((col("c_custkey") + 10000L).as("src"),
+          col("c_nationkey").cast("long").as("dst"))
+        .union(nation.select(col("n_nationkey").cast("long"),
+          (col("n_regionkey") + 1000L).cast("long")))
+        .union(nation.select(col("n_nationkey").cast("long"),
+          pmod(col("n_nationkey") + 1, lit(25)).cast("long")))
+      val v = e.select(col("src").as("id")).union(e.select(col("dst"))).distinct()
+      val g = graft.core.Graph(v,
+        e.withColumn("edge_id", xxhash64(col("src"), col("dst"))),
+        directed = false)
+      val gc = graft.algorithms.GraphColoring(maxRounds = 40,
+        roundListener = Some((r, u) =>
+          println(s"PROBE-ROUND $r uncolored=$u sf=$sfDir")))
+      val n = gc.run(g).select(max(col("color"))).head().getInt(0)
+      println(s"PROBE rounds=${gc.lastRounds} max_color=$n sf=$sfDir")
     }
-    println(s"PROBE rounds_needed=$lo sf=$sfDir")
     spark.stop()
   }
 }
