@@ -123,6 +123,17 @@ object EmbQueries {
         k = ProtoK, m = ProtoM, maxIterations = ProtoIters,
         fitSampleSize = FitSample)),
 
+    "e19_binary_hamming" -> ((s, d) => {
+      // binary sign-bit search: 2 packed words per 64-dim vector (32x
+      // less candidate-scan than raw floats), Hamming shortlist via
+      // XOR+popcount, exact re-rank of the 50 survivors — the most
+      // aggressive point on the compression ladder, fully
+      // integer-exact so the oracle replays both stages
+      val items = embeddings(s, d)
+      Ann.binaryTopK(items, items.filter(col("vec_id") < NQUERIES),
+        "vec_id", "embedding", dim = 64, k = K, shortlist = 50)
+    }),
+
     "e18_mmr_rerank" -> ((s, d) => {
       // MMR diversity re-rank at λ=1/2: 5 greedy selections per query
       // from a 20-candidate relevance shortlist, objective and
@@ -736,6 +747,33 @@ object EmbQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // binary search replay: 32-bit sign-pack words, XOR+popcount
+    // Hamming shortlist, exact re-rank — integer-exact end to end
+    "e19_binary_hamming" ->
+      s"""WITH pb AS (SELECT vec_id,
+         |    [ list_reduce([CASE WHEN embedding[CAST(w*32 + j AS INTEGER)] > 0
+         |                        THEN CAST(1 AS BIGINT)
+         |                        ELSE CAST(0 AS BIGINT) END FOR j IN range(1, 33)],
+         |                  (a, x) -> a*2 + x)
+         |      FOR w IN range(0, 2) ] AS bw
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, bw AS qw FROM pb WHERE vec_id < $NQUERIES),
+         |hm AS (SELECT q.qid, n.vec_id AS nid,
+         |         CAST(list_sum([ bit_count(xor(q.qw[i], n.bw[i]))
+         |                         FOR i IN range(1, 3) ]) AS BIGINT) AS ham
+         |       FROM q JOIN pb n ON n.vec_id <> q.qid),
+         |sh AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid, row_number() OVER (
+         |    PARTITION BY qid ORDER BY ham, nid) AS rn FROM hm)
+         |  WHERE rn <= 50),
+         |sc AS (SELECT sh.qid, sh.nid,
+         |         ${qdotSql("qe.embedding", "ne.embedding")} AS qdot
+         |       FROM sh JOIN embeddings qe ON qe.vec_id = sh.qid
+         |       JOIN embeddings ne ON ne.vec_id = sh.nid)
+         |SELECT qid, nid, qdot FROM (
+         |  SELECT qid, nid, qdot, row_number() OVER (
+         |    PARTITION BY qid ORDER BY qdot DESC, nid) AS rn FROM sc)
+         |WHERE rn <= $K""".stripMargin,
     "e18_mmr_rerank" -> mmrOracleSql(NQUERIES, 20, 5),
     // JL replay: signs from sha256('rp#j#i') 48-bit-prefix parity,
     // round(x*1000) quantization (C-style half-away round in both

@@ -202,6 +202,51 @@ object Ann {
       .drop("rn")
   }
 
+  /** Binary (1-bit sign) quantized search: every vector packs to
+    * `dim/32` sign-bit words, candidates rank by Hamming distance
+    * (bit_count of XOR — 32× less scan than raw floats at dim 64), and
+    * an exact re-rank of the shortlist recovers the true ranking — the
+    * most aggressive point on the PQ / int8 / MRL compression ladder
+    * and the usual first-stage filter for billion-vector stores.
+    * Packing, XOR and popcount are exact integers, so a SQL oracle
+    * replays the shortlist AND the re-rank bit for bit (ties on the
+    * coarse Hamming score break to the smaller id on both engines).
+    * 32 bits per word keeps the MSB clear — ANSI i64 arithmetic never
+    * overflows while packing.
+    */
+  def binaryTopK(
+      items: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    require(dim % 32 == 0, s"dim must be a multiple of 32, got $dim")
+    def pack(vec: Column): Column =
+      transform(sequence(lit(0), lit(dim / 32 - 1)), w =>
+        aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) =>
+          acc * 2 + when(element_at(vec, (w * 32 + j + 1).cast("int")) > 0f, 1L)
+            .otherwise(0L)))
+    val qb = queries.select(col(idCol).as("qid"), pack(col(vecCol)).as("qw"))
+    val nb = items.select(col(idCol).as("nid"), pack(col(vecCol)).as("nw"))
+    val hamming = aggregate(
+      zip_with(col("qw"), col("nw"),
+        (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+      lit(0L), _ + _)
+    val ws = Window.partitionBy(col("qid")).orderBy(col("ham"), col("nid"))
+    val short = nb.join(broadcast(qb), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), hamming.as("ham"))
+      .withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= shortlist)
+      .select(col("qid"), col("nid"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val full = items.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .join(broadcast(short), Seq("nid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("nid"), quantizedDot(col("qv"), col("nv")).as("qdot"))
+    val wf = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("nid"))
+    full.withColumn("rn", row_number().over(wf))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Exact top-k by COSINE, cross-engine deterministic: the dot and both
     * squared norms are exact quantized integers, and the only float ops
     * are two `sqrt` and two divisions — each correctly rounded under

@@ -483,6 +483,37 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall")
   }
 
+  test("binary Hamming search: exact with full shortlist, usable recall at 15") {
+    import spark.implicits._
+    // 32-dim clustered vectors (dim must be a multiple of 32)
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(4)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val items = (0L until 80L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => x + (rnd.nextGaussian() * 0.2).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = items.filter(col("vec_id") < 5)
+    val exact = rowSet(
+      Ann.bruteForceTopK(items, queries, "vec_id", "embedding", 5))
+    assert(rowSet(Ann.binaryTopK(items, queries,
+      "vec_id", "embedding", dim = 32, k = 5, shortlist = 100)) === exact,
+      "full shortlist must recover the exact ranking")
+    val got = Ann.binaryTopK(items, queries,
+      "vec_id", "embedding", dim = 32, k = 5, shortlist = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = Ann.bruteForceTopK(items, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exactPairs).size.toDouble / exactPairs.size
+    // 32 sign bits is coarse; cluster structure still puts most true
+    // neighbours in the 15-of-80 Hamming shortlist
+    assert(recall >= 0.7, s"recall $recall")
+    // dim not a multiple of 32 fails loudly
+    intercept[IllegalArgumentException] {
+      Ann.binaryTopK(items, queries, "vec_id", "embedding",
+        dim = 33, k = 5, shortlist = 10)
+    }
+  }
+
   test("MMR: second pick trades relevance for diversity; k=1 = pure argmax") {
     import spark.implicits._
     import graft.similarity.Mmr
