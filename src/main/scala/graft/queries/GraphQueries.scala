@@ -173,6 +173,26 @@ object GraphQueries {
         .select(col(ID), round(col("score"), 9).as("score"))
     }),
 
+    "g49_speculative_coloring" -> ((s, d) => {
+      // speculative coloring of the dense BIPARTITE orders graph (part
+      // buckets offset by 1e6, the g37 device) — the hub shape JP (g48)
+      // stalls on: every uncolored vertex proposes the mex of its
+      // colored neighbours each round, conflicts resolve to the higher
+      // (priority, id) endpoint. Drains in 6 / 2 rounds at the gate SFs
+      // and 2 at 10x (the denser the faster — more colored evidence per
+      // round); the oracle unrolls 10 (identity past the fixpoint).
+      // WITHOUT the offset, bucket ids collide with customer ids and
+      // the leftover hub set is a near-clique — χ ≈ |hubs| — which no
+      // parallel coloring drains fast; coloring targets bounded-χ
+      // graphs, and the probe records that finding
+      val e = orders(s, d)
+        .select(col("o_custkey").as(SRC),
+          (pmod(col("o_orderkey"), lit(211)) + 1000000L).as(DST))
+        .distinct()
+      GraphColoring(maxRounds = 16)
+        .runSpeculative(indexedGraph(vertsOf(e), e, directed = false))
+    }),
+
     "g48_coloring" -> ((s, d) => {
       // Jones-Plassmann coloring of the customer hierarchy plus a
       // 25-nation ring (the odd cycle forces a third color). The tree-
@@ -1018,6 +1038,52 @@ object GraphQueries {
       s"\nSELECT id, color FROM st$rounds"
   }
 
+  /** Unrolled speculative-coloring oracle over the orders graph: per
+    * round every uncolored vertex proposes the mex of its colored
+    * neighbours; proposals conflicting with a higher-(p, id) uncolored
+    * neighbour's EQUAL proposal retry next round. Identity past the
+    * fixpoint. */
+  private def speculativeColoringOracleSql(rounds: Int): String = {
+    def sha48(x: String) =
+      s"""CAST(list_sum([(strpos('0123456789abcdef',
+         |  substr(substr(sha256($x), 1, 12), j, 1)) - 1)
+         |  * CAST(power(16, 12 - j) AS BIGINT)
+         |  FOR j IN range(1, 13)]) AS BIGINT)""".stripMargin
+    val head =
+      s"""WITH ce AS (SELECT DISTINCT o_custkey AS src,
+         |              o_orderkey % 211 + 1000000 AS dst FROM orders),
+         |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM ce WHERE src <> dst
+         |  UNION ALL SELECT dst, src FROM ce WHERE src <> dst)),
+         |v AS (SELECT DISTINCT src AS id FROM sym),
+         |st0 AS MATERIALIZED (SELECT id,
+         |  ${sha48("CAST(id AS VARCHAR)")} AS p,
+         |  CAST(NULL AS INTEGER) AS color FROM v)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""un$r AS (SELECT id, p FROM st$p WHERE color IS NULL),
+         |nc$r AS (SELECT u.id, st.color FROM un$r u JOIN sym e ON e.src = u.id
+         |         JOIN st$p st ON st.id = e.dst WHERE st.color IS NOT NULL),
+         |du$r AS (SELECT id, count(DISTINCT color) AS c FROM nc$r GROUP BY id),
+         |pp$r AS MATERIALIZED (
+         |  SELECT u.id, u.p, CAST(min(u.k) AS INTEGER) AS cand FROM (
+         |    SELECT w.id, w.p, unnest(range(0, coalesce(d.c, 0) + 1)) AS k
+         |    FROM un$r w LEFT JOIN du$r d ON d.id = w.id) u
+         |  LEFT JOIN nc$r n ON n.id = u.id AND n.color = u.k
+         |  WHERE n.color IS NULL GROUP BY u.id, u.p),
+         |lo$r AS (SELECT DISTINCT a.id FROM pp$r a JOIN sym e ON e.src = a.id
+         |         JOIN pp$r b ON b.id = e.dst
+         |         WHERE b.cand = a.cand AND (b.p, b.id) > (a.p, a.id)),
+         |st$r AS MATERIALIZED (SELECT s.id, s.p,
+         |  coalesce(s.color, w.cand) AS color
+         |  FROM st$p s LEFT JOIN
+         |    (SELECT id, cand FROM pp$r
+         |     WHERE id NOT IN (SELECT id FROM lo$r)) w ON w.id = s.id)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT id, color FROM st$rounds"
+  }
+
   private def misOracleSql(rounds: Int): String = {
     def sha48(x: String) =
       s"""CAST(list_sum([(strpos('0123456789abcdef',
@@ -1174,6 +1240,7 @@ object GraphQueries {
     "g45_boruvka_msf" -> boruvkaOracleSql(5),
     "g47_weighted_pagerank" -> weightedPageRankOracleSql(3),
     "g48_coloring" -> coloringOracleSql(12),
+    "g49_speculative_coloring" -> speculativeColoringOracleSql(10),
     "g46_butterflies" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS c, l_partkey % 97 AS i
         |           FROM lineitem),

@@ -656,6 +656,31 @@ class AlgorithmsSpec extends SparkSpec {
     }
   }
 
+  test("speculative coloring: proper and deterministic on dense-ish fixtures") {
+    import spark.implicits._
+    import graft.algorithms.GraphColoring
+    // K5 forces 5 colors and maximal conflict pressure
+    val v = (0L to 4L).toDF(ID)
+    val e = (for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)).toDF(SRC, DST)
+    val g = Graph(v, e.withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+      directed = false)
+    val gc = GraphColoring()
+    val colors = gc.runSpeculative(g)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(colors.values.toSet === Set(0, 1, 2, 3, 4), s"K5 needs 5 colors: $colors")
+    for (gr <- Seq(Fixtures.sample1(spark), Fixtures.twoComponents(spark, directed = false))) {
+      val c = GraphColoring().runSpeculative(gr)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val bad = gr.symmetricEdges.select(col(SRC), col(DST)).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) => a != b && c(a) == c(b) }
+      assert(bad.isEmpty, s"conflicting edges: ${bad.toSeq}")
+      val again = GraphColoring().runSpeculative(gr)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(again === c)
+    }
+  }
+
   test("weighted PageRank: constant weights = uniform bit for bit, bias steers") {
     import spark.implicits._
     import graft.algorithms.PageRank

@@ -31,6 +31,21 @@ object ColorProbe {
           println(s"PROBE-ROUND $r uncolored=$u sf=$sfDir")))
       val n = gc.run(g).select(max(col("color"))).head().getInt(0)
       println(s"PROBE rounds=${gc.lastRounds} max_color=$n sf=$sfDir")
+
+      // the dense orders graph: JP stalls here (hub-ordering chains);
+      // the speculative path must drain it in O(log n) rounds
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val oe = orders.select(col("o_custkey").as("src"),
+        pmod(col("o_orderkey"), lit(211)).as("dst")).distinct()
+      val ov = oe.select(col("src").as("id")).union(oe.select(col("dst"))).distinct()
+      val og = graft.core.Graph(ov,
+        oe.withColumn("edge_id", xxhash64(col("src"), col("dst"))),
+        directed = false)
+      val sc = graft.algorithms.GraphColoring(maxRounds = 40)
+      val t0 = System.nanoTime()
+      val mc = sc.runSpeculative(og).select(max(col("color"))).head().getInt(0)
+      println(f"PROBE-SPEC rounds=${sc.lastRounds} max_color=$mc " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%.1f s sf=$sfDir")
     }
     spark.stop()
   }
