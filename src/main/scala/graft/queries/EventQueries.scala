@@ -135,6 +135,22 @@ object EventQueries {
           min(col("k")).as("min_k"),
           max(col("k")).as("max_k"))),
 
+    "s10_latest_per_user" -> ((s, d) =>
+      // CDC compaction / latest-record-per-key: one map-side-combinable
+      // max(struct(ts, event_id, ...)) per user — NO window over the
+      // corpus, so no single partition ever sees a hot key's full
+      // history (the scalable twin of QUALIFY row_number() = 1).
+      // (ts, event_id) is a unique total order, so the pick is
+      // deterministic; value rides through as exact cents
+      events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("value_cents"))).as("_m"))
+        .select(col("user_id"), col("_m.ts").as("ts"),
+          col("_m.event_id").as("event_id"),
+          col("_m.event_type").as("event_type"),
+          col("_m.value_cents").as("value_cents"))),
+
     "s09_trending_windows" -> ((s, d) => {
       // sliding-window trending: top-3 event types per 6-hour window
       // sliding every 3 hours. An event at half-window index h belongs
@@ -246,6 +262,12 @@ object EventQueries {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    "s10_latest_per_user" ->
+      """SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS value_cents
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin,
     "s09_trending_windows" ->
       """WITH ev AS (SELECT event_type,
         |              epoch_ns(ts) // 10800000000000 AS h FROM events),

@@ -173,6 +173,35 @@ object GraphQueries {
         .select(col(ID), round(col("score"), 9).as("score"))
     }),
 
+    "g50_feature_propagation" -> ((s, d) => {
+      // 2-hop GNN-style mean aggregation (the GCN/GraphSAGE smoothing
+      // primitive that turns a graph into per-node training features):
+      // h0 = degree, h1 = mean of neighbour h0, h2 = mean of neighbour
+      // h1 — each hop ONE keyed join + one combinable sum, features
+      // kept exact as 1e6-scaled i64 (integer div), so any engine
+      // replays both hops bit for bit and deep stacks never accumulate
+      // float drift. Per-hop cost is one shuffle of the edge list —
+      // the scan-bound shape GNN pre-processing needs at 100 TB
+      val e = lineitem(s, d)
+        .select(col("l_suppkey").as(SRC),
+          (pmod(col("l_partkey"), lit(97)) + 1000000L).as(DST))
+        .distinct()
+      val sym = e.unionAll(e.select(col(DST).as(SRC), col(SRC).as(DST)))
+      val deg = sym.groupBy(col(SRC).as(ID)).agg(count(lit(1)).as("degree"))
+      val h1 = sym
+        .join(deg.select(col(ID).as(DST), col("degree").as("_hd")), Seq(DST))
+        .groupBy(col(SRC).as(ID)).agg(sum(col("_hd")).as("_s1"))
+        .join(deg, Seq(ID))
+        .select(col(ID), col("degree"),
+          expr("(1000000 * _s1) div degree").as("h1"))
+      sym
+        .join(h1.select(col(ID).as(DST), col("h1").as("_h1d")), Seq(DST))
+        .groupBy(col(SRC).as(ID)).agg(sum(col("_h1d")).as("_s2"))
+        .join(h1, Seq(ID))
+        .select(col(ID), col("degree"), col("h1"),
+          expr("_s2 div degree").as("h2"))
+    }),
+
     "g49_speculative_coloring" -> ((s, d) => {
       // speculative coloring of the dense BIPARTITE orders graph (part
       // buckets offset by 1e6, the g37 device) — the hub shape JP (g48)
@@ -1241,6 +1270,21 @@ object GraphQueries {
     "g47_weighted_pagerank" -> weightedPageRankOracleSql(3),
     "g48_coloring" -> coloringOracleSql(12),
     "g49_speculative_coloring" -> speculativeColoringOracleSql(10),
+    "g50_feature_propagation" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS src,
+        |             l_partkey % 97 + 1000000 AS dst FROM lineitem),
+        |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |deg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src),
+        |h1 AS (SELECT s.src AS id, d0.degree,
+        |         (1000000 * CAST(sum(dd.degree) AS BIGINT)) // d0.degree AS h1
+        |       FROM sym s JOIN deg dd ON dd.id = s.dst
+        |       JOIN deg d0 ON d0.id = s.src
+        |       GROUP BY s.src, d0.degree)
+        |SELECT s.src AS id, h0.degree, h0.h1,
+        |  CAST(sum(hd.h1) AS BIGINT) // h0.degree AS h2
+        |FROM sym s JOIN h1 hd ON hd.id = s.dst
+        |JOIN h1 h0 ON h0.id = s.src
+        |GROUP BY s.src, h0.degree, h0.h1""".stripMargin,
     "g46_butterflies" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS c, l_partkey % 97 AS i
         |           FROM lineitem),
