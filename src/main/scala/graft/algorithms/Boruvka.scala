@@ -91,7 +91,10 @@ case class Boruvka(
           .withColumn(EDGE_ID, xxhash64(col(SRC), col(DST)))
         val mergeVerts = sel.select(col("_ca").as(ID))
           .union(sel.select(col("_cb").as(ID))).distinct()
-        val cc = AlternatingConnectedComponents(maxIterations = 20)
+        // requireConvergence: an unconverged contraction would mislabel
+        // components and silently corrupt the forest (ADVICE r8).
+        val cc = AlternatingConnectedComponents(maxIterations = 20,
+            requireConvergence = true)
           .run(Graph(mergeVerts, mergeEdges, directed = false))
           .select(col(ID).as("_oc"), col(COMPONENT).as("_nc"))
         comp = checkpoint.pin(

@@ -56,7 +56,8 @@ final case class ConnectedComponents(
   */
 final case class AlternatingConnectedComponents(
     maxIterations: Int = 10,
-    checkpoint: CheckpointPolicy = CheckpointPolicy.Local) {
+    checkpoint: CheckpointPolicy = CheckpointPolicy.Local,
+    requireConvergence: Boolean = false) {
   import Columns._
 
   private val MIN_NBR = "min_nbr"
@@ -107,6 +108,13 @@ final case class AlternatingConnectedComponents(
       prev = cur
       i += 1
     }
+    // Callers that consume the labels as *final* component ids (e.g. Boruvka's
+    // contraction) must not receive a silently-unconverged labelling: the
+    // star rounds only guarantee correct components at the fixpoint.
+    if (requireConvergence && !converged)
+      throw new IllegalStateException(
+        s"AlternatingConnectedComponents: edge set still changing after " +
+          s"$maxIterations rounds; raise maxIterations (bound is O(log^2 |V|))")
     edges.select(col(SRC).as(ID), col(DST).as(COMPONENT))
   }
 }

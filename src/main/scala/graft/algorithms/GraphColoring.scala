@@ -58,9 +58,16 @@ case class GraphColoring(
     while (round < maxRounds && !done) {
       round += 1
       val unc = state.filter(col("_color").isNull)
-      val nUnc = unc.count()
-      roundListener.foreach(_(round, nUnc))
-      if (nUnc == 0) done = true
+      // convergence check: with no listener installed, a limit-1 scan
+      // (isEmpty) replaces the full per-round count() — one cheap job per
+      // round instead of a complete pass over the state (VERDICT r8); the
+      // exact uncolored count is only computed when someone is watching
+      val noneLeft = roundListener match {
+        case Some(listen) =>
+          val nUnc = unc.count(); listen(round, nUnc); nUnc == 0L
+        case None => unc.isEmpty
+      }
+      if (noneLeft) done = true
       else {
         val uv = unc.select(col(ID), col("_p"))
         val losers = uv.select(col(ID).as(SRC), col("_p").as("_pa"))
@@ -122,9 +129,16 @@ case class GraphColoring(
     while (round < maxRounds && !done) {
       round += 1
       val unc = state.filter(col("_color").isNull)
-      val nUnc = unc.count()
-      roundListener.foreach(_(round, nUnc))
-      if (nUnc == 0) done = true
+      // convergence check: with no listener installed, a limit-1 scan
+      // (isEmpty) replaces the full per-round count() — one cheap job per
+      // round instead of a complete pass over the state (VERDICT r8); the
+      // exact uncolored count is only computed when someone is watching
+      val noneLeft = roundListener match {
+        case Some(listen) =>
+          val nUnc = unc.count(); listen(round, nUnc); nUnc == 0L
+        case None => unc.isEmpty
+      }
+      if (noneLeft) done = true
       else {
         val nbrColors = unc.select(col(ID).as(SRC))
           .join(sym, Seq(SRC))

@@ -81,10 +81,17 @@ final case class PageRank(
           "non-null and non-negative, got "),
           coalesce(col(c).cast("string"), lit("NULL")))))
         .otherwise(col(c))
+      // undirected: dedup ENDPOINT pairs, not (src, dst, w) triples — a
+      // reciprocal directed input pair carrying different weights would
+      // otherwise survive as parallel edges and double-count in both the
+      // weight sum and the contribution (ADVICE r8). Merge rule: MAX
+      // weight per directed (src, dst) after symmetrization, so both
+      // orientations of an undirected edge see the same weight and equal
+      // reciprocal weights degenerate bit for bit to the old behavior.
       val base = if (g.directed)
         g.edges.select(col(SRC), col(DST), guarded.as("_w"))
       else g.symmetricEdges.select(col(SRC), col(DST), guarded.as("_w"))
-        .distinct()
+        .groupBy(col(SRC), col(DST)).agg(max(col("_w")).as("_w"))
       val we = base.filter(col("_w") > 0)
       val sums = we.groupBy(col(SRC)).agg(sum(col("_w")).as("_sw"))
       we.join(sums, Seq(SRC))

@@ -209,7 +209,9 @@ object GraphQueries {
       // colored neighbours each round, conflicts resolve to the higher
       // (priority, id) endpoint. Drains in 6 / 2 rounds at the gate SFs
       // and 2 at 10x (the denser the faster — more colored evidence per
-      // round); the oracle unrolls 10 (identity past the fixpoint).
+      // round); the oracle unrolls 10 (identity past the fixpoint), so
+      // maxRounds = 11 pins the Spark-side bound to <= 10 coloring
+      // rounds — the oracle can never be outrun at a new SF (ADVICE r8).
       // WITHOUT the offset, bucket ids collide with customer ids and
       // the leftover hub set is a near-clique — χ ≈ |hubs| — which no
       // parallel coloring drains fast; coloring targets bounded-χ
@@ -218,7 +220,7 @@ object GraphQueries {
         .select(col("o_custkey").as(SRC),
           (pmod(col("o_orderkey"), lit(211)) + 1000000L).as(DST))
         .distinct()
-      GraphColoring(maxRounds = 16)
+      GraphColoring(maxRounds = 11)
         .runSpeculative(indexedGraph(vertsOf(e), e, directed = false))
     }),
 

@@ -29,6 +29,16 @@ object Mmr {
   /** @return (qid, nid, mmr2, step): the k selections per query in
     *         greedy order; `mmr2` is the exact integer objective at
     *         selection time (step 1: the raw relevance dot).
+    *
+    * Shortfall semantics: a query whose shortlist returns fewer than k
+    * candidates (corpus smaller than `shortlist`, or ties truncated)
+    * yields fewer than k steps — once its pool is exhausted the per-round
+    * pick is empty and later rounds are no-ops for that query. This is
+    * deliberate: the alternative (a per-query `require`) costs an extra
+    * driver action per round, and "give me up to k diverse results" is
+    * the useful contract when corpus size per query is not known up
+    * front. Callers needing exactly k rows should assert
+    * `count == |queries| * k` on the result (one action, post-hoc).
     */
   def rerank(
       items: DataFrame, queries: DataFrame, idCol: String, vecCol: String,

@@ -57,6 +57,8 @@ object GraphIO {
     */
   def writeBucketed(g: Graph, name: String, buckets: Int = 32): Unit = {
     import org.apache.spark.sql.functions._
+    Seq("vertices", "edges").foreach(t =>
+      CatalogTables.prepareOverwrite(g.vertices.sparkSession, s"${name}_$t"))
     g.vertices.withColumn("_directed", lit(g.directed))
       .write.mode("overwrite").saveAsTable(s"${name}_vertices")
     g.edges.write.mode("overwrite")

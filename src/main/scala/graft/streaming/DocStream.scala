@@ -98,6 +98,25 @@ object DocStream {
     DedupedCorpusIndex(idx, clusters)
   }
 
+  /** Adapt a persisted [[graft.dedup.DedupIndex.Index]] for the
+    * streaming/batch ingest probe — the write-once-probe-everywhere
+    * path: the index is built (or [[graft.dedup.DedupIndex.read]]) once
+    * and every micro-batch joins its stored bucket/shingle tables; no
+    * corpus signature is ever recomputed (the probe plan contains
+    * MinHashSig only for the INCOMING rows). Equivalent frames to
+    * [[indexCorpusDeduped]]: same sha-collapse representative map, same
+    * shingle sets, same banded bucket keys.
+    */
+  def fromDedupIndex(idx: graft.dedup.DedupIndex.Index): DedupedCorpusIndex =
+    DedupedCorpusIndex(
+      CorpusIndex(
+        idx.buckets.select(
+          struct(col("band"), col("bucket")).as("bk"), col("id").as("corpus_id")),
+        idx.shingles.select(col("id").as("corpus_id"), col("sh").as("corpus_sh")),
+        idx.shingleSize, idx.numHashes, idx.bands),
+      idx.clusters.select(
+        col("keep_id").as("corpus_id"), col("n_copies").as("corpus_n_copies")))
+
   /** Result of [[dedupedNearDupAgainstCorpus]]:
     *  - `hits` — one row per (incoming REPRESENTATIVE, corpus
     *    representative) near-dup pair: (idCol [, tsCol], corpus_id,

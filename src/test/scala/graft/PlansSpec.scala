@@ -44,6 +44,20 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in LSH plan:\n$p")
   }
 
+  test("d24 persisted index: probe recomputes no signatures, reads no corpus") {
+    // the whole point of the persisted index (VERDICT r8 #1): pair
+    // generation over the stored tables must plan ZERO MinHashSig
+    // evaluations and ZERO scans of the documents table — signatures and
+    // shingles come back as stored bytes
+    val p = plan(DocQueries.queries("d24_persisted_index")(spark, SF))
+    assert(!p.contains("minhash_sig"),
+      s"persisted-index probe recomputes signatures:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"persisted-index probe re-reads the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs shape in persisted-index probe:\n$p")
+  }
+
   test("g24 approxJaccard: LSH bucket join, never a nested-loop/cartesian pair join") {
     val p = plan(GraphQueries.queries("g24_approx_jaccard")(spark, SF))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

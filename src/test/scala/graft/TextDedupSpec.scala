@@ -267,4 +267,61 @@ class TextDedupSpec extends SparkSpec {
     assert(got(3L) === ((5L, 2L, 0L)))
     assert(got(4L) === ((0L, 0L, 0L)))
   }
+
+  test("DedupIndex: bucketed round-trip replays the in-memory dedup family") {
+    import graft.dedup.DedupIndex
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and again",
+      3L -> "the quick brown fox jumps over the lazy cat again and again",
+      4L -> "completely different text about spark catalyst optimizer plans",
+      5L -> "completely different text about spark catalyst optimizer plans",
+      6L -> "")
+    val idx = DedupIndex.build(corpus, "doc_id", "text",
+      shingleSize = 3, numHashes = 128, bands = 32)
+    DedupIndex.writeBucketed(idx, "graft_test_didx", numBuckets = 4)
+    val stored = DedupIndex.readBucketed(spark, "graft_test_didx")
+    assert((stored.shingleSize, stored.numHashes, stored.bands) === ((3, 128, 32)))
+
+    // pair generation over the STORED tables == the in-memory composition
+    val expectedPairs = Dedup.dedupedNearDuplicates(
+      corpus, "doc_id", "text", threshold = 0.4).pairs
+    assert(rowSet(stored.pairs(0.4)) === rowSet(expectedPairs))
+    assert(rowSet(stored.pairs(0.4)).nonEmpty) // the (1,3) near-dup pair
+
+    // cluster assignment over the stored tables == Dedup.nearDupClusters
+    val expectedClusters =
+      Dedup.nearDupClusters(corpus, "doc_id", "text", threshold = 0.4)
+    assert(rowSet(stored.clusterAssign(0.4, "doc_id")) === rowSet(expectedClusters))
+
+    // bucketing is live: a (band, bucket)-keyed aggregation over the
+    // stored bucket table satisfies its distribution from the write-time
+    // layout — zero exchange (the GraphIO writeBucketed property)
+    val aggPlan = stored.buckets.groupBy(col("band"), col("bucket")).count()
+      .queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange hashpartitioning"),
+      s"bucket-keyed agg should reuse write-time bucketing:\n$aggPlan")
+  }
+
+  test("DocStream.fromDedupIndex probe equals the indexCorpusDeduped probe") {
+    import graft.streaming.DocStream
+    val corpus = docs(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      11L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      12L -> "one two three four five six seven eight nine ten")
+    val incoming = docs(
+      20L -> "alpha beta gamma delta epsilon zeta eta theta iota mu",
+      21L -> "unrelated words entirely nothing shared with anything here")
+    val viaOld = DocStream.dedupedNearDupAgainstCorpus(
+      incoming, DocStream.indexCorpusDeduped(corpus, "doc_id", "text"),
+      "doc_id", "text", threshold = 0.4)
+    val viaIdx = DocStream.dedupedNearDupAgainstCorpus(
+      incoming,
+      DocStream.fromDedupIndex(
+        graft.dedup.DedupIndex.build(corpus, "doc_id", "text")),
+      "doc_id", "text", threshold = 0.4)
+    assert(rowSet(viaIdx.hits) === rowSet(viaOld.hits))
+    assert(rowSet(viaIdx.hits).nonEmpty) // 20 hits the 10/11 representative
+    assert(rowSet(viaIdx.copyCounts) === rowSet(viaOld.copyCounts))
+  }
 }
