@@ -484,6 +484,31 @@ object DocQueries {
             .otherwise("tail").as("ppl_bucket"))
     }),
 
+    "d22_sketch_quantile_gate" -> ((s, d) => {
+      // mergeable-quantile-sketch gate (VERDICT r8 #2): the d15/d21
+      // exact-quantile path aggregates distinct (stratum, value) pairs,
+      // which collapses at 100 TB on continuous scores (distinct pairs
+      // ~= corpus). Here the per-language 10th-percentile quality
+      // threshold comes from QuantileSketch — a deterministic bottom-k
+      // rank sample (k = 64, deliberately smaller than the strata so
+      // the SAMPLED path is what's tested) whose state is k rows per
+      // stratum no matter how continuous the score is. Hash, sample
+      // membership, rank pick and gate all replay bit for bit in DuckDB
+      // (sha256-prefix hash + integer ranks). Output: one row per lang
+      // with the exact corpus count n, sample size m, the estimated
+      // threshold, and how many docs the gate keeps.
+      val scored = documents(s, d).select(
+        col("doc_id"), col("lang"), qualityScore(col("text")).as("q"))
+      val sk = graft.sketch.QuantileSketch.sketch(
+        scored, "lang", "doc_id", "q", k = 64)
+      val thr = graft.sketch.QuantileSketch.thresholds(sk, "lang", 0.1)
+      scored.join(broadcast(thr), Seq("lang"))
+        .groupBy(col("lang"), col("n"), col("m"), col("threshold"))
+        .agg(count(when(col("q") >= col("threshold"), 1)).as("n_kept"))
+        .select(col("lang"), col("n"), col("m"),
+          round(col("threshold"), 6).as("threshold"), col("n_kept"))
+    }),
+
     "t07_repetition" -> ((s, d) => {
       // boilerplate/repetition score: fraction of repeated 3-gram
       // occurrences per document. Pure codegen'd column map, no shuffle.
@@ -928,6 +953,43 @@ object DocQueries {
          |SELECT sc.doc_id, sc.lang, sc.quality
          |FROM sc JOIN thr ON sc.lang = thr.lang
          |WHERE sc.quality >= thr.threshold""".stripMargin,
+    // full bit-for-bit replay of the bottom-k rank-sample quantile gate:
+    // same sha256-prefix hash of (lang|doc_id), same (h, q, rid) sample
+    // order, same ceil(q*m) rank pick, same >= gate — the sketch is a
+    // pure function of the input set, so DuckDB reproduces membership,
+    // threshold and kept counts exactly
+    "d22_sketch_quantile_gate" ->
+      s"""WITH t0 AS (SELECT doc_id, lang, text, $toksSql AS t FROM documents),
+         |mm AS (SELECT doc_id, lang,
+         |  CAST(len(t) AS DOUBLE) AS ntok,
+         |  CAST(len(list_filter(t, x -> list_contains(
+         |    ['the','a','an','of','and','to','in','is','it','on'], x))) AS DOUBLE) AS nstop,
+         |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS npunct,
+         |  CAST(length(text) AS DOUBLE) AS ltext
+         |  FROM t0),
+         |sc AS (SELECT doc_id, lang,
+         |  round(least(ntok/20.0, 1.0) * (1.0 - npunct/greatest(ltext,1.0))
+         |    * (0.5 + least(nstop/greatest(ntok,1.0)*2.0, 0.5)), 6) AS q
+         |  FROM mm),
+         |hh AS (SELECT doc_id, lang, q,
+         |  ${sha48Sql("lang || '|' || CAST(doc_id AS VARCHAR)")} AS h,
+         |  CAST(doc_id AS VARCHAR) AS rid FROM sc),
+         |samp AS (SELECT lang, q, h, rid,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h, q, rid) AS rnk
+         |  FROM hh),
+         |kept AS (SELECT lang, q, h, rid FROM samp WHERE rnk <= 64),
+         |mz AS (SELECT lang, count(*) AS m FROM kept GROUP BY lang),
+         |vr AS (SELECT lang, q, h, rid,
+         |    row_number() OVER (PARTITION BY lang ORDER BY q, h, rid) AS vrnk
+         |  FROM kept),
+         |thr AS (SELECT vr.lang, mz.m, vr.q AS threshold
+         |        FROM vr JOIN mz ON mz.lang = vr.lang
+         |        WHERE vr.vrnk = greatest(1, CAST(ceil(0.1 * mz.m) AS BIGINT))),
+         |nn AS (SELECT lang, count(*) AS n FROM sc GROUP BY lang)
+         |SELECT sc.lang, nn.n, thr.m, round(thr.threshold, 6) AS threshold,
+         |  count(CASE WHEN sc.q >= thr.threshold THEN 1 END) AS n_kept
+         |FROM sc JOIN thr ON thr.lang = sc.lang JOIN nn ON nn.lang = sc.lang
+         |GROUP BY sc.lang, nn.n, thr.m, thr.threshold""".stripMargin,
     // exact containment twin: distinct eval shingles, per-doc hit counts
     "d11_decontaminate" ->
       s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
