@@ -635,6 +635,48 @@ object DocQueries {
             .as("ttr"))
     }),
 
+    "t13_bpe_tokens" -> ((s, d) =>
+      // tokenizer-aware token counting: exact greedy BPE under the fixed
+      // ranked merge table (TextFunctions.BpeMerges), computed as one
+      // regexp char-split + 40 literal string replaces — a zero-shuffle
+      // codegen'd map, and every replace is leftmost/non-overlapping in
+      // both engines so DuckDB replays the merge chain bit for bit.
+      // Whitespace counts (d06's budget) run alongside for the ratio a
+      // packing job needs to recalibrate budgets per corpus.
+      documents(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe"))),
+
+    "d23_bpe_pack" -> ((s, d) => {
+      // d06's two-level token packing, budgeted by BPE tokens instead of
+      // whitespace words — the production contract (training budgets are
+      // tokenizer tokens; whitespace misestimates them 1.3-1.7x by
+      // language). Same 256-shard running sum, same Knuth shard hash,
+      // same 2000-token bins; only the counted unit changes.
+      import org.apache.spark.sql.expressions.Window
+      val base = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+        .withColumn("_shard",
+          expr("pmod(pmod(doc_id, 2147483648L) * 2654435761L, 4294967296L)" +
+            " div 16777216"))
+      val wIn = Window.partitionBy(col("lang"), col("_shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val inShard = base
+        .withColumn("_cum", coalesce(sum(col("n_bpe")).over(wIn), lit(0L)))
+      val wOff = Window.partitionBy(col("lang")).orderBy(col("_shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("lang"), col("_shard"))
+        .agg(sum(col("n_bpe")).as("_tot"))
+        .withColumn("_off", coalesce(sum(col("_tot")).over(wOff), lit(0L)))
+        .select(col("lang"), col("_shard"), col("_off"))
+      inShard.join(broadcast(offsets), Seq("lang", "_shard"))
+        .withColumn("bin", expr("(_off + _cum) div 2000"))
+        .select(col("doc_id"), col("lang"), col("n_bpe"), col("bin"))
+    }),
+
     "t12_gopher_quality" -> ((s, d) =>
       // Gopher-style heuristic quality filter (Rae et al. 2021 §A.1.1)
       // restricted to the word-level rules that apply to one-line
@@ -656,6 +698,22 @@ object DocQueries {
 
   /** DuckDB-side tokenization mirroring TextFunctions.tokens. */
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** DuckDB-side exact BPE token count over a tokens list `t`: the same
+    * prefix-separator char split and the same 40 literal replaces,
+    * GENERATED from the one shared merge table
+    * ([[graft.text.TextFunctions.BpeMerges]]) so the two engines cannot
+    * drift. `replace` is leftmost/non-overlapping and continues after
+    * the replacement in both engines (verified), which is exactly BPE's
+    * within-rank application order. */
+  private def bpeCountSql: String = {
+    val init = """array_to_string([chr(2) || regexp_replace(w, '(.)', chr(1) || '\1', 'g') FOR w IN t], '')"""
+    val seg = graft.text.TextFunctions.BpeMerges.foldLeft(init) {
+      case (s, (a, b)) =>
+        s"replace($s, chr(1)||'$a'||chr(1)||'$b', chr(1)||'$a$b')"
+    }
+    s"(len(string_split($seg, chr(1))) - 1)"
+  }
 
   /** DuckDB-side 48-bit sha256-prefix hash of a string expression
     * (digit-decoded so every intermediate stays exact) — the replay of
@@ -803,6 +861,26 @@ object DocQueries {
          |FROM agg""".stripMargin,
     // every signal is exact-integer-derived with one rounded division,
     // mirroring TextFunctions.meanWordLen/topTokenFrac op for op
+    // full replay of the BPE merge chain (same generated replaces)
+    "t13_bpe_tokens" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents)
+         |SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+         |  CAST($bpeCountSql AS INTEGER) AS n_bpe
+         |FROM t0""".stripMargin,
+    // d06's packing oracle with the BPE count swapped in as the budget
+    "d23_bpe_pack" ->
+      s"""WITH t0 AS (SELECT doc_id, lang, $toksSql AS t,
+         |  ((((doc_id % 2147483648 + 2147483648) % 2147483648)
+         |    * 2654435761) % 4294967296) // 16777216 AS shard
+         |  FROM documents),
+         |t1 AS (SELECT doc_id, lang, shard,
+         |  CAST($bpeCountSql AS BIGINT) AS n_bpe FROM t0)
+         |SELECT doc_id, lang, n_bpe,
+         |  CAST(coalesce(sum(n_bpe) OVER (PARTITION BY lang
+         |    ORDER BY shard, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
+         |    AS BIGINT) AS bin
+         |FROM t1""".stripMargin,
     "t12_gopher_quality" ->
       s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
          |sg AS (SELECT doc_id,

@@ -268,6 +268,24 @@ class TextDedupSpec extends SparkSpec {
     assert(got(4L) === ((0L, 0L, 0L)))
   }
 
+  test("BPE token count: golden merges, rank order, word isolation") {
+    // hand-derived under BpeMerges: "the" t,h,e -> th,e -> the (1);
+    // "that" -> th,at -> that (1); "with" -> w,it,h -> w,ith -> with (1);
+    // "standing" -> st,and,ing (3); "zebra" has no matching pair (5);
+    // merges never cross words ("th e" stays th + e = 2)
+    val df = docs(
+      1L -> "the", 2L -> "that", 3L -> "with", 4L -> "standing",
+      5L -> "zebra", 6L -> "th e", 7L -> "", 8L -> "the that")
+      .select(col("doc_id"), bpeTokenCount(col("text")).as("n"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 3,
+      5L -> 5, 6L -> 2, 7L -> 0, 8L -> 2))
+    // leftmost, non-overlapping within a rank: "eee" under e+e -> ee,e
+    val over = docs(9L -> "eee")
+      .select(bpeTokenCount(col("text"))).head().getInt(0)
+    assert(over === 2)
+  }
+
   test("DedupIndex: bucketed round-trip replays the in-memory dedup family") {
     import graft.dedup.DedupIndex
     val corpus = docs(
