@@ -273,6 +273,169 @@ object Multimodal {
       }
   }
 
+  /** 64-bit difference hash from a 9x8 grid of cell means: bit r*8+c is
+    * set when cell(r, c) < cell(r, c+1) — the standard perceptual dHash
+    * bit rule (gradient direction survives re-encode/resize/brightness
+    * shifts that change every raw byte). All-integer: cell mean is
+    * floor(sum/size), so the hash is a pure function of the pixel/byte
+    * content on any JVM and replayable by a SQL engine. */
+  private def gridHash(cells: Array[Long]): Long = {
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (cells(r * 9 + c) < cells(r * 9 + c + 1)) h |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** dHash64 of a decoded image: 9x8 cell grid over the raster, cell =
+    * floor(integer Rec.601 luminance sum / pixel count), cell block
+    * [floor(c*w/9), floor((c+1)*w/9)) x [floor(r*h/8), floor((r+1)*h/8))
+    * (empty blocks on tiny rasters read 0). */
+  def dHashImage(item: MediaItem): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new ByteArrayInputStream(item.content))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else if (img.getWidth.toLong * img.getHeight > (1L << 27)) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val cells = new Array[Long](72)
+      val row = new Array[Int](w)
+      var r = 0
+      while (r < 8) {
+        val y0 = (r.toLong * h / 8).toInt
+        val y1 = ((r + 1).toLong * h / 8).toInt
+        val sums = new Array[Long](9)
+        val cnts = new Array[Long](9)
+        var y = y0
+        while (y < y1) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var c = 0
+          while (c < 9) {
+            val x0 = (c.toLong * w / 9).toInt
+            val x1 = ((c + 1).toLong * w / 9).toInt
+            var x = x0
+            while (x < x1) {
+              val p = row(x)
+              sums(c) += (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+                114 * (p & 0xff)) / 1000
+              cnts(c) += 1
+              x += 1
+            }
+            c += 1
+          }
+          y += 1
+        }
+        var c = 0
+        while (c < 9) {
+          cells(r * 9 + c) = if (cnts(c) > 0) sums(c) / cnts(c) else 0L
+          c += 1
+        }
+        r += 1
+      }
+      Some(gridHash(cells))
+    }
+  }
+
+  /** Byte-grid dHash64 fallback for payloads the JVM cannot decode
+    * (kind="raw"): the payload splits into 72 contiguous slices
+    * [floor(i*n/72), floor((i+1)*n/72)), cell = floor(byte sum / slice
+    * length) (empty slices read 0), same 9x8 bit rule. Not perceptual —
+    * but deterministic, exact-integer, and oracle-replayable, which
+    * keeps undecodable items inside the SAME dedup machinery instead of
+    * dropping them. Empty payloads hash to 0. */
+  def dHashBytes(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val cells = new Array[Long](72)
+    var i = 0
+    while (i < 72) {
+      val from = (i.toLong * n / 72).toInt
+      val until = ((i + 1).toLong * n / 72).toInt
+      if (until > from) {
+        var s = 0L
+        var j = from
+        while (j < until) { s += bytes(j) & 0xff; j += 1 }
+        cells(i) = s / (until - from)
+      }
+      i += 1
+    }
+    gridHash(cells)
+  }
+
+  /** Per-item perceptual hash dispatch: decoded-image grid when the
+    * declared format has a JVM reader and the bytes decode, byte-grid
+    * fallback otherwise. Returns (hash, kind). */
+  def dHash(item: MediaItem): (Long, String) = item.format match {
+    case f if ImageFormats(f) =>
+      dHashImage(item).map((_, "image")).getOrElse((dHashBytes(item.content), "raw"))
+    case _ => (dHashBytes(item.content), "raw")
+  }
+
+  final case class MediaHash(media_id: Long, dhash: Long, kind: String)
+
+  /** Partition-batched dHash extraction — payloads pruned after the map,
+    * one decoder pass per partition (the [[extractFeatures]] shape). */
+  def dHashes(media: DataFrame): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content", "format", "width", "height")
+      .as[MediaItem]
+      .mapPartitions(_.map { m =>
+        val (h, k) = dHash(m)
+        MediaHash(m.media_id, h, k)
+      })
+  }
+
+  /** Result of [[dHashNearDups]]: `pairs` (id_a, id_b, hamming) among
+    * exact-duplicate representatives; `copyClusters` (keep_id, n_copies)
+    * expanding a representative back to its byte-identical copies. */
+  final case class MediaNearDups(pairs: DataFrame, copyClusters: DataFrame)
+
+  /** Perceptual near-duplicate image detection, dedup-first (VERDICT r8
+    * #4) — the #1 multimodal curation operation, built from existing
+    * machinery: exact byte-duplicate collapse on the payload sha256
+    * (digests shuffle, payloads do not — the DocStream device), dHash64
+    * per representative (narrow partition-batched map), then candidate
+    * pairs by the 4x16-bit pigeonhole (Hamming <= 3 forces one identical
+    * 16-bit chunk — the [[graft.dedup.Dedup.simhashDuplicates]] /
+    * binary-ANN XOR+popcount shape) verified with the exact popcount.
+    * Candidates come from an equi-join on (chunk index, chunk value);
+    * nothing is all-pairs.
+    */
+  def dHashNearDups(media: DataFrame, maxDist: Int = 3): MediaNearDups = {
+    require(maxDist <= 3, "4-chunk pigeonhole is exhaustive only for maxDist <= 3")
+    val groups = media
+      .select(col("media_id"), sha2(col("content"), 256).as("_ph"))
+      .groupBy(col("_ph"))
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    val clusters = groups.select(col("keep_id"), col("n_copies")).localCheckpoint()
+    val reps = media.join(
+      clusters.select(col("keep_id").as("media_id")), Seq("media_id"), "left_semi")
+    val hashed = dHashes(reps).toDF().localCheckpoint()
+    val chunks = hashed.select(
+      col("media_id").as("id"), col("dhash"),
+      explode(expr(
+        "transform(sequence(0, 3), c -> " +
+          "struct(c as c, shiftright(dhash, c * 16) & 65535 as v))")).as("ck"))
+    val pairs = chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.ck") === col("y.ck") && col("x.id") < col("y.id"))
+      .select(
+        col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+    MediaNearDups(pairs, clusters)
+  }
+
   final case class FrameStats(
       media_id: Long, frame_idx: Int, n_bytes: Int, mean_raw: Double)
 

@@ -565,6 +565,40 @@ object DocQueries {
         graft.multimodal.Multimodal.mediaFromDocuments(documents(s, d)),
         frameSize = 64)),
 
+    "m03_image_neardup" -> ((s, d) => {
+      // perceptual near-duplicate media detection, dedup-first: exact
+      // byte-duplicate collapse on the payload sha256, dHash64 per
+      // representative (9x8 grid of integer cell means, gradient bit
+      // rule — decoded-raster luminance for real images, byte-grid
+      // fallback for the raw corpus here), candidates by the 4x16-bit
+      // pigeonhole chunk join, exact XOR+popcount verify. The byte-grid
+      // path is exact integer arithmetic over an ASCII corpus, so the
+      // oracle replays hash bits, pairs and copy counts in full (as a
+      // 64-element bit list — the d03 device).
+      // The corpus's natural near-dup texts differ in LENGTH, which a
+      // grid hash is rightly sensitive to (slices shift; min natural
+      // hamming is 12 here, measured) — so the workload PLANTS the
+      // perturbation class the hash is designed for: same-length local
+      // edits (the byte analog of a few changed pixels). Every doc_id
+      // % 5 == 0 gains a copy with its first byte overwritten, id
+      // offset by 1e7; planted pairs land at hamming 0-1 without being
+      // byte-identical, and the oracle rebuilds the same corpus.
+      val docs0 = documents(s, d)
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(
+        docs0.select(col("doc_id"), col("text")).unionByName(
+          docs0.filter(pmod(col("doc_id"), lit(5L)) === 0L && length(col("text")) > 1)
+            .select((col("doc_id") + 10000000L).as("doc_id"),
+              concat(lit("Z"), expr("substring(text, 2)")).as("text"))))
+      val r = graft.multimodal.Multimodal.dHashNearDups(media, maxDist = 3)
+      r.pairs
+        .join(r.copyClusters.select(
+          col("keep_id").as("id_a"), col("n_copies").as("n_copies_a")), Seq("id_a"))
+        .join(r.copyClusters.select(
+          col("keep_id").as("id_b"), col("n_copies").as("n_copies_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("hamming"),
+          col("n_copies_a"), col("n_copies_b"))
+    }),
+
     "d16_dup_spans" -> ((s, d) =>
       // substring-level dedup signal (Lee et al. 2022): per-doc counts of
       // 8-token spans that recur anywhere / in another document. The
@@ -861,6 +895,44 @@ object DocQueries {
          |FROM agg""".stripMargin,
     // every signal is exact-integer-derived with one rounded division,
     // mirroring TextFunctions.meanWordLen/topTokenFrac op for op
+    // byte-grid dHash64 replayed exactly: same exact-dup collapse, same
+    // floor(i*n/72) slice boundaries and floor cell means, same gradient
+    // bit rule; the 64 bits ride as a sorted list (the d03 device — no
+    // 64-bit shifts needed) and Hamming is the count of differing
+    // positions, identical to the Spark side's XOR+popcount
+    "m03_image_neardup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 'Z' || substr(text, 2) FROM documents
+        |  WHERE doc_id % 5 = 0 AND length(text) > 1),
+        |keep AS (SELECT min(doc_id) AS media_id, count(*) AS n_copies
+        |              FROM base GROUP BY text),
+        |d0 AS (SELECT k.media_id, d.text, length(d.text) AS n
+        |       FROM base d JOIN keep k ON k.media_id = d.doc_id),
+        |cell AS (SELECT media_id, CAST(i AS INTEGER) AS i,
+        |    CASE WHEN ((i+1)*n)//72 > (i*n)//72 THEN
+        |      list_sum([ascii(substr(text, CAST(j AS INTEGER), 1))
+        |                FOR j IN range((i*n)//72 + 1, ((i+1)*n)//72 + 1)])
+        |        // (((i+1)*n)//72 - (i*n)//72)
+        |    ELSE 0 END AS v
+        |  FROM d0, unnest(range(0, 72)) AS u(i)),
+        |bits AS (SELECT a.media_id, ((a.i // 9) * 8 + (a.i % 9)) AS b,
+        |    CASE WHEN a.v < c.v THEN 1 ELSE 0 END AS bit
+        |  FROM cell a JOIN cell c ON c.media_id = a.media_id AND c.i = a.i + 1
+        |  WHERE a.i % 9 < 8),
+        |sig AS (SELECT media_id, list(bit ORDER BY b) AS sl
+        |        FROM bits GROUP BY media_id)
+        |SELECT id_a, id_b, hamming, kx.n_copies AS n_copies_a,
+        |  ky.n_copies AS n_copies_b
+        |FROM (
+        |  SELECT x.media_id AS id_a, y.media_id AS id_b,
+        |    CAST(len(list_filter(range(1, 65), i -> x.sl[i] <> y.sl[i]))
+        |      AS INTEGER) AS hamming
+        |  FROM sig x JOIN sig y ON x.media_id < y.media_id) p
+        |JOIN keep kx ON kx.media_id = p.id_a
+        |JOIN keep ky ON ky.media_id = p.id_b
+        |WHERE hamming <= 3""".stripMargin,
     // full replay of the BPE merge chain (same generated replaces)
     "t13_bpe_tokens" ->
       s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents)

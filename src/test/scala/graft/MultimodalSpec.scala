@@ -91,6 +91,62 @@ class MultimodalSpec extends SparkSpec {
     assert(feats("raw").n_bytes === 3)
   }
 
+  test("dHash: real PNG — stable under brightness shift, flipped by mirror") {
+    // horizontal gradient: luminance rises left->right, so every dHash
+    // bit is 1 (cell c < cell c+1)
+    def gradient(shift: Int) = pngBytes(90, 80)((x, _) => {
+      val v = math.min(255, x * 2 + shift); (v << 16) | (v << 8) | v
+    })
+    def h(b: Array[Byte]) =
+      Multimodal.dHash(MediaItem(0L, b, "png", -1, -1))
+    val (h0, k0) = h(gradient(0))
+    assert(k0 === "image")
+    assert(h0 === -1L) // all 64 gradient bits set
+    // +10 brightness changes every byte of the file but no gradient
+    // direction: identical hash
+    val (h1, _) = h(gradient(10))
+    assert(java.lang.Long.bitCount(h0 ^ h1) === 0)
+    // mirrored gradient reverses every comparison: all bits clear
+    val mirrored = pngBytes(90, 80)((x, _) => {
+      val v = math.min(255, (89 - x) * 2); (v << 16) | (v << 8) | v
+    })
+    assert(h(mirrored)._1 === 0L)
+  }
+
+  test("dHash byte fallback: deterministic, local-edit robust, empty = 0") {
+    def h(b: Array[Byte]) = Multimodal.dHashBytes(b)
+    assert(h(Array.emptyByteArray) === 0L)
+    val base = Array.tabulate[Byte](720)(i => (i % 128).toByte)
+    assert(h(base) === h(base.clone())) // pure function of content
+    // one overwritten byte moves at most the two bits adjacent to its
+    // cell
+    val edited = base.clone(); edited(360) = 0
+    assert(java.lang.Long.bitCount(h(base) ^ h(edited)) <= 2)
+  }
+
+  test("dHashNearDups: exact copies collapse, planted near-dup pairs, no false pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val a = Array.tabulate[Byte](720)(i => (i % 97).toByte)
+    val aCopy = a.clone()
+    val aEdit = a.clone(); aEdit(100) = 7 // near-dup of a, not identical
+    val far = Array.tabulate[Byte](720)(i => ((i * 31) % 255).toByte)
+    val media = Seq(
+      (1L, a), (2L, aCopy), (3L, aEdit), (4L, far))
+      .toDF("media_id", "content")
+      .withColumn("format", lit("bin"))
+      .withColumn("width", lit(-1)).withColumn("height", lit(-1))
+    val r = Multimodal.dHashNearDups(media, maxDist = 3)
+    // 1 and 2 are byte-identical: one cluster of 2, rep = 1
+    val clusters = r.copyClusters.collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(clusters(1L) === 2L && clusters(3L) === 1L && clusters(4L) === 1L)
+    assert(!clusters.contains(2L))
+    // the only near-dup pair among representatives is (1, 3)
+    val pairs = r.pairs.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs === Set((1L, 3L)))
+  }
+
   test("frameStats: frame boundaries, short tail frame, exact means") {
     import spark.implicits._
     // 10 bytes at frame size 4 -> frames of 4, 4, 2
