@@ -104,6 +104,95 @@ object Louvain {
       edges, directed = false)
   }
 
+  /** [[contract]] for a WEIGHTED graph — the level ≥ 1 contraction:
+    * multi-edges sum their weights, existing self-loops (a community's
+    * internal mass from earlier levels) are RETAINED and aggregate with
+    * any new intra-community mass. `weightCol = None` degrades to the
+    * simple-graph semantics of [[contract]]. */
+  def contractWeighted(
+      g: Graph, comm: DataFrame, weightCol: Option[String]): Graph = {
+    val canon = weightCol match {
+      case None =>
+        g.edges.filter(col(SRC) =!= col(DST))
+          .select(least(col(SRC), col(DST)).as(SRC),
+            greatest(col(SRC), col(DST)).as(DST))
+          .distinct()
+          .withColumn("_w", lit(1L))
+      case Some(c) =>
+        g.edges
+          .select(least(col(SRC), col(DST)).as(SRC),
+            greatest(col(SRC), col(DST)).as(DST),
+            col(c).cast("long").as("_w"))
+          .groupBy(col(SRC), col(DST)).agg(sum(col("_w")).as("_w"))
+    }
+    val mapped = canon
+      .join(comm.select(col(ID).as(SRC), col(COMMUNITY).as("_ca")), Seq(SRC))
+      .join(comm.select(col(ID).as(DST), col(COMMUNITY).as("_cb")), Seq(DST))
+      .select(least(col("_ca"), col("_cb")).as(SRC),
+        greatest(col("_ca"), col("_cb")).as(DST),
+        col("_w"))
+    val edges = mapped.groupBy(col(SRC), col(DST))
+      .agg(sum(col("_w")).as("weight"))
+      .withColumn(EDGE_ID, xxhash64(col(SRC), col(DST)))
+    Graph(
+      comm.select(col(COMMUNITY).as(ID)).distinct(),
+      edges, directed = false)
+  }
+
+  /** The multi-level Louvain DRIVER (VERDICT r8 #5) — the algorithm a
+    * user asks for by name, as one call: refine the current level,
+    * contract communities into weighted supervertices, refine the
+    * contracted graph, and keep descending while the ORIGINAL-graph
+    * modularity of the composite labelling improves by more than
+    * `minGain` (evaluated with [[Modularity.perCommunity]]'s exact
+    * integer terms, so the accept/stop decision is deterministic). A
+    * level that does not improve is REJECTED — the returned labelling is
+    * the best one seen. Pass `minGain = Double.NegativeInfinity` to run
+    * exactly `maxLevels` levels unconditionally (the fixed-shape form an
+    * unrolled SQL oracle can replay).
+    *
+    * Scale: each level's refine is the [[refineCore]] round shape; the
+    * contraction is one edge re-key + combinable sum, and every level's
+    * graph is sized by the previous level's COMMUNITY count, so the
+    * per-level cost collapses geometrically — the classic Louvain
+    * coarsening ladder. The modularity check is two keyed joins over
+    * the ORIGINAL edge list per accepted level.
+    *
+    * @return (id, community) over g's ORIGINAL vertex ids. */
+  def fit(
+      g: Graph,
+      maxLevels: Int = 4,
+      roundsPerLevel: Int = 4,
+      minGain: Double = 0.0,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    require(maxLevels >= 1, s"maxLevels must be >= 1, got $maxLevels")
+    def q(assign: DataFrame): Double =
+      Modularity.perCommunity(g, assign)
+        .agg(coalesce(sum(col("contribution")), lit(0.0))).head().getDouble(0)
+
+    var mapping = checkpoint.pin(refine(g, roundsPerLevel, None, checkpoint))
+    var curQ = q(mapping)
+    var levelGraph = contractWeighted(g, mapping, None)
+    var level = 1
+    var stop = false
+    while (level < maxLevels && !stop) {
+      val commL = refineWeighted(levelGraph, "weight", roundsPerLevel, None, checkpoint)
+      val candidate = checkpoint.pin(
+        mapping
+          .join(commL.select(col(ID).as(COMMUNITY), col(COMMUNITY).as("_nc")),
+            Seq(COMMUNITY))
+          .select(col(ID), col("_nc").as(COMMUNITY)))
+      val newQ = q(candidate)
+      if (newQ - curQ > minGain) {
+        mapping = candidate
+        curQ = newQ
+        levelGraph = contractWeighted(levelGraph, commL, Some("weight"))
+        level += 1
+      } else stop = true
+    }
+    mapping
+  }
+
   private def refineCore(
       vertices: DataFrame, canon0: DataFrame, rounds: Int,
       init: Option[DataFrame], checkpoint: CheckpointPolicy): DataFrame = {

@@ -162,6 +162,20 @@ object GraphQueries {
       Louvain.refine(indexedGraph(vertsOf(e), e, directed = false), rounds = 4)
     }),
 
+    "g51_louvain_fit" -> ((s, d) => {
+      // the MULTI-LEVEL Louvain driver (g41 runs one flat refine): 4
+      // level-0 rounds, contraction into the weighted community
+      // supergraph, 4 weighted rounds, composite mapping back to
+      // original vertices. minGain = -inf pins the fixed two-level
+      // shape so the oracle can unroll it; the adaptive
+      // stop-on-modularity-stall face is spec-tested on the barbell
+      // fixture (AlgorithmsSpec)
+      val e = ordersEdges(s, d)
+      Louvain.fit(indexedGraph(vertsOf(e), e, directed = false),
+        maxLevels = 2, roundsPerLevel = 4,
+        minGain = Double.NegativeInfinity)
+    }),
+
     "g43_eigenvector" -> ((s, d) => {
       // eigenvector centrality on the undirected orders graph: 3 power-
       // iteration rounds (x <- A x, L2-normalized), oracle-checked like
@@ -821,6 +835,98 @@ object GraphQueries {
       s"\nSELECT id, community FROM c$rounds"
   }
 
+  /** Two-level Louvain-fit oracle: level-0 refine rounds (the
+    * [[louvainOracleSql]] CTE chain), contraction into the weighted
+    * community supergraph (intra mass as self-loops, counted twice in
+    * the weighted degree), `r1` weighted refine rounds with the same
+    * argmax/parity devices, and the composite original-vertex mapping.
+    * Replays [[graft.algorithms.Louvain.fit]] with
+    * `minGain = -infinity` (fixed two-level shape) bit for bit. */
+  private def louvainFitOracleSql(r0: Int, r1: Int): String = {
+    val head =
+      s"""WITH raw AS ($ordersEdgesSql),
+         |canon AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+         |  FROM raw WHERE src <> dst),
+         |sym AS MATERIALIZED (
+         |  SELECT src, dst FROM canon UNION ALL SELECT dst, src FROM canon),
+         |deg AS MATERIALIZED (SELECT src AS id, count(*) AS k FROM sym GROUP BY src),
+         |mm AS (SELECT count(*) AS m FROM canon),
+         |v AS (SELECT src AS id FROM raw UNION SELECT dst FROM raw),
+         |c0 AS MATERIALIZED (SELECT id, id AS community FROM v)""".stripMargin
+    val iters0 = (1 to r0).map { r =>
+      s"""tot$r AS (SELECT c.community AS cu, sum(coalesce(d.k, 0)) AS tot
+         |  FROM c${r - 1} c LEFT JOIN deg d ON d.id = c.id GROUP BY c.community),
+         |l$r AS (SELECT e.src AS id, cd.community AS cu, count(*) AS l
+         |  FROM sym e JOIN c${r - 1} cd ON cd.id = e.dst GROUP BY e.src, cd.community),
+         |cand$r AS (SELECT id, cu, max(l) AS l FROM (
+         |  SELECT id, cu, l FROM l$r
+         |  UNION ALL SELECT id, community, 0 FROM c${r - 1}) GROUP BY id, cu),
+         |sc$r AS (SELECT a.id, a.cu,
+         |    2 * (SELECT m FROM mm) * a.l
+         |    - coalesce(d.k, 0) * (coalesce(t.tot, 0)
+         |        - CASE WHEN a.cu = cv.community THEN coalesce(d.k, 0)
+         |               ELSE 0 END) AS score
+         |  FROM cand$r a JOIN c${r - 1} cv ON cv.id = a.id
+         |  LEFT JOIN deg d ON d.id = a.id
+         |  LEFT JOIN tot$r t ON t.cu = a.cu),
+         |b$r AS (SELECT id, cu FROM (
+         |  SELECT id, cu,
+         |    row_number() OVER (PARTITION BY id ORDER BY score DESC, cu) AS rn
+         |  FROM sc$r) WHERE rn = 1),
+         |c$r AS MATERIALIZED (SELECT c.id,
+         |    CASE WHEN c.id % 2 = ${r % 2} THEN b.cu ELSE c.community END AS community
+         |  FROM c${r - 1} c JOIN b$r b ON b.id = c.id)""".stripMargin
+    }
+    val bridge =
+      s"""cmap AS MATERIALIZED (SELECT id, community FROM c$r0),
+         |wcanon AS MATERIALIZED (
+         |  SELECT least(ma.community, mb.community) AS src,
+         |         greatest(ma.community, mb.community) AS dst,
+         |         count(*) AS w
+         |  FROM canon e JOIN cmap ma ON ma.id = e.src
+         |  JOIN cmap mb ON mb.id = e.dst
+         |  GROUP BY 1, 2),
+         |wns AS (SELECT src, dst, w FROM wcanon WHERE src <> dst),
+         |wsym AS MATERIALIZED (SELECT src, dst, w FROM wns
+         |  UNION ALL SELECT dst, src, w FROM wns),
+         |wself AS (SELECT src AS id, w AS ws FROM wcanon WHERE src = dst),
+         |wdeg AS MATERIALIZED (
+         |  SELECT coalesce(a.id, b.id) AS id,
+         |         coalesce(a.kd, 0) + 2 * coalesce(b.ws, 0) AS k
+         |  FROM (SELECT src AS id, sum(w) AS kd FROM wsym GROUP BY src) a
+         |  FULL JOIN wself b ON b.id = a.id),
+         |wmm AS (SELECT sum(w) AS m FROM wcanon),
+         |wv AS (SELECT DISTINCT community AS id FROM cmap),
+         |w0 AS MATERIALIZED (SELECT id, id AS community FROM wv)""".stripMargin
+    val iters1 = (1 to r1).map { r =>
+      s"""wtot$r AS (SELECT c.community AS cu, sum(coalesce(d.k, 0)) AS tot
+         |  FROM w${r - 1} c LEFT JOIN wdeg d ON d.id = c.id GROUP BY c.community),
+         |wl$r AS (SELECT e.src AS id, cd.community AS cu, sum(e.w) AS l
+         |  FROM wsym e JOIN w${r - 1} cd ON cd.id = e.dst GROUP BY e.src, cd.community),
+         |wcand$r AS (SELECT id, cu, max(l) AS l FROM (
+         |  SELECT id, cu, l FROM wl$r
+         |  UNION ALL SELECT id, community, 0 FROM w${r - 1}) GROUP BY id, cu),
+         |wsc$r AS (SELECT a.id, a.cu,
+         |    2 * (SELECT m FROM wmm) * a.l
+         |    - coalesce(d.k, 0) * (coalesce(t.tot, 0)
+         |        - CASE WHEN a.cu = cv.community THEN coalesce(d.k, 0)
+         |               ELSE 0 END) AS score
+         |  FROM wcand$r a JOIN w${r - 1} cv ON cv.id = a.id
+         |  LEFT JOIN wdeg d ON d.id = a.id
+         |  LEFT JOIN wtot$r t ON t.cu = a.cu),
+         |wb$r AS (SELECT id, cu FROM (
+         |  SELECT id, cu,
+         |    row_number() OVER (PARTITION BY id ORDER BY score DESC, cu) AS rn
+         |  FROM wsc$r) WHERE rn = 1),
+         |w$r AS MATERIALIZED (SELECT c.id,
+         |    CASE WHEN c.id % 2 = ${r % 2} THEN b.cu ELSE c.community END AS community
+         |  FROM w${r - 1} c JOIN wb$r b ON b.id = c.id)""".stripMargin
+    }
+    ((head +: iters0) ++ (bridge +: iters1)).mkString(",\n") +
+      s"\nSELECT c.id, w.community FROM cmap c JOIN w$r1 w ON w.id = c.community"
+  }
+
   /** Unrolled landmark-Brandes betweenness oracle: forward CTEs f0..fD
     * count shortest paths level by level (visited-set pruning via NOT
     * EXISTS, exactly [[graft.algorithms.Betweenness.landmark]]'s
@@ -1318,6 +1424,7 @@ object GraphQueries {
     "g39_node2vec_walks" -> biasedWalksOracleSql(4, 4, 2, 1),
     "g40_betweenness" -> betweennessOracleSql(6),
     "g41_louvain" -> louvainOracleSql(4),
+    "g51_louvain_fit" -> louvainFitOracleSql(4, 4),
     // double-sweep replay: recursive walk from the min-id seed, id-
     // tiebroken farthest pick, second walk from it
     "g42_pseudo_diameter" ->

@@ -524,6 +524,61 @@ class AlgorithmsSpec extends SparkSpec {
     assert(hm.values.toSet.size === 1, s"heavy bridge merges: $hm")
   }
 
+  test("louvain fit: multi-level driver improves modularity and stops at the stall") {
+    import spark.implicits._
+    // ring of four bridged triangles with WEAKLY separated halves: the
+    // flat refine finds the four triangles (level 0); the second level's
+    // weighted refine considers merging adjacent triangle-communities —
+    // the fit driver must accept a level only when ORIGINAL-graph
+    // modularity improves, and return the best labelling seen
+    val ring = (0 until 4).flatMap { i =>
+      val b = 3L * i
+      Seq((b, b + 1), (b + 1, b + 2), (b, b + 2))
+    } ++ Seq((2L, 3L), (5L, 6L), (8L, 9L), (11L, 0L))
+    val g = Graph((0L until 12L).toDF(ID),
+      ring.toDF(SRC, DST).withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+      directed = false)
+    def qOf(assign: org.apache.spark.sql.DataFrame): Double =
+      Modularity.perCommunity(g, assign)
+        .agg(sum(col("contribution"))).head().getDouble(0)
+
+    val flat = Louvain.refine(g, rounds = 4)
+    val fitted = Louvain.fit(g, maxLevels = 3, roundsPerLevel = 4)
+    // the driver never returns a worse labelling than level 0
+    assert(qOf(fitted) >= qOf(flat) - 1e-12)
+    // on this fixture the triangle split is optimal: levels past it are
+    // rejected and the composite equals the flat labelling's partition
+    val fm = fitted.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until 4).forall { i =>
+      Set(fm(3L * i), fm(3L * i + 1), fm(3L * i + 2)).size == 1
+    }, s"triangles intact: $fm")
+    assert(Set(fm(0), fm(3), fm(6), fm(9)).size === 4, s"four communities: $fm")
+
+    // barbell of two triangles: fit converges to exactly 2 communities
+    // and matches the hand-derived optimum
+    val barbell = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L))
+    val bg = Graph((0L to 5L).toDF(ID),
+      barbell.toDF(SRC, DST).withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+      directed = false)
+    val bm = Louvain.fit(bg, maxLevels = 3, roundsPerLevel = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(bm(0), bm(1), bm(2)).size === 1 &&
+      Set(bm(3), bm(4), bm(5)).size === 1 && bm(0) != bm(3), s"barbell: $bm")
+
+    // a graph where level 2 GENUINELY improves: two triangles bridged by
+    // a HEAVY parallel structure... use the two-clique pair that level-0
+    // parity refinement splits but the contracted level merges: K4 minus
+    // nothing, cut in half by init — here simply assert fit >= refine on
+    // the orders-like ring with a chord that rewards a 2-community merge
+    val chord = ring ++ Seq((1L, 4L), (2L, 4L), (1L, 5L))
+    val cg = Graph((0L until 12L).toDF(ID),
+      chord.toDF(SRC, DST).withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+      directed = false)
+    assert(qOf(Louvain.fit(cg, maxLevels = 3, roundsPerLevel = 4)) >=
+      qOf(Louvain.refine(cg, rounds = 4)) - 1e-12)
+  }
+
   test("betweenness: Brandes golden values on a path and a diamond") {
     import spark.implicits._
     def bc(es: Seq[(Long, Long)], n: Long, lms: Seq[Long]): Map[Long, Double] = {
