@@ -62,7 +62,15 @@ object Bench {
       else errors.get(k).map(m => s""""${esc(k)}":"${esc(m)}"""") }
       .mkString("{", ",", "}")
     val total = names.flatMap { case (k, _) => best.get(k) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}"}"""
+    println(line)
+    // the stdout tail has been truncated by log interleaving more than
+    // once (r7/r8 artifacts had `parsed: null`); the file copy is the
+    // always-machine-readable record
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -1,0 +1,213 @@
+package graft.algorithms
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.core.CheckpointPolicy
+
+/** Alternating Least Squares matrix factorization over a bipartite
+  * interaction graph — the classic graph→embedding trainer
+  * (Koren/Bell/Volinsky 2009; Hu/Koren/Volinsky 2008 for the implicit
+  * case), and the one ❌ row left in the reference's own aspiration
+  * matrix (`/root/reference/README.md:33` lists SVDPlusPlus as
+  * unimplemented there and in GraphFrames/GraphX).
+  *
+  * Two faces, one join shape:
+  *
+  *  - [[fit]] — the real rank-k blocked solver: each half-iteration
+  *    joins ratings with the fixed side's factors (keyed equi-join),
+  *    groups by the solved side's id, and solves that row's k×k normal
+  *    equations (AᵀA + λI) x = Aᵀr in-JVM per group (Cholesky, k ≤ 32)
+  *    — the standard distributed-ALS shape: no factor matrix is ever
+  *    materialized driver-side, each group's solve sees only its own
+  *    rated items. Float iteration ⇒ results are deterministic within
+  *    one engine but NOT bit-replayable across engines (summation order
+  *    inside a group is pinned by sorting, but lapack-free Cholesky
+  *    differs from any SQL restatement), so this face is spec-verified
+  *    (reconstruction error, convergence), not oracle-verified.
+  *
+  *  - [[fitRank1Exact]] — the deterministic cross-engine face: rank-1
+  *    ALS in the library's exact scaled-integer style (the g50 GNN
+  *    device — factors are S-scaled i64, every update one combinable
+  *    integer sum + one integer division), which a SQL oracle replays
+  *    bit for bit. Rank 1 makes the normal equation scalar:
+  *    u = S·Σ_j y_j r_uj div (λS + Σ_j y_j² div S). Overflow headroom:
+  *    with S = 10⁴, ratings ≤ 10³ and degrees ≤ 10⁴ every intermediate
+  *    stays < 2⁶³ (ANSI mode throws loudly past that rather than
+  *    wrapping).
+  */
+object Als {
+
+  /** Scaled-integer rank-1 ALS. `ratings` is (user, item, rating) with
+    * integer ratings; output one row per id per side:
+    * (id, side ∈ {user, item}, factor) where factor is the S-scaled
+    * integer factor after `iterations` full (user-then-item)
+    * alternations from y₀ = S (all-ones item factors).
+    */
+  def fitRank1Exact(
+      ratings: DataFrame,
+      iterations: Int = 2,
+      lambda: Long = 1L,
+      scale: Long = 10000L,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(scale >= 1L && lambda >= 0L, "scale >= 1 and lambda >= 0")
+    val r = checkpoint.pin(ratings.select(
+      col("user"), col("item"), col("rating").cast("long").as("r")))
+    val S = scale
+    val lamS = lambda * S
+
+    def halfStep(fixed: DataFrame, fixedKey: String, solveKey: String): DataFrame =
+      r.join(fixed.withColumnRenamed("id", fixedKey), Seq(fixedKey))
+        .groupBy(col(solveKey).as("id"))
+        .agg(
+          sum(col("f") * col("r")).as("_num"),
+          sum(expr("f * f div " + S)).as("_den"))
+        // `div` (integral divide), not `/`: float division + cast loses
+        // exactness past 2^53 and truncates instead of flooring — DuckDB
+        // replays `//` floor semantics
+        .select(col("id"),
+          expr(s"($S * _num) div ($lamS + _den)").as("f"))
+
+    var items = checkpoint.pin(
+      r.select(col("item").as("id")).distinct().withColumn("f", lit(S)))
+    var users: DataFrame = null
+    var i = 0
+    while (i < iterations) {
+      users = checkpoint.pin(halfStep(items, "item", "user"))
+      items = checkpoint.pin(halfStep(users, "user", "item"))
+      i += 1
+    }
+    users.select(col("id"), lit("user").as("side"), col("f").as("factor"))
+      .unionByName(
+        items.select(col("id"), lit("item").as("side"), col("f").as("factor")))
+  }
+
+  final case class Factor(id: Long, vec: Array[Double])
+
+  /** Rank-k blocked ALS (explicit ratings, L2 regularization). Each
+    * half-iteration: one keyed join (ratings ⋈ fixed factors), one
+    * groupByKey over the solved side, and an in-JVM k×k Cholesky solve
+    * per group — the per-group working set is that row's degree × k
+    * doubles, never the factor matrix. Rows are sorted inside each
+    * group before accumulation, so results are reproducible run-to-run
+    * on the same engine. Returns (userFactors, itemFactors).
+    */
+  def fit(
+      ratings: DataFrame,
+      k: Int,
+      iterations: Int = 5,
+      lambda: Double = 0.1,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local)
+      : (Dataset[Factor], Dataset[Factor]) = {
+    require(k >= 1 && k <= 32, s"k must be in [1, 32], got $k")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val spark = ratings.sparkSession
+    import spark.implicits._
+    val r = checkpoint.pin(ratings.select(
+      col("user").cast("long"), col("item").cast("long"),
+      col("rating").cast("double").as("r")))
+
+    // deterministic init: unit-norm-ish vectors from the portable hash,
+    // so runs are reproducible without an RNG
+    def init(side: String): Dataset[Factor] =
+      r.select(col(side).as("id")).distinct()
+        .select(col("id"),
+          transform(sequence(lit(0), lit(k - 1)),
+            j => (pmod(graft.sketch.Kmv.portableHash(
+              concat(col("id").cast("string"), lit("|"), j.cast("string"))),
+              lit(1000L)).cast("double") + lit(1.0)) / lit(1000.0)).as("vec"))
+        .as[Factor]
+
+    def solveSide(
+        fixed: Dataset[Factor], fixedKey: String, solveKey: String): Dataset[Factor] = {
+      val joined = r
+        .join(fixed.toDF().withColumnRenamed("id", fixedKey), Seq(fixedKey))
+        .select(col(solveKey).as("id"), col(fixedKey).as("other"),
+          col("r"), col("vec"))
+        .as[(Long, Long, Double, Array[Double])]
+      joined.groupByKey(_._1).mapGroups { (id: Long, it: Iterator[(Long, Long, Double, Array[Double])]) =>
+        // pin accumulation order for run-to-run reproducibility
+        val rows = it.toArray.sortBy(_._2)
+        val ata = Array.ofDim[Double](k, k)
+        val atb = new Array[Double](k)
+        rows.foreach { case (_, _, rv, v) =>
+          var a = 0
+          while (a < k) {
+            atb(a) += v(a) * rv
+            var b = 0
+            while (b < k) { ata(a)(b) += v(a) * v(b); b += 1 }
+            a += 1
+          }
+        }
+        var d = 0
+        while (d < k) { ata(d)(d) += lambda * rows.length; d += 1 }
+        Factor(id, choleskySolve(ata, atb, k))
+      }
+    }
+
+    var items = checkpoint.pin(init("item").toDF()).as[Factor]
+    var users: Dataset[Factor] = null
+    var i = 0
+    while (i < iterations) {
+      users = checkpoint.pin(solveSide(items, "item", "user").toDF()).as[Factor]
+      items = checkpoint.pin(solveSide(users, "user", "item").toDF()).as[Factor]
+      i += 1
+    }
+    (users, items)
+  }
+
+  /** Mean squared reconstruction error of (user, item, rating) under the
+    * factor pair — the fit-quality scalar AlsSpec converges on. */
+  def mse(
+      ratings: DataFrame,
+      users: Dataset[Factor], items: Dataset[Factor]): Double = {
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    ratings.select(col("user"), col("item"), col("rating").cast("double").as("r"))
+      .join(users.toDF().select(col("id").as("user"), col("vec").as("_u")), Seq("user"))
+      .join(items.toDF().select(col("id").as("item"), col("vec").as("_i")), Seq("item"))
+      .select(pow(col("r") - dot(col("_u"), col("_i")), 2).as("_e"))
+      .agg(avg(col("_e"))).head().getDouble(0)
+  }
+
+  /** In-place Cholesky solve of Ax = b for SPD A (k ≤ 32). */
+  private def choleskySolve(a: Array[Array[Double]], b: Array[Double], k: Int)
+      : Array[Double] = {
+    val l = Array.ofDim[Double](k, k)
+    var i = 0
+    while (i < k) {
+      var j = 0
+      while (j <= i) {
+        var s = a(i)(j)
+        var m = 0
+        while (m < j) { s -= l(i)(m) * l(j)(m); m += 1 }
+        if (i == j) l(i)(i) = math.sqrt(math.max(s, 1e-12))
+        else l(i)(j) = s / l(j)(j)
+        j += 1
+      }
+      i += 1
+    }
+    // forward substitution L y = b
+    val y = new Array[Double](k)
+    i = 0
+    while (i < k) {
+      var s = b(i)
+      var m = 0
+      while (m < i) { s -= l(i)(m) * y(m); m += 1 }
+      y(i) = s / l(i)(i)
+      i += 1
+    }
+    // back substitution Lᵀ x = y
+    val x = new Array[Double](k)
+    i = k - 1
+    while (i >= 0) {
+      var s = y(i)
+      var m = i + 1
+      while (m < k) { s -= l(m)(i) * x(m); m += 1 }
+      x(i) = s / l(i)(i)
+      i -= 1
+    }
+    x
+  }
+}

@@ -162,6 +162,23 @@ object GraphQueries {
       Louvain.refine(indexedGraph(vertsOf(e), e, directed = false), rounds = 4)
     }),
 
+    "g52_als_factorization" -> ((s, d) => {
+      // ALS matrix factorization on the bipartite customer x order-
+      // bucket interaction graph (rating = interaction count — the
+      // implicit-feedback convention), in the exact scaled-integer
+      // rank-1 face: factors are 1e4-scaled i64, each half-step one
+      // keyed join + combinable integer sums + one integral division,
+      // so DuckDB replays both alternations bit for bit. The rank-k
+      // float solver (Als.fit, per-row Cholesky normal equations) is
+      // spec-verified instead — float iteration has no bit-exact SQL
+      // twin (AlsSpec documents why).
+      val ratings = orders(s, d)
+        .groupBy(col("o_custkey").as("user"),
+          (pmod(col("o_orderkey"), lit(211)) + 1000000L).as("item"))
+        .agg(count(lit(1)).as("rating"))
+      Als.fitRank1Exact(ratings, iterations = 2, lambda = 1L, scale = 10000L)
+    }),
+
     "g51_louvain_fit" -> ((s, d) => {
       // the MULTI-LEVEL Louvain driver (g41 runs one flat refine): 4
       // level-0 rounds, contraction into the weighted community
@@ -1425,6 +1442,27 @@ object GraphQueries {
     "g40_betweenness" -> betweennessOracleSql(6),
     "g41_louvain" -> louvainOracleSql(4),
     "g51_louvain_fit" -> louvainFitOracleSql(4, 4),
+    // two full user/item alternations of integer rank-1 ALS: same
+    // per-row floor divisions inside the sums, same integral divide
+    "g52_als_factorization" ->
+      """WITH r AS (SELECT o_custkey AS usr,
+        |    1000000 + o_orderkey % 211 AS itm, count(*) AS r
+        |  FROM orders GROUP BY 1, 2),
+        |y0 AS (SELECT DISTINCT itm AS id, 10000 AS f FROM r),
+        |u1 AS (SELECT r.usr AS id,
+        |    CAST((10000 * sum(y.f * r.r)) // (10000 + sum(y.f * y.f // 10000)) AS BIGINT) AS f
+        |  FROM r JOIN y0 y ON y.id = r.itm GROUP BY r.usr),
+        |y1 AS (SELECT r.itm AS id,
+        |    CAST((10000 * sum(u.f * r.r)) // (10000 + sum(u.f * u.f // 10000)) AS BIGINT) AS f
+        |  FROM r JOIN u1 u ON u.id = r.usr GROUP BY r.itm),
+        |u2 AS (SELECT r.usr AS id,
+        |    CAST((10000 * sum(y.f * r.r)) // (10000 + sum(y.f * y.f // 10000)) AS BIGINT) AS f
+        |  FROM r JOIN y1 y ON y.id = r.itm GROUP BY r.usr),
+        |y2 AS (SELECT r.itm AS id,
+        |    CAST((10000 * sum(u.f * r.r)) // (10000 + sum(u.f * u.f // 10000)) AS BIGINT) AS f
+        |  FROM r JOIN u2 u ON u.id = r.usr GROUP BY r.itm)
+        |SELECT id, 'user' AS side, f AS factor FROM u2
+        |UNION ALL SELECT id, 'item' AS side, f AS factor FROM y2""".stripMargin,
     // double-sweep replay: recursive walk from the min-id seed, id-
     // tiebroken farthest pick, second walk from it
     "g42_pseudo_diameter" ->
