@@ -134,6 +134,9 @@ object DedupIndex {
       bands: Int = 32,
       checkpoint: CheckpointPolicy = CheckpointPolicy.Local): Index = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // `sha` rides along so a later [[merge]] can match incoming texts
+    // against existing groups without the corpus — 32 bytes per distinct
+    // text
     val clusters = checkpoint.pin(
       docs.select(col(idCol).as("id"), sha2(col(textCol), 256).as("_th"))
         .groupBy(col("_th"))
@@ -141,7 +144,7 @@ object DedupIndex {
           min(col("id")).as("keep_id"),
           count(lit(1)).as("n_copies"),
           sort_array(collect_list(col("id"))).as("ids"))
-        .select(col("keep_id"), col("n_copies"), col("ids")))
+        .select(col("keep_id"), col("n_copies"), col("ids"), col("_th").as("sha")))
     // representative texts come back by a semi-join on the (narrow)
     // representative-id set — the corpus text never rides the collapse
     // shuffle
@@ -160,6 +163,76 @@ object DedupIndex {
           explode(Dedup.lshBuckets(col("sig"), bands, numHashes / bands)).as("bk"))
         .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"), col("id")))
     Index(clusters, sh, buckets, shingleSize, numHashes, bands)
+  }
+
+  /** Incrementally fold a batch of NEW documents into an existing index
+    * — the daily-append lifecycle a crawl pipeline runs, without
+    * rebuilding: signature work is proportional to the batch's NEW
+    * DISTINCT texts only (exact copies of indexed texts match by sha and
+    * never touch MinHashSig; copies inside the batch collapse first).
+    *
+    * Exactly equivalent to `build(oldCorpus ∪ newDocs)` — representative
+    * ids are minima per distinct text, and signatures are a pure
+    * function of the TEXT, so when a new copy undercuts an old
+    * representative's id the stored signature/bucket rows are RE-KEYED
+    * (an id rewrite), never recomputed. TextDedupSpec pins
+    * merge ≡ whole-rebuild bit for bit.
+    */
+  def merge(
+      old: Index, newDocs: DataFrame, idCol: String, textCol: String,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): Index = {
+    val newGroups = newDocs
+      .select(col(idCol).as("id"), sha2(col(textCol), 256).as("sha"))
+      .groupBy(col("sha"))
+      .agg(
+        min(col("id")).as("_nk"),
+        count(lit(1)).as("_nn"),
+        sort_array(collect_list(col("id"))).as("_nids"))
+    val joined = old.clusters
+      .join(newGroups, Seq("sha"), "full")
+      .localCheckpoint() // consumed by clusters, the rekey map AND the new-rep set
+    val clusters = checkpoint.pin(joined.select(
+      least(coalesce(col("keep_id"), col("_nk")),
+        coalesce(col("_nk"), col("keep_id"))).as("keep_id"),
+      (coalesce(col("n_copies"), lit(0L)) + coalesce(col("_nn"), lit(0L)))
+        .as("n_copies"),
+      array_sort(concat(
+        coalesce(col("ids"), array().cast("array<long>")),
+        coalesce(col("_nids"), array().cast("array<long>")))).as("ids"),
+      col("sha")))
+    // matched groups where the batch undercuts the old representative id:
+    // rewrite the stored rows' key (tiny frame — changed groups only)
+    val rekey = joined
+      .filter(col("keep_id").isNotNull && col("_nk").isNotNull &&
+        col("_nk") < col("keep_id"))
+      .select(col("keep_id").as("_oldid"), col("_nk").as("_newid"))
+    def rekeyed(df: DataFrame): DataFrame = df
+      .join(broadcast(rekey), df("id") === rekey("_oldid"), "left")
+      .select(df.columns.map {
+        case "id" => coalesce(col("_newid"), col("id")).as("id")
+        case c => col(c)
+      }.toSeq: _*)
+    // genuinely new texts: the ONLY MinHashSig work in the whole merge
+    val newReps = joined.filter(col("keep_id").isNull)
+      .select(col("_nk").as(idCol))
+    val newShs = newDocs
+      .join(newReps, Seq(idCol), "left_semi")
+      .select(
+        col(idCol).as("id"),
+        array_distinct(
+          TextFunctions.shingles(TextFunctions.tokens(col(textCol)), old.shingleSize))
+          .as("sh"))
+      .filter(size(col("sh")) > 0)
+    val newBks = Dedup.minhashSignatures(newShs, old.numHashes)
+      .select(col("id"),
+        explode(Dedup.lshBuckets(col("sig"), old.bands,
+          old.numHashes / old.bands)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"), col("id"))
+    Index(
+      clusters,
+      checkpoint.pin(rekeyed(old.shingles).unionByName(newShs)),
+      checkpoint.pin(rekeyed(old.buckets).unionByName(newBks)),
+      old.shingleSize, old.numHashes, old.bands)
   }
 
   private def metaFrame(idx: Index): DataFrame = {

@@ -321,6 +321,36 @@ class TextDedupSpec extends SparkSpec {
       s"bucket-keyed agg should reuse write-time bucketing:\n$aggPlan")
   }
 
+  test("DedupIndex.merge: incremental append equals whole-corpus rebuild") {
+    import graft.dedup.DedupIndex
+    val base = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and again",
+      5L -> "completely different text about spark catalyst optimizer plans",
+      7L -> "")
+    // the batch exercises every merge path: an exact copy of an indexed
+    // text that UNDERCUTS its representative id (0 < 1 — stored rows must
+    // re-key, not recompute), a plain additional copy (9), a batch-
+    // internal copy pair (10, 11), and a genuinely new text (12)
+    val batch = docs(
+      0L -> "the quick brown fox jumps over the lazy dog again and again",
+      9L -> "completely different text about spark catalyst optimizer plans",
+      10L -> "a brand new page that was never indexed before today okay",
+      11L -> "a brand new page that was never indexed before today okay",
+      12L -> "the quick brown fox jumps over the lazy cat again and again")
+    val merged = DedupIndex.merge(
+      DedupIndex.build(base, "doc_id", "text"), batch, "doc_id", "text")
+    val whole = DedupIndex.build(base.unionByName(batch), "doc_id", "text")
+    assert(rowSet(merged.clusters) === rowSet(whole.clusters))
+    assert(rowSet(merged.shingles) === rowSet(whole.shingles))
+    assert(rowSet(merged.buckets) === rowSet(whole.buckets))
+    // and the downstream consumers see identical results
+    assert(rowSet(merged.pairs(0.4)) === rowSet(whole.pairs(0.4)))
+    assert(rowSet(merged.pairs(0.4)).nonEmpty) // (0, 12) near-dup pair
+    assert(rowSet(merged.clusterAssign(0.4, "doc_id")) ===
+      rowSet(whole.clusterAssign(0.4, "doc_id")))
+  }
+
   test("DocStream.fromDedupIndex probe equals the indexCorpusDeduped probe") {
     import graft.streaming.DocStream
     val corpus = docs(
