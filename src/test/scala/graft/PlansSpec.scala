@@ -58,6 +58,43 @@ class PlansSpec extends SparkSpec {
       s"all-pairs shape in persisted-index probe:\n$p")
   }
 
+  test("d22 quantile sketch: two-phase sample — document text never shuffles") {
+    // the sketch's whole point: state is k rows per stratum. The plan
+    // may shuffle (stratum, hash, id, score) quadruples for the two
+    // windows and the gate join, but the text column must die at the
+    // scan projection — a plan that carries `text` into an exchange is
+    // re-deriving the exact-quantile shape this operator replaces
+    val df = DocQueries.queries("d22_sketch_quantile_gate")(spark, SF)
+    df.collect()
+    val p = plan(df)
+    assert(!"Exchange[^\\n]*text".r.findFirstIn(p).isDefined,
+      s"document text crosses an exchange in the sketch plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("m03 dHash near-dup: pigeonhole equi-join, no all-pairs shape") {
+    val p = plan(DocQueries.queries("m03_image_neardup")(spark, SF))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs shape in the dHash candidate join:\n$p")
+  }
+
+  test("g52 ALS: keyed joins + partial (map-side combined) integer sums only") {
+    // the driver query pins each half-step (checkpoint), which hides the
+    // shape from its final plan — assert on the UNPINNED composition
+    import org.apache.spark.sql.functions._
+    val ratings = graft.queries.Tables.orders(spark, SF)
+      .groupBy(col("o_custkey").as("user"),
+        (pmod(col("o_orderkey"), lit(211)) + 1000000L).as("item"))
+      .agg(count(lit(1)).as("rating"))
+    val p = plan(graft.algorithms.Als.fitRank1Exact(ratings, iterations = 1,
+      checkpoint = graft.core.CheckpointPolicy.Passthrough))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ALS half-steps must be keyed joins:\n$p")
+    // each half-step's two sums partial-aggregate before the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial aggregation in the ALS half-steps:\n$p")
+  }
+
   test("g24 approxJaccard: LSH bucket join, never a nested-loop/cartesian pair join") {
     val p = plan(GraphQueries.queries("g24_approx_jaccard")(spark, SF))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
