@@ -170,8 +170,14 @@ object Louvain {
       Modularity.perCommunity(g, assign)
         .agg(coalesce(sum(col("contribution")), lit(0.0))).head().getDouble(0)
 
+    // unconditional acceptance (minGain = -inf, the fixed-shape oracle
+    // mode) needs no modularity at all — skip both evaluations per level
+    // (each is two keyed joins over the original edge list + a driver
+    // scalar) instead of computing a number nobody branches on
+    val unconditional = minGain.isNegInfinity
+
     var mapping = checkpoint.pin(refine(g, roundsPerLevel, None, checkpoint))
-    var curQ = q(mapping)
+    var curQ = if (unconditional) 0.0 else q(mapping)
     var levelGraph = contractWeighted(g, mapping, None)
     var level = 1
     var stop = false
@@ -182,13 +188,19 @@ object Louvain {
           .join(commL.select(col(ID).as(COMMUNITY), col(COMMUNITY).as("_nc")),
             Seq(COMMUNITY))
           .select(col(ID), col("_nc").as(COMMUNITY)))
-      val newQ = q(candidate)
-      if (newQ - curQ > minGain) {
+      if (unconditional) {
         mapping = candidate
-        curQ = newQ
         levelGraph = contractWeighted(levelGraph, commL, Some("weight"))
         level += 1
-      } else stop = true
+      } else {
+        val newQ = q(candidate)
+        if (newQ - curQ > minGain) {
+          mapping = candidate
+          curQ = newQ
+          levelGraph = contractWeighted(levelGraph, commL, Some("weight"))
+          level += 1
+        } else stop = true
+      }
     }
     mapping
   }
