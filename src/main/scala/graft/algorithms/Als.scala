@@ -83,6 +83,60 @@ object Als {
         items.select(col("id"), lit("item").as("side"), col("f").as("factor")))
   }
 
+  /** Alternating BIAS-baseline fit (the classic "Netflix baseline"
+    * predictor, Koren 2009 §2: r̂ = μ + b_u + b_i) in the same exact
+    * scaled-integer style as [[fitRank1Exact]]: μ is the S-scaled global
+    * mean, and each alternation recomputes one side's bias as the
+    * shrunk residual mean, b = Σ(S·r − μ − b_other) div (λ + n) — one
+    * keyed join + one combinable sum per half-step, truncating integral
+    * division on BOTH engines (Spark `div` and DuckDB `//` both
+    * truncate toward zero, negatives included), so a SQL oracle replays
+    * every round. The bias baseline is the standard first stage before
+    * factor models — it absorbs user/item popularity so factors learn
+    * interactions, and on its own it is the cheapest useful recommender.
+    *
+    * Output: (id, side ∈ {user, item}, bias) — S-scaled; the global μ
+    * rides as one extra row (id = -1, side = "global").
+    */
+  def biasBaselineExact(
+      ratings: DataFrame,
+      rounds: Int = 2,
+      lambda: Long = 5L,
+      scale: Long = 10000L,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(scale >= 1L && lambda >= 0L, "scale >= 1 and lambda >= 0")
+    val r = checkpoint.pin(ratings.select(
+      col("user"), col("item"), col("rating").cast("long").as("r")))
+    val gRow = r.agg(sum(col("r")), count(lit(1))).head()
+    require(gRow.getLong(1) > 0L, "bias baseline needs at least one rating")
+    val mu = scale * gRow.getLong(0) / gRow.getLong(1)
+
+    def halfStep(other: DataFrame, otherKey: String, solveKey: String): DataFrame =
+      r.join(other.select(col("id").as(otherKey), col("b").as("_bo")), Seq(otherKey))
+        .groupBy(col(solveKey).as("id"))
+        .agg(
+          sum(lit(scale) * col("r") - lit(mu) - col("_bo")).as("_s"),
+          count(lit(1)).as("_n"))
+        .select(col("id"), expr(s"_s div ($lambda + _n)").as("b"))
+
+    var bi = checkpoint.pin(
+      r.select(col("item").as("id")).distinct().withColumn("b", lit(0L)))
+    var bu: DataFrame = null
+    var i = 0
+    while (i < rounds) {
+      bu = checkpoint.pin(halfStep(bi, "item", "user"))
+      bi = checkpoint.pin(halfStep(bu, "user", "item"))
+      i += 1
+    }
+    val spark = ratings.sparkSession
+    import spark.implicits._
+    bu.select(col("id"), lit("user").as("side"), col("b").as("bias"))
+      .unionByName(
+        bi.select(col("id"), lit("item").as("side"), col("b").as("bias")))
+      .unionByName(Seq((-1L, "global", mu)).toDF("id", "side", "bias"))
+  }
+
   final case class Factor(id: Long, vec: Array[Double])
 
   /** Rank-k blocked ALS (explicit ratings, L2 regularization). Each

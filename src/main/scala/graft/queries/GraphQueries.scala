@@ -162,6 +162,20 @@ object GraphQueries {
       Louvain.refine(indexedGraph(vertsOf(e), e, directed = false), rounds = 4)
     }),
 
+    "g53_bias_baseline" -> ((s, d) => {
+      // the bias-baseline predictor (r-hat = mu + b_u + b_i), the
+      // standard stage BEFORE factor models: two alternating shrunk-
+      // residual rounds in exact 1e4-scaled integers over the same
+      // implicit ratings as g52. Spark `div` and DuckDB `//` both
+      // truncate toward zero (negative residuals included), so the
+      // oracle replays mu and all four half-steps exactly.
+      val ratings = orders(s, d)
+        .groupBy(col("o_custkey").as("user"),
+          (pmod(col("o_orderkey"), lit(211)) + 1000000L).as("item"))
+        .agg(count(lit(1)).as("rating"))
+      Als.biasBaselineExact(ratings, rounds = 2, lambda = 5L, scale = 10000L)
+    }),
+
     "g52_als_factorization" -> ((s, d) => {
       // ALS matrix factorization on the bipartite customer x order-
       // bucket interaction graph (rating = interaction count — the
@@ -1442,6 +1456,32 @@ object GraphQueries {
     "g40_betweenness" -> betweennessOracleSql(6),
     "g41_louvain" -> louvainOracleSql(4),
     "g51_louvain_fit" -> louvainFitOracleSql(4, 4),
+    // mu + two alternating shrunk-residual rounds, truncating integral
+    // division on both engines
+    "g53_bias_baseline" ->
+      """WITH r AS (SELECT o_custkey AS usr,
+        |    1000000 + o_orderkey % 211 AS itm, count(*) AS r
+        |  FROM orders GROUP BY 1, 2),
+        |g AS (SELECT CAST((10000 * sum(r)) // count(*) AS BIGINT) AS mu FROM r),
+        |bu1 AS (SELECT r.usr AS id,
+        |    CAST(sum(10000 * r.r - (SELECT mu FROM g) - 0) // (5 + count(*))
+        |      AS BIGINT) AS b
+        |  FROM r GROUP BY r.usr),
+        |bi1 AS (SELECT r.itm AS id,
+        |    CAST(sum(10000 * r.r - (SELECT mu FROM g) - u.b) // (5 + count(*))
+        |      AS BIGINT) AS b
+        |  FROM r JOIN bu1 u ON u.id = r.usr GROUP BY r.itm),
+        |bu2 AS (SELECT r.usr AS id,
+        |    CAST(sum(10000 * r.r - (SELECT mu FROM g) - i.b) // (5 + count(*))
+        |      AS BIGINT) AS b
+        |  FROM r JOIN bi1 i ON i.id = r.itm GROUP BY r.usr),
+        |bi2 AS (SELECT r.itm AS id,
+        |    CAST(sum(10000 * r.r - (SELECT mu FROM g) - u.b) // (5 + count(*))
+        |      AS BIGINT) AS b
+        |  FROM r JOIN bu2 u ON u.id = r.usr GROUP BY r.itm)
+        |SELECT id, 'user' AS side, b AS bias FROM bu2
+        |UNION ALL SELECT id, 'item' AS side, b AS bias FROM bi2
+        |UNION ALL SELECT -1 AS id, 'global' AS side, (SELECT mu FROM g) AS bias""".stripMargin,
     // two full user/item alternations of integer rank-1 ALS: same
     // per-row floor divisions inside the sums, same integral divide
     "g52_als_factorization" ->

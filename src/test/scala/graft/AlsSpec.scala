@@ -25,6 +25,19 @@ class AlsSpec extends SparkSpec {
       (10L, "item") -> 11111L, (11L, "item") -> 5000L))
   }
 
+  test("bias baseline: hand-derived integers, truncating division on negatives") {
+    // mu = 10000*(5+1)/2 = 30000; round 1: b_u1 = 20000 div 6 = 3333,
+    // b_u2 = -20000 div 6 = -3333 (TRUNCATION — floor would be -3334,
+    // which is the exact cross-engine hazard this golden pins),
+    // b_i10 = (16667 - 16667) div 7 = 0; round 2 repeats identically
+    val got = Als.biasBaselineExact(
+      ratings((1L, 10L, 5L), (2L, 10L, 1L)), rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (1L, "user") -> 3333L, (2L, "user") -> -3333L,
+      (10L, "item") -> 0L, (-1L, "global") -> 30000L))
+  }
+
   test("rank-1 exact: deterministic across runs (pure function of input)") {
     val rs = ratings((1 to 40).map(i =>
       (i.toLong % 7, 100L + i % 5, 1L + i % 3): (Long, Long, Long)): _*)
