@@ -599,6 +599,26 @@ object DocQueries {
           col("n_copies_a"), col("n_copies_b"))
     }),
 
+    "m04_stream_imagedup" -> ((s, d) => {
+      // batch twin of the STREAMING perceptual ingest-dedup path
+      // (MediaStream): the corpus is indexed once (exact byte-dup
+      // collapse + dHash64 + pigeonhole chunk table) and the "upload
+      // batch" — perturbed copies of every doc_id % 5 == 0 payload
+      // (same-length first-byte edit, id offset 1e7) — probes it
+      // through EXACTLY the code a stream runs (nearDupAgainstCorpus
+      // is stream/batch agnostic; StreamingSpec drives it live on a
+      // MemoryStream). The pigeonhole is exhaustive at maxDist 3, so
+      // the oracle is the exact cross-side compare.
+      val docs0 = documents(s, d)
+      val corpus = graft.multimodal.Multimodal.mediaFromDocuments(docs0)
+      val incoming = graft.multimodal.Multimodal.mediaFromDocuments(
+        docs0.filter(pmod(col("doc_id"), lit(5L)) === 0L && length(col("text")) > 1)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("Z"), expr("substring(text, 2)")).as("text")))
+      val idx = graft.streaming.MediaStream.indexCorpus(corpus)
+      graft.streaming.MediaStream.nearDupAgainstCorpus(incoming, idx, maxDist = 3)
+    }),
+
     "d16_dup_spans" -> ((s, d) =>
       // substring-level dedup signal (Lee et al. 2022): per-doc counts of
       // 8-token spans that recur anywhere / in another document. The
@@ -932,6 +952,39 @@ object DocQueries {
         |  FROM sig x JOIN sig y ON x.media_id < y.media_id) p
         |JOIN keep kx ON kx.media_id = p.id_a
         |JOIN keep ky ON ky.media_id = p.id_b
+        |WHERE hamming <= 3""".stripMargin,
+    // cross-side byte-grid dHash replay: corpus reps (exact-dup
+    // collapsed over ALL documents) x perturbed incoming items, the
+    // same 64-bit-list device as m03
+    "m04_stream_imagedup" ->
+      """WITH corp0 AS (SELECT min(doc_id) AS id, count(*) AS corpus_n_copies,
+        |                      text
+        |               FROM documents GROUP BY text),
+        |inc0 AS (SELECT doc_id + 10000000 AS id, 'Z' || substr(text, 2) AS text
+        |         FROM documents WHERE doc_id % 5 = 0 AND length(text) > 1),
+        |allv AS (SELECT id, 0 AS side, text FROM corp0
+        |         UNION ALL SELECT id, 1 AS side, text FROM inc0),
+        |d0 AS (SELECT id, side, text, length(text) AS n FROM allv),
+        |cell AS (SELECT id, side, CAST(i AS INTEGER) AS i,
+        |    CASE WHEN ((i+1)*n)//72 > (i*n)//72 THEN
+        |      list_sum([ascii(substr(text, CAST(j AS INTEGER), 1))
+        |                FOR j IN range((i*n)//72 + 1, ((i+1)*n)//72 + 1)])
+        |        // (((i+1)*n)//72 - (i*n)//72)
+        |    ELSE 0 END AS v
+        |  FROM d0, unnest(range(0, 72)) AS u(i)),
+        |bits AS (SELECT a.id, a.side, ((a.i // 9) * 8 + (a.i % 9)) AS b,
+        |    CASE WHEN a.v < c.v THEN 1 ELSE 0 END AS bit
+        |  FROM cell a JOIN cell c ON c.id = a.id AND c.side = a.side
+        |    AND c.i = a.i + 1
+        |  WHERE a.i % 9 < 8),
+        |sig AS (SELECT id, side, list(bit ORDER BY b) AS sl
+        |        FROM bits GROUP BY id, side)
+        |SELECT media_id, corpus_id, corpus_n_copies, hamming FROM (
+        |  SELECT i.id AS media_id, c.id AS corpus_id,
+        |    CAST(len(list_filter(range(1, 65), x -> i.sl[x] <> c.sl[x]))
+        |      AS INTEGER) AS hamming
+        |  FROM sig i JOIN sig c ON i.side = 1 AND c.side = 0) p
+        |JOIN corp0 k ON k.id = p.corpus_id
         |WHERE hamming <= 3""".stripMargin,
     // full replay of the BPE merge chain (same generated replaces)
     "t13_bpe_tokens" ->

@@ -200,6 +200,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming perceptual media dedup flags edited payloads, passes fresh ones") {
+    import spark.implicits._
+    import graft.streaming.MediaStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // corpus: one payload with an exact copy (collapses to rep 100) and
+    // one unrelated payload
+    val a = Array.tabulate[Byte](720)(i => (i % 97).toByte)
+    val far = Array.tabulate[Byte](720)(i => ((i * 31) % 255).toByte)
+    val corpus = Seq((100L, a), (101L, a.clone()), (102L, far))
+      .toDF("media_id", "content")
+      .withColumn("format", lit("bin"))
+      .withColumn("width", lit(-1)).withColumn("height", lit(-1))
+    val idx = MediaStream.indexCorpus(corpus)
+
+    val edited = a.clone(); edited(100) = 7 // near-dup of the rep
+    val fresh = Array.tabulate[Byte](720)(i => ((i * 131 + 7) % 251).toByte)
+    val stream = MemoryStream[(Long, Long, Array[Byte])]
+    val hits = MediaStream.nearDupAgainstCorpus(
+      stream.toDF().toDF("media_id", "ts_ns", "content")
+        .withColumn("ts", timestamp_micros((col("ts_ns") / 1000).cast("long")))
+        .withColumn("format", lit("bin")),
+      idx, tsCol = Some("ts"), maxDist = 3)
+    val q = hits.writeStream.format("memory").queryName("mediadup").start()
+    try {
+      stream.addData((1L, 1000L * H, a.clone()), (2L, 1000L * H, fresh))
+      q.processAllAvailable()
+      stream.addData((3L, 1001L * H, edited))
+      q.processAllAvailable()
+      val rows = spark.table("mediadup")
+        .select("media_id", "corpus_id", "corpus_n_copies", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      // exact copy: hamming 0 against rep 100, carrying BOTH corpus copies
+      assert(rows.contains((1L, 100L, 2L, 0)))
+      // edited payload: small nonzero hamming against the same rep
+      assert(rows.exists(r => r._1 == 3L && r._2 == 100L && r._4 <= 3))
+      // fresh payload passes clean
+      assert(!rows.exists(_._1 == 2L))
+      // the SAME function on a batch frame gives the streamed rows
+      val batchRows = MediaStream.nearDupAgainstCorpus(
+        Seq((1L, a.clone()), (2L, fresh), (3L, edited))
+          .toDF("media_id", "content").withColumn("format", lit("bin")),
+        idx, maxDist = 3)
+        .select("media_id", "corpus_id", "corpus_n_copies", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      assert(rows === batchRows)
+    } finally q.stop()
+  }
+
   test("dedup-first streaming near-dup probes once per distinct text; windowed copy counts") {
     import spark.implicits._
     import graft.streaming.DocStream
