@@ -222,6 +222,28 @@ object DocQueries {
           sha2(array_join(col("col"), " "), 256).as("sha256"))
     }),
 
+    "d26_overlap_chunks" -> ((s, d) => {
+      // sliding-window chunking: 64-token windows at stride 32 — the
+      // training-sequence prep that keeps context across chunk
+      // boundaries (each boundary token appears in two windows), vs
+      // d07's disjoint split. Same zero-shuffle per-row transform +
+      // posexplode; chunk count = max(1, ceil((n-64)/32)+1), content
+      // fingerprinted so the compare covers the tokens exactly.
+      val CH = 64
+      val ST = 32
+      val nChunks = expr(s"(greatest(size(t0) - $CH, 0) + ${ST - 1}) div $ST + 1")
+      documents(s, d).select(col("doc_id"), tokens(col("text")).as("t0"))
+        .filter(size(col("t0")) > 0)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0L), nChunks - 1L),
+            i => slice(col("t0"), (i * ST + 1L).cast("int"), lit(CH)))))
+        .select(
+          col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+          size(col("col")).as("n_tokens"),
+          sha2(array_join(col("col"), " "), 256).as("sha256"))
+    }),
+
     "d08_pipeline" -> ((s, d) => {
       // END-TO-END training-data prep — the composition a real corpus
       // pipeline runs, oracle-verified as a whole: exact-dedup (keep the
@@ -382,6 +404,21 @@ object DocQueries {
           (pmod(expr("cast(substring(source, 4) as bigint)"), lit(3L)) + 1)
             .cast("int")))
       graft.sample.Sampling.mixtureSample(docs, "doc_id", "source", rates)
+        .select(col("doc_id"), col("source"), col("lang"))
+    }),
+
+    "d25_temperature_mix" -> ((s, d) => {
+      // temperature-flattened corpus mixing (α = 0.5): per-source keep
+      // rates (n_min/n_i)^0.5 make the kept count ∝ sqrt(n) — the
+      // multilingual-LM re-balancing move — through the SAME
+      // deterministic hash gate as d13. sqrt and division are
+      // correctly-rounded IEEE ops, so DuckDB reproduces the rates,
+      // the floor(rate*2^32) thresholds and every keep decision.
+      // stratum = lang (the skewed axis on this corpus: en dominates
+      // ~3x) — source is uniform here, which would make every rate 1.0
+      val docs = documents(s, d)
+      val rates = graft.sample.Sampling.temperatureRates(docs, "lang", alpha = 0.5)
+      graft.sample.Sampling.mixtureSample(docs, "doc_id", "lang", rates)
         .select(col("doc_id"), col("source"), col("lang"))
     }),
 
@@ -1089,6 +1126,17 @@ object DocQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
          |    AS BIGINT) AS bin
          |FROM t0""".stripMargin,
+    // 64-token windows at stride 32, inclusive-range slices
+    "d26_overlap_chunks" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |nz AS (SELECT doc_id, t, len(t) AS n FROM t0 WHERE len(t) > 0),
+         |ch AS (SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         |         t[i * 32 + 1 : i * 32 + 64] AS c
+         |       FROM nz, unnest(range(0,
+         |         (greatest(n - 64, 0) + 31) // 32 + 1)) AS u(i))
+         |SELECT doc_id, chunk_idx, CAST(len(c) AS INTEGER) AS n_tokens,
+         |       sha256(array_to_string(c, ' ')) AS sha256
+         |FROM ch""".stripMargin,
     "d07_chunk" ->
       s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
          |nz AS (SELECT doc_id, t, len(t) AS n FROM t0 WHERE len(t) > 0),
@@ -1107,6 +1155,20 @@ object DocQueries {
         |  FROM (SELECT DISTINCT source FROM documents))
         |SELECT d.doc_id, d.source, d.lang
         |FROM documents d JOIN r ON r.source = d.source
+        |WHERE (((d.doc_id % 2147483648 + 2147483648) % 2147483648)
+        |       * 2654435761) % 4294967296
+        |      < CAST(floor(rate * 4294967296.0) AS BIGINT)""".stripMargin,
+    // same hash gate as d13 with sqrt-temperature rates — sqrt and the
+    // division are correctly rounded in both engines, so thresholds match
+    "d25_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |m AS (SELECT min(n) AS mn FROM c),
+        |r AS (SELECT lang,
+        |        sqrt(CAST((SELECT mn FROM m) AS DOUBLE) / CAST(n AS DOUBLE))
+        |          AS rate
+        |      FROM c)
+        |SELECT d.doc_id, d.source, d.lang
+        |FROM documents d JOIN r ON r.lang = d.lang
         |WHERE (((d.doc_id % 2147483648 + 2147483648) % 2147483648)
         |       * 2654435761) % 4294967296
         |      < CAST(floor(rate * 4294967296.0) AS BIGINT)""".stripMargin,

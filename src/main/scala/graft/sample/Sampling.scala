@@ -46,6 +46,38 @@ object Sampling {
       .drop(rateCol)
   }
 
+  /** Temperature-flattening keep-rates for [[mixtureSample]] — the
+    * multilingual-LM mixing move (cf. XLM-R, mT5): resample so the kept
+    * count per stratum is ∝ n^α instead of n, damping the dominant
+    * source without starving the tail. Bernoulli thinning cannot
+    * upsample, so rates are scaled to keep the SMALLEST stratum whole:
+    * rate_i = (n_min / n_i)^(1−α), giving kept_i ∝ n_i^α with
+    * rate_min = 1. α = 1 keeps everything (proportional); α → 0
+    * equalizes all strata to ~n_min.
+    *
+    * Cross-engine determinism: at the default α = 0.5 the rate is one
+    * correctly-rounded division and one correctly-rounded sqrt —
+    * bit-identical in any IEEE-754 engine, so the downstream
+    * `floor(rate·2³²)` hash gate replays exactly. Other α values go
+    * through `pow`, whose last-ulp behavior is libm-specific — fine
+    * within one engine, documented hazard for cross-engine replay.
+    *
+    * One combinable count per stratum + a broadcast 1-row min join; the
+    * corpus is scanned once and never shuffled.
+    */
+  def temperatureRates(
+      items: DataFrame, strataCol: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val counts = items.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+    val mn = broadcast(counts.agg(min(col("_n")).as("_mn")))
+    val ratio = col("_mn").cast("double") / col("_n").cast("double")
+    val rate =
+      if (alpha == 0.5) sqrt(ratio)
+      else if (alpha == 1.0) lit(1.0)
+      else pow(ratio, lit(1.0 - alpha))
+    counts.crossJoin(mn).select(col(strataCol), rate.as("rate"))
+  }
+
   /** Assign every row to one of `numShards` output shards so the shard
     * WEIGHT totals (e.g. token counts) are near-equal — the write side of
     * a training-data pipeline, where equal-token shards mean equal-cost

@@ -123,6 +123,34 @@ class SamplingSpec extends SparkSpec {
     assert(kept("a") >= 65L && kept("b") >= 33L, s"kept $kept")
   }
 
+  test("temperatureRates: kept counts flatten toward n^alpha, smallest stays whole") {
+    import spark.implicits._
+    import graft.sample.Sampling
+    // strata 100 / 400 / 1600 rows
+    val docs = ((1 to 100).map(i => (i.toLong, "small")) ++
+      (101 to 500).map(i => (i.toLong, "mid")) ++
+      (501 to 2100).map(i => (i.toLong, "big"))).toDF("doc_id", "stratum")
+    val rates = Sampling.temperatureRates(docs, "stratum", alpha = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("small") === 1.0)
+    assert(math.abs(rates("mid") - 0.5) < 1e-12)   // sqrt(100/400)
+    assert(math.abs(rates("big") - 0.25) < 1e-12)  // sqrt(100/1600)
+    // sampling at those rates keeps ~ n^0.5-proportional counts:
+    // expected 100 / 200 / 400 (ratios 1:2:4), hash-gate noise is
+    // O(sqrt(n)) — assert within 15%
+    val kept = Sampling.mixtureSample(docs, "doc_id", "stratum", rates.toSeq
+        .toDF("stratum", "rate"))
+      .groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") === 100L)
+    assert(math.abs(kept("mid") - 200.0) / 200.0 < 0.15, s"mid kept ${kept("mid")}")
+    assert(math.abs(kept("big") - 400.0) / 400.0 < 0.15, s"big kept ${kept("big")}")
+    // alpha = 1 is proportional sampling: every rate 1.0
+    val flat = Sampling.temperatureRates(docs, "stratum", alpha = 1.0)
+      .collect().map(_.getDouble(1))
+    assert(flat.forall(_ === 1.0))
+  }
+
   test("composition reports row and token shares") {
     val items = corpus(100)
     val m = Sampling.composition(items, "source", Some("n_tokens"))
