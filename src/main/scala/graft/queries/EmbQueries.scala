@@ -164,6 +164,19 @@ object EmbQueries {
         .select(col("qid"), col("nid"), round(col("cos"), 9).as("cos"))
     }),
 
+    "e20_semantic_decontamination" -> ((s, d) => {
+      // embedding-space decontamination (the d11 complement): flag
+      // training vectors close to ANY eval vector — paraphrased leaks
+      // that verbatim n-gram containment misses. Eval = the vec_id < 50
+      // slice (benchmark-sized, broadcast); train = the rest; exact
+      // quantized dots, threshold 250000 (the e04/e08 near-dup bar).
+      val emb = embeddings(s, d)
+      Ann.semanticContamination(
+        emb.filter(col("vec_id") >= 50),
+        emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", minDot = 250000L)
+    }),
+
     "e08_neardup_deduped" -> ((s, d) =>
       // e04's same-cell near-dup contract with the d09 composition applied
       // to embeddings: identical quantized vectors collapse to one
@@ -811,6 +824,22 @@ object EmbQueries {
     "e03_knn_ivf" -> ivfKnnSql,
     "e06_knn_ivf_full_probe" -> exactKnnSql,
     "e01_knn_exact" -> exactKnnSql,
+    // exact cross-side quantized dots, hit counts + lexicographic best
+    "e20_semantic_decontamination" ->
+      s"""WITH ev AS (SELECT vec_id AS eid, embedding AS ev FROM embeddings
+         |            WHERE vec_id < 50),
+         |tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 50),
+         |hits AS (
+         |  SELECT tr.vec_id, ev.eid, ${qdotSql("tr.embedding", "ev.ev")} AS dot
+         |  FROM tr, ev),
+         |fl AS (SELECT vec_id, eid, dot FROM hits WHERE dot >= 250000),
+         |agg AS (SELECT vec_id, count(*) AS n_eval_hits FROM fl GROUP BY vec_id),
+         |best AS (SELECT vec_id, eid AS best_eval_id, dot AS best_dot FROM (
+         |  SELECT vec_id, eid, dot, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dot DESC, eid) AS rn FROM fl)
+         |  WHERE rn = 1)
+         |SELECT a.vec_id, a.n_eval_hits, b.best_eval_id, b.best_dot
+         |FROM agg a JOIN best b ON b.vec_id = a.vec_id""".stripMargin,
     "e15_filtered_knn" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label FROM embeddings
          |           WHERE vec_id < $NQUERIES),

@@ -550,4 +550,36 @@ object Ann {
       .select(col("cell"), col("rank").cast("long").as("rank"),
         col("_id").as(idCol), col("cdot"))
   }
+
+  /** SEMANTIC decontamination — the embedding-space complement of
+    * [[graft.dedup.Dedup.evalContainment]]'s verbatim n-gram check: flag
+    * corpus vectors whose similarity to ANY eval/benchmark vector
+    * reaches `minDot` (paraphrased or re-templated leaks that shingle
+    * containment misses). Output one row per FLAGGED corpus item:
+    * (idCol, n_eval_hits, best_eval_id, best_dot), exact i64 quantized
+    * dots with smallest-id tie-break.
+    *
+    * Scale shape: eval sets are benchmark-sized, so the honest 100 TB
+    * plan is eval BROADCAST against a single corpus scan — cost linear
+    * in the corpus, one combinable max(struct)+count per flagged item,
+    * no corpus shuffle at all (the cross is |corpus|·|eval| multiply-
+    * adds inside codegen, the e13/e14 "only broadcast crosses" shape).
+    * An eval set too big to broadcast should go through the IVF/LSH
+    * candidate paths instead ([[lshNearDupPairs]] family).
+    */
+  def semanticContamination(
+      corpus: DataFrame, eval: DataFrame, idCol: String, vecCol: String,
+      minDot: Long): DataFrame = {
+    val ev = eval.select(col(idCol).as("_eid"), col(vecCol).as("_ev"))
+    corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .crossJoin(broadcast(ev))
+      .select(col("_id"), col("_eid"), quantizedDot(col("_v"), col("_ev")).as("_dot"))
+      .filter(col("_dot") >= minDot)
+      .groupBy(col("_id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_eval_hits"),
+        max(struct(col("_dot").as("_d"), (-col("_eid")).as("_ne"))).as("_b"))
+      .select(col(idCol), col("n_eval_hits"),
+        (-col("_b._ne")).as("best_eval_id"), col("_b._d").as("best_dot"))
+  }
 }

@@ -28,6 +28,28 @@ class AnnSpec extends SparkSpec {
     assert(got === 100L * 400 + 200 * 500 + 300 * 600) // 320000
   }
 
+  test("semanticContamination flags planted leaks, best-hit tie-breaks to smallest eval id") {
+    import spark.implicits._
+    val v = Seq(1.0f, 0.0f, 0.0f)
+    val corpus = Seq(
+      (100L, v),                          // exact leak of eval 1 AND 2
+      (101L, Seq(0.9f, 0.1f, 0.0f)),      // paraphrase-close
+      (102L, Seq(0.0f, 0.0f, 1.0f)))      // clean
+      .toDF("vec_id", "embedding")
+    val eval = Seq((1L, v), (2L, v), (3L, Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Ann.semanticContamination(corpus, eval, "vec_id", "embedding",
+        minDot = 500000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // 100 hits BOTH identical eval vectors (dot 1e6 each); the tie on
+    // dot breaks to the smaller eval id
+    assert(got(100L) === ((2L, 1L, 1000000L)))
+    // 101 clears the bar against them too (dot = 900*1000 = 900000)
+    assert(got(101L) === ((2L, 1L, 900000L)))
+    assert(!got.contains(102L), "orthogonal corpus vector must pass clean")
+  }
+
   test("cosine top-k ranks by angle, not magnitude; scores bounded") {
     import spark.implicits._
     val items = Seq(
