@@ -64,8 +64,9 @@ object Als {
           sum(col("f") * col("r")).as("_num"),
           sum(expr("f * f div " + S)).as("_den"))
         // `div` (integral divide), not `/`: float division + cast loses
-        // exactness past 2^53 and truncates instead of flooring — DuckDB
-        // replays `//` floor semantics
+        // exactness past 2^53. Both Spark `div` and DuckDB `//` truncate
+        // toward zero (moot here — every operand is positive, see
+        // biasBaselineExact for the signed case)
         .select(col("id"),
           expr(s"($S * _num) div ($lamS + _den)").as("f"))
 

@@ -41,6 +41,18 @@ case class GraphColoring(
     * oracle replay. */
   @volatile var lastRounds: Int = 0
 
+  /** Shared convergence probe for both coloring loops: with no listener
+    * installed, a limit-1 scan (isEmpty) replaces the full per-round
+    * count() — one cheap job per round instead of a complete pass over
+    * the state (VERDICT r8); the exact uncolored count is only computed
+    * when someone is watching. */
+  private def uncoloredDrained(unc: DataFrame, round: Int): Boolean =
+    roundListener match {
+      case Some(listen) =>
+        val nUnc = unc.count(); listen(round, nUnc); nUnc == 0L
+      case None => unc.isEmpty
+    }
+
   /** @return (id, color) with colors 0..; adjacent vertices always
     *         differ (spec-pinned); isolated vertices take color 0. */
   def run(g: Graph): DataFrame = {
@@ -58,16 +70,7 @@ case class GraphColoring(
     while (round < maxRounds && !done) {
       round += 1
       val unc = state.filter(col("_color").isNull)
-      // convergence check: with no listener installed, a limit-1 scan
-      // (isEmpty) replaces the full per-round count() — one cheap job per
-      // round instead of a complete pass over the state (VERDICT r8); the
-      // exact uncolored count is only computed when someone is watching
-      val noneLeft = roundListener match {
-        case Some(listen) =>
-          val nUnc = unc.count(); listen(round, nUnc); nUnc == 0L
-        case None => unc.isEmpty
-      }
-      if (noneLeft) done = true
+      if (uncoloredDrained(unc, round)) done = true
       else {
         val uv = unc.select(col(ID), col("_p"))
         val losers = uv.select(col(ID).as(SRC), col("_p").as("_pa"))
@@ -129,16 +132,7 @@ case class GraphColoring(
     while (round < maxRounds && !done) {
       round += 1
       val unc = state.filter(col("_color").isNull)
-      // convergence check: with no listener installed, a limit-1 scan
-      // (isEmpty) replaces the full per-round count() — one cheap job per
-      // round instead of a complete pass over the state (VERDICT r8); the
-      // exact uncolored count is only computed when someone is watching
-      val noneLeft = roundListener match {
-        case Some(listen) =>
-          val nUnc = unc.count(); listen(round, nUnc); nUnc == 0L
-        case None => unc.isEmpty
-      }
-      if (noneLeft) done = true
+      if (uncoloredDrained(unc, round)) done = true
       else {
         val nbrColors = unc.select(col(ID).as(SRC))
           .join(sym, Seq(SRC))

@@ -166,6 +166,13 @@ object Louvain {
       minGain: Double = 0.0,
       checkpoint: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     require(maxLevels >= 1, s"maxLevels must be >= 1, got $maxLevels")
+    // a finite NEGATIVE minGain would accept strictly-worse levels while
+    // curQ ratchets downward — the returned labelling could then be
+    // worse than level 0, contradicting the best-seen contract. The two
+    // meaningful modes are "improve by at least this much" (>= 0) and
+    // "fixed shape, no evaluation" (-inf); everything between is a trap.
+    require(minGain >= 0.0 || minGain.isNegInfinity,
+      s"minGain must be >= 0 or Double.NegativeInfinity, got $minGain")
     def q(assign: DataFrame): Double =
       Modularity.perCommunity(g, assign)
         .agg(coalesce(sum(col("contribution")), lit(0.0))).head().getDouble(0)

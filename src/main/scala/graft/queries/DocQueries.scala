@@ -31,20 +31,26 @@ object DocQueries {
     * localCheckpoint-pinned, which ties them to the building session.
     */
   private object SharedDedupIndex {
-    private val cache = scala.collection.mutable.Map.empty[String, AnyRef]
-    private def memo[T <: AnyRef](key: String)(build: => T): T =
+    // WeakHashMap keyed on the SESSION OBJECT: a stopped session's
+    // entries (holding localCheckpoint frames bound to its context)
+    // become unreachable with the session itself — no leak across
+    // sequential sessions in one JVM, and no identity-hash reuse ever
+    // returning frames of a dead context (code-review r9 finding)
+    private val cache =
+      new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, AnyRef]]()
+    private def memo[T <: AnyRef](s: SparkSession, key: String)(build: => T): T =
       cache.synchronized {
         // plain get-or-build under one lock: the builds themselves run
         // Spark jobs, but queries execute sequentially in Verify/Bench
-        cache.getOrElseUpdate(key, build).asInstanceOf[T]
+        val m = cache.computeIfAbsent(s,
+          _ => scala.collection.mutable.Map.empty[String, AnyRef])
+        m.getOrElseUpdate(key, build).asInstanceOf[T]
       }
-    private def sid(s: SparkSession): String =
-      System.identityHashCode(s).toHexString
 
     /** full-corpus index at the family's shared parameters (3-shingles,
       * 128 hashes, 32 bands) */
     def index(s: SparkSession, d: String): graft.dedup.DedupIndex.Index =
-      memo(s"${sid(s)}|$d|full") {
+      memo(s, s"$d|full") {
         graft.dedup.DedupIndex.build(documents(s, d), "doc_id", "text",
           shingleSize = 3, numHashes = 128, bands = 32)
       }
@@ -52,7 +58,7 @@ object DocQueries {
     /** fuzzy-dedup cluster assignment at threshold 0.4 (d12's contract),
       * shared by d12 and d19 */
     def clusters(s: SparkSession, d: String): DataFrame =
-      memo(s"${sid(s)}|$d|clusters0.4") {
+      memo(s, s"$d|clusters0.4") {
         index(s, d).clusterAssign(threshold = 0.4, idColOut = "doc_id")
           .localCheckpoint()
       }
@@ -62,7 +68,7 @@ object DocQueries {
       * (representatives are minima WITHIN the slice), so it cannot be
       * derived from [[index]] */
     def corpus90(s: SparkSession, d: String): graft.dedup.DedupIndex.Index =
-      memo(s"${sid(s)}|$d|corpus90") {
+      memo(s, s"$d|corpus90") {
         graft.dedup.DedupIndex.build(
           documents(s, d).filter(pmod(col("doc_id"), lit(10L)) =!= 0L),
           "doc_id", "text", shingleSize = 3, numHashes = 128, bands = 32)
@@ -71,7 +77,7 @@ object DocQueries {
     /** the PERSISTED face: the full-corpus index written once per
       * session as bucketed catalog tables, read back for probing */
     def persisted(s: SparkSession, d: String): graft.dedup.DedupIndex.Index =
-      memo(s"${sid(s)}|$d|persisted") {
+      memo(s, s"$d|persisted") {
         val name = "graft_dedup_idx_" +
           java.lang.Long.toHexString(
             scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
@@ -798,12 +804,14 @@ object DocQueries {
     * the replacement in both engines (verified), which is exactly BPE's
     * within-rank application order. */
   private def bpeCountSql: String = {
-    val init = """array_to_string([chr(2) || regexp_replace(w, '(.)', chr(1) || '\1', 'g') FOR w IN t], '')"""
+    // symbols are FULLY wrapped (chr(1) on both sides) so a pattern's
+    // second operand is terminated — see TextFunctions.BpeSep
+    val init = """array_to_string([chr(2) || regexp_replace(w, '(.)', chr(1) || '\1' || chr(1), 'g') FOR w IN t], '')"""
     val seg = graft.text.TextFunctions.BpeMerges.foldLeft(init) {
       case (s, (a, b)) =>
-        s"replace($s, chr(1)||'$a'||chr(1)||'$b', chr(1)||'$a$b')"
+        s"replace($s, chr(1)||'$a'||chr(1)||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
     }
-    s"(len(string_split($seg, chr(1))) - 1)"
+    s"((length($seg) - length(replace($seg, chr(1), ''))) // 2)"
   }
 
   /** DuckDB-side 48-bit sha256-prefix hash of a string expression

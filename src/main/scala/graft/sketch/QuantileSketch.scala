@@ -120,7 +120,10 @@ object QuantileSketch {
     sk.rows
       .withColumn("_vrnk", row_number().over(w))
       .withColumn("m", count(lit(1)).over(wAll))
-      // ceil via integer arithmetic: exact, no double rounding at the cut
+      // the rank cut is an IEEE double multiply + ceil; DuckDB's oracle
+      // performs the IDENTICAL double op, so replay holds — do not
+      // "simplify" either side independently (q*m landing a few ulps off
+      // an exact integer flips the ceil on whichever side changed)
       .filter(col("_vrnk") ===
         greatest(lit(1L), ceil(lit(quantile) * col("m")).cast("long")))
       .join(sk.counts, Seq(strataCol))

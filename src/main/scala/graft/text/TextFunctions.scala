@@ -46,37 +46,51 @@ object TextFunctions {
     "s" -> "s", "e" -> "e", "o" -> "o", "th" -> "at", "in" -> "e",
     "c" -> "h", "s" -> "h", "f" -> "or", "t" -> "ing", "th" -> "is")
 
-  /** Symbol prefix separator in the BPE working string (every symbol is
-    * PREFIXED, so adjacent pattern matches never share a separator and
-    * one literal `replace` pass applies a merge left-to-right,
-    * non-overlapping — exactly BPE's leftmost application). */
+  /** Symbol delimiter in the BPE working string. Every symbol is FULLY
+    * WRAPPED — `\u0001sym\u0001` — so a merge pattern
+    * `\u0001a\u0001\u0001b\u0001` can only match symbol `a` followed
+    * by symbol `b` EXACTLY: the closing delimiter terminates the second
+    * operand (a prefix-only encoding would let operand `b` match any
+    * following symbol that merely STARTS with b — e.g. rank-12 (i, t)
+    * matching inside i,th and corrupting "with" — the bug this wrapping
+    * exists to prevent), and because each symbol carries its OWN pair
+    * of delimiters, adjacent matches share no characters and one
+    * literal `replace` pass applies a merge left-to-right,
+    * non-overlapping — exactly BPE's leftmost application. */
   private val BpeSep = "\u0001"
   /** Word boundary marker: merge patterns contain only [[BpeSep]], so no
     * merge ever crosses a word boundary. */
   private val BpeWordSep = "\u0002"
 
   /** The BPE working string after all merges: each word becomes
-    * `\u0002` + its symbols, each symbol prefixed by `\u0001`. The whole
-    * encode is `tokens` + one regexp char-split + 40 literal `replace`s
-    * — a zero-shuffle codegen'd column map. Applying merges exhaustively
-    * in rank order is exact BPE encoding: a merge's output symbol can
-    * only participate in later-ranked rules (rank order is creation
-    * order), so no earlier rule ever becomes newly applicable.
+    * `\u0002` + its symbols, each symbol wrapped as `\u0001sym\u0001`.
+    * The whole encode is `tokens` + one regexp char-split + 40 literal
+    * `replace`s — a zero-shuffle codegen'd column map. Applying merges
+    * exhaustively in rank order is exact BPE encoding: a merge's output
+    * symbol is strictly longer than either operand and distinct from
+    * both, so a rule never re-enables itself within its own pass, and
+    * (rank order = creation order) no earlier rule ever involves a
+    * later rule's output.
     */
   def bpeSegmented(text: Column): Column = {
     val init = array_join(
       transform(tokens(text),
-        w => concat(lit(BpeWordSep), regexp_replace(w, "(.)", BpeSep + "$1"))),
+        w => concat(lit(BpeWordSep),
+          regexp_replace(w, "(.)", BpeSep + "$1" + BpeSep))),
       "")
     BpeMerges.foldLeft(init) { case (s, (a, b)) =>
-      replace(s, lit(BpeSep + a + BpeSep + b), lit(BpeSep + a + b))
+      replace(s,
+        lit(BpeSep + a + BpeSep + BpeSep + b + BpeSep),
+        lit(BpeSep + a + b + BpeSep))
     }
   }
 
   /** Exact BPE token count under [[BpeMerges]] — the tokenizer-aware
-    * budget for packing/chunking (one symbol = one `\u0001` prefix). */
+    * budget for packing/chunking (one symbol = two `\u0001`
+    * delimiters). */
   def bpeTokenCount(text: Column): Column =
-    (size(split(bpeSegmented(text), BpeSep)) - 1).cast("int")
+    ((length(bpeSegmented(text)) -
+      length(replace(bpeSegmented(text), lit(BpeSep), lit("")))) / 2).cast("int")
 
   /** Word n-gram shingles of `toks` joined with single spaces; documents
     * shorter than `n` words yield an empty array.

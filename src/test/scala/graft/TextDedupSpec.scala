@@ -269,17 +269,26 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("BPE token count: golden merges, rank order, word isolation") {
-    // hand-derived under BpeMerges: "the" t,h,e -> th,e -> the (1);
-    // "that" -> th,at -> that (1); "with" -> w,it,h -> w,ith -> with (1);
-    // "standing" -> st,and,ing (3); "zebra" has no matching pair (5);
+    // hand-derived TRUE rank-ordered BPE under BpeMerges:
+    // "the"  t,h,e -> th,e (rank 1) -> the (rank 2)          = 1
+    // "that" t,h,a,t -> th,a,t -> th,at (rank 8) -> that (34) = 1
+    // "with" w,i,t,h -> w,i,th (rank 1); (i,t) can no longer
+    //        fire — its t was consumed — so it stays           = 3
+    //        (the prefix-separator bug merged this to 1 by
+    //        letting pattern (i,t) match inside the th symbol)
+    // "math" m,a,t,h -> m,a,th (rank 1)                        = 3
+    // "here" h,e,r,e -> h,e,re (rank 5)                        = 3
+    // "standing" -> st,and,ing (ranks 3,4,15,16,17)            = 3
+    // "zebra" has no matching pair                             = 5
     // merges never cross words ("th e" stays th + e = 2)
     val df = docs(
       1L -> "the", 2L -> "that", 3L -> "with", 4L -> "standing",
-      5L -> "zebra", 6L -> "th e", 7L -> "", 8L -> "the that")
+      5L -> "zebra", 6L -> "th e", 7L -> "", 8L -> "the that",
+      10L -> "math", 11L -> "here")
       .select(col("doc_id"), bpeTokenCount(col("text")).as("n"))
     val got = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(got === Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 3,
-      5L -> 5, 6L -> 2, 7L -> 0, 8L -> 2))
+    assert(got === Map(1L -> 1, 2L -> 1, 3L -> 3, 4L -> 3,
+      5L -> 5, 6L -> 2, 7L -> 0, 8L -> 2, 10L -> 3, 11L -> 3))
     // leftmost, non-overlapping within a rank: "eee" under e+e -> ee,e
     val over = docs(9L -> "eee")
       .select(bpeTokenCount(col("text"))).head().getInt(0)
