@@ -17,6 +17,16 @@ object EventQueries {
 
   private val HOUR_NS = 3600L * 1000 * 1000 * 1000
 
+  /** DuckDB-side 48-bit sha256-prefix hash of (event_type|event_id) —
+    * the [[graft.sketch.Kmv.portableHash]] replay (the DocQueries
+    * sha48Sql device, keyed for this table). */
+  private val sha48EventSql =
+    """CAST(list_sum([(strpos('0123456789abcdef',
+      |        substr(substr(sha256(event_type || '|' ||
+      |                             CAST(event_id AS VARCHAR)), 1, 12), j, 1)) - 1)
+      |    * CAST(power(16, 12 - j) AS BIGINT)
+      |    FOR j IN range(1, 13)]) AS BIGINT)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_hourly_agg" -> ((s, d) =>
       events(s, d)
@@ -134,6 +144,26 @@ object EventQueries {
           sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"),
           max(col("k")).as("max_k"))),
+
+    "s11_value_quantile_gate" -> ((s, d) => {
+      // p95 anomaly gate per event type over the CONTINUOUS value
+      // column — the exact case (distinct (stratum, value) pairs ≈ the
+      // stream) where the mergeable bottom-k rank sketch replaces an
+      // exact quantile; k = 128 per type, state bounded regardless of
+      // volume, and the streaming face (thresholdStream) runs the same
+      // estimator with mapGroupsWithState. Hash, sample membership,
+      // rank pick and the >= gate all replay in DuckDB (the d22 device
+      // over events).
+      val ev = events(s, d).select(col("event_id"), col("event_type"), col("value"))
+      val sk = graft.sketch.QuantileSketch.sketch(
+        ev, "event_type", "event_id", "value", k = 128)
+      val thr = graft.sketch.QuantileSketch.thresholds(sk, "event_type", 0.95)
+      ev.join(broadcast(thr), Seq("event_type"))
+        .groupBy(col("event_type"), col("n"), col("m"), col("threshold"))
+        .agg(count(when(col("value") >= col("threshold"), 1)).as("n_over"))
+        .select(col("event_type"), col("n"), col("m"),
+          round(col("threshold"), 6).as("threshold"), col("n_over"))
+    }),
 
     "s10_latest_per_user" -> ((s, d) =>
       // CDC compaction / latest-record-per-key: one map-side-combinable
@@ -262,6 +292,32 @@ object EventQueries {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    // the d22 bottom-k rank-sample replay over events.value: same
+    // sha256-prefix hash of (type|event_id), same (h, v, rid) sample
+    // order, same ceil(0.95*m) rank pick, same >= gate
+    "s11_value_quantile_gate" ->
+      s"""WITH hh AS (SELECT event_type, value AS v,
+         |  $sha48EventSql AS h,
+         |  CAST(event_id AS VARCHAR) AS rid FROM events),
+         |samp AS (SELECT event_type, v, h, rid,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h, v, rid)
+         |      AS rnk
+         |  FROM hh),
+         |kept AS (SELECT event_type, v, h, rid FROM samp WHERE rnk <= 128),
+         |mz AS (SELECT event_type, count(*) AS m FROM kept GROUP BY event_type),
+         |vr AS (SELECT event_type, v, h, rid,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY v, h, rid)
+         |      AS vrnk
+         |  FROM kept),
+         |thr AS (SELECT vr.event_type, mz.m, vr.v AS threshold
+         |        FROM vr JOIN mz ON mz.event_type = vr.event_type
+         |        WHERE vr.vrnk = greatest(1, CAST(ceil(0.95 * mz.m) AS BIGINT))),
+         |nn AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+         |SELECT e.event_type, nn.n, thr.m, round(thr.threshold, 6) AS threshold,
+         |  count(CASE WHEN e.value >= thr.threshold THEN 1 END) AS n_over
+         |FROM events e JOIN thr ON thr.event_type = e.event_type
+         |JOIN nn ON nn.event_type = e.event_type
+         |GROUP BY e.event_type, nn.n, thr.m, thr.threshold""".stripMargin,
     "s10_latest_per_user" ->
       """SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type,
         |  CAST(round(value * 100) AS BIGINT) AS value_cents
