@@ -282,6 +282,23 @@ object Dedup {
           .as("containment"))
   }
 
+  /** The hot-bucket cap shared by every pigeonhole candidate generator
+    * ([[simhashDuplicates]], [[graft.multimodal.Multimodal.dHashNearDups]],
+    * [[graft.streaming.MediaStream.indexCorpus]]): drop rows whose bucket
+    * key has more than `maxBucketSize` members. One extra
+    * map-side-combinable count plus a broadcast anti-join of ONLY the hot
+    * keys (a tiny frame by construction — at most n/cap keys can be hot).
+    * `maxBucketSize <= 0` is the identity.
+    */
+  def dropHotChunks(rows: DataFrame, key: Column, maxBucketSize: Int): DataFrame =
+    if (maxBucketSize <= 0) rows
+    else {
+      val hot = rows.groupBy(key.as("_k")).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > maxBucketSize)
+        .select(col("_k"))
+      rows.join(broadcast(hot), key === col("_k"), "left_anti")
+    }
+
   /** 64-bit SimHash of the token multiset: bit b is set when the b-th bit
     * of the token hashes wins the weighted majority vote.
     *
@@ -309,13 +326,28 @@ object Dedup {
     * (sha256-prefix token hash — reproducible by any engine with sha256,
     * so the output is oracle-checkable) instead of the xxhash64-based
     * [[graft.functions.SimHash64]] throughput default.
+    *
+    * @param maxBucketSize when > 0, pigeonhole chunk buckets — (chunk
+    *        index, 16-bit value) keys — with more than this many members
+    *        are DROPPED from candidate generation, the
+    *        [[minhashDuplicates]] `maxBucketSize` device. Degenerate
+    *        populations are real: templated short docs simhash
+    *        identically, so ONE hot chunk value turns that bucket's
+    *        candidate join quadratic at corpus scale. Precision is
+    *        unaffected (the exact XOR+popcount verify still runs); recall
+    *        is lost only for pairs whose EVERY shared identical chunk is
+    *        over the cap — i.e. members of large clusters of
+    *        (near-)identical documents, which [[exactGroups]] catches
+    *        more cheaply. 0 (default) = no cap, exact pigeonhole
+    *        semantics.
     */
   def simhashDuplicates(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxDist: Int = 3,
-      portableHash: Boolean = false): DataFrame = {
+      portableHash: Boolean = false,
+      maxBucketSize: Int = 0): DataFrame = {
     require(maxDist <= 3, "4-chunk pigeonhole is exhaustive only for maxDist <= 3")
     val sig: Column => Column =
       if (portableHash) graft.functions.SimHashSha64(_)
@@ -327,11 +359,12 @@ object Dedup {
       .select(col("id"), sig(col("toks")).as("sh"))
       .localCheckpoint()
 
-    val chunks = hashed.select(
+    val allChunks = hashed.select(
       col("id"), col("sh"),
       explode(expr(
         "transform(sequence(0, 3), c -> " +
           "struct(c as c, shiftright(sh, c * 16) & 65535 as v))")).as("ck"))
+    val chunks = dropHotChunks(allChunks, col("ck"), maxBucketSize)
     chunks.as("x")
       .join(chunks.as("y"), col("x.ck") === col("y.ck") && col("x.id") < col("y.id"))
       .select(

@@ -409,8 +409,22 @@ object Multimodal {
     * binary-ANN XOR+popcount shape) verified with the exact popcount.
     * Candidates come from an equi-join on (chunk index, chunk value);
     * nothing is all-pairs.
+    *
+    * @param maxBucketSize when > 0, chunk buckets with more members are
+    *        dropped from candidate generation (the
+    *        [[graft.dedup.Dedup.dropHotChunks]] device). Image corpora
+    *        have degenerate perceptual populations — solid-color
+    *        thumbnails dHash every chunk to the same value — and one such
+    *        value makes that bucket quadratic. The exact-dup collapse
+    *        upstream already removed BYTE-identical images, so the pairs
+    *        the cap can lose are large clusters of perceptually-identical
+    *        but byte-distinct images; precision is untouched (the exact
+    *        popcount verify still runs). 0 = no cap.
     */
-  def dHashNearDups(media: DataFrame, maxDist: Int = 3): MediaNearDups = {
+  def dHashNearDups(
+      media: DataFrame,
+      maxDist: Int = 3,
+      maxBucketSize: Int = 0): MediaNearDups = {
     require(maxDist <= 3, "4-chunk pigeonhole is exhaustive only for maxDist <= 3")
     val groups = media
       .select(col("media_id"), sha2(col("content"), 256).as("_ph"))
@@ -420,11 +434,13 @@ object Multimodal {
     val reps = media.join(
       clusters.select(col("keep_id").as("media_id")), Seq("media_id"), "left_semi")
     val hashed = dHashes(reps).toDF().localCheckpoint()
-    val chunks = hashed.select(
+    val allChunks = hashed.select(
       col("media_id").as("id"), col("dhash"),
       explode(expr(
         "transform(sequence(0, 3), c -> " +
           "struct(c as c, shiftright(dhash, c * 16) & 65535 as v))")).as("ck"))
+    val chunks =
+      graft.dedup.Dedup.dropHotChunks(allChunks, col("ck"), maxBucketSize)
     val pairs = chunks.as("x")
       .join(chunks.as("y"),
         col("x.ck") === col("y.ck") && col("x.id") < col("y.id"))

@@ -39,7 +39,22 @@ object MediaStream {
   final case class MediaIndex(
       chunks: DataFrame, hashes: DataFrame, clusters: DataFrame)
 
-  def indexCorpus(media: DataFrame): MediaIndex = {
+  /** @param maxBucketSize when > 0, corpus chunk buckets — (chunk index,
+    *        16-bit value) keys — with more members than the cap are left
+    *        OUT of the materialized chunk table (the
+    *        [[graft.dedup.Dedup.dropHotChunks]] device). The stream side
+    *        cannot be counted (it is unbounded), so the cap lives on the
+    *        static index: with it, one incoming item's 4 chunks can meet
+    *        at most `4 * maxBucketSize` corpus candidates, whatever
+    *        degenerate population (solid-color thumbnails dHashing every
+    *        chunk to 0) the corpus holds. Recall is lost only for items
+    *        whose EVERY matching corpus chunk is over-cap — members of
+    *        large perceptually-identical corpus clusters; byte-identical
+    *        uploads are still caught exactly by a sha256 probe of
+    *        `clusters`' digests, which is the cheaper first line anyway.
+    *        0 (default) = no cap.
+    */
+  def indexCorpus(media: DataFrame, maxBucketSize: Int = 0): MediaIndex = {
     val groups = media
       .select(col("media_id"), sha2(col("content"), 256).as("_ph"))
       .groupBy(col("_ph"))
@@ -52,12 +67,14 @@ object MediaStream {
     val hashes = Multimodal.dHashes(reps).toDF()
       .select(col("media_id").as("corpus_id"), col("dhash").as("corpus_dhash"))
       .localCheckpoint()
-    val chunks = hashes.select(
+    val allChunks = hashes.select(
       col("corpus_id"), col("corpus_dhash"),
       explode(expr(
         "transform(sequence(0, 3), c -> " +
           "struct(c as c, shiftright(corpus_dhash, c * 16) & 65535 as v))")).as("ck"))
       .select(col("ck.c").as("c"), col("ck.v").as("v"), col("corpus_id"))
+    val chunks = graft.dedup.Dedup
+      .dropHotChunks(allChunks, struct(col("c"), col("v")), maxBucketSize)
       .localCheckpoint()
     MediaIndex(chunks, hashes, clusters)
   }

@@ -147,6 +147,35 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs === Set((1L, 3L)))
   }
 
+  test("dHashNearDups hot-chunk cap bounds a solid-color degenerate bucket") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 8 byte-DISTINCT solid payloads (different fill values / lengths)
+    // all dHash to 0 — the exact degenerate population the cap exists
+    // for: sha256 dedup cannot collapse them, and every one of their
+    // pigeonhole chunks is the same (c, 0) key.
+    val solids = (10L to 17L).map(i =>
+      (i, Array.fill[Byte](700 + 4 * i.toInt)((i % 7).toByte)))
+    val a = Array.tabulate[Byte](720)(i => (i % 97).toByte)
+    val aEdit = a.clone(); aEdit(100) = 7
+    val media = (solids ++ Seq((1L, a), (3L, aEdit)))
+      .toDF("media_id", "content")
+      .withColumn("format", lit("bin"))
+      .withColumn("width", lit(-1)).withColumn("height", lit(-1))
+    def pairSet(r: Multimodal.MediaNearDups) =
+      r.pairs.select("id_a", "id_b").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val uncapped = pairSet(Multimodal.dHashNearDups(media, maxDist = 3))
+    assert(uncapped === Set((1L, 3L)) ++
+      (for (x <- 10L to 17L; y <- 10L to 17L if x < y) yield (x, y)).toSet,
+      "uncapped finds the planted pair plus all 28 solid-color pairs")
+    val capped = pairSet(Multimodal.dHashNearDups(media, maxDist = 3,
+      maxBucketSize = 5))
+    assert(capped === Set((1L, 3L)),
+      "cap drops the degenerate solid-color cluster, keeps the real pair")
+    assert(capped.subsetOf(uncapped))
+  }
+
   test("frameStats: frame boundaries, short tail frame, exact means") {
     import spark.implicits._
     // 10 bytes at frame size 4 -> frames of 4, 4, 2

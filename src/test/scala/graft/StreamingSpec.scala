@@ -248,6 +248,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("media index hot-chunk cap bounds per-item candidates; real hits survive") {
+    import spark.implicits._
+    import graft.streaming.MediaStream
+    // corpus holds 8 byte-distinct solid payloads (all dHash 0 — one
+    // degenerate (c, 0) bucket per chunk index) plus one structured
+    // payload; the cap keeps the structured chunks and drops the solid
+    // ones, so a probe can meet at most 4 * cap corpus candidates.
+    val solids = (10L to 17L).map(i =>
+      (i, Array.fill[Byte](700 + 4 * i.toInt)((i % 7).toByte)))
+    val a = Array.tabulate[Byte](720)(i => (i % 97).toByte)
+    val corpus = (solids ++ Seq((1L, a)))
+      .toDF("media_id", "content")
+      .withColumn("format", lit("bin"))
+      .withColumn("width", lit(-1)).withColumn("height", lit(-1))
+    val idx = MediaStream.indexCorpus(corpus, maxBucketSize = 5)
+    // the materialized chunk table dropped the 4 hot (c, 0) buckets: only
+    // the structured payload's 4 chunks remain
+    assert(idx.chunks.count() === 4L)
+    val edited = a.clone(); edited(100) = 7
+    val solidProbe = Array.fill[Byte](640)(3.toByte)
+    val got = MediaStream.nearDupAgainstCorpus(
+      Seq((100L, edited), (101L, solidProbe))
+        .toDF("media_id", "content").withColumn("format", lit("bin")),
+      idx, maxDist = 3)
+      .select("media_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the real near-dup still hits; the degenerate probe meets nothing
+    // (the documented recall trade — sha256 exact probing is the first
+    // line for identical payloads)
+    assert(got === Set((100L, 1L)))
+  }
+
   test("dedup-first streaming near-dup probes once per distinct text; windowed copy counts") {
     import spark.implicits._
     import graft.streaming.DocStream

@@ -219,6 +219,29 @@ class TextDedupSpec extends SparkSpec {
     assert(!m.contains((1L, 3L)) && !m.contains((2L, 3L)))
   }
 
+  test("simhash hot-chunk cap drops a degenerate templated cluster, keeps the real pair") {
+    // pins the recall contract documented on simhashDuplicates(maxBucketSize):
+    // templated docs simhash identically, so every (chunk, value) bucket
+    // they populate is quadratic; the cap drops those buckets while a pair
+    // whose buckets are small survives untouched.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val boiler = "this content is provided as is without warranty of any kind"
+    val rows = Seq((1L, base), (2L, base)) ++ (10L to 21L).map(i => (i, boiler))
+    val d = docs(rows: _*)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairSet(Dedup.simhashDuplicates(d, "doc_id", "text", maxDist = 3))
+    assert(uncapped === Set((1L, 2L)) ++
+      (for (a <- 10L to 21L; b <- 10L to 21L if a < b) yield (a, b)).toSet,
+      "uncapped finds the real pair plus all 66 boilerplate pairs")
+    val capped = pairSet(Dedup.simhashDuplicates(d, "doc_id", "text", maxDist = 3,
+      maxBucketSize = 5))
+    assert(capped === Set((1L, 2L)),
+      "cap must drop the templated cluster (exactGroups' job) but keep the real pair")
+    // subset contract: the cap only ever removes pairs, never invents them
+    assert(capped.subsetOf(uncapped))
+  }
+
   test("winnowing fingerprints overlap heavily under a local edit") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val edited = base.replace("tok20", "changed")
