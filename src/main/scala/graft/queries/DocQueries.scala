@@ -734,16 +734,18 @@ object DocQueries {
 
     "t13_bpe_tokens" -> ((s, d) =>
       // tokenizer-aware token counting: exact greedy BPE under the fixed
-      // ranked merge table (TextFunctions.BpeMerges), computed as one
-      // regexp char-split + 40 literal string replaces — a zero-shuffle
-      // codegen'd map, and every replace is leftmost/non-overlapping in
-      // both engines so DuckDB replays the merge chain bit for bit.
-      // Whitespace counts (d06's budget) run alongside for the ratio a
-      // packing job needs to recalibrate budgets per corpus.
+      // ranked merge table (TextFunctions.BpeMerges), computed by the
+      // NATIVE BpeCount expression — a compiled merge table riding the
+      // task binary, so the same operator takes a 50k production merge
+      // list unchanged. The DuckDB oracle replays the equivalent literal
+      // replace chain (leftmost/non-overlapping in both engines) bit for
+      // bit; FunctionsSpec pins native ≡ replace-chain. Whitespace counts
+      // (d06's budget) run alongside for the ratio a packing job needs to
+      // recalibrate budgets per corpus.
       documents(s, d).select(
         col("doc_id"),
         tokenCount(col("text")).as("n_tokens"),
-        bpeTokenCount(col("text")).as("n_bpe"))),
+        bpeTokenCountExact(col("text")).as("n_bpe"))),
 
     "d23_bpe_pack" -> ((s, d) => {
       // d06's two-level token packing, budgeted by BPE tokens instead of
@@ -754,7 +756,7 @@ object DocQueries {
       import org.apache.spark.sql.expressions.Window
       val base = documents(s, d)
         .select(col("doc_id"), col("lang"),
-          bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+          bpeTokenCountExact(col("text")).cast("long").as("n_bpe"))
         .withColumn("_shard",
           expr("pmod(pmod(doc_id, 2147483648L) * 2654435761L, 4294967296L)" +
             " div 16777216"))

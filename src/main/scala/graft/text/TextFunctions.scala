@@ -31,8 +31,13 @@ object TextFunctions {
     * character pairs (each rule's operands exist by the time it fires:
     * rank ordering is creation ordering, the BPE invariant). Illustrative
     * by design: a production pipeline swaps in its tokenizer's learned
-    * merge list and [[bpeTokenCount]] is unchanged — the mechanism, not
-    * the table, is the operator. Whitespace token budgets misestimate
+    * merge list. The swap target is [[bpeTokenCountExact]] (the native
+    * [[graft.functions.BpeCount]] expression — a compiled table of
+    * arbitrary size riding the task binary); the literal-replace faces
+    * ([[bpeSegmented]]/[[bpeTokenCount]]) embed one `replace` PER MERGE
+    * in the plan, so they are the cross-engine ORACLE form at toy
+    * vocabulary only — a 50k GPT-2-style table would blow plan/codegen
+    * size long before it shipped. Whitespace token budgets misestimate
     * real (tokenizer) budgets 1.3–1.7x by language; packing/chunking
     * should budget THESE counts (VERDICT r8 #3).
     */
@@ -85,12 +90,22 @@ object TextFunctions {
     }
   }
 
-  /** Exact BPE token count under [[BpeMerges]] — the tokenizer-aware
-    * budget for packing/chunking (one symbol = two `\u0001`
-    * delimiters). */
+  /** Exact BPE token count under [[BpeMerges]] via the replace chain —
+    * the cross-engine oracle face (one symbol = two `\u0001` delimiters,
+    * counted with one `regexp_count` so the merge chain appears ONCE in
+    * the plan instead of twice). Production counting with a real merge
+    * list goes through [[bpeTokenCountExact]]. */
   def bpeTokenCount(text: Column): Column =
-    ((length(bpeSegmented(text)) -
-      length(replace(bpeSegmented(text), lit(BpeSep), lit("")))) / 2).cast("int")
+    (regexp_count(bpeSegmented(text), lit(BpeSep)) / 2).cast("int")
+
+  /** Exact BPE token count from a compiled merge table of ARBITRARY size
+    * — the native [[graft.functions.BpeCount]] expression, semantics
+    * identical to the replace chain (spec-pinned on the 40-merge table
+    * and a generated 1k-merge table). This is the form that takes a real
+    * tokenizer's learned merge list. */
+  def bpeTokenCountExact(
+      text: Column, merges: Seq[(String, String)] = BpeMerges): Column =
+    graft.functions.BpeCount(text, merges)
 
   /** Word n-gram shingles of `toks` joined with single spaces; documents
     * shorter than `n` words yield an empty array.

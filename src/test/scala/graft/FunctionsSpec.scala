@@ -236,4 +236,74 @@ class FunctionsSpec extends SparkSpec {
     // mean length is the exact rounded ratio
     assert(out(3L)._2 === math.rint(("theoftinydoc".length / 4.0) * 1e6) / 1e6)
   }
+
+  /** The replace-chain BPE semantics as plain Java string ops — an
+    * independent model of the bpeSegmented contract (String.replace is
+    * literal, leftmost, non-overlapping, same as Spark's replace), used
+    * to pin the native BpeCount expression at table sizes the plan-bound
+    * replace chain cannot reach. */
+  private def replaceChainCount(
+      text: String, merges: Seq[(String, String)]): Int = {
+    val S = "\u0001"; val W = "\u0002"
+    val init = text.split(" ").filter(_.nonEmpty)
+      .map(w => W + w.map(c => S + c + S).mkString).mkString
+    val done = merges.foldLeft(init) { case (acc, (a, b)) =>
+      acc.replace(S + a + S + S + b + S, S + a + b + S)
+    }
+    (done.length - done.replace(S, "").length) / 2
+  }
+
+  test("BpeCount native expression equals the replace chain on the 40-merge table") {
+    import spark.implicits._
+    // the TextDedupSpec golden fixtures plus adversarial shapes: empty,
+    // runs of spaces, self-merge overlap, unicode outside the vocab
+    val texts = Seq(
+      "the", "that", "with", "standing", "zebra", "th e", "", "the that",
+      "math", "here", "eee", "   ", "a  b   c", "th\u00e9 caf\u00e9 \u4e16\u754c",
+      "the quick brown fox jumps over the lazy dog again and again",
+      "this is another other thing that the for with us")
+    // plus 200 deterministic pseudo-random strings over the vocab alphabet
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdefghilmnoprstuwz "
+    val fuzz = (0 until 200).map(_ =>
+      (0 until (5 + rnd.nextInt(60))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    val df = (texts ++ fuzz).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val bad = df.select(
+        col("id"),
+        TextFunctions.bpeTokenCount(col("text")).as("chain"),
+        TextFunctions.bpeTokenCountExact(col("text")).as("native"))
+      .filter(col("chain") =!= col("native"))
+    assert(bad.isEmpty, s"native/chain mismatch: ${bad.collect().mkString(", ")}")
+    // nulls propagate
+    val n = spark.sql("SELECT CAST(NULL AS STRING) AS text")
+      .select(TextFunctions.bpeTokenCountExact(col("text")).as("c")).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("BpeCount applies a generated 1k-merge table, equal to the chain model") {
+    import spark.implicits._
+    // deterministic 1000-rule table honouring the BPE invariant (each
+    // rule's operands exist when it fires): operands are drawn from the
+    // growing symbol pool, starting at the single letters
+    val rnd = new scala.util.Random(13)
+    val pool = scala.collection.mutable.ArrayBuffer[String]("abcdefghij".map(_.toString): _*)
+    val merges = (0 until 1000).map { _ =>
+      val a = pool(rnd.nextInt(pool.length))
+      val b = pool(rnd.nextInt(pool.length))
+      pool += (a + b)
+      (a, b)
+    }
+    val texts = (0 until 150).map(_ =>
+      (0 until (3 + rnd.nextInt(40))).map(_ => "abcdefghij "(rnd.nextInt(11))).mkString)
+    val expected = texts.map(t => replaceChainCount(t, merges))
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), TextFunctions.bpeTokenCountExact(col("text"), merges).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    texts.indices.foreach { i =>
+      assert(got(i.toLong) === expected(i),
+        s"mismatch at $i: '${texts(i).take(60)}'")
+    }
+  }
 }
