@@ -578,8 +578,11 @@ object Ann {
       .groupBy(col("_id").as(idCol))
       .agg(
         count(lit(1)).as("n_eval_hits"),
-        max(struct(col("_dot").as("_d"), (-col("_eid")).as("_ne"))).as("_b"))
+        // (dot DESC, eid ASC) as one max: bitwise NOT is an overflow-free
+        // order-reversing bijection on longs (~x = -x-1, total on the
+        // whole domain incl. Long.MinValue, unlike arithmetic negation)
+        max(struct(col("_dot").as("_d"), bitwise_not(col("_eid")).as("_ne"))).as("_b"))
       .select(col(idCol), col("n_eval_hits"),
-        (-col("_b._ne")).as("best_eval_id"), col("_b._d").as("best_dot"))
+        bitwise_not(col("_b._ne")).as("best_eval_id"), col("_b._d").as("best_dot"))
   }
 }

@@ -164,7 +164,14 @@ object QuantileSketch {
         case (g, it, state: GroupState[QsState]) =>
           val prev = state.getOption.getOrElse(QsState(0L, Seq.empty))
           val batch = it.map(r => (r._2, r._3, r._4)).toSeq
-          val sample = (prev.sample ++ batch)
+          // at-least-once sources can redeliver a row id (overlapping
+          // batches, replays): the bottom-k SAMPLE merges by distinct
+          // (h, rid, v) so a redelivered id never holds two slots and
+          // merge-equals-whole stays true for the selected set. `n`
+          // counts DELIVERED rows (a redelivered id outside the k-sample
+          // is indistinguishable with O(k) state) — exactly-once counting
+          // needs the upstream streaming dedup stage keyed on the id.
+          val sample = (prev.sample ++ batch).distinct
             .sortBy(t => (t._1, t._3, t._2)).take(k)
           val n = prev.n + batch.size
           state.update(QsState(n, sample))

@@ -81,4 +81,30 @@ class QuantileSketchSpec extends SparkSpec {
       assert(last.getAs[Double]("threshold") === exp.getAs[Double]("threshold"))
     } finally sq.stop()
   }
+
+  test("streaming face: a redelivered row id holds one sample slot, not two") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Double)]
+    val sq = QuantileSketch.thresholdStream(
+        stream.toDF().toDF("g", "id", "v"), "g", "id", "v",
+        quantile = 0.5, k = 64)
+      .writeStream.format("memory").queryName("qsdup").outputMode("update").start()
+    try {
+      val rows = (1 to 40).map(i => ("s", i.toLong, i.toDouble))
+      stream.addData(rows)
+      sq.processAllAvailable()
+      // an at-least-once source replays the same 40 rows in a later batch
+      stream.addData(rows)
+      sq.processAllAvailable()
+      val last = spark.table("qsdup").orderBy(col("n").desc).head()
+      // the sample dedups on (h, rid): m stays 40 (not 64 with doubles),
+      // so the selected set — and the threshold — is redelivery-proof
+      assert(last.getAs[Long]("m") === 40L)
+      assert(last.getAs[Double]("threshold") === 20.0)
+      // n counts DELIVERED rows by documented contract
+      assert(last.getAs[Long]("n") === 80L)
+    } finally sq.stop()
+  }
 }
