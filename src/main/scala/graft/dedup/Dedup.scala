@@ -483,6 +483,71 @@ object Dedup {
     * corpus, no driver state; skewed boilerplate spans are absorbed by
     * partial aggregation (count/min/max are all decomposable).
     */
+  /** Duplicated-span REMOVAL — the cleaned-corpus follow-through of
+    * [[duplicatedSpanStats]]'s inventory (Lee et al. 2022's
+    * exact-substring dedup step: cut verbatim repeated spans, keep ONE
+    * canonical occurrence corpus-wide so boilerplate survives exactly
+    * once instead of vanishing).
+    *
+    * Contract: a token position is REMOVED when it is covered by an
+    * `n`-token span occurrence that (a) occurs at least twice in the
+    * corpus and (b) is not that span's canonical occurrence — the
+    * globally minimal (doc, position). Overlapping removals merge
+    * naturally (position sets union); the cleaned text is the kept
+    * tokens re-joined with single spaces (token-normalized output — the
+    * inventory side already tokenizes on whitespace, so original
+    * spacing is not reconstructible, nor wanted, in a training corpus).
+    * Output: (idCol, clean_text, n_kept, n_removed), one row per input
+    * document; sub-`n`-token documents pass through token-joined with
+    * n_removed = 0.
+    *
+    * Scale shape (100 TB): the TEXT COLUMN NEVER SHUFFLES. Spans hash to
+    * 64-bit keys ([[duplicatedSpanStats]]'s device), the inventory is one
+    * map-side-combinable groupBy carrying (count, min(encoded doc·pos))
+    * — the canonical pick is a plain min, no second shuffle — and the
+    * non-canonical occurrences explode to a per-doc REMOVED-POSITION SET
+    * (duplicated positions only, a vanishing fraction of a healthy
+    * corpus). Only that small (id, positions-array) frame joins back to
+    * the corpus — broadcast when it fits, one id-keyed shuffle when not —
+    * and the splice is an indexed `filter` + `array_join` inside codegen.
+    */
+  def removeDuplicatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    // (id, pos) encoded into one long so the canonical occurrence is a
+    // single combinable min; positions fit 31 bits by construction
+    // (documents are bounded; 2^31 tokens in ONE doc would be a 16 GiB
+    // row, far past any row-size contract)
+    val spans = docs.select(
+      col(idCol).as("id"),
+      posexplode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)))
+      .toDF("id", "pos", "g")
+      .select(col("id"), col("pos"),
+        xxhash64(col("g")).as("h"),
+        (col("id") * lit(2147483648L) + col("pos")).as("k"))
+    val inv = spans.groupBy(col("h")).agg(
+      count(lit(1)).as("occ"), min(col("k")).as("canon"))
+    val removed = spans.join(inv, Seq("h"))
+      .filter(col("occ") > 1 && col("k") =!= col("canon"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_set(col("p"))).as("rm"))
+    docs.select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("t"))
+      .join(removed, Seq("id"), "left")
+      .select(col("id"), col("rm"),
+        filter(col("t"), (_, i) =>
+          !coalesce(array_contains(col("rm"), i), lit(false))).as("_kept"))
+      .select(
+        col("id").as(idCol),
+        array_join(col("_kept"), " ").as("clean_text"),
+        size(col("_kept")).cast("long").as("n_kept"),
+        coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"))
+  }
+
   def duplicatedSpanStats(
       docs: DataFrame,
       idCol: String,

@@ -671,6 +671,16 @@ object DocQueries {
       Dedup.duplicatedSpanStats(documents(s, d), "doc_id", "text", n = 8)
         .withColumnRenamed("id", "doc_id")),
 
+    "d27_span_removal" -> ((s, d) =>
+      // the cleaned-corpus follow-through of d16 (Lee et al. 2022
+      // exact-substring dedup): every 8-token span occurrence that is
+      // not its span's canonical (minimal doc·pos) occurrence is cut,
+      // overlaps merged, text re-spliced from the kept tokens. The text
+      // column never shuffles — only per-doc removed-position sets join
+      // back. The oracle replays the inventory on raw span strings and
+      // the same splice with an ordered string_agg.
+      Dedup.removeDuplicatedSpans(documents(s, d), "doc_id", "text", n = 8)),
+
     "d17_kmv_distinct" -> ((s, d) =>
       // portable K-Minimum-Values cardinality sketch per language:
       // sha256-prefix hashes, k = 16 smallest, (k-1)*2^48/h_k — DuckDB
@@ -883,6 +893,41 @@ object DocQueries {
          |  CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_spans,
          |  CAST(coalesce(per.n_cross, 0) AS BIGINT) AS n_cross_dup_spans
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
+    // full span-removal replay: positional span inventory on raw span
+    // strings, canonical = min(doc_id * 2^31 + pos), non-canonical
+    // occurrences explode to removed positions, splice via ordered
+    // string_agg over the kept tokens
+    "d27_span_removal" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sp0 AS (SELECT doc_id, unnest(
+         |    CASE WHEN len(t) >= 8
+         |      THEN [{'pos': i - 1, 'g': array_to_string(t[i:i+7], ' ')}
+         |            FOR i IN range(1, len(t) - 6)]
+         |      ELSE [] END) AS s
+         |  FROM t0),
+         |sp AS (SELECT doc_id, s.pos AS pos, s.g AS g,
+         |        doc_id * 2147483648 + s.pos AS k FROM sp0),
+         |inv AS (SELECT g, count(*) AS occ, min(k) AS canon FROM sp GROUP BY g),
+         |rm0 AS (SELECT sp.doc_id, unnest(range(pos, pos + 8)) AS p
+         |        FROM sp JOIN inv USING (g) WHERE occ > 1 AND k <> canon),
+         |rm AS (SELECT DISTINCT doc_id, p FROM rm0),
+         |rmagg AS (SELECT doc_id, count(*) AS n_removed FROM rm GROUP BY doc_id),
+         |tk0 AS (SELECT doc_id, unnest(
+         |    [{'p': i - 1, 'tok': t[i]} FOR i IN range(1, len(t) + 1)]) AS s
+         |  FROM t0),
+         |tk AS (SELECT doc_id, s.p AS p, s.tok AS tok FROM tk0),
+         |kept AS (SELECT tk.doc_id, tk.p, tk.tok FROM tk
+         |         LEFT JOIN rm ON rm.doc_id = tk.doc_id AND rm.p = tk.p
+         |         WHERE rm.p IS NULL),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         |        count(*) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(agg.clean_text, '') AS clean_text,
+         |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(rmagg.n_removed, 0) AS BIGINT) AS n_removed
+         |FROM documents d
+         |LEFT JOIN agg ON d.doc_id = agg.doc_id
+         |LEFT JOIN rmagg ON d.doc_id = rmagg.doc_id""".stripMargin,
     // full Count-Min replay: per-occurrence 48-bit sha256-prefix bucket
     // per hash row, the 4x16 counter build, and the min-probe — every
     // step exact-integer, so est AND exact_cnt match bit for bit

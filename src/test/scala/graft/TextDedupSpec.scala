@@ -291,6 +291,45 @@ class TextDedupSpec extends SparkSpec {
     assert(got(4L) === ((0L, 0L, 0L)))
   }
 
+  test("removeDuplicatedSpans: cross-doc span cut once, canonical kept, short docs pass") {
+    val d = docs(
+      1L -> "a b c w x y z q",   // "w x y z" at pos 3 — the canonical copy
+      2L -> "w x y z r s t",     // same span at pos 0 — cut
+      4L -> "too short",
+      5L -> "")
+    val got = Dedup.removeDuplicatedSpans(d, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("a b c w x y z q", 8L, 0L)), "canonical doc untouched")
+    assert(got(2L) === (("r s t", 3L, 4L)), "non-canonical occurrence cut")
+    assert(got(4L) === (("too short", 2L, 0L)), "sub-n docs pass through")
+    assert(got(5L) === (("", 0L, 0L)))
+  }
+
+  test("removeDuplicatedSpans: within-doc repeats and overlapping chains keep one copy") {
+    val d1 = docs(3L -> "p q r s p q r s")
+    val g1 = Dedup.removeDuplicatedSpans(d1, "doc_id", "text", n = 4).head()
+    assert((g1.getString(1), g1.getLong(2), g1.getLong(3)) === (("p q r s", 4L, 4L)))
+    // three overlapping repeats of the same period-4 chain: removals
+    // [4,12) from the period span plus the shifted dups merge into one
+    // interval, leaving exactly one period
+    val d2 = docs(7L -> "x y z w x y z w x y z w")
+    val g2 = Dedup.removeDuplicatedSpans(d2, "doc_id", "text", n = 4).head()
+    assert((g2.getString(1), g2.getLong(2), g2.getLong(3)) === (("x y z w", 4L, 8L)))
+  }
+
+  test("removeDuplicatedSpans: a doc assembled from two other docs' spans empties out") {
+    val d = docs(
+      1L -> "m n o p z1 z2",
+      2L -> "q r s t z3 z4",
+      5L -> "m n o p q r s t") // both halves canonical elsewhere -> all cut
+    val got = Dedup.removeDuplicatedSpans(d, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L)._3 === 0L && got(2L)._3 === 0L, "canonical sources untouched")
+    assert(got(5L) === (("", 0L, 8L)), "fully-duplicated doc empties out")
+  }
+
   test("BPE token count: golden merges, rank order, word isolation") {
     // hand-derived TRUE rank-ordered BPE under BpeMerges:
     // "the"  t,h,e -> th,e (rank 1) -> the (rank 2)          = 1
