@@ -1,0 +1,112 @@
+package graft.algorithms
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.{Columns, Graph}
+import graft.sketch.Hll
+
+/** HyperBall / ANF: the neighbourhood function N(r) = Σ_v |B(v, r)| and
+  * the effective diameter estimated from per-vertex HyperLogLog ball
+  * counters (Palmer et al., "ANF: a fast and scalable tool for data
+  * mining in massive graphs", KDD'02; Boldi & Vigna, "In-core
+  * computation of geometric centralities with HyperBall", ICDMW'13).
+  * Complements [[BreadthFirstSearch.pseudoDiameter]]'s double-sweep
+  * LOWER BOUND with the scale-standard estimator of the whole distance
+  * distribution.
+  *
+  * Each vertex carries an HLL register set of its ball B(v, r); one
+  * round merges every out-neighbour's registers into the owner's —
+  * `register = max(own, neighbours)` per bucket — so after r rounds the
+  * counter sketches exactly the vertices within r hops. Registers are
+  * [[Hll.registers]] rows ((id, bucket) -> max rank): a round is ONE
+  * equi-join (edges × registers, keyed by vertex) plus ONE map-side-
+  * combinable max — no per-vertex state wider than m = 2^p rows, no
+  * shuffle beyond the join's. The counter arithmetic is the
+  * engine-portable 48-bit sha256-prefix HLL, so registers, harmonic
+  * sums and raw estimates replay bit for bit in a SQL oracle (the d20
+  * device).
+  *
+  * 100 TB shape: cost per round = |E| join rows + a groupBy on
+  * (vertex, bucket) — the BFS round shape with a constant-factor
+  * register payload; rounds ≤ effective diameter (real graphs: tens).
+  * The per-round neighbourhood value is an AGGREGATE row, not a driver
+  * action — the whole NF table is one lazy union, so the unconditional
+  * fixed-round form (the oracle face) runs with zero driver actions.
+  */
+object HyperBall {
+
+  import Columns.{DST, ID, SRC}
+
+  /** Ball registers after every round 0..`rounds`: element k of the
+    * result sketches B(v, k) for every vertex. Directed graphs grow
+    * balls along OUT-edges; undirected graphs along both directions.
+    * Each round is localCheckpointed — the iteration reuses it and so
+    * do all 0..k estimate consumers.
+    */
+  def ballRegisters(g: Graph, p: Int, rounds: Int): Seq[DataFrame] = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val fwd = g.edges.select(col(SRC), col(DST))
+    val prop =
+      if (g.directed) fwd
+      else fwd.union(g.edges.select(col(DST).as(SRC), col(SRC).as(DST)))
+    val init = Hll.registers(
+      g.vertices.select(col(ID)), Seq(ID), col(ID).cast("string"), p)
+      .localCheckpoint()
+    var regs = init
+    val out = Seq.newBuilder[DataFrame]
+    out += init
+    (1 to rounds).foreach { _ =>
+      val contrib = prop
+        .join(regs.select(col(ID).as(DST), col("bucket"), col("r")), Seq(DST))
+        .select(col(SRC).as(ID), col("bucket"), col("r"))
+      regs = Hll.merge(regs.select(col(ID), col("bucket"), col("r"))
+        .union(contrib), Seq(ID))
+        .localCheckpoint()
+      out += regs
+    }
+    out.result()
+  }
+
+  /** Per-vertex neighbourhood estimates for rounds 0..`rounds`: one row
+    * per (round, vertex) with the d20-audited HLL columns (n_zero,
+    * s_sum, est_raw) — est_raw ≈ |B(v, round)|. The per-vertex face of
+    * ANF (per-vertex ball growth is itself a centrality signal).
+    */
+  def vertexNeighbourhoods(g: Graph, p: Int, rounds: Int): DataFrame =
+    ballRegisters(g, p, rounds).zipWithIndex.map { case (regs, k) =>
+      Hll.estimate(regs, Seq(ID), p)
+        .select(lit(k).as("round"), col(ID), col("n_zero"), col("s_sum"),
+          col("est_raw"))
+    }.reduce(_ union _)
+
+  /** The neighbourhood function: (round, nf) where nf = Σ_v est_raw as
+    * an exact DECIMAL(32,6) sum — each per-vertex estimate is a
+    * 6-decimal double (cross-engine bit-equal, the d20 contract), its
+    * decimal conversion is exact, and decimal addition is associative,
+    * so the sum is order-independent and replayable — a double sum
+    * would be neither. nf is nondecreasing in the round (registers only
+    * grow).
+    */
+  def neighbourhoodFunction(g: Graph, p: Int, rounds: Int): DataFrame =
+    ballRegisters(g, p, rounds).zipWithIndex.map { case (regs, k) =>
+      Hll.estimate(regs, Seq(ID), p)
+        .agg(sum(col("est_raw").cast("decimal(26,6)")).cast("decimal(32,6)")
+          .as("nf"))
+        .select(lit(k).as("round"), col("nf"))
+    }.reduce(_ union _)
+
+  /** Effective diameter at fraction `num`/`den` (default 9/10): the
+    * smallest round r with den·nf(r) >= num·max(nf) — all-decimal
+    * arithmetic, so the threshold test is exact. One row
+    * (effective_diameter, nf_max). The max is the last round's value by
+    * monotonicity; callers must size `rounds` past saturation (a round
+    * that changes nothing is the convergence witness).
+    */
+  def effectiveDiameter(nf: DataFrame, num: Int = 9, den: Int = 10): DataFrame = {
+    val mx = nf.agg(max(col("nf")).as("nf_max"))
+    nf.crossJoin(broadcast(mx))
+      .filter(col("nf") * den >= col("nf_max") * num)
+      .agg(min(col("round")).as("effective_diameter"), max(col("nf_max")).as("nf_max"))
+  }
+}

@@ -162,6 +162,24 @@ object GraphQueries {
       Louvain.refine(indexedGraph(vertsOf(e), e, directed = false), rounds = 4)
     }),
 
+    "g54_hyperball_anf" -> ((s, d) => {
+      // HyperBall / ANF on the undirected customer->nation->hub
+      // hierarchy: per-vertex portable-HLL ball counters (p=4, the d20
+      // register device) grown 5 register-max rounds, the neighbourhood
+      // function as an exact decimal sum of the 6-decimal per-vertex
+      // estimates, and the 90% effective diameter from all-decimal
+      // threshold arithmetic — registers, harmonic sums, estimates and
+      // the final flag all replay bit for bit in the unrolled oracle.
+      // Complements g42's double-sweep LOWER bound with the
+      // scale-standard estimator of the whole distance distribution.
+      val hg = hierarchyGraph(s, d)
+      val g = Graph(hg.vertices, hg.edges, directed = false)
+      val nf = HyperBall.neighbourhoodFunction(g, p = 4, rounds = 5)
+      val eff = HyperBall.effectiveDiameter(nf)
+      nf.crossJoin(broadcast(eff.select(col("effective_diameter"))))
+        .select(col("round"), col("nf"), col("effective_diameter"))
+    }),
+
     "g53_bias_baseline" -> ((s, d) => {
       // the bias-baseline predictor (r-hat = mu + b_u + b_i), the
       // standard stage BEFORE factor models: two alternating shrunk-
@@ -1157,6 +1175,58 @@ object GraphQueries {
       s"\nSELECT id, round(rank, 9) AS rank FROM pr$iterations"
   }
 
+  /** Unrolled HyperBall oracle: the undirected customer hierarchy, p=4
+    * portable-HLL registers per vertex (the d20 device on
+    * CAST(id AS VARCHAR)), `rounds` register-max propagation rounds,
+    * per-round per-vertex raw estimates, decimal NF sums, and the
+    * all-decimal 90% effective-diameter pick. */
+  private def hyperballOracleSql(rounds: Int): String = {
+    def sha48(x: String) =
+      s"""CAST(list_sum([(strpos('0123456789abcdef',
+         |  substr(substr(sha256($x), 1, 12), j, 1)) - 1)
+         |  * CAST(power(16, 12 - j) AS BIGINT)
+         |  FOR j IN range(1, 13)]) AS BIGINT)""".stripMargin
+    val alpha = "((0.7213/(1.0 + 1.079/16.0)) * 9007199254740992.0)"
+    val head =
+      s"""WITH ce AS (SELECT DISTINCT * FROM (
+         |  SELECT CAST(c_custkey + 10000 AS BIGINT) AS src,
+         |         CAST(c_nationkey AS BIGINT) AS dst FROM customer
+         |  UNION ALL SELECT CAST(n_nationkey AS BIGINT),
+         |         CAST(n_regionkey + 1000 AS BIGINT) FROM nation)),
+         |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce)),
+         |v AS (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM ce UNION ALL SELECT dst FROM ce)),
+         |st0 AS MATERIALIZED (SELECT id, h // 17592186044416 AS bucket,
+         |  CASE WHEN h % 17592186044416 = 0 THEN 45
+         |       ELSE 45 - length(bin(h % 17592186044416)) END AS r
+         |  FROM (SELECT id, ${sha48("CAST(id AS VARCHAR)")} AS h FROM v))""".stripMargin
+    val iters = (1 to rounds).map { k =>
+      val pk = k - 1
+      s"""st$k AS MATERIALIZED (SELECT id, bucket, max(r) AS r FROM (
+         |  SELECT id, bucket, r FROM st$pk
+         |  UNION ALL
+         |  SELECT e.src AS id, s.bucket, s.r FROM sym e
+         |  JOIN st$pk s ON s.id = e.dst) GROUP BY id, bucket)""".stripMargin
+    }
+    val nfs = (0 to rounds).map { k =>
+      s"""nf$k AS (SELECT $k AS round,
+         |  CAST(sum(CAST(est AS DECIMAL(26,6))) AS DECIMAL(32,6)) AS nf FROM (
+         |  SELECT round($alpha
+         |      / CAST(sp + (16 - nb) * 35184372088832 AS DOUBLE), 6) AS est
+         |  FROM (SELECT id, sum(CAST(power(2, 45 - r) AS BIGINT)) AS sp,
+         |        count(*) AS nb FROM st$k GROUP BY id)))""".stripMargin
+    }
+    val union = (0 to rounds).map(k => s"SELECT * FROM nf$k").mkString(" UNION ALL ")
+    (Seq(head) ++ iters ++ nfs ++ Seq(
+      s"""nfall AS ($union),
+         |mx AS (SELECT max(nf) AS nf_max FROM nfall),
+         |eff AS (SELECT CAST(min(round) AS INTEGER) AS ed
+         |        FROM nfall, mx WHERE nf * 10 >= nf_max * 9)
+         |SELECT n.round, n.nf, e.ed AS effective_diameter
+         |FROM nfall n, eff e""".stripMargin)).mkString(",\n")
+  }
+
   /** Unrolled Jones–Plassmann oracle: per round — uncolored set, losers
     * (an uncolored neighbour with a higher (priority, id) wins), local
     * maxima, colored-neighbour color sets, and the mex over candidates
@@ -1456,6 +1526,7 @@ object GraphQueries {
     "g40_betweenness" -> betweennessOracleSql(6),
     "g41_louvain" -> louvainOracleSql(4),
     "g51_louvain_fit" -> louvainFitOracleSql(4, 4),
+    "g54_hyperball_anf" -> hyperballOracleSql(5),
     // mu + two alternating shrunk-residual rounds, truncating integral
     // division on both engines
     "g53_bias_baseline" ->

@@ -829,4 +829,54 @@ class AlgorithmsSpec extends SparkSpec {
     assert(!got.contains((12L, 13L)) && !got.contains((10L, 13L)))
     assert(got.size === 3)
   }
+
+  test("HyperBall registers equal HLL registers of the EXACT balls, round for round") {
+    import spark.implicits._
+    // path 0-1-2-3-4-5 plus an isolated pair 10-11: balls are easy to
+    // enumerate, so every round's sketch must equal the sketch built
+    // directly from the true ball membership — bit-for-bit register
+    // equality, independent of estimation error
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val verts = (0L to 5L) ++ Seq(10L, 11L)
+    val g = Graph(
+      verts.toDF(ID),
+      edges.toDF(SRC, DST).withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+      directed = false)
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def ball(v: Long, r: Int): Set[Long] = {
+      var cur = Set(v)
+      (1 to r).foreach(_ => cur = cur ++ cur.flatMap(u => adj.getOrElse(u, Set.empty)))
+      cur
+    }
+    val rounds = graft.algorithms.HyperBall.ballRegisters(g, p = 4, rounds = 6)
+    def regSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    (0 to 6).foreach { r =>
+      val exactPairs = verts.flatMap(v => ball(v, r).map(u => (v, u)))
+        .toDF(ID, "member")
+      val expected = graft.sketch.Hll.registers(
+        exactPairs, Seq(ID), col("member").cast("string"), p = 4)
+      assert(regSet(rounds(r)) === regSet(expected), s"round $r registers differ")
+    }
+    // one round past saturation is the identity
+    assert(regSet(rounds(5)) === regSet(rounds(6)))
+  }
+
+  test("HyperBall NF is monotone; star effective diameter is 2") {
+    import spark.implicits._
+    val leaves = (1L to 20L)
+    val g = Graph(
+      (0L +: leaves).toDF(ID),
+      leaves.map(i => (0L, i)).toDF(SRC, DST)
+        .withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+      directed = false)
+    val nf = graft.algorithms.HyperBall.neighbourhoodFunction(g, p = 6, rounds = 3)
+    val vals = nf.collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1)).sortBy(_._1).map(_._2)
+    assert(vals.sliding(2).forall(w => w(0).compareTo(w(1)) <= 0), "NF must be monotone")
+    assert(vals(2) === vals(3), "saturated round is the identity")
+    val eff = graft.algorithms.HyperBall.effectiveDiameter(nf).head()
+    assert(eff.getInt(0) === 2, "star: 90% of pairs need 2 hops")
+  }
 }
