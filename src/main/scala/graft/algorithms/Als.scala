@@ -138,15 +138,87 @@ object Als {
       .unionByName(Seq((-1L, "global", mu)).toDF("id", "side", "bias"))
   }
 
+  /** Full SVD++-style predictor in the exact scaled-integer style —
+    * the reference's one ❌ row (`/root/reference/README.md:33`,
+    * SVDPlusPlus) closed as ONE predictor rather than by its halves:
+    *
+    *   r̂ = μ + b_u + b_i + q_i · (p_u + imp_u) div S²
+    *   imp_u = (Σ_{j∈N(u)} q_j) div |N(u)|
+    *
+    * — biases from [[biasBaselineExact]], rank-1 factors from
+    * [[fitRank1Exact]] trained on the S-scaled BIAS RESIDUALS
+    * S·r − μ − b_u − b_i (the SVD++ structure: factors model what the
+    * biases could not, never the raw rating — training them on raw
+    * ratings would double-count the additive signal), plus the SVD++
+    * implicit-feedback term: the sum of rated-item factors, ONE extra
+    * combinable sum per user (Koren, KDD'08 §4; the exact face
+    * normalizes by n rather than n^(-1/2) — the "asymmetric" variant —
+    * because 1/n is an integral division while √n is irrational, and
+    * the whole point of this face is bit-for-bit SQL replay). The
+    * residual-valued term is p·q div S² because both factors are
+    * S-scaled encodings of real values p/S, q/S. Every term is an i64;
+    * `div` truncation matches DuckDB `//` on both signs (the
+    * g53-adjudicated device — residuals DO go negative).
+    *
+    * Output: one row per RATING, (user, item, rating, r_hat) with r_hat
+    * S-scaled — the training-residual view every downstream evaluation
+    * consumes. Plan shape: two keyed joins per model term over the
+    * ratings, all aggregations combinable; nothing is quadratic and no
+    * factor matrix ever leaves the cluster.
+    */
+  def svdppExact(
+      ratings: DataFrame,
+      biasRounds: Int = 2,
+      iterations: Int = 2,
+      lambdaBias: Long = 5L,
+      lambdaFactor: Long = 1L,
+      scale: Long = 10000L,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    val r = checkpoint.pin(ratings.select(
+      col("user"), col("item"), col("rating").cast("long").as("r")))
+    val biases = biasBaselineExact(ratings, biasRounds, lambdaBias, scale, checkpoint)
+    val mu = biases.filter(col("side") === "global").head().getAs[Long]("bias")
+    val bu = biases.filter(col("side") === "user")
+      .select(col("id").as("user"), col("bias").as("_bu"))
+    val bi = biases.filter(col("side") === "item")
+      .select(col("id").as("item"), col("bias").as("_bi"))
+    val withBias = checkpoint.pin(r.join(bu, Seq("user")).join(bi, Seq("item")))
+    val resid = withBias.select(col("user"), col("item"),
+      (lit(scale) * col("r") - lit(mu) - col("_bu") - col("_bi")).as("rating"))
+    val factors = fitRank1Exact(resid, iterations, lambdaFactor, scale, checkpoint)
+    val pu = factors.filter(col("side") === "user")
+      .select(col("id").as("user"), col("factor").as("_pu"))
+    val qi = factors.filter(col("side") === "item")
+      .select(col("id").as("item"), col("factor").as("_qi"))
+    val imp = r.join(qi, Seq("item"))
+      .groupBy(col("user"))
+      .agg(expr("sum(_qi) div count(1)").as("_imp"))
+    withBias
+      .join(pu, Seq("user")).join(qi, Seq("item")).join(imp, Seq("user"))
+      .select(
+        col("user"), col("item"), col("r").as("rating"),
+        expr(s"$mu + _bu + _bi + ((_pu + _imp) * _qi) div ${scale * scale}")
+          .as("r_hat"))
+  }
+
   final case class Factor(id: Long, vec: Array[Double])
 
   /** Rank-k blocked ALS (explicit ratings, L2 regularization). Each
-    * half-iteration: one keyed join (ratings ⋈ fixed factors), one
-    * groupByKey over the solved side, and an in-JVM k×k Cholesky solve
-    * per group — the per-group working set is that row's degree × k
-    * doubles, never the factor matrix. Rows are sorted inside each
-    * group before accumulation, so results are reproducible run-to-run
-    * on the same engine. Returns (userFactors, itemFactors).
+    * half-iteration: one keyed join (ratings ⋈ fixed factors), then the
+    * normal-equation MOMENTS — the k(k+1)/2 upper-triangle AᵀA terms,
+    * the k Aᵀb terms and the rating count, all PLAIN SUMS over that
+    * row's ratings — accumulated with a combinable typed `Aggregator`
+    * (map-side partial aggregation, mergeable buffers), and only the
+    * k×k Cholesky runs per id on the finished O(k²) buffer. No task
+    * ever materializes a group's rating list: a 10⁸-rating hub item
+    * costs the same fixed k(k+3)/2+1 doubles of state as a degree-2
+    * item (it previously held the whole group on one heap — the scale
+    * hazard this shape removes). Floating-point accumulation order
+    * follows the partial-aggregation merge tree, so results are
+    * deterministic up to float summation order — the spec verifies fit
+    * quality (MSE convergence), not bitwise replay; the bit-exact
+    * cross-engine faces are [[fitRank1Exact]]/[[biasBaselineExact]].
+    * Returns (userFactors, itemFactors).
     */
   def fit(
       ratings: DataFrame,
@@ -174,31 +246,34 @@ object Als {
               lit(1000L)).cast("double") + lit(1.0)) / lit(1000.0)).as("vec"))
         .as[Factor]
 
+    val momentAgg = new MomentAggregator(k)
     def solveSide(
         fixed: Dataset[Factor], fixedKey: String, solveKey: String): Dataset[Factor] = {
       val joined = r
         .join(fixed.toDF().withColumnRenamed("id", fixedKey), Seq(fixedKey))
-        .select(col(solveKey).as("id"), col(fixedKey).as("other"),
-          col("r"), col("vec"))
-        .as[(Long, Long, Double, Array[Double])]
-      joined.groupByKey(_._1).mapGroups { (id: Long, it: Iterator[(Long, Long, Double, Array[Double])]) =>
-        // pin accumulation order for run-to-run reproducibility
-        val rows = it.toArray.sortBy(_._2)
-        val ata = Array.ofDim[Double](k, k)
-        val atb = new Array[Double](k)
-        rows.foreach { case (_, _, rv, v) =>
+        .select(col(solveKey).as("id"), col("r"), col("vec"))
+        .as[(Long, Double, Array[Double])]
+      joined.groupByKey(_._1)
+        .agg(momentAgg.toColumn)
+        .map { case (id, m) =>
+          // m = [n, Aᵀb(0..k-1), upper-tri AᵀA]: expand the triangle,
+          // shrink the diagonal by λ·n, solve k×k
+          val n = m(0)
+          val atb = java.util.Arrays.copyOfRange(m, 1, 1 + k)
+          val ata = Array.ofDim[Double](k, k)
+          var t = 1 + k
           var a = 0
           while (a < k) {
-            atb(a) += v(a) * rv
-            var b = 0
-            while (b < k) { ata(a)(b) += v(a) * v(b); b += 1 }
+            var b = a
+            while (b < k) {
+              ata(a)(b) = m(t); ata(b)(a) = m(t); t += 1; b += 1
+            }
             a += 1
           }
+          var d = 0
+          while (d < k) { ata(d)(d) += lambda * n; d += 1 }
+          Factor(id, choleskySolve(ata, atb, k))
         }
-        var d = 0
-        while (d < k) { ata(d)(d) += lambda * rows.length; d += 1 }
-        Factor(id, choleskySolve(ata, atb, k))
-      }
     }
 
     var items = checkpoint.pin(init("item").toDF()).as[Factor]
@@ -224,6 +299,45 @@ object Als {
       .join(items.toDF().select(col("id").as("item"), col("vec").as("_i")), Seq("item"))
       .select(pow(col("r") - dot(col("_u"), col("_i")), 2).as("_e"))
       .agg(avg(col("_e"))).head().getDouble(0)
+  }
+
+  /** Combinable normal-equation moment accumulator for one ALS solve
+    * side. Buffer layout (fixed size k(k+3)/2 + 1 doubles, independent
+    * of group degree): [n, Aᵀb(0..k-1), row-major upper triangle of
+    * AᵀA]. `reduce` folds one rating row in-place; `merge` is
+    * element-wise addition — both decomposable, so Spark runs map-side
+    * partial aggregation and NO task ever holds a group's rating list.
+    */
+  private final class MomentAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Double, Array[Double]), Array[Double], Array[Double]] {
+    private val len = 1 + k + k * (k + 1) / 2
+    override def zero: Array[Double] = new Array[Double](len)
+    override def reduce(buf: Array[Double], row: (Long, Double, Array[Double]))
+        : Array[Double] = {
+      val rv = row._2
+      val v = row._3
+      buf(0) += 1.0
+      var t = 1 + k
+      var a = 0
+      while (a < k) {
+        buf(1 + a) += v(a) * rv
+        var b = a
+        while (b < k) { buf(t) += v(a) * v(b); t += 1; b += 1 }
+        a += 1
+      }
+      buf
+    }
+    override def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < len) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(buf: Array[Double]): Array[Double] = buf
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
   }
 
   /** In-place Cholesky solve of Ax = b for SPD A (k ≤ 32). */

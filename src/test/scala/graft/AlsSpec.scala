@@ -72,4 +72,64 @@ class AlsSpec extends SparkSpec {
     val vb = u5b.collect().map(f => f.id -> f.vec.toSeq).toMap
     assert(va === vb)
   }
+
+  test("svdppExact: equals the manual composition of its sub-models, beats bias-only") {
+    import spark.implicits._
+    // multiplicative (u x i) interaction structure that additive biases
+    // cannot express — the factor+implicit terms must pick it up
+    val rows = for (u <- 0L until 12L; i <- 0L until 10L)
+      yield (u, 1000L + i, 1L + (u % 3) * (i % 4))
+    val df = rows.toDF("user", "item", "rating")
+    val S = 10000L
+    val pred = Als.svdppExact(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+
+    // manual composition from the two published sub-models (Scala Long
+    // division truncates toward zero, same as Spark `div`): factors are
+    // trained on the S-scaled bias residuals, the SVD++ structure
+    val b = Als.biasBaselineExact(df).collect()
+      .map(r => (r.getString(1), r.getLong(0)) -> r.getLong(2)).toMap
+    val mu = b(("global", -1L))
+    val residDf = rows.map { case (u, i, r) =>
+      (u, i, S * r - mu - b(("user", u)) - b(("item", i)))
+    }.toDF("user", "item", "rating")
+    val f = Als.fitRank1Exact(residDf).collect()
+      .map(r => (r.getString(1), r.getLong(0)) -> r.getLong(2)).toMap
+    val byUser = rows.groupBy(_._1)
+    var sseSvdpp = BigInt(0)
+    var sseBias = BigInt(0)
+    rows.foreach { case (u, i, r) =>
+      val items = byUser(u).map(_._2)
+      val imp = items.map(j => f(("item", j))).sum / items.size
+      val expect = mu + b(("user", u)) + b(("item", i)) +
+        ((f(("user", u)) + imp) * f(("item", i))) / (S * S)
+      assert(pred((u, i)) === ((r, expect)), s"prediction mismatch at ($u,$i)")
+      val eS = S * r - expect
+      val eB = S * r - (mu + b(("user", u)) + b(("item", i)))
+      sseSvdpp += BigInt(eS) * BigInt(eS)
+      sseBias += BigInt(eB) * BigInt(eB)
+    }
+    assert(sseSvdpp < sseBias,
+      s"SVD++ must beat the bias baseline on interaction structure: $sseSvdpp vs $sseBias")
+  }
+
+  test("rank-k fit: a hub item rated by every user solves from fixed-size moments") {
+    import spark.implicits._
+    // item 0 is rated by ALL users — the degree-skew shape that used to
+    // materialize the whole rating list on one task heap; the moment
+    // aggregator keeps per-group state at k(k+3)/2+1 doubles whatever
+    // the degree, and the solve must still recover the planted rank-2
+    // structure including the hub column
+    val truth = for (u <- 0L until 200L; i <- Seq(0L, 1L + u % 3, 4L + u % 2)) yield {
+      val uu = (1.0 + u % 3, 0.5 + (u % 4) * 0.5)
+      val ii = (0.5 + i % 2, 1.0 + (i % 3) * 0.25)
+      (u, i, uu._1 * ii._1 + uu._2 * ii._2)
+    }
+    val df = truth.toDF("user", "item", "rating")
+    val (u, i) = Als.fit(df, k = 2, iterations = 8, lambda = 0.01)
+    val e = Als.mse(df, u, i)
+    assert(e < 0.01, s"rank-2 truth with a full-degree hub item, mse = $e")
+    val hub = i.collect().find(_.id == 0L).get
+    assert(hub.vec.forall(x => !x.isNaN && !x.isInfinite))
+  }
 }
