@@ -235,6 +235,46 @@ object DedupIndex {
       old.shingleSize, old.numHashes, old.bands)
   }
 
+  /** Streaming face of [[merge]] — the daily-append lifecycle run
+    * directly from the ingest stream [[graft.streaming.DocStream]]
+    * probes with: each micro-batch folds into the persisted bucketed
+    * tables (read → [[merge]] → [[writeBucketed]]), so the index the
+    * probe side reads is always the merge of everything delivered.
+    *
+    * Semantics & hygiene:
+    *  - every `merge` output frame is localCheckpoint-pinned BEFORE the
+    *    overwrite, so rewriting the tables a lazy plan was reading from
+    *    cannot self-invalidate;
+    *  - `foreachBatch` is at-least-once on recovery, and [[merge]] is
+    *    NOT idempotent for redelivered ids (a replayed copy would
+    *    inflate `n_copies`), so delivered ids already present in the
+    *    stored clusters are anti-joined away first — one pass over the
+    *    compact clusters table per micro-batch buys exactly-once index
+    *    contents;
+    *  - batch work stays proportional to the batch (signatures for new
+    *    DISTINCT texts only — the [[merge]] contract); the table
+    *    rewrite itself is corpus-sized, which is the bucketed-catalog
+    *    trade (zero-exchange probes) — an append-friendly format keeps
+    *    the same merge logic with O(batch) writes.
+    *
+    * Returns the configured writer; callers add `.option(
+    * "checkpointLocation", ...)` and `.start()`.
+    */
+  def mergeStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      name: String, numBuckets: Int = 32)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val idx = readBucketed(spark, name)
+        val known = idx.clusters.select(explode(col("ids")).as(idCol))
+        val fresh = batch.join(known, Seq(idCol), "left_anti")
+        if (!fresh.isEmpty) {
+          writeBucketed(merge(idx, fresh, idCol, textCol), name, numBuckets)
+        }
+    }
+
   private def metaFrame(idx: Index): DataFrame = {
     val spark = idx.clusters.sparkSession
     import spark.implicits._

@@ -248,6 +248,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("DedupIndex.mergeStream folds micro-batches into the tables; redelivery is a no-op") {
+    import spark.implicits._
+    import graft.dedup.DedupIndex
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val base = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and again",
+      5L -> "completely different text about spark catalyst optimizer plans")
+    DedupIndex.writeBucketed(
+      DedupIndex.build(base, "doc_id", "text"), "msidx", numBuckets = 4)
+    val b1 = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog again and again", // undercuts rep 1
+      10L -> "a brand new page that was never indexed before today okay")
+    val b2 = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog again and again", // REDELIVERED
+      12L -> "the quick brown fox jumps over the lazy cat again and again")
+    val stream = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("msidx_ckpt").toString
+    val q = DedupIndex.mergeStream(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        "msidx", numBuckets = 4)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val got = DedupIndex.readBucketed(spark, "msidx")
+    val whole = DedupIndex.build(
+      base.unionByName(docs(b1: _*)).unionByName(docs(b2.tail: _*)),
+      "doc_id", "text")
+    assert(rowSet(got.clusters) === rowSet(whole.clusters),
+      "stream-merge ≡ whole rebuild (the redelivered id folded exactly once)")
+    assert(rowSet(got.shingles) === rowSet(whole.shingles))
+    assert(rowSet(got.buckets) === rowSet(whole.buckets))
+    assert(rowSet(got.pairs(0.4)) === rowSet(whole.pairs(0.4)))
+    assert(rowSet(got.pairs(0.4)).nonEmpty)
+  }
+
   test("media index hot-chunk cap bounds per-item candidates; real hits survive") {
     import spark.implicits._
     import graft.streaming.MediaStream
