@@ -162,6 +162,25 @@ object GraphQueries {
       Louvain.refine(indexedGraph(vertsOf(e), e, directed = false), rounds = 4)
     }),
 
+    "g55_svdpp" -> ((s, d) => {
+      // the FULL SVD++-style predictor over the g52/g53 implicit
+      // ratings: bias baseline + rank-1 factors trained on the bias
+      // residuals + the implicit-feedback item-factor sum, one exact
+      // integer prediction per rating row. Every half-step, the
+      // residual frame, the per-user implicit sum and the final
+      // prediction are integral-division arithmetic on i64, so DuckDB
+      // replays the entire model bit for bit — the reference's one ❌
+      // aspiration row (SVDPlusPlus) closed as one predictor.
+      val ratings = orders(s, d)
+        .groupBy(col("o_custkey").as("user"),
+          (pmod(col("o_orderkey"), lit(211)) + 1000000L).as("item"))
+        .agg(count(lit(1)).as("rating"))
+      Als.svdppExact(ratings, biasRounds = 2, iterations = 2,
+        lambdaBias = 5L, lambdaFactor = 1L, scale = 10000L)
+        .withColumnRenamed("user", "usr")
+        .withColumnRenamed("item", "itm")
+    }),
+
     "g54_hyperball_anf" -> ((s, d) => {
       // HyperBall / ANF on the undirected customer->nation->hub
       // hierarchy: per-vertex portable-HLL ball counters (p=4, the d20
@@ -1527,6 +1546,56 @@ object GraphQueries {
     "g41_louvain" -> louvainOracleSql(4),
     "g51_louvain_fit" -> louvainFitOracleSql(4, 4),
     "g54_hyperball_anf" -> hyperballOracleSql(5),
+    // bias rounds (g53 device) -> S-scaled residuals -> rank-1 ALS on
+    // the residuals (g52 device, signed) -> per-user implicit factor
+    // sum -> one exact-integer prediction per rating row
+    "g55_svdpp" ->
+      """WITH r AS (SELECT o_custkey AS usr,
+        |    1000000 + o_orderkey % 211 AS itm, count(*) AS r
+        |  FROM orders GROUP BY 1, 2),
+        |g AS (SELECT CAST((10000 * sum(r)) // count(*) AS BIGINT) AS mu FROM r),
+        |bu1 AS (SELECT r.usr AS id,
+        |    CAST(sum(10000 * r.r - (SELECT mu FROM g) - 0) // (5 + count(*))
+        |      AS BIGINT) AS b
+        |  FROM r GROUP BY r.usr),
+        |bi1 AS (SELECT r.itm AS id,
+        |    CAST(sum(10000 * r.r - (SELECT mu FROM g) - u.b) // (5 + count(*))
+        |      AS BIGINT) AS b
+        |  FROM r JOIN bu1 u ON u.id = r.usr GROUP BY r.itm),
+        |bu2 AS (SELECT r.usr AS id,
+        |    CAST(sum(10000 * r.r - (SELECT mu FROM g) - i.b) // (5 + count(*))
+        |      AS BIGINT) AS b
+        |  FROM r JOIN bi1 i ON i.id = r.itm GROUP BY r.usr),
+        |bi2 AS (SELECT r.itm AS id,
+        |    CAST(sum(10000 * r.r - (SELECT mu FROM g) - u.b) // (5 + count(*))
+        |      AS BIGINT) AS b
+        |  FROM r JOIN bu2 u ON u.id = r.usr GROUP BY r.itm),
+        |rr AS (SELECT r.usr, r.itm,
+        |    10000 * r.r - (SELECT mu FROM g) - u.b - i.b AS r
+        |  FROM r JOIN bu2 u ON u.id = r.usr JOIN bi2 i ON i.id = r.itm),
+        |y0 AS (SELECT DISTINCT itm AS id, 10000 AS f FROM rr),
+        |u1 AS (SELECT rr.usr AS id,
+        |    CAST((10000 * sum(y.f * rr.r)) // (10000 + sum(y.f * y.f // 10000)) AS BIGINT) AS f
+        |  FROM rr JOIN y0 y ON y.id = rr.itm GROUP BY rr.usr),
+        |y1 AS (SELECT rr.itm AS id,
+        |    CAST((10000 * sum(u.f * rr.r)) // (10000 + sum(u.f * u.f // 10000)) AS BIGINT) AS f
+        |  FROM rr JOIN u1 u ON u.id = rr.usr GROUP BY rr.itm),
+        |u2 AS (SELECT rr.usr AS id,
+        |    CAST((10000 * sum(y.f * rr.r)) // (10000 + sum(y.f * y.f // 10000)) AS BIGINT) AS f
+        |  FROM rr JOIN y1 y ON y.id = rr.itm GROUP BY rr.usr),
+        |y2 AS (SELECT rr.itm AS id,
+        |    CAST((10000 * sum(u.f * rr.r)) // (10000 + sum(u.f * u.f // 10000)) AS BIGINT) AS f
+        |  FROM rr JOIN u2 u ON u.id = rr.usr GROUP BY rr.itm),
+        |imp AS (SELECT r.usr AS usr,
+        |    CAST(sum(q.f) // count(*) AS BIGINT) AS imp
+        |  FROM r JOIN y2 q ON q.id = r.itm GROUP BY r.usr)
+        |SELECT r.usr, r.itm, r.r AS rating,
+        |  CAST((SELECT mu FROM g) + u.b + i.b
+        |    + ((p.f + m.imp) * q.f) // 100000000 AS BIGINT) AS r_hat
+        |FROM r
+        |JOIN bu2 u ON u.id = r.usr JOIN bi2 i ON i.id = r.itm
+        |JOIN u2 p ON p.id = r.usr JOIN y2 q ON q.id = r.itm
+        |JOIN imp m ON m.usr = r.usr""".stripMargin,
     // mu + two alternating shrunk-residual rounds, truncating integral
     // division on both engines
     "g53_bias_baseline" ->
