@@ -142,7 +142,7 @@ object Als {
     * the reference's one ❌ row (`/root/reference/README.md:33`,
     * SVDPlusPlus) closed as ONE predictor rather than by its halves:
     *
-    *   r̂ = μ + b_u + b_i + q_i · (p_u + imp_u) div S²
+    *   r̂ = μ + b_u + b_i + (q_i · (p_u + imp_u) div S) · residUnit div S
     *   imp_u = (Σ_{j∈N(u)} q_j) div |N(u)|
     *
     * — biases from [[biasBaselineExact]], rank-1 factors from
@@ -160,6 +160,19 @@ object Als {
     * `div` truncation matches DuckDB `//` on both signs (the
     * g53-adjudicated device — residuals DO go negative).
     *
+    * Integer headroom is a CONTRACT, not luck: the residuals handed to
+    * the rank-1 solver are re-expressed in `residUnit`-scaled units
+    * (default S/100 — centi-rating residuals), because feeding the raw
+    * S-scaled residual makes the first user factor u ≈ S·resid and the
+    * very next half-step's Σ(u² div S) overflows i64 once ratings reach
+    * interaction-count magnitudes (found at the 100x stress corpus,
+    * where counts grow with replication). With residuals bounded by R
+    * in centi-units and degrees by n, every solver intermediate is
+    * ≤ S²·n·R² — callers keep R bounded (saturate interaction counts;
+    * real ratings are bounded by construction) and the model is safe at
+    * ANY corpus scale, because corpus growth raises n linearly but R
+    * not at all.
+    *
     * Output: one row per RATING, (user, item, rating, r_hat) with r_hat
     * S-scaled — the training-residual view every downstream evaluation
     * consumes. Plan shape: two keyed joins per model term over the
@@ -173,7 +186,10 @@ object Als {
       lambdaBias: Long = 5L,
       lambdaFactor: Long = 1L,
       scale: Long = 10000L,
+      residUnit: Long = 100L,
       checkpoint: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    require(residUnit >= 1L && scale % residUnit == 0L,
+      "residUnit must divide scale")
     val r = checkpoint.pin(ratings.select(
       col("user"), col("item"), col("rating").cast("long").as("r")))
     val biases = biasBaselineExact(ratings, biasRounds, lambdaBias, scale, checkpoint)
@@ -184,7 +200,7 @@ object Als {
       .select(col("id").as("item"), col("bias").as("_bi"))
     val withBias = checkpoint.pin(r.join(bu, Seq("user")).join(bi, Seq("item")))
     val resid = withBias.select(col("user"), col("item"),
-      (lit(scale) * col("r") - lit(mu) - col("_bu") - col("_bi")).as("rating"))
+      expr(s"($scale * r - $mu - _bu - _bi) div $residUnit").as("rating"))
     val factors = fitRank1Exact(resid, iterations, lambdaFactor, scale, checkpoint)
     val pu = factors.filter(col("side") === "user")
       .select(col("id").as("user"), col("factor").as("_pu"))
@@ -197,7 +213,8 @@ object Als {
       .join(pu, Seq("user")).join(qi, Seq("item")).join(imp, Seq("user"))
       .select(
         col("user"), col("item"), col("r").as("rating"),
-        expr(s"$mu + _bu + _bi + ((_pu + _imp) * _qi) div ${scale * scale}")
+        expr(s"$mu + _bu + _bi + ((((_pu + _imp) * _qi) div $scale)" +
+          s" * $residUnit) div $scale")
           .as("r_hat"))
   }
 

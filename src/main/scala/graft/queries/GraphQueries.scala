@@ -171,14 +171,31 @@ object GraphQueries {
       // prediction are integral-division arithmetic on i64, so DuckDB
       // replays the entire model bit for bit — the reference's one ❌
       // aspiration row (SVDPlusPlus) closed as one predictor.
+      // interaction counts SATURATE at 20 (implicit-feedback clipping,
+      // the Hu/Koren/Volinsky confidence-cap convention): the model's
+      // i64 headroom is a function of the rating bound, so clipping
+      // makes the predictor safe at any corpus scale — unbounded counts
+      // overflowed the residual solver at the 100x stress corpus
       val ratings = orders(s, d)
         .groupBy(col("o_custkey").as("user"),
           (pmod(col("o_orderkey"), lit(211)) + 1000000L).as("item"))
-        .agg(count(lit(1)).as("rating"))
+        .agg(least(count(lit(1)), lit(20L)).as("rating"))
       Als.svdppExact(ratings, biasRounds = 2, iterations = 2,
-        lambdaBias = 5L, lambdaFactor = 1L, scale = 10000L)
+        lambdaBias = 5L, lambdaFactor = 1L, scale = 10000L, residUnit = 100L)
         .withColumnRenamed("user", "usr")
         .withColumnRenamed("item", "itm")
+    }),
+
+    "g56_harmonic_anf" -> ((s, d) => {
+      // per-vertex harmonic centrality estimated from the same
+      // HyperBall rounds as g54 — the statistic the algorithm is named
+      // for: H(v) = Σ_r (|B(v,r)|-|B(v,r-1)|)/r, with the division
+      // replaced by exact integer lcm(1..5)/r weights on decimal deltas
+      // (the g33 harmonic-closeness device) so every vertex's value
+      // replays bit for bit.
+      val hg = hierarchyGraph(s, d)
+      val g = Graph(hg.vertices, hg.edges, directed = false)
+      HyperBall.harmonicCentrality(g, p = 4, rounds = 5)
     }),
 
     "g54_hyperball_anf" -> ((s, d) => {
@@ -1200,12 +1217,65 @@ object GraphQueries {
     * per-round per-vertex raw estimates, decimal NF sums, and the
     * all-decimal 90% effective-diameter pick. */
   private def hyperballOracleSql(rounds: Int): String = {
+    val (head, iters) = hyperballCommonSql(rounds)
+    val alpha = hyperballAlpha
+    val nfs = (0 to rounds).map { k =>
+      s"""nf$k AS (SELECT $k AS round,
+         |  CAST(sum(CAST(est AS DECIMAL(26,6))) AS DECIMAL(32,6)) AS nf FROM (
+         |  SELECT round($alpha
+         |      / CAST(sp + (16 - nb) * 35184372088832 AS DOUBLE), 6) AS est
+         |  FROM (SELECT id, sum(CAST(power(2, 45 - r) AS BIGINT)) AS sp,
+         |        count(*) AS nb FROM st$k GROUP BY id)))""".stripMargin
+    }
+    val union = (0 to rounds).map(k => s"SELECT * FROM nf$k").mkString(" UNION ALL ")
+    (Seq(head) ++ iters ++ nfs ++ Seq(
+      s"""nfall AS ($union),
+         |mx AS (SELECT max(nf) AS nf_max FROM nfall),
+         |eff AS (SELECT CAST(min(round) AS INTEGER) AS ed
+         |        FROM nfall, mx WHERE nf * 10 >= nf_max * 9)
+         |SELECT n.round, n.nf, e.ed AS effective_diameter
+         |FROM nfall n, eff e""".stripMargin)).mkString(",\n")
+  }
+
+  /** Per-vertex harmonic-centrality estimate from the same unrolled
+    * HyperBall rounds: per-round per-vertex raw estimates as
+    * DECIMAL(26,6), deltas weighted by the exact integers lcm(1..R)/r
+    * (no decimal division anywhere). */
+  private def hyperballHarmonicOracleSql(rounds: Int): String = {
+    val (head, iters) = hyperballCommonSql(rounds)
+    val alpha = hyperballAlpha
+    val lcm = (1 to rounds).foldLeft(1L) { (acc, r) =>
+      @annotation.tailrec
+      def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+      acc / gcd(acc, r) * r
+    }
+    val ests = (0 to rounds).map { k =>
+      s"""es$k AS (SELECT id, CAST(round($alpha
+         |      / CAST(sp + (16 - nb) * 35184372088832 AS DOUBLE), 6)
+         |    AS DECIMAL(26,6)) AS e
+         |  FROM (SELECT id, sum(CAST(power(2, 45 - r) AS BIGINT)) AS sp,
+         |        count(*) AS nb FROM st$k GROUP BY id))""".stripMargin
+    }
+    val terms = (1 to rounds).map { r =>
+      s"(es$r.e - es${r - 1}.e) * CAST(${lcm / r} AS DECIMAL(6,0))"
+    }.mkString(" + ")
+    val joins = (1 to rounds).map(k => s"JOIN es$k USING (id)").mkString(" ")
+    (Seq(head) ++ iters ++ ests ++ Seq(
+      s"""fin AS (SELECT es0.id AS id, CAST($terms AS DECIMAL(32,6)) AS h_lcm
+         |  FROM es0 $joins)
+         |SELECT id, h_lcm FROM fin""".stripMargin)).mkString(",\n")
+  }
+
+  private val hyperballAlpha = "((0.7213/(1.0 + 1.079/16.0)) * 9007199254740992.0)"
+
+  /** Shared prefix of the HyperBall oracles: graph, symmetrized edges,
+    * p=4 initial registers, `rounds` register-max propagation rounds. */
+  private def hyperballCommonSql(rounds: Int): (String, Seq[String]) = {
     def sha48(x: String) =
       s"""CAST(list_sum([(strpos('0123456789abcdef',
          |  substr(substr(sha256($x), 1, 12), j, 1)) - 1)
          |  * CAST(power(16, 12 - j) AS BIGINT)
          |  FOR j IN range(1, 13)]) AS BIGINT)""".stripMargin
-    val alpha = "((0.7213/(1.0 + 1.079/16.0)) * 9007199254740992.0)"
     val head =
       s"""WITH ce AS (SELECT DISTINCT * FROM (
          |  SELECT CAST(c_custkey + 10000 AS BIGINT) AS src,
@@ -1228,22 +1298,7 @@ object GraphQueries {
          |  SELECT e.src AS id, s.bucket, s.r FROM sym e
          |  JOIN st$pk s ON s.id = e.dst) GROUP BY id, bucket)""".stripMargin
     }
-    val nfs = (0 to rounds).map { k =>
-      s"""nf$k AS (SELECT $k AS round,
-         |  CAST(sum(CAST(est AS DECIMAL(26,6))) AS DECIMAL(32,6)) AS nf FROM (
-         |  SELECT round($alpha
-         |      / CAST(sp + (16 - nb) * 35184372088832 AS DOUBLE), 6) AS est
-         |  FROM (SELECT id, sum(CAST(power(2, 45 - r) AS BIGINT)) AS sp,
-         |        count(*) AS nb FROM st$k GROUP BY id)))""".stripMargin
-    }
-    val union = (0 to rounds).map(k => s"SELECT * FROM nf$k").mkString(" UNION ALL ")
-    (Seq(head) ++ iters ++ nfs ++ Seq(
-      s"""nfall AS ($union),
-         |mx AS (SELECT max(nf) AS nf_max FROM nfall),
-         |eff AS (SELECT CAST(min(round) AS INTEGER) AS ed
-         |        FROM nfall, mx WHERE nf * 10 >= nf_max * 9)
-         |SELECT n.round, n.nf, e.ed AS effective_diameter
-         |FROM nfall n, eff e""".stripMargin)).mkString(",\n")
+    (head, iters)
   }
 
   /** Unrolled Jones–Plassmann oracle: per round — uncolored set, losers
@@ -1546,12 +1601,13 @@ object GraphQueries {
     "g41_louvain" -> louvainOracleSql(4),
     "g51_louvain_fit" -> louvainFitOracleSql(4, 4),
     "g54_hyperball_anf" -> hyperballOracleSql(5),
+    "g56_harmonic_anf" -> hyperballHarmonicOracleSql(5),
     // bias rounds (g53 device) -> S-scaled residuals -> rank-1 ALS on
     // the residuals (g52 device, signed) -> per-user implicit factor
     // sum -> one exact-integer prediction per rating row
     "g55_svdpp" ->
       """WITH r AS (SELECT o_custkey AS usr,
-        |    1000000 + o_orderkey % 211 AS itm, count(*) AS r
+        |    1000000 + o_orderkey % 211 AS itm, least(count(*), 20) AS r
         |  FROM orders GROUP BY 1, 2),
         |g AS (SELECT CAST((10000 * sum(r)) // count(*) AS BIGINT) AS mu FROM r),
         |bu1 AS (SELECT r.usr AS id,
@@ -1571,7 +1627,7 @@ object GraphQueries {
         |      AS BIGINT) AS b
         |  FROM r JOIN bu2 u ON u.id = r.usr GROUP BY r.itm),
         |rr AS (SELECT r.usr, r.itm,
-        |    10000 * r.r - (SELECT mu FROM g) - u.b - i.b AS r
+        |    (10000 * r.r - (SELECT mu FROM g) - u.b - i.b) // 100 AS r
         |  FROM r JOIN bu2 u ON u.id = r.usr JOIN bi2 i ON i.id = r.itm),
         |y0 AS (SELECT DISTINCT itm AS id, 10000 AS f FROM rr),
         |u1 AS (SELECT rr.usr AS id,
@@ -1591,7 +1647,7 @@ object GraphQueries {
         |  FROM r JOIN y2 q ON q.id = r.itm GROUP BY r.usr)
         |SELECT r.usr, r.itm, r.r AS rating,
         |  CAST((SELECT mu FROM g) + u.b + i.b
-        |    + ((p.f + m.imp) * q.f) // 100000000 AS BIGINT) AS r_hat
+        |    + (((p.f + m.imp) * q.f // 10000) * 100) // 10000 AS BIGINT) AS r_hat
         |FROM r
         |JOIN bu2 u ON u.id = r.usr JOIN bi2 i ON i.id = r.itm
         |JOIN u2 p ON p.id = r.usr JOIN y2 q ON q.id = r.itm

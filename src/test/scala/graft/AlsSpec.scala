@@ -91,7 +91,7 @@ class AlsSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getLong(0)) -> r.getLong(2)).toMap
     val mu = b(("global", -1L))
     val residDf = rows.map { case (u, i, r) =>
-      (u, i, S * r - mu - b(("user", u)) - b(("item", i)))
+      (u, i, (S * r - mu - b(("user", u)) - b(("item", i))) / 100L)
     }.toDF("user", "item", "rating")
     val f = Als.fitRank1Exact(residDf).collect()
       .map(r => (r.getString(1), r.getLong(0)) -> r.getLong(2)).toMap
@@ -102,7 +102,7 @@ class AlsSpec extends SparkSpec {
       val items = byUser(u).map(_._2)
       val imp = items.map(j => f(("item", j))).sum / items.size
       val expect = mu + b(("user", u)) + b(("item", i)) +
-        ((f(("user", u)) + imp) * f(("item", i))) / (S * S)
+        (((f(("user", u)) + imp) * f(("item", i))) / S) * 100L / S
       assert(pred((u, i)) === ((r, expect)), s"prediction mismatch at ($u,$i)")
       val eS = S * r - expect
       val eB = S * r - (mu + b(("user", u)) + b(("item", i)))
