@@ -96,6 +96,46 @@ object HyperBall {
         .select(lit(k).as("round"), col("nf"))
     }.reduce(_ union _)
 
+  /** Per-vertex HARMONIC centrality estimate — the statistic HyperBall
+    * was built for (Boldi & Vigna: "in-core computation of GEOMETRIC
+    * CENTRALITIES with HyperBall"): H(v) = Σ_{u≠v} 1/d(u,v), estimated
+    * as Σ_r (|B(v,r)| − |B(v,r−1)|) / r from the per-round ball
+    * estimates. Vertices beyond `rounds` hops contribute nothing —
+    * callers size `rounds` past the effective diameter (the same
+    * saturation contract as [[effectiveDiameter]]).
+    *
+    * Exactness device: per-vertex round estimates are 6-decimal doubles
+    * (cross-engine bit-equal), their deltas are nonnegative (registers
+    * only grow), and instead of dividing by r — decimal division
+    * rounds differently across engines — each delta is multiplied by
+    * the exact integer L/r where L = lcm(1..rounds) (the g33 harmonic-
+    * closeness device). Output (id, h_lcm): h_lcm = L·H(v) as an exact
+    * decimal; ranking and ratios are unaffected by the scaling.
+    *
+    * Plan shape: the round frames are per-vertex aggregates of the SAME
+    * checkpointed registers the NF reuses; the pivot is `rounds` keyed
+    * equi-joins on the vertex id — each frame one row per vertex.
+    */
+  def harmonicCentrality(g: Graph, p: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val L = (1 to rounds).foldLeft(1L)((acc, r) =>
+      acc / gcd(acc, r) * r)
+    val ests = ballRegisters(g, p, rounds).zipWithIndex.map { case (regs, k) =>
+      Hll.estimate(regs, Seq(ID), p)
+        .select(col(ID), col("est_raw").cast("decimal(26,6)").as(s"_e$k"))
+    }
+    val joined = ests.reduce((a, b) => a.join(b, Seq(ID)))
+    // the integer weight is cast to a narrow decimal so Spark's
+    // decimal-times-bigint promotion cannot overflow precision 38 and
+    // silently shave the scale
+    val h = (1 to rounds).map { r =>
+      (col(s"_e$r") - col(s"_e${r - 1}")) * lit(L / r).cast("decimal(6,0)")
+    }.reduce(_ + _)
+    joined.select(col(ID), h.cast("decimal(32,6)").as("h_lcm"))
+  }
+
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+
   /** Effective diameter at fraction `num`/`den` (default 9/10): the
     * smallest round r with den·nf(r) >= num·max(nf) — all-decimal
     * arithmetic, so the threshold test is exact. One row

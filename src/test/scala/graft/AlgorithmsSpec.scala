@@ -863,6 +863,36 @@ class AlgorithmsSpec extends SparkSpec {
     assert(regSet(rounds(5)) === regSet(rounds(6)))
   }
 
+  test("HyperBall harmonic centrality: hub dominates, equals manual delta-weighting") {
+    import spark.implicits._
+    val leaves = (1L to 20L)
+    val g = Graph(
+      (0L +: leaves).toDF(ID),
+      leaves.map(i => (0L, i)).toDF(SRC, DST)
+        .withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+      directed = false)
+    val h = graft.algorithms.HyperBall.harmonicCentrality(g, p = 6, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    // the hub reaches everything at distance 1 — strictly the largest
+    val hub = h(0L)
+    leaves.foreach(l => assert(h(l).compareTo(hub) < 0, s"leaf $l must trail the hub"))
+    // arithmetic composition: h_lcm REPLAYS from the per-vertex round
+    // estimates with exact integer weights lcm(1..3)/r = 6, 3, 2
+    val est = graft.algorithms.HyperBall.vertexNeighbourhoods(g, p = 6, rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    // valueOf (shortest decimal repr) + HALF_UP mirrors Spark's
+    // double -> decimal conversion
+    def bd(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+    (0L +: leaves).foreach { v =>
+      val e = (0 to 3).map(r => bd(est((r, v))))
+      val manual = (1 to 3).map(r =>
+        e(r).subtract(e(r - 1))
+          .multiply(java.math.BigDecimal.valueOf(6 / r))).reduce(_ add _)
+      assert(h(v).compareTo(manual) === 0, s"vertex $v h_lcm mismatch")
+    }
+  }
+
   test("HyperBall NF is monotone; star effective diameter is 2") {
     import spark.implicits._
     val leaves = (1L to 20L)
