@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -66,6 +67,58 @@ object BpeCount {
     ColumnBridge.column(BpeCount(ColumnBridge.expression(text), merges))
 }
 
+/** The SEGMENTING face of [[BpeCount]]: the BPE token array itself, not
+  * just its length — the form tokenizer-aligned chunking needs (windows
+  * cut at TOKEN boundaries, which may fall mid-word, exactly like real
+  * context-window packing). Same compiled table, same rank-order-pass
+  * semantics; each symbol is a contiguous source character range, so
+  * tokens materialize as substrings without re-concatenation.
+  *
+  * Word-boundary convention (the GPT-2 leading-space device): every
+  * word-initial token EXCEPT the document's first carries a leading
+  * space, so `concat(tokens)` reproduces the whitespace-normalized
+  * document and `concat` of any token window is the chunk's readable
+  * text (lead-trim the window if it starts mid-document).
+  */
+case class BpeSegment(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  require(merges.nonEmpty, "merge table must not be empty")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "bpe_segment"
+
+  @transient private lazy val table: BpeTable = BpeTable.compile(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    table.segmentAll(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.segmentAll($c.toString())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeSegment {
+  /** Column-API entry point. */
+  def apply(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeSegment(ColumnBridge.expression(text), merges))
+}
+
 /** Compiled ranked merge table: symbols are interned to int ids (output
   * symbol = the CONCATENATED string, so two rules producing the same
   * string produce the same symbol — the replace chain's semantics), rules
@@ -103,6 +156,103 @@ final class BpeTable private (
       i += 1
     }
     total
+  }
+
+  /** Token array of `text` under the [[BpeSegment]] word-boundary
+    * convention: word-initial tokens after the first word carry a
+    * leading space. */
+  def segmentAll(text: String): ArrayData = {
+    val out = new java.util.ArrayList[AnyRef]()
+    val len = text.length
+    var start = 0
+    var i = 0
+    var firstWord = true
+    while (i <= len) {
+      if (i == len || text.charAt(i) == ' ') {
+        if (i > start) {
+          segmentWord(text, start, i, prefixSpace = !firstWord, out)
+          firstWord = false
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray())
+  }
+
+  /** The merge passes of [[countWord]] with parallel (start, end) char
+    * ranges: merges only ever concatenate ADJACENT symbols, so every
+    * symbol is a contiguous substring of the word and materializes
+    * without re-concatenation. Kept separate from the count path so
+    * counting never pays the range bookkeeping. */
+  private def segmentWord(
+      s: String, from: Int, until: Int, prefixSpace: Boolean,
+      out: java.util.ArrayList[AnyRef]): Unit = {
+    val sc = scratch.get()
+    sc.nextGen()
+    val g = sc.gen
+    val stamp = sc.stamp
+    var ids = sc.ids
+    var starts = sc.starts
+    var ends = sc.ends
+    // the three arrays grow independently (the count path grows only
+    // `ids`), so each is checked on its own
+    val need = until - from
+    if (ids.length < need) { ids = new Array[Int](need); sc.ids = ids }
+    if (starts.length < need) { starts = new Array[Int](need); sc.starts = starts }
+    if (ends.length < need) { ends = new Array[Int](need); sc.ends = ends }
+    var n = 0
+    var p = from
+    while (p < until) {
+      val cp = s.codePointAt(p)
+      val id =
+        if (cp < 128) asciiId(cp)
+        else {
+          val v = wideId.get(cp)
+          if (v == null) 0 else v.intValue()
+        }
+      ids(n) = id
+      starts(n) = p
+      p += Character.charCount(cp)
+      ends(n) = p
+      if (id != 0) stamp(id) = g
+      n += 1
+    }
+    val nRules = ruleA.length
+    var r = 0
+    while (r < nRules && n > 1) {
+      val a = ruleA(r)
+      val b = ruleB(r)
+      if (stamp(a) == g && stamp(b) == g) {
+        val m = ruleM(r)
+        var i = 0
+        var j = 0
+        while (i < n) {
+          if (i + 1 < n && ids(i) == a && ids(i + 1) == b) {
+            ids(j) = m
+            starts(j) = starts(i)
+            ends(j) = ends(i + 1)
+            stamp(m) = g
+            i += 2
+          } else {
+            ids(j) = ids(i)
+            starts(j) = starts(i)
+            ends(j) = ends(i)
+            i += 1
+          }
+          j += 1
+        }
+        n = j
+      }
+      r += 1
+    }
+    var k = 0
+    while (k < n) {
+      val sym = s.substring(starts(k), ends(k))
+      out.add(UTF8String.fromString(
+        if (k == 0 && prefixSpace) " " + sym else sym))
+      k += 1
+    }
   }
 
   private def countWord(s: String, from: Int, until: Int): Int = {
@@ -170,6 +320,8 @@ object BpeTable {
     * the current word — O(1) clear per word instead of O(vocab)). */
   private[functions] final class Scratch(vocabSize: Int) {
     var ids: Array[Int] = new Array[Int](64)
+    var starts: Array[Int] = new Array[Int](64)
+    var ends: Array[Int] = new Array[Int](64)
     val stamp: Array[Int] = new Array[Int](vocabSize)
     var gen: Int = 0
     def nextGen(): Unit = {

@@ -671,6 +671,28 @@ object DocQueries {
       Dedup.duplicatedSpanStats(documents(s, d), "doc_id", "text", n = 8)
         .withColumnRenamed("id", "doc_id")),
 
+    "d28_bpe_chunks" -> ((s, d) =>
+      // tokenizer-ALIGNED context-window chunking: documents cut into
+      // 64-BPE-token windows at TOKEN boundaries (mid-word cuts
+      // included — exactly how context-window packing slices text), via
+      // the native BpeSegment expression (compiled merge table, symbols
+      // as contiguous substrings, GPT-2-style leading-space word marks
+      // so concat(window) IS the chunk's text). Zero shuffle: one
+      // per-row segment + slice + posexplode. The oracle replays the
+      // replace chain and the same windowing with list ops.
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.BpeSegment(col("text"), TextFunctions.BpeMerges)
+            .as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), ceil(size(col("toks")) / 64.0).cast("int") - 1),
+          k => slice(col("toks"), k * 64 + 1, lit(64)))))
+        .toDF("doc_id", "chunk_id", "s")
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("s")).as("n_bpe"),
+          ltrim(array_join(col("s"), ""), " ").as("chunk_text"))),
+
     "d27_span_removal" -> ((s, d) =>
       // the cleaned-corpus follow-through of d16 (Lee et al. 2022
       // exact-substring dedup): every 8-token span occurrence that is
@@ -815,16 +837,28 @@ object DocQueries {
     * drift. `replace` is leftmost/non-overlapping and continues after
     * the replacement in both engines (verified), which is exactly BPE's
     * within-rank application order. */
-  private def bpeCountSql: String = {
-    // symbols are FULLY wrapped (chr(1) on both sides) so a pattern's
-    // second operand is terminated — see TextFunctions.BpeSep
+  /** The BPE working string after the full merge chain, from tokens `t`
+    * — symbols FULLY wrapped (chr(1) on both sides) so a pattern's
+    * second operand is terminated; see TextFunctions.BpeSep. */
+  private def bpeSegSql: String = {
     val init = """array_to_string([chr(2) || regexp_replace(w, '(.)', chr(1) || '\1' || chr(1), 'g') FOR w IN t], '')"""
-    val seg = graft.text.TextFunctions.BpeMerges.foldLeft(init) {
+    graft.text.TextFunctions.BpeMerges.foldLeft(init) {
       case (s, (a, b)) =>
         s"replace($s, chr(1)||'$a'||chr(1)||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
     }
-    s"((length($seg) - length(replace($seg, chr(1), ''))) // 2)"
   }
+
+  private def bpeCountSql: String =
+    s"((length($bpeSegSql) - length(replace($bpeSegSql, chr(1), ''))) // 2)"
+
+  /** The BPE token LIST under the BpeSegment word-boundary convention:
+    * non-empty chr(1)-splits of the working string are symbols with
+    * chr(2) markers interleaved at word starts; a symbol directly after
+    * a marker (beyond the very first) takes a leading space. */
+  private def bpeToksSql: String =
+    s"""[CASE WHEN i > 2 AND parts[i-1] = chr(2) THEN ' ' || parts[i]
+       |      ELSE parts[i] END
+       | FOR i IN range(1, len(parts) + 1) IF parts[i] <> chr(2)]""".stripMargin
 
   /** DuckDB-side 48-bit sha256-prefix hash of a string expression
     * (digit-decoded so every intermediate stays exact) — the replay of
@@ -893,6 +927,21 @@ object DocQueries {
          |  CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_spans,
          |  CAST(coalesce(per.n_cross, 0) AS BIGINT) AS n_cross_dup_spans
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
+    // full BPE-chunking replay: merge chain -> symbol list with word
+    // markers -> leading-space convention -> 64-token windows
+    "d28_bpe_chunks" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sg AS (SELECT doc_id,
+         |  list_filter(string_split($bpeSegSql, chr(1)), x -> x <> '') AS parts
+         |  FROM t0),
+         |tk AS (SELECT doc_id, $bpeToksSql AS toks FROM sg),
+         |ch AS (SELECT doc_id, unnest([{'cid': k, 's': toks[k*64+1 : k*64+64]}
+         |    FOR k IN range(0, CAST(ceil(len(toks)/64.0) AS BIGINT))]) AS c
+         |  FROM tk WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(c.cid AS INTEGER) AS chunk_id,
+         |  CAST(len(c.s) AS INTEGER) AS n_bpe,
+         |  ltrim(array_to_string(c.s, ''), ' ') AS chunk_text
+         |FROM ch""".stripMargin,
     // full span-removal replay: positional span inventory on raw span
     // strings, canonical = min(doc_id * 2^31 + pos), non-canonical
     // occurrences explode to removed positions, splice via ordered

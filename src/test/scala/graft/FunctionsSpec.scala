@@ -281,6 +281,76 @@ class FunctionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  /** Token-list model from the replace-chain working string: non-empty
+    * chr(1)-splits are symbols with chr(2) word markers interleaved; a
+    * symbol directly after a marker (beyond the first) takes a leading
+    * space — the BpeSegment convention. */
+  private def replaceChainTokens(
+      text: String, merges: Seq[(String, String)]): Seq[String] = {
+    val S = "\u0001"; val W = "\u0002"
+    val init = text.split(" ").filter(_.nonEmpty)
+      .map(w => W + w.map(c => S + c + S).mkString).mkString
+    val done = merges.foldLeft(init) { case (acc, (a, b)) =>
+      acc.replace(S + a + S + S + b + S, S + a + b + S)
+    }
+    val parts = done.split(S.head).filter(_.nonEmpty)
+    parts.zipWithIndex.collect {
+      case (p, i) if p != W =>
+        if (i > 1 && parts(i - 1) == W) " " + p else p
+    }.toSeq
+  }
+
+  test("BpeSegment native tokens equal the chain model; concat rebuilds the text") {
+    import spark.implicits._
+    val texts = Seq(
+      "the", "that", "with math here", "", "a  b   c", "eee",
+      "the quick brown fox jumps over the lazy dog again and again",
+      "this is another other thing that the for with us")
+    val rnd = new scala.util.Random(23)
+    val alpha = "abcdefghilmnoprstuwz "
+    val fuzz = (0 until 120).map(_ =>
+      (0 until (5 + rnd.nextInt(50))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    val all = texts ++ fuzz
+    val got = all.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"),
+        graft.functions.BpeSegment(col("text"), TextFunctions.BpeMerges).as("toks"),
+        TextFunctions.bpeTokenCountExact(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[scala.collection.Seq[String]](1).toSeq, r.getInt(2)))).toMap
+    all.zipWithIndex.foreach { case (t, i) =>
+      val (toks, n) = got(i.toLong)
+      assert(toks === replaceChainTokens(t, TextFunctions.BpeMerges),
+        s"token mismatch for '${t.take(40)}'")
+      assert(toks.size === n, "segment length must equal the count expression")
+      // the leading-space convention makes concat the normalized text
+      assert(toks.mkString === t.split(" ").filter(_.nonEmpty).mkString(" "))
+    }
+  }
+
+  test("BpeSegment applies a generated 1k-merge table, equal to the chain model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val pool = scala.collection.mutable.ArrayBuffer[String]("abcdefghij".map(_.toString): _*)
+    val merges = (0 until 1000).map { _ =>
+      val a = pool(rnd.nextInt(pool.length))
+      val b = pool(rnd.nextInt(pool.length))
+      pool += (a + b)
+      (a, b)
+    }
+    val texts = (0 until 100).map(_ =>
+      (0 until (3 + rnd.nextInt(40))).map(_ => "abcdefghij "(rnd.nextInt(11))).mkString)
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"),
+        graft.functions.BpeSegment(col("text"), merges).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[String]](1).toSeq).toMap
+    texts.indices.foreach { i =>
+      assert(got(i.toLong) === replaceChainTokens(texts(i), merges),
+        s"mismatch at $i")
+    }
+  }
+
   test("BpeCount applies a generated 1k-merge table, equal to the chain model") {
     import spark.implicits._
     // deterministic 1000-rule table honouring the BPE invariant (each
