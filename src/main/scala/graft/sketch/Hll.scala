@@ -105,4 +105,65 @@ object Hll {
   def distinctEstimate(
       df: DataFrame, groupCols: Seq[String], key: Column, p: Int): DataFrame =
     estimate(registers(df, groupCols, key, p), groupCols, p)
+
+  /** Keyed streaming state: the register map (bucket -> max rank) —
+    * at most m = 2^p entries per group, FOREVER. */
+  final case class HllState(regs: Map[Int, Int])
+  /** Per-group estimate emitted each micro-batch, the [[estimate]]
+    * columns. */
+  final case class HllEstimate(
+      group: String, n_zero: Long, s_sum: Long, est_raw: Double)
+
+  /** Streaming face (the [[Kmv.distinctEstimateStream]] shape): keyed
+    * state holds each group's register map and every micro-batch emits
+    * the refreshed raw estimate (OutputMode.Update). Register merge is
+    * per-bucket max — idempotent and order-free — so the estimate after
+    * any batch split equals the batch [[distinctEstimate]] over the
+    * union, REDELIVERY INCLUDED (a replayed row maxes into the same
+    * register): the at-least-once concern the KMV/quantile faces have
+    * to dedup away simply does not exist for HLL. Bucket/rank
+    * computation stays in the plan (codegen, the [[registers]]
+    * expressions); only the O(2^p) merge runs in the state function.
+    */
+  def distinctEstimateStream(
+      df: DataFrame, groupCol: String, key: Column, p: Int)
+      : org.apache.spark.sql.Dataset[HllEstimate] = {
+    checkP(p)
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val rb = remBits(p)
+    val m = mOf(p)
+    val rmx = rmax(p)
+    val rem2 = math.pow(2, rb).toLong
+    val scale = math.pow(2, rmx).toLong
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val num = alpha * math.pow(2, p + 49) // same pinned constant as estimate()
+    import df.sparkSession.implicits._
+    val h = Kmv.portableHash(key)
+    val rem = h % rem2
+    val rank = when(rem === 0L, lit(rb + 1))
+      .otherwise(lit(rb + 1) - length(conv(rem, 10, 2)))
+    val hashed = df.select(
+      col(groupCol).cast("string").as("g"),
+      shiftrightunsigned(h, rb).cast("int").as("bucket"),
+      rank.cast("int").as("r"))
+      .as[(String, Int, Int)]
+    hashed.groupByKey(_._1)
+      .mapGroupsWithState[HllState, HllEstimate](GroupStateTimeout.NoTimeout()) {
+        case (g, it, state: GroupState[HllState]) =>
+          val merged = it.foldLeft(
+            state.getOption.map(_.regs).getOrElse(Map.empty[Int, Int])) {
+            case (acc, (_, b, r)) =>
+              if (r > acc.getOrElse(b, 0)) acc.updated(b, r) else acc
+          }
+          state.update(HllState(merged))
+          var sp = 0L
+          merged.valuesIterator.foreach(r => sp += math.pow(2, rmx - r).toLong)
+          val nb = merged.size
+          val sSum = sp + (m - nb) * scale
+          // BigDecimal.valueOf + HALF_UP mirrors Spark's round(x, 6)
+          val est = java.math.BigDecimal.valueOf(num / sSum)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          HllEstimate(g, (m - nb).toLong, sSum, est)
+      }
+  }
 }

@@ -55,4 +55,31 @@ class HllSpec extends SparkSpec {
     assert(math.abs(est - 10.0) < 1.5, s"lc estimate $est too far from 10")
     assert(row.getLong(row.fieldIndex("n_zero")) >= 246)
   }
+  test("hll streaming face: batch-split + redelivery equals the batch estimate") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val sq = Hll.distinctEstimateStream(
+        stream.toDF().toDF("g", "k"), "g", col("k"), p = 6)
+      .writeStream.format("memory").queryName("hllstream")
+      .outputMode("update").start()
+    try {
+      val b1 = (0 until 3000).map(i => ("s", s"key-$i"))
+      val b2 = (2000 until 5000).map(i => ("s", s"key-$i")) // 1000 redelivered
+      stream.addData(b1)
+      sq.processAllAvailable()
+      stream.addData(b2)
+      sq.processAllAvailable()
+      val last = spark.table("hllstream")
+        .orderBy(col("n_zero").asc, col("s_sum").asc).head()
+      val batch = Hll.distinctEstimate(
+        (b1 ++ b2).toDF("g", "k"), Seq("g"), col("k"), p = 6).head()
+      // registers merge by max — the union estimate bit for bit, and the
+      // overlapping redelivery needs no dedup at all
+      assert(last.getAs[Long]("n_zero") === batch.getAs[Long]("n_zero"))
+      assert(last.getAs[Long]("s_sum") === batch.getAs[Long]("s_sum"))
+      assert(last.getAs[Double]("est_raw") === batch.getAs[Double]("est_raw"))
+    } finally sq.stop()
+  }
 }
