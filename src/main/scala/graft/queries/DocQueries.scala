@@ -671,6 +671,14 @@ object DocQueries {
       Dedup.duplicatedSpanStats(documents(s, d), "doc_id", "text", n = 8)
         .withColumnRenamed("id", "doc_id")),
 
+    "d29_source_curation" -> ((s, d) =>
+      // source/domain-level curation (the C4-style domain filter):
+      // per-source doc/distinct-text/token/stopword aggregates in ONE
+      // corpus pass (text never shuffles — sha digests do), keep
+      // decision in pure integer comparisons, one row per source for
+      // the mixture step to consume.
+      graft.sample.Sampling.sourceCuration(documents(s, d), "text", "source")),
+
     "d28_bpe_chunks" -> ((s, d) =>
       // tokenizer-ALIGNED context-window chunking: documents cut into
       // 64-BPE-token windows at TOKEN boundaries (mid-word cuts
@@ -927,6 +935,25 @@ object DocQueries {
          |  CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_spans,
          |  CAST(coalesce(per.n_cross, 0) AS BIGINT) AS n_cross_dup_spans
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
+    // per-source aggregates in one pass; keep decision replayed with
+    // the same integer comparisons
+    "d29_source_curation" ->
+      s"""WITH pt AS (SELECT source, sha256(text) AS th, count(*) AS cnt,
+         |    sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS t,
+         |    sum(len(list_filter(string_split(text, ' '), x -> list_contains(
+         |      ['the','a','an','of','and','to','in','is','it','on'], x)))) AS st
+         |  FROM documents GROUP BY source, th),
+         |ag AS (SELECT source,
+         |    CAST(sum(cnt) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_distinct,
+         |    CAST(sum(t) AS BIGINT) AS n_tokens,
+         |    CAST(sum(st) AS BIGINT) AS n_stop_hits
+         |  FROM pt GROUP BY source)
+         |SELECT source, n_docs, n_distinct, n_tokens, n_stop_hits,
+         |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 6) AS dup_ratio,
+         |  (n_distinct * 2 >= n_docs AND n_tokens >= n_docs * 5
+         |   AND n_stop_hits * 100 >= n_tokens) AS keep
+         |FROM ag""".stripMargin,
     // full BPE-chunking replay: merge chain -> symbol list with word
     // markers -> leading-space convention -> 64-token windows
     "d28_bpe_chunks" ->

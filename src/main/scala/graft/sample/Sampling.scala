@@ -166,4 +166,62 @@ object Sampling {
     agg.withColumn("share",
       col("weight").cast("double") / sum(col("weight")).over())
   }
+
+  /** SOURCE-level curation report — the C4/Common-Crawl-style
+    * domain-filter decision made from per-source aggregates instead of
+    * per-document ones: heavy intra-source duplication and bottom-tier
+    * average quality are properties of the SOURCE (mirror farms,
+    * boilerplate template hosts, SEO spam), and production pipelines
+    * drop or downweight whole sources before any per-document gate
+    * runs.
+    *
+    * Per source: document count, distinct-text count (sha256 collapse —
+    * the text never shuffles, 32-byte digests do), exact token and
+    * stopword-hit totals, a 6-decimal duplication ratio for reporting,
+    * and the keep decision in PURE INTEGER comparisons (so any engine
+    * replays it):
+    *
+    *   keep = n_distinct · maxDupX        >= n_docs        (dup ratio cap)
+    *        ∧ n_tokens                    >= minMeanToks · n_docs
+    *        ∧ n_stop_hits · stopDenom     >= n_tokens      (stopword floor)
+    *
+    * Scale shape: ONE pass over the corpus (all five aggregates are
+    * map-side combinable; the sha-distinct is a two-level groupBy on
+    * digests) and the output is one row per source — the decision table
+    * a mixture step ([[mixtureSample]]) consumes directly.
+    */
+  def sourceCuration(
+      docs: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      maxDupX: Int = 2,
+      minMeanToks: Int = 5,
+      stopDenom: Int = 100,
+      stopwords: Seq[String] = graft.text.TextFunctions.DefaultStopwords)
+      : DataFrame = {
+    val toks = graft.text.TextFunctions.tokens(col(textCol))
+    val perText = docs.select(
+      col(sourceCol).as("source"),
+      sha2(col(textCol), 256).as("_th"),
+      size(toks).cast("long").as("_nt"),
+      graft.text.TextFunctions.stopwordCount(col(textCol), stopwords)
+        .cast("long").as("_ns"))
+      .groupBy(col("source"), col("_th"))
+      .agg(count(lit(1)).as("_cnt"), sum(col("_nt")).as("_t"),
+        sum(col("_ns")).as("_s"))
+    perText.groupBy(col("source"))
+      .agg(
+        sum(col("_cnt")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("_t")).as("n_tokens"),
+        sum(col("_s")).as("n_stop_hits"))
+      .select(
+        col("source"), col("n_docs"), col("n_distinct"),
+        col("n_tokens"), col("n_stop_hits"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6)
+          .as("dup_ratio"),
+        (col("n_distinct") * maxDupX >= col("n_docs") &&
+          col("n_tokens") >= col("n_docs") * minMeanToks &&
+          col("n_stop_hits") * stopDenom >= col("n_tokens")).as("keep"))
+  }
 }

@@ -160,4 +160,28 @@ class SamplingSpec extends SparkSpec {
     val shares = m.values.map(_._2).sum
     assert(math.abs(shares - 1.0) < 1e-9, s"shares must sum to 1, got $shares")
   }
+
+  test("sourceCuration: mirror farm and stopword-free source dropped, clean source kept") {
+    import spark.implicits._
+    val good = (1L to 10L).map(i =>
+      (i, "the quick brown fox number " + i + " jumps over the lazy dog", "clean"))
+    // 10 docs, 3 distinct texts: dup_ratio 0.7 > 1/2 cap -> dropped
+    val mirror = (11L to 20L).map(i =>
+      (i, "mirrored boilerplate page body copy " + (i % 3), "mirror"))
+    // distinct and long enough but ZERO stopword evidence -> dropped
+    val spam = (21L to 30L).map(i =>
+      (i, (1 to 8).map(j => s"zz$i-$j").mkString(" "), "spam"))
+    // too short: mean tokens 2 < 5 -> dropped
+    val tiny = (31L to 40L).map(i => (i, s"ok the$i", "tiny"))
+    val report = Sampling.sourceCuration(
+      (good ++ mirror ++ spam ++ tiny).toDF("doc_id", "text", "source"),
+      "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(report("clean") === ((10L, 10L, 0.0, true)))
+    assert(report("mirror")._2 === 3L && report("mirror")._3 === 0.7
+      && !report("mirror")._4, "mirror farm must fail the dup cap")
+    assert(!report("spam")._4, "stopword-free source must fail the floor")
+    assert(!report("tiny")._4, "short-doc source must fail the token floor")
+  }
 }
