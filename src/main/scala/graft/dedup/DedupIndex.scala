@@ -269,7 +269,12 @@ object DedupIndex {
         val spark = batch.sparkSession
         val idx = readBucketed(spark, name)
         val known = idx.clusters.select(explode(col("ids")).as(idCol))
-        val fresh = batch.join(known, Seq(idCol), "left_anti")
+        // dropDuplicates first: a producer-retry duplicate INSIDE one
+        // micro-batch would otherwise pass the anti-join twice and
+        // inflate n_copies; the anti-join then removes cross-batch
+        // redelivery
+        val fresh = batch.dropDuplicates(Seq(idCol))
+          .join(known, Seq(idCol), "left_anti")
         if (!fresh.isEmpty) {
           writeBucketed(merge(idx, fresh, idCol, textCol), name, numBuckets)
         }

@@ -679,6 +679,14 @@ object DocQueries {
       // the mixture step to consume.
       graft.sample.Sampling.sourceCuration(documents(s, d), "text", "source")),
 
+    "d30_span_removal_deduped" -> ((s, d) =>
+      // dedup-FIRST span removal (the d09 composition applied to d27):
+      // exact copies collapse, the span inventory runs over DISTINCT
+      // texts only, copies inherit the representative's cleaned text —
+      // document-level duplication handled at document prices, ~8x the
+      // raw path on the 90%-copies stress corpus.
+      Dedup.removeDuplicatedSpansDeduped(documents(s, d), "doc_id", "text", n = 8)),
+
     "d28_bpe_chunks" -> ((s, d) =>
       // tokenizer-ALIGNED context-window chunking: documents cut into
       // 64-BPE-token windows at TOKEN boundaries (mid-word cuts
@@ -969,10 +977,51 @@ object DocQueries {
          |  CAST(len(c.s) AS INTEGER) AS n_bpe,
          |  ltrim(array_to_string(c.s, ''), ' ') AS chunk_text
          |FROM ch""".stripMargin,
+    // the d27 pipeline over min-id representatives of distinct texts,
+    // expanded back to every copy
+    "d30_span_removal_deduped" ->
+      s"""WITH g0 AS (SELECT text, min(doc_id) AS keep_id
+         |            FROM documents GROUP BY text),
+         |t0 AS (SELECT keep_id AS doc_id, $toksSql AS t FROM g0),
+         |sp0 AS (SELECT doc_id, unnest(
+         |    CASE WHEN len(t) >= 8
+         |      THEN [{'pos': i - 1, 'g': array_to_string(t[i:i+7], ' ')}
+         |            FOR i IN range(1, len(t) - 6)]
+         |      ELSE [] END) AS s
+         |  FROM t0),
+         |sp AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM sp0),
+         |inv AS (SELECT g, count(*) AS occ, min((doc_id, pos)) AS canon
+         |        FROM sp GROUP BY g),
+         |rm0 AS (SELECT sp.doc_id, unnest(range(pos, pos + 8)) AS p
+         |        FROM sp JOIN inv USING (g)
+         |        WHERE occ > 1 AND (sp.doc_id, sp.pos) <> canon),
+         |rm AS (SELECT DISTINCT doc_id, p FROM rm0),
+         |rmagg AS (SELECT doc_id, count(*) AS n_removed FROM rm GROUP BY doc_id),
+         |tk0 AS (SELECT doc_id, unnest(
+         |    [{'p': i - 1, 'tok': t[i]} FOR i IN range(1, len(t) + 1)]) AS s
+         |  FROM t0),
+         |tk AS (SELECT doc_id, s.p AS p, s.tok AS tok FROM tk0),
+         |kept AS (SELECT tk.doc_id, tk.p, tk.tok FROM tk
+         |         LEFT JOIN rm ON rm.doc_id = tk.doc_id AND rm.p = tk.p
+         |         WHERE rm.p IS NULL),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         |        count(*) AS n_kept FROM kept GROUP BY doc_id),
+         |rep AS (SELECT g0.keep_id,
+         |    coalesce(agg.clean_text, '') AS clean_text,
+         |    CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+         |    CAST(coalesce(rmagg.n_removed, 0) AS BIGINT) AS n_removed
+         |  FROM g0
+         |  LEFT JOIN agg ON g0.keep_id = agg.doc_id
+         |  LEFT JOIN rmagg ON g0.keep_id = rmagg.doc_id)
+         |SELECT d.doc_id, r.clean_text, r.n_kept, r.n_removed
+         |FROM documents d
+         |JOIN g0 ON d.text = g0.text
+         |JOIN rep r ON r.keep_id = g0.keep_id""".stripMargin,
     // full span-removal replay: positional span inventory on raw span
-    // strings, canonical = min(doc_id * 2^31 + pos), non-canonical
-    // occurrences explode to removed positions, splice via ordered
-    // string_agg over the kept tokens
+    // strings, canonical = min over the (doc_id, pos) ROW (lexicographic
+    // — total for any id range), non-canonical occurrences explode to
+    // removed positions, splice via ordered string_agg over the kept
+    // tokens
     "d27_span_removal" ->
       s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
          |sp0 AS (SELECT doc_id, unnest(
@@ -981,11 +1030,12 @@ object DocQueries {
          |            FOR i IN range(1, len(t) - 6)]
          |      ELSE [] END) AS s
          |  FROM t0),
-         |sp AS (SELECT doc_id, s.pos AS pos, s.g AS g,
-         |        doc_id * 2147483648 + s.pos AS k FROM sp0),
-         |inv AS (SELECT g, count(*) AS occ, min(k) AS canon FROM sp GROUP BY g),
+         |sp AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM sp0),
+         |inv AS (SELECT g, count(*) AS occ, min((doc_id, pos)) AS canon
+         |        FROM sp GROUP BY g),
          |rm0 AS (SELECT sp.doc_id, unnest(range(pos, pos + 8)) AS p
-         |        FROM sp JOIN inv USING (g) WHERE occ > 1 AND k <> canon),
+         |        FROM sp JOIN inv USING (g)
+         |        WHERE occ > 1 AND (sp.doc_id, sp.pos) <> canon),
          |rm AS (SELECT DISTINCT doc_id, p FROM rm0),
          |rmagg AS (SELECT doc_id, count(*) AS n_removed FROM rm GROUP BY doc_id),
          |tk0 AS (SELECT doc_id, unnest(

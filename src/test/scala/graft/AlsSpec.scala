@@ -66,11 +66,20 @@ class AlsSpec extends SparkSpec {
     val e5 = Als.mse(df, u5, i5)
     assert(e5 <= e1 + 1e-9, s"error must not grow: $e1 -> $e5")
     assert(e5 < 0.01, s"rank-2 truth should be recovered, mse = $e5")
-    // within-engine determinism: same input, same factors
+    // run-to-run stability: the moment aggregator accumulates along the
+    // partial-aggregation merge tree, so equality is up to float
+    // summation order — tolerance, not bitwise (the bit-exact faces are
+    // the scaled-integer ones)
     val (u5b, _) = Als.fit(df, k = 2, iterations = 8, lambda = 0.01)
     val va = u5.collect().map(f => f.id -> f.vec.toSeq).toMap
     val vb = u5b.collect().map(f => f.id -> f.vec.toSeq).toMap
-    assert(va === vb)
+    assert(va.keySet === vb.keySet)
+    va.foreach { case (id, v) =>
+      v.zip(vb(id)).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)),
+          s"factor drift beyond float-order tolerance at user $id")
+      }
+    }
   }
 
   test("svdppExact: equals the manual composition of its sub-models, beats bias-only") {

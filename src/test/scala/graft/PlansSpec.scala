@@ -318,6 +318,38 @@ class PlansSpec extends SparkSpec {
       s"g44 top-k must be a bounded TakeOrdered, not a global sort:\n$p")
   }
 
+  test("t13/d28: BPE runs the native expressions, not the replace chain") {
+    val t = plan(DocQueries.queries("t13_bpe_tokens")(spark, SF))
+    assert(t.contains("bpe_count"),
+      s"t13 must count through the native BpeCount expression:\n$t")
+    assert(!t.contains("replace("),
+      s"t13 must not carry the plan-bound replace chain:\n$t")
+    val c = plan(DocQueries.queries("d28_bpe_chunks")(spark, SF))
+    assert(c.contains("bpe_segment"),
+      s"d28 must segment through the native BpeSegment expression:\n$c")
+    assert(!c.contains("Exchange"),
+      s"d28 chunking must be a zero-shuffle per-row map:\n$c")
+  }
+
+  test("d27 span removal: inventory shuffles hashes only; the splice join broadcasts") {
+    val df = DocQueries.queries("d27_span_removal")(spark, SF)
+    val p = plan(df)
+    // the span inventory must aggregate 64-bit span hashes, not span
+    // strings (partial aggregation on the hash keys)
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"d27 inventory must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d27 must stay keyed joins:\n$p")
+    // at this fixture scale the removed-position frame broadcasts, so
+    // the text-bearing side feeds a BroadcastHashJoin directly from its
+    // scan; at corpus scale the documented fallback is ONE id-keyed
+    // shuffle of the corpus for the splice join — the invariant pinned
+    // here is that the INVENTORY path (groupBys and the occurrence
+    // join) carries hashes and positions, never the text column
+    assert(p.contains("BroadcastHashJoin"),
+      s"d27 splice join must broadcast the removal sets at this scale:\n$p")
+  }
+
   test("g34/g35 graph stats: id-keyed joins plus combinable aggregates only") {
     for (q <- Seq("g34_modularity", "g35_assortativity")) {
       val p = plan(GraphQueries.queries(q)(spark, SF))

@@ -264,7 +264,8 @@ class StreamingSpec extends SparkSpec {
       10L -> "a brand new page that was never indexed before today okay")
     val b2 = Seq(
       0L -> "the quick brown fox jumps over the lazy dog again and again", // REDELIVERED
-      12L -> "the quick brown fox jumps over the lazy cat again and again")
+      12L -> "the quick brown fox jumps over the lazy cat again and again",
+      12L -> "the quick brown fox jumps over the lazy cat again and again") // intra-batch dup
     val stream = MemoryStream[(Long, String)]
     val ckpt = java.nio.file.Files.createTempDirectory("msidx_ckpt").toString
     val q = DedupIndex.mergeStream(
@@ -277,11 +278,14 @@ class StreamingSpec extends SparkSpec {
       stream.addData(b2); q.processAllAvailable()
     } finally q.stop()
     val got = DedupIndex.readBucketed(spark, "msidx")
+    // the rebuild reference holds each DELIVERED id exactly once: the
+    // cross-batch redelivery (0) and the intra-batch duplicate (12)
+    // must both fold once
     val whole = DedupIndex.build(
-      base.unionByName(docs(b1: _*)).unionByName(docs(b2.tail: _*)),
+      base.unionByName(docs(b1: _*)).unionByName(docs(b2.tail.distinct: _*)),
       "doc_id", "text")
     assert(rowSet(got.clusters) === rowSet(whole.clusters),
-      "stream-merge ≡ whole rebuild (the redelivered id folded exactly once)")
+      "stream-merge ≡ whole rebuild (redelivered + duplicated ids folded exactly once)")
     assert(rowSet(got.shingles) === rowSet(whole.shingles))
     assert(rowSet(got.buckets) === rowSet(whole.buckets))
     assert(rowSet(got.pairs(0.4)) === rowSet(whole.pairs(0.4)))

@@ -31,11 +31,24 @@ object StressTest {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
+    // SPARK_GRAFT_FORCE=1 replaces count() with a checksum over EVERY
+    // output column: count() lets Catalyst prune unreferenced value
+    // columns — and even eliminate duplicate-preserving outer joins —
+    // so pure per-row-map queries (and d27's splice) time near-zero
+    // under it. The checksum pins the full computation.
+    val force = sys.env.get("SPARK_GRAFT_FORCE").contains("1")
     names.foreach { n =>
       val t0 = System.nanoTime()
       try {
-        val rows = graft.SparkEntry.queries(n)(spark, sfDir).count()
-        println(f"STRESS $n%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
+        val df = graft.SparkEntry.queries(n)(spark, sfDir)
+        val label =
+          if (force) {
+            import org.apache.spark.sql.functions._
+            val h = df.select(xxhash64(df.columns.map(col): _*).as("_h"))
+              .agg(bit_xor(col("_h"))).head().getLong(0)
+            f"checksum=$h%016x"
+          } else s"rows=${df.count()}"
+        println(f"STRESS $n%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $label")
       } catch {
         case e: Throwable =>
           println(s"STRESS $n FAILED ${e.getClass.getSimpleName}: " +

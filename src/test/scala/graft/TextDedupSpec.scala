@@ -318,6 +318,51 @@ class TextDedupSpec extends SparkSpec {
     assert((g2.getString(1), g2.getLong(2), g2.getLong(3)) === (("x y z w", 4L, 8L)))
   }
 
+  test("removeDuplicatedSpans: snowflake-scale ids — canonical pick is exact, no overflow") {
+    // ids far beyond 2^32 (the round-10 review's collision/overflow
+    // case for an id*2^31+pos encoding): the struct-min canonical must
+    // keep exactly the lexicographically-first occurrence and ANSI mode
+    // must not throw
+    val big = 1L << 33
+    val d = docs(
+      0L -> "w x y z a b c d",
+      big -> "w x y z p q r s",          // shares "w x y z" at pos 0
+      (big * 9000L) -> "w x y z u v m n") // ~7.7e13, the stress-id scale
+    val got = Dedup.removeDuplicatedSpans(d, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(3)))).toMap
+    assert(got(0L) === (("w x y z a b c d", 0L)), "doc 0 is canonical")
+    assert(got(big) === (("p q r s", 4L)))
+    assert(got(big * 9000L) === (("u v m n", 4L)))
+  }
+
+  test("removeDuplicatedSpansDeduped: copies inherit the cleaned representative") {
+    val d = docs(
+      1L -> "a b c w x y z q",   // canonical holder of "w x y z"
+      2L -> "w x y z r s t",     // loses [0,4)
+      3L -> "w x y z r s t",     // exact copy of 2 — inherits, NOT emptied
+      4L -> "w x y z r s t")
+    val got = Dedup.removeDuplicatedSpansDeduped(d, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("a b c w x y z q", 8L, 0L)))
+    // the raw path would cut 3 and 4 to NOTHING (every span a dup of
+    // doc 2); dedup-first keeps one cleaned text per distinct document
+    Seq(2L, 3L, 4L).foreach(i => assert(got(i) === (("r s t", 3L, 4L))))
+  }
+
+  test("removeDuplicatedSpansDeduped equals the raw path on a duplicate-free corpus") {
+    val d = docs(
+      1L -> "a b c w x y z q",
+      2L -> "w x y z r s t",
+      4L -> "too short",
+      5L -> "")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(canon(Dedup.removeDuplicatedSpansDeduped(d, "doc_id", "text", n = 4)) ===
+      canon(Dedup.removeDuplicatedSpans(d, "doc_id", "text", n = 4)))
+  }
+
   test("removeDuplicatedSpans: a doc assembled from two other docs' spans empties out") {
     val d = docs(
       1L -> "m n o p z1 z2",
