@@ -687,6 +687,24 @@ object DocQueries {
       // raw path on the 90%-copies stress corpus.
       Dedup.removeDuplicatedSpansDeduped(documents(s, d), "doc_id", "text", n = 8)),
 
+    "d31_token_budget" -> ((s, d) => {
+      // token-BUDGET mixing: per source, keep the deterministic
+      // pseudo-random prefix of documents whose running token total
+      // stays under the budget — the gate a fixed-token-budget training
+      // recipe actually runs (a RATE hits a share; a BUDGET needs a
+      // running sum). Budget here = half of each source's exact token
+      // total, derived in one combinable pass; the running sum is the
+      // d14 two-level shard device, so no single reducer ever sees a
+      // whole source.
+      val toks = graft.text.TextFunctions.tokens(col("text"))
+      val base = documents(s, d).select(
+        col("doc_id"), col("source"), size(toks).cast("long").as("n_tok"))
+      val budgets = base.groupBy(col("source"))
+        .agg(expr("sum(n_tok) div 2").as("budget"))
+      graft.sample.Sampling.tokenBudgetSample(
+        base, "doc_id", "n_tok", "source", budgets)
+    }),
+
     "d28_bpe_chunks" -> ((s, d) =>
       // tokenizer-ALIGNED context-window chunking: documents cut into
       // 64-BPE-token windows at TOKEN boundaries (mid-word cuts
@@ -780,6 +798,15 @@ object DocQueries {
             .as("ttr"))
     }),
 
+    "t14_bpe_train" -> ((s, d) =>
+      // BPE merge-table LEARNING from the corpus (Sennrich et al. 2016)
+      // — the training half of the t13/d23/d28 apply story: one corpus
+      // pass collapses to the word-frequency table, then every round is
+      // a vocabulary-sized pair count + a bounded TakeOrdered argmax +
+      // one broadcast 1-row merge application. The learned (a, b) rows
+      // feed the native BpeCount directly.
+      graft.text.BpeTrainer.learnMerges(documents(s, d), "text", numMerges = 8)),
+
     "t13_bpe_tokens" -> ((s, d) =>
       // tokenizer-aware token counting: exact greedy BPE under the fixed
       // ranked merge table (TextFunctions.BpeMerges), computed by the
@@ -866,6 +893,39 @@ object DocQueries {
 
   private def bpeCountSql: String =
     s"((length($bpeSegSql) - length(replace($bpeSegSql, chr(1), ''))) // 2)"
+
+  /** Full replay of BPE merge LEARNING (t14): `rounds` unrolled
+    * iterations, each = weighted adjacent-pair count over the wrapped
+    * word-frequency table, argmax with the (cnt DESC, a, b) total order,
+    * and one leftmost non-overlapping `replace` applying the winner —
+    * the same wrapped-symbol device as the t13 apply oracle, with the
+    * merge OPERANDS coming from the per-round 1-row CTE instead of a
+    * literal table. */
+  private def bpeTrainSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH w0 AS (SELECT w, count(*) AS freq FROM (
+              |    SELECT unnest($toksSql) AS w FROM documents) GROUP BY w),
+              |v0 AS (SELECT regexp_replace(w, '(.)', chr(1) || '\\1' || chr(1), 'g') AS s,
+              |       freq FROM w0)""".stripMargin
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb ++= s""",
+                |y$r AS (SELECT freq, string_split(trim(s, chr(1)), chr(1)||chr(1)) AS y
+                |        FROM v$p),
+                |e$r AS (SELECT freq, unnest(CASE WHEN len(y) >= 2
+                |    THEN [{'a': y[i], 'b': y[i+1]} FOR i IN range(1, len(y))]
+                |    ELSE [] END) AS pp FROM y$r),
+                |p$r AS (SELECT pp.a AS a, pp.b AS b, sum(freq) AS cnt
+                |        FROM e$r GROUP BY 1, 2),
+                |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+                |v$r AS (SELECT replace(s, chr(1)||a||chr(1)||chr(1)||b||chr(1),
+                |        chr(1)||a||b||chr(1)) AS s, freq FROM v$p CROSS JOIN b$r)""".stripMargin
+    }
+    sb ++= "\n" + (1 to rounds).map(r =>
+      s"SELECT CAST($r AS INTEGER) AS rank, a, b, CAST(cnt AS BIGINT) AS cnt FROM b$r")
+      .mkString("\nUNION ALL\n")
+    sb.toString
+  }
 
   /** The BPE token LIST under the BpeSegment word-boundary convention:
     * non-empty chr(1)-splits of the working string are symbols with
@@ -977,6 +1037,23 @@ object DocQueries {
          |  CAST(len(c.s) AS INTEGER) AS n_bpe,
          |  ltrim(array_to_string(c.s, ''), ' ') AS chunk_text
          |FROM ch""".stripMargin,
+    // one per-source window in (hash, id) order == the Spark side's
+    // two-level shard sums + broadcast prefix offsets (the shard key is
+    // the hash's top byte, so (shard, hash, id) order IS (hash, id))
+    "d31_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents),
+         |b AS (SELECT source, sum(n_tok) // 2 AS budget FROM d GROUP BY source),
+         |h AS (SELECT *, (((doc_id % 2147483648 + 2147483648) % 2147483648)
+         |    * 2654435761) % 4294967296 AS _h FROM d),
+         |c AS (SELECT doc_id, source, n_tok,
+         |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source
+         |      ORDER BY _h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM h)
+         |SELECT c.doc_id, c.source, c.n_tok, c.cum_before
+         |FROM c JOIN b USING (source) WHERE cum_before < budget""".stripMargin,
     // the d27 pipeline over min-id representatives of distinct texts,
     // expanded back to every copy
     "d30_span_removal_deduped" ->
@@ -1205,6 +1282,7 @@ object DocQueries {
         |JOIN corp0 k ON k.id = p.corpus_id
         |WHERE hamming <= 3""".stripMargin,
     // full replay of the BPE merge chain (same generated replaces)
+    "t14_bpe_train" -> bpeTrainSql(8),
     "t13_bpe_tokens" ->
       s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents)
          |SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,

@@ -134,6 +134,17 @@ object EmbQueries {
         "vec_id", "embedding", dim = 64, k = K, shortlist = 50)
     }),
 
+    "e21_hybrid_rrf" -> ((s, d) => {
+      // hybrid retrieval: Reciprocal-Rank Fusion of two heterogeneous
+      // retrievers — exact cosine and raw sign-bit Hamming (the coarse
+      // binary stage, a genuinely different signal) — per-list rank 10,
+      // fused top-5, reciprocals in exact integer micro-units
+      // (10^12 div (60 + rank)) so the fusion replays bit for bit
+      val items = embeddings(s, d)
+      Ann.hybridRrfTopK(items, items.filter(col("vec_id") < NQUERIES),
+        "vec_id", "embedding", dim = 64, perList = 10, k = K)
+    }),
+
     "e18_mmr_rerank" -> ((s, d) => {
       // MMR diversity re-rank at λ=1/2: 5 greedy selections per query
       // from a 20-candidate relevance shortlist, objective and
@@ -786,6 +797,47 @@ object EmbQueries {
          |SELECT qid, nid, qdot FROM (
          |  SELECT qid, nid, qdot, row_number() OVER (
          |    PARTITION BY qid ORDER BY qdot DESC, nid) AS rn FROM sc)
+         |WHERE rn <= $K""".stripMargin,
+    // both retriever rankings replayed (cosine exactly as e07, Hamming
+    // exactly as e19's coarse stage), fused with the same integer
+    // reciprocals; FULL JOIN mirrors the either-list membership
+    "e21_hybrid_rrf" ->
+      s"""WITH base AS (SELECT vec_id, embedding,
+         |    ${qdotSql("embedding", "embedding")} AS n2 FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, n2 AS qn2 FROM base
+         |      WHERE vec_id < $NQUERIES),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id AS nid,
+         |    CAST(${qdotSql("q.qv", "e.embedding")} AS DOUBLE)
+         |      / sqrt(CAST(q.qn2 AS DOUBLE)) / sqrt(CAST(e.n2 AS DOUBLE)) AS cos
+         |  FROM q, base e WHERE e.vec_id <> q.qid),
+         |ca AS (SELECT qid, nid, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, nid) AS rnk_a FROM scored),
+         |cosl AS (SELECT qid, nid, rnk_a FROM ca WHERE rnk_a <= 10),
+         |pb AS (SELECT vec_id,
+         |    [ list_reduce([CASE WHEN embedding[CAST(w*32 + j AS INTEGER)] > 0
+         |                        THEN CAST(1 AS BIGINT)
+         |                        ELSE CAST(0 AS BIGINT) END FOR j IN range(1, 33)],
+         |                  (a, x) -> a*2 + x)
+         |      FOR w IN range(0, 2) ] AS bw
+         |  FROM embeddings),
+         |qh AS (SELECT vec_id AS qid, bw AS qw FROM pb WHERE vec_id < $NQUERIES),
+         |hm AS (SELECT qh.qid, n.vec_id AS nid,
+         |         CAST(list_sum([ bit_count(xor(qh.qw[i], n.bw[i]))
+         |                         FOR i IN range(1, 3) ]) AS BIGINT) AS ham
+         |       FROM qh JOIN pb n ON n.vec_id <> qh.qid),
+         |hb AS (SELECT qid, nid, row_number() OVER (
+         |    PARTITION BY qid ORDER BY ham, nid) AS rnk_b FROM hm),
+         |haml AS (SELECT qid, nid, rnk_b FROM hb WHERE rnk_b <= 10),
+         |f AS (SELECT coalesce(c.qid, h.qid) AS qid,
+         |        coalesce(c.nid, h.nid) AS nid,
+         |        coalesce(1000000000000 // (60 + c.rnk_a), 0)
+         |          + coalesce(1000000000000 // (60 + h.rnk_b), 0) AS rrf
+         |      FROM cosl c FULL JOIN haml h
+         |        ON c.qid = h.qid AND c.nid = h.nid)
+         |SELECT qid, nid, CAST(rrf AS BIGINT) AS rrf, CAST(rn AS INTEGER) AS rnk
+         |FROM (SELECT qid, nid, rrf, row_number() OVER (
+         |        PARTITION BY qid ORDER BY rrf DESC, nid) AS rn FROM f)
          |WHERE rn <= $K""".stripMargin,
     "e18_mmr_rerank" -> mmrOracleSql(NQUERIES, 20, 5),
     // JL replay: signs from sha256('rp#j#i') 48-bit-prefix parity,

@@ -167,6 +167,59 @@ object Sampling {
       col("weight").cast("double") / sum(col("weight")).over())
   }
 
+  /** TOKEN-BUDGET sampling — keep, per stratum, the deterministic
+    * pseudo-random PREFIX of documents whose running token total stays
+    * under that stratum's budget: the "take B tokens of web, B' of
+    * code" composition step a training run with a fixed token budget
+    * actually executes (rate-based thinning — [[mixtureSample]] — hits a
+    * SHARE, not a COUNT; when the recipe is stated in tokens, the gate
+    * must be a running sum, not a rate). Documents are laid out in
+    * (idHash, id) order — a reproducible pseudo-random permutation, so
+    * the kept prefix is an unbiased sample and reruns/engines agree —
+    * and a document is kept iff the EXCLUSIVE cumulative token count
+    * before it is under the budget: the straddling document is kept
+    * (overshoot bounded by one document), and a budget smaller than the
+    * first document still yields it rather than an empty stratum.
+    *
+    * Scale shape (the [[balancedShards]] two-level device, per stratum):
+    * the running sum is computed per (stratum, 256-way hash shard) — no
+    * single reducer ever sees a whole stratum, the exact hazard of a
+    * naive per-source window when one source is half the corpus — then a
+    * dimension-sized offsets frame (256 rows per stratum) broadcasts the
+    * exclusive prefix of preceding shards. Because the shard key is the
+    * hash's top byte, (shard, hash, id) order IS (hash, id) order, which
+    * is what the oracle replays as ONE window. One corpus scan for the
+    * sums, one for the gate; `budgets` is (strataCol, budgetCol), one
+    * row per stratum, broadcast. Strata absent from `budgets` are
+    * dropped (inner join), the [[mixtureSample]] convention.
+    *
+    * Output: input columns + `cum_before` (the exclusive pre-sum — the
+    * evidence column that makes the gate auditable). */
+  def tokenBudgetSample(items: DataFrame, idCol: String, weightCol: String,
+      strataCol: String, budgets: DataFrame,
+      budgetCol: String = "budget"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = items
+      .withColumn("_h", idHash(col(idCol)))
+      .withColumn("_hs", shiftright(col("_h"), 24))
+    val wIn = Window.partitionBy(col(strataCol), col("_hs"))
+      .orderBy(col("_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inShard = base.withColumn("_cum",
+      coalesce(sum(col(weightCol)).over(wIn), lit(0L)))
+    val wOff = Window.partitionBy(col(strataCol)).orderBy(col("_hs"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col(strataCol), col("_hs"))
+      .agg(sum(col(weightCol)).as("_tot"))
+      .withColumn("_off", coalesce(sum(col("_tot")).over(wOff), lit(0L)))
+      .select(col(strataCol), col("_hs"), col("_off"))
+    inShard.join(broadcast(offsets), Seq(strataCol, "_hs"))
+      .join(broadcast(budgets), Seq(strataCol))
+      .withColumn("cum_before", col("_off") + col("_cum"))
+      .filter(col("cum_before") < col(budgetCol))
+      .drop("_h", "_hs", "_cum", "_off", budgetCol)
+  }
+
   /** SOURCE-level curation report — the C4/Common-Crawl-style
     * domain-filter decision made from per-source aggregates instead of
     * per-document ones: heavy intra-source duplication and bottom-tier

@@ -202,6 +202,15 @@ object Ann {
       .drop("rn")
   }
 
+  /** Sign-bit packing shared by [[binaryTopK]] and [[hybridRrfTopK]]:
+    * `dim/32` words of 32 sign bits each (the MSB stays clear, so ANSI
+    * i64 arithmetic never overflows while packing). */
+  private def packSignBits(vec: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim / 32 - 1)), w =>
+      aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) =>
+        acc * 2 + when(element_at(vec, (w * 32 + j + 1).cast("int")) > 0f, 1L)
+          .otherwise(0L)))
+
   /** Binary (1-bit sign) quantized search: every vector packs to
     * `dim/32` sign-bit words, candidates rank by Hamming distance
     * (bit_count of XOR — 32× less scan than raw floats at dim 64), and
@@ -219,13 +228,10 @@ object Ann {
       idCol: String, vecCol: String, dim: Int, k: Int, shortlist: Int): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     require(dim % 32 == 0, s"dim must be a multiple of 32, got $dim")
-    def pack(vec: Column): Column =
-      transform(sequence(lit(0), lit(dim / 32 - 1)), w =>
-        aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) =>
-          acc * 2 + when(element_at(vec, (w * 32 + j + 1).cast("int")) > 0f, 1L)
-            .otherwise(0L)))
-    val qb = queries.select(col(idCol).as("qid"), pack(col(vecCol)).as("qw"))
-    val nb = items.select(col(idCol).as("nid"), pack(col(vecCol)).as("nw"))
+    val qb = queries.select(col(idCol).as("qid"),
+      packSignBits(col(vecCol), dim).as("qw"))
+    val nb = items.select(col(idCol).as("nid"),
+      packSignBits(col(vecCol), dim).as("nw"))
     val hamming = aggregate(
       zip_with(col("qw"), col("nw"),
         (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
@@ -275,6 +281,69 @@ object Ann {
       .drop("rn")
   }
 
+  /** Hybrid retrieval via Reciprocal-Rank Fusion (Cormack et al., SIGIR
+    * 2009): two deliberately HETEROGENEOUS first-stage retrievers over
+    * the same corpus — exact cosine and raw sign-bit Hamming (the
+    * [[binaryTopK]] coarse stage, NOT its re-rank: re-ranked lists would
+    * collapse back into the cosine order and fusion would add nothing) —
+    * each contribute a top-`perList` ranking, and a candidate's fused
+    * score is Σ_lists 1/(k0 + rank), k0 = 60 per the paper. RRF is the
+    * standard way production search ensembles retrievers precisely
+    * because it needs no score calibration: only RANKS cross lists, so
+    * it fuses a float cosine with an integer Hamming distance without a
+    * normalization model.
+    *
+    * The reciprocal is taken in exact integer micro-units —
+    * `10^12 div (k0 + rank)` — so the fusion replays bit for bit in any
+    * engine: with k0 = 60 and perList ≤ a few thousand, distinct ranks
+    * keep distinct reciprocals (10^12/(k0+r) − 10^12/(k0+r+1) > 0 for
+    * r+k0 < 10^6) and the sum of two terms stays far under i64. Ties in
+    * the fused score (e.g. the symmetric single-list pattern) break to
+    * the smaller id on both engines.
+    *
+    * Scale shape: both retrievers broadcast the query set and scan the
+    * corpus without shuffling it (the Hamming scan reads 32× less than
+    * the float scan — at 100 TB it is the cheap pass); everything after
+    * the two per-query windows operates on |Q|·perList rows. The fusion
+    * join is (qid, nid)-keyed on those tiny frames.
+    *
+    * Output: (qid, nid, rrf, rnk) — fused top `k` per query.
+    */
+  def hybridRrfTopK(
+      items: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int,
+      perList: Int, k: Int, k0: Int = 60): DataFrame = {
+    // the fused pool holds up to 2·perList distinct candidates (the
+    // lists need not overlap), so that is the meaningful bound on k
+    require(k <= 2 * perList, s"k ($k) must be <= 2 * perList ($perList)")
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
+    val wc = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    val cosList = bruteForceCosineTopK(items, queries, idCol, vecCol, perList)
+      .withColumn("rnk_a", row_number().over(wc))
+      .select(col("qid"), col("nid"), col("rnk_a"))
+    val qb = queries.select(col(idCol).as("qid"),
+      packSignBits(col(vecCol), dim).as("qw"))
+    val nb = items.select(col(idCol).as("nid"),
+      packSignBits(col(vecCol), dim).as("nw"))
+    val hamming = aggregate(
+      zip_with(col("qw"), col("nw"),
+        (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+      lit(0L), _ + _)
+    val wh = Window.partitionBy(col("qid")).orderBy(col("ham"), col("nid"))
+    val hamList = nb.join(broadcast(qb), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), hamming.as("ham"))
+      .withColumn("rnk_b", row_number().over(wh))
+      .filter(col("rnk_b") <= perList)
+      .select(col("qid"), col("nid"), col("rnk_b"))
+    val rrf =
+      coalesce(expr(s"1000000000000 div ($k0 + rnk_a)"), lit(0L)) +
+        coalesce(expr(s"1000000000000 div ($k0 + rnk_b)"), lit(0L))
+    val wf = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("nid"))
+    cosList.join(hamList, Seq("qid", "nid"), "full_outer")
+      .select(col("qid"), col("nid"), rrf.as("rrf"))
+      .withColumn("rnk", row_number().over(wf))
+      .filter(col("rnk") <= k)
+  }
 
   /** Multi-table LSH approximate top-k: `tables` independent b-bit
     * hyperplane signatures; a candidate must share at least one table's

@@ -536,6 +536,41 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("hybrid RRF: hand-derived fusion — both-lists beats one-list, ties break to smaller id") {
+    import spark.implicits._
+    // dim 32, only the first two components carry signal; signs give a
+    // Hamming ranking that DISAGREES with cosine:
+    //   cosine order:  2 (1.0), 1 (~0.994), 3 (0.707), 4 (~0.0002)
+    //   hamming order: 2 (0),   3 (0),      4 (0),     1 (1 bit off)
+    // with perList = 3 each list cuts its 4th: 4 is hamming-only, 1 is
+    // cosine-only. Integer reciprocals (k0 = 60):
+    //   r1 -> 10^12 div 61 = 16393442622, r2 -> 16129032258,
+    //   r3 -> 15873015873
+    def v(a: Float, b: Float) = Seq(a, b) ++ Seq.fill(30)(0.0f)
+    val items = Seq(
+      (1L, v(0.9f, 0.1f)),
+      (2L, v(1.0f, 0.0f)),
+      (3L, v(0.5f, -0.5f)),
+      (4L, v(0.001f, -5.0f)),
+      (100L, v(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val qs = items.filter(col("vec_id") === 100L)
+    val got = Ann.hybridRrfTopK(items, qs, "vec_id", "embedding",
+        dim = 32, perList = 3, k = 4)
+      .collect().map(r => r.getInt(3) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1) === ((2L, 2L * 16393442622L)), "rank 1 in both lists")
+    assert(got(2) === ((3L, 15873015873L + 16129032258L)),
+      "cos r3 + ham r2 beats any single-list score")
+    assert(got(3) === ((1L, 16129032258L)), "cosine-only candidate")
+    assert(got(4) === ((4L, 15873015873L)), "hamming-only candidate")
+    // tie case: drop 4 so 1 and 3 score symmetrically (cos r2 + ham r3
+    // vs cos r3 + ham r2) — the tie must break to the smaller id
+    val tied = Ann.hybridRrfTopK(items.filter(col("vec_id") =!= 4L), qs,
+        "vec_id", "embedding", dim = 32, perList = 3, k = 3)
+      .collect().map(r => r.getInt(3) -> r.getLong(1)).toMap
+    assert(tied(2) === 1L && tied(3) === 3L,
+      "equal fused scores must order by id")
+  }
+
   test("MMR: second pick trades relevance for diversity; k=1 = pure argmax") {
     import spark.implicits._
     import graft.similarity.Mmr

@@ -376,4 +376,49 @@ class FunctionsSpec extends SparkSpec {
         s"mismatch at $i: '${texts(i).take(60)}'")
     }
   }
+
+  test("BpeTrainer: the Sennrich walkthrough — ranked merges, ties, exhaustion") {
+    import spark.implicits._
+    import graft.text.BpeTrainer
+    // the paper's own example shape: low*3, lower, lowest
+    //   r1: (l,o) 5 beats (o,w) 5 on the lexicographic tie
+    //   r2: (lo,w) 5;  r3: (low,e) 2
+    //   r4: cnt-1 three-way tie -> (lowe,r) by (a, b) order
+    //   r5: (lowe,s); r6: (lowes,t); r7+: vocabulary exhausted
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val got = BpeTrainer.learnMerges(docs, "text", numMerges = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "low", "e", 2L),
+      (4, "lowe", "r", 1L), (5, "lowe", "s", 1L), (6, "lowes", "t", 1L)),
+      "exhausted rounds emit nothing; ranks stay dense")
+  }
+
+  test("BpeTrainer: overlapping positions count, merging is leftmost non-overlapping") {
+    import spark.implicits._
+    import graft.text.BpeTrainer
+    // "aaaa": (a,a) counts 3 adjacent POSITIONS (Sennrich's get_stats),
+    // but one merge pass produces aa|aa — so round 2 sees (aa,aa) once
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = BpeTrainer.learnMerges(docs, "text", numMerges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
+
+  test("BpeTrainer: the learned table drives the native BpeCount directly") {
+    import spark.implicits._
+    import graft.text.BpeTrainer
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val learned = BpeTrainer.learnMerges(docs, "text", numMerges = 8)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    // after the 6 learned merges each training word is ONE token; an
+    // out-of-vocabulary word still splits to characters
+    val counts = Seq((1L, "low lower lowest zz"))
+      .toDF("id", "text")
+      .select(TextFunctions.bpeTokenCountExact(col("text"), learned).as("c"))
+      .head().getInt(0)
+    assert(counts === 1 + 1 + 1 + 2)
+  }
 }

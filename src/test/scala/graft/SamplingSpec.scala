@@ -184,4 +184,79 @@ class SamplingSpec extends SparkSpec {
     assert(!report("spam")._4, "stopword-free source must fail the floor")
     assert(!report("tiny")._4, "short-doc source must fail the token floor")
   }
+
+  private def budgets(bs: (String, Long)*) = {
+    import spark.implicits._
+    bs.toDF("source", "budget")
+  }
+
+  /** Reference semantics: per stratum, (idHash, id) order, keep while the
+    * EXCLUSIVE running weight sum is under the budget. */
+  private def referenceKept(
+      rows: Seq[(Long, String, Long)], budget: Map[String, Long]): Set[Long] = {
+    def h(id: Long): Long = {
+      val m = ((id % 2147483648L) + 2147483648L) % 2147483648L
+      val p = m * 2654435761L
+      ((p % 4294967296L) + 4294967296L) % 4294967296L
+    }
+    rows.groupBy(_._2).filter(g => budget.contains(g._1)).flatMap {
+      case (src, docs) =>
+        var cum = 0L
+        docs.sortBy(d => (h(d._1), d._1)).takeWhile { d =>
+          val keep = cum < budget(src); cum += d._3; keep
+        }.map(_._1)
+    }.toSet
+  }
+
+  test("tokenBudgetSample: exclusive-sum gate, straddler kept, tiny budget keeps first doc") {
+    val items = corpus(400)
+    val b = budgets("src0" -> 300L, "src1" -> 1L, "src2" -> 100000L)
+    val kept = Sampling.tokenBudgetSample(items, "doc_id", "n_tokens", "source", b)
+    val rows = corpus(400).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val ref = referenceKept(rows, Map("src0" -> 300L, "src1" -> 1L, "src2" -> 100000L))
+    val got = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === ref, "kept set must equal the single-window reference")
+    val bySrc = kept.groupBy("source").agg(
+        count(lit(1)).as("n"), sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // budget 1 < any doc weight: exactly the first doc in hash order survives
+    assert(bySrc("src1")._1 === 1L, "tiny budget keeps exactly the first doc")
+    // the straddler is kept, so the total may EXCEED the budget by < one doc
+    assert(bySrc("src0")._2 >= 300L && bySrc("src0")._2 < 300L + 17L,
+      s"overshoot bounded by one document, got ${bySrc("src0")._2}")
+    // a budget beyond the stratum total keeps everything
+    assert(bySrc("src2")._1 === 100L, "huge budget keeps the whole stratum")
+    assert(!bySrc.contains("src3"), "stratum without a budget is dropped")
+  }
+
+  test("tokenBudgetSample: two-level shard sums equal one global per-stratum window") {
+    import org.apache.spark.sql.expressions.Window
+    val items = corpus(1000)
+    val b = budgets("src0" -> 700L, "src1" -> 1300L, "src2" -> 40L, "src3" -> 900L)
+    val got = Sampling.tokenBudgetSample(items, "doc_id", "n_tokens", "source", b)
+      .select("doc_id", "cum_before").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.partitionBy(col("source"))
+      .orderBy(Sampling.idHash(col("doc_id")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = items.withColumn("_c", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .join(broadcast(b), Seq("source")).filter(col("_c") < col("budget"))
+      .select("doc_id", "_c").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ref, "two-level decomposition must equal the global window")
+  }
+
+  test("tokenBudgetSample: no single-reducer stratum — windows are hash-sharded") {
+    val plan = Sampling.tokenBudgetSample(corpus(100), "doc_id", "n_tokens",
+        "source", budgets("src0" -> 10L, "src1" -> 10L, "src2" -> 10L, "src3" -> 10L))
+      .queryExecution.executedPlan.toString
+    // the corpus-sized window must partition by (source, _hs), never by
+    // source alone; the offsets/budgets frames broadcast
+    assert(plan.contains("_hs"), s"running sum must be hash-sharded:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offsets and budgets must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"keyed joins only:\n$plan")
+  }
 }
