@@ -798,6 +798,23 @@ object DocQueries {
             .as("ttr"))
     }),
 
+    "t15_token_calibration" -> ((s, d) => {
+      // supervised calibration of a CHEAP token estimator: fit
+      // bpe_count ≈ b0 + b1·whitespace_tokens + b2·chars by exact ridge
+      // normal equations — ONE combinable 9-moment pass, the 3x3 Cramer
+      // solve evaluated in-plan on decimal(38,0), predictions one
+      // integral division per row. The fitted line lets the packer
+      // budget real tokenizer counts without running BPE on every doc.
+      val base = documents(s, d).select(
+        col("doc_id"),
+        graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chars"),
+        graft.text.TextFunctions.bpeTokenCountExact(col("text"))
+          .cast("long").as("n_bpe"))
+      graft.algorithms.Ridge.fitPredict(base, "n_tok", "n_chars", "n_bpe",
+        lambda = 1L)
+    }),
+
     "t14_bpe_train" -> ((s, d) =>
       // BPE merge-table LEARNING from the corpus (Sennrich et al. 2016)
       // — the training half of the t13/d23/d28 apply story: one corpus
@@ -1283,6 +1300,35 @@ object DocQueries {
         |WHERE hamming <= 3""".stripMargin,
     // full replay of the BPE merge chain (same generated replaces)
     "t14_bpe_train" -> bpeTrainSql(8),
+    // the ridge replay: identical 9 moments in HUGEINT, the same Cramer
+    // cofactor expansions, and the same truncating integral division
+    "t15_token_calibration" ->
+      s"""WITH t0 AS (SELECT doc_id, text, $toksSql AS t FROM documents),
+         |f AS (SELECT doc_id,
+         |        CAST(len(t) AS BIGINT) AS n_tok,
+         |        CAST(length(text) AS BIGINT) AS n_chars,
+         |        CAST($bpeCountSql AS BIGINT) AS n_bpe
+         |      FROM t0),
+         |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |        CAST(sum(n_tok) AS HUGEINT) AS s1,
+         |        CAST(sum(n_chars) AS HUGEINT) AS s2,
+         |        CAST(sum(n_tok*n_tok) + 1 AS HUGEINT) AS a,
+         |        CAST(sum(n_tok*n_chars) AS HUGEINT) AS s12,
+         |        CAST(sum(n_chars*n_chars) + 1 AS HUGEINT) AS b,
+         |        CAST(sum(n_bpe) AS HUGEINT) AS sy,
+         |        CAST(sum(n_tok*n_bpe) AS HUGEINT) AS s1y,
+         |        CAST(sum(n_chars*n_bpe) AS HUGEINT) AS s2y
+         |      FROM f),
+         |d AS (SELECT
+         |  n*(a*b - s12*s12) - s1*(s1*b - s12*s2) + s2*(s1*s12 - a*s2) AS det,
+         |  sy*(a*b - s12*s12) - s1*(s1y*b - s12*s2y) + s2*(s1y*s12 - a*s2y) AS det0,
+         |  n*(s1y*b - s12*s2y) - sy*(s1*b - s12*s2) + s2*(s1*s2y - s1y*s2) AS det1,
+         |  n*(a*s2y - s12*s1y) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - a*s2) AS det2
+         |  FROM m)
+         |SELECT f.doc_id, f.n_tok, f.n_chars, f.n_bpe,
+         |  CAST((1000 * (det0 + det1*n_tok + det2*n_chars)) // det AS BIGINT)
+         |    AS pred_milli
+         |FROM f CROSS JOIN d""".stripMargin,
     "t13_bpe_tokens" ->
       s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents)
          |SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
