@@ -595,6 +595,110 @@ object Dedup {
         col("clean_text"), col("n_kept"), col("n_removed"))
   }
 
+  /** ASYMMETRIC containment — the near-duplication Jaccard misses: a
+    * short document wholly quoted inside a long one scores a LOW Jaccard
+    * (the union is dominated by the long doc) but containment
+    * |A∩B| / |A| ≈ 1. Production pipelines run this as the quote /
+    * superset detector next to the symmetric near-dup pass. Exact, not
+    * sketched: per-doc DISTINCT shingle sets, shared-shingle counts by
+    * equi-join on the 64-bit shingle hash, containment kept as an
+    * integer comparison (shared·100 ≥ n_a·pct — no float ever) and
+    * reported milli-exact via integral division (the g52/g53 `div`
+    * convention). Both directions emit — A-in-B and B-in-A have
+    * different denominators by design.
+    *
+    * Scale shape: the join is keyed on shingle hashes, so the work is
+    * bounded by TRUE overlap mass, not |docs|² — except for hot
+    * shingles (boilerplate n-grams present in thousands of documents),
+    * which would make that hash's pair list quadratic. Those take the
+    * [[minhashDuplicates]] `maxBucketSize` device: shingles in more
+    * than `maxShingleDocs` documents are dropped from candidate
+    * generation via a broadcast anti-join of the (tiny by construction)
+    * hot-key frame. The recall contract is conservative in the right
+    * direction: the DENOMINATOR still counts every shingle of A, so a
+    * capped run can only UNDER-state containment (never flag a false
+    * quote), and a pair is missed entirely only when every shared
+    * shingle is boilerplate-hot — a pair [[exactGroups]] or the
+    * near-dup pass catches more cheaply. Cap 0 = exact semantics.
+    *
+    * Output: (id_a, id_b, shared, n_a, cont_milli) — one row per
+    * ordered pair with shared·100 ≥ n_a·minContainmentPct.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minContainmentPct: Int = 80,
+      maxShingleDocs: Int = 0): DataFrame = {
+    require(minContainmentPct >= 1 && minContainmentPct <= 100,
+      s"minContainmentPct must be in [1,100], got $minContainmentPct")
+    val sh = docs.select(
+      col(idCol).as("id"),
+      explode(array_distinct(
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n))).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("h"))
+      .localCheckpoint() // reused: sizes, hot count, both join sides
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_a"))
+    val cold =
+      if (maxShingleDocs <= 0) sh
+      else {
+        val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("_d"))
+          .filter(col("_d") > maxShingleDocs)
+          .select(col("h"))
+        sh.join(broadcast(hot), Seq("h"), "left_anti")
+      }
+    cold.as("a")
+      .join(cold.as("b"),
+        col("a.h") === col("b.h") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.withColumnRenamed("id", "id_a"), Seq("id_a"))
+      .filter(col("shared") * 100 >= col("n_a") * minContainmentPct)
+      .select(col("id_a"), col("id_b"), col("shared"), col("n_a"),
+        expr("(1000 * shared) div n_a").as("cont_milli"))
+  }
+
+  /** Dedup-FIRST containment — [[containmentPairs]] composed with the
+    * sha-digest collapse (the d09/d30 ordering): exact copies carry no
+    * containment information beyond what [[exactGroups]] already
+    * reports, but they multiply every true quote pair by
+    * copies(A)·copies(B) and push every shared shingle's document
+    * frequency toward the hot cap (on a copy-heavy corpus the raw
+    * operator ends up capping EVERYTHING — refusing the quadratic work,
+    * correctly, but reporting nothing). Collapsing to min-id
+    * representatives first keeps shingle frequencies at their
+    * distinct-text values, so the cap bites only GENUINE boilerplate
+    * and the pair list is one row per distinct-text pair.
+    *
+    * Output: [[containmentPairs]] columns over representative ids, plus
+    * copies_a/copies_b — the copy counts a consumer multiplies back.
+    */
+  def containmentPairsDeduped(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minContainmentPct: Int = 80,
+      maxShingleDocs: Int = 0): DataFrame = {
+    val clusters = docs
+      .select(col(idCol).as("id"), sha2(col(textCol), 256).as("_th"))
+      .groupBy(col("_th"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("copies"))
+      .select(col("keep_id"), col("copies"))
+      .localCheckpoint() // reused: the rep semi-join AND both copy joins
+    val reps = docs.select(col(idCol).as("id"), col(textCol))
+      .join(clusters.select(col("keep_id").as("id")), Seq("id"), "left_semi")
+      .withColumnRenamed("id", idCol)
+    containmentPairs(reps, idCol, textCol, n, minContainmentPct, maxShingleDocs)
+      .join(clusters.select(col("keep_id").as("id_a"),
+        col("copies").as("copies_a")), Seq("id_a"))
+      .join(clusters.select(col("keep_id").as("id_b"),
+        col("copies").as("copies_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("shared"), col("n_a"),
+        col("cont_milli"), col("copies_a"), col("copies_b"))
+  }
+
   def duplicatedSpanStats(
       docs: DataFrame,
       idCol: String,

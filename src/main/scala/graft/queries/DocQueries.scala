@@ -662,6 +662,25 @@ object DocQueries {
       graft.streaming.MediaStream.nearDupAgainstCorpus(incoming, idx, maxDist = 3)
     }),
 
+    "d32_containment" -> ((s, d) =>
+      // asymmetric quote/superset detection: containment |A∩B|/|A| over
+      // exact distinct 8-token shingle sets — catches a short doc wholly
+      // quoted inside a long one, which Jaccard misses (union-dominated).
+      // Keyed on shingle hashes, hot boilerplate shingles capped with
+      // the minhash maxBucketSize device; the gate is a pure integer
+      // comparison and the reported ratio one integral division.
+      Dedup.containmentPairs(documents(s, d), "doc_id", "text",
+        n = 8, minContainmentPct = 80, maxShingleDocs = 64)),
+
+    "d33_containment_deduped" -> ((s, d) =>
+      // the d09/d30 ordering applied to containment: exact copies
+      // collapse to min-id representatives FIRST, so shingle document
+      // frequencies stay at distinct-text values (the hot cap bites
+      // only genuine boilerplate, not copy mass) and each quote pair is
+      // one row with the copy counts to multiply back.
+      Dedup.containmentPairsDeduped(documents(s, d), "doc_id", "text",
+        n = 8, minContainmentPct = 80, maxShingleDocs = 64)),
+
     "d16_dup_spans" -> ((s, d) =>
       // substring-level dedup signal (Lee et al. 2022): per-doc counts of
       // 8-token spans that recur anywhere / in another document. The
@@ -1054,6 +1073,47 @@ object DocQueries {
          |  CAST(len(c.s) AS INTEGER) AS n_bpe,
          |  ltrim(array_to_string(c.s, ''), ' ') AS chunk_text
          |FROM ch""".stripMargin,
+    // containment on raw span strings (Spark groups on xxhash64 — an
+    // internal key that never leaves the plan); same hot-shingle cap,
+    // same integer gate and integral division
+    "d32_containment" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sp AS (SELECT DISTINCT doc_id AS id, g FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+         |    THEN [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)]
+         |    ELSE [] END) AS g FROM t0)),
+         |sizes AS (SELECT id, count(*) AS n_a FROM sp GROUP BY id),
+         |hot AS (SELECT g FROM sp GROUP BY g HAVING count(*) > 64),
+         |cold AS (SELECT * FROM sp ANTI JOIN hot USING (g)),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+         |          FROM cold a JOIN cold b ON a.g = b.g AND a.id <> b.id
+         |          GROUP BY 1, 2)
+         |SELECT p.id_a, p.id_b, p.shared, s.n_a,
+         |  (1000 * p.shared) // s.n_a AS cont_milli
+         |FROM pairs p JOIN sizes s ON s.id = p.id_a
+         |WHERE p.shared * 100 >= s.n_a * 80""".stripMargin,
+    // d32 over min-id representatives of distinct texts + copy counts
+    "d33_containment_deduped" ->
+      s"""WITH g0 AS (SELECT min(doc_id) AS keep_id, count(*) AS copies,
+         |            text FROM documents GROUP BY text),
+         |t0 AS (SELECT keep_id AS doc_id, $toksSql AS t FROM g0),
+         |sp AS (SELECT DISTINCT doc_id AS id, g FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+         |    THEN [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)]
+         |    ELSE [] END) AS g FROM t0)),
+         |sizes AS (SELECT id, count(*) AS n_a FROM sp GROUP BY id),
+         |hot AS (SELECT g FROM sp GROUP BY g HAVING count(*) > 64),
+         |cold AS (SELECT * FROM sp ANTI JOIN hot USING (g)),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+         |          FROM cold a JOIN cold b ON a.g = b.g AND a.id <> b.id
+         |          GROUP BY 1, 2)
+         |SELECT p.id_a, p.id_b, p.shared, s.n_a,
+         |  (1000 * p.shared) // s.n_a AS cont_milli,
+         |  ga.copies AS copies_a, gb.copies AS copies_b
+         |FROM pairs p JOIN sizes s ON s.id = p.id_a
+         |JOIN g0 ga ON ga.keep_id = p.id_a
+         |JOIN g0 gb ON gb.keep_id = p.id_b
+         |WHERE p.shared * 100 >= s.n_a * 80""".stripMargin,
     // one per-source window in (hash, id) order == the Spark side's
     // two-level shard sums + broadcast prefix offsets (the shard key is
     // the hash's top byte, so (shard, hash, id) order IS (hash, id))

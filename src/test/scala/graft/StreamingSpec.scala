@@ -452,4 +452,58 @@ class StreamingSpec extends SparkSpec {
     assert(feats.length === 2)
     assert(feats.forall(_.n_bytes > 0))
   }
+
+  test("BudgetGate: straddler admitted, budget state survives batches, no-budget stratum rejects") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.BudgetGate
+    val stream = MemoryStream[(Long, String, Long)]
+    val q = BudgetGate.admitStream(
+        stream.toDF().toDF("id", "source", "w"), "id", "w", "source",
+        Map("A" -> 100L))
+      .writeStream.format("memory").queryName("bg").outputMode("update").start()
+    try {
+      stream.addData((1L, "A", 60L), (2L, "A", 30L))
+      q.processAllAvailable()
+      // cum carried across the batch boundary: 3 straddles (90 < 100,
+      // weight 20 overshoots), 4 is past the budget, B has none
+      stream.addData((3L, "A", 20L), (4L, "A", 5L), (5L, "B", 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bg").collect()
+      .map(r => r.getLong(1) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L) === ((0L, true)))
+    assert(got(2L) === ((60L, true)))
+    assert(got(3L) === ((90L, true)), "the straddling document is admitted")
+    assert(got(4L) === ((110L, false)), "past the budget everything rejects")
+    assert(got(5L) === ((0L, false)), "stratum without a budget admits nothing")
+  }
+
+  test("BudgetGate ≡ batch tokenBudgetSample when arrival order is the hash order") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.BudgetGate
+    import graft.sample.Sampling
+    val docs = (1L to 12L).map(i => (i, "S", 5L + i % 7))
+    val static = docs.toDF("doc_id", "source", "w")
+    val batchKept = Sampling.tokenBudgetSample(
+        static, "doc_id", "w", "source", Seq(("S", 40L)).toDF("source", "budget"))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap // doc_id -> cum_before
+    val hashOrder = static
+      .orderBy(Sampling.idHash(col("doc_id")), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val stream = MemoryStream[(Long, String, Long)]
+    val q = BudgetGate.admitStream(
+        stream.toDF().toDF("id", "source", "w"), "id", "w", "source",
+        Map("S" -> 40L))
+      .writeStream.format("memory").queryName("bg2").outputMode("update").start()
+    try {
+      // one document per micro-batch so arrival order IS the hash order
+      hashOrder.foreach { d => stream.addData(d); q.processAllAvailable() }
+    } finally q.stop()
+    val admitted = spark.table("bg2").collect()
+      .filter(_.getBoolean(4)).map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(admitted === batchKept,
+      "same order, same gate: the stream must admit exactly the batch prefix")
+  }
 }

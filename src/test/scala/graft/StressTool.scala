@@ -44,8 +44,10 @@ object StressTest {
         val label =
           if (force) {
             import org.apache.spark.sql.functions._
+            // coalesce: bit_xor over an EMPTY output is NULL (a capped
+            // run can legitimately emit zero rows)
             val h = df.select(xxhash64(df.columns.map(col): _*).as("_h"))
-              .agg(bit_xor(col("_h"))).head().getLong(0)
+              .agg(coalesce(bit_xor(col("_h")), lit(0L))).head().getLong(0)
             f"checksum=$h%016x"
           } else s"rows=${df.count()}"
         println(f"STRESS $n%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $label")

@@ -363,6 +363,69 @@ class TextDedupSpec extends SparkSpec {
       canon(Dedup.removeDuplicatedSpans(d, "doc_id", "text", n = 4)))
   }
 
+  test("containmentPairs: quote flagged one-way, truncating milli ratio, Jaccard-blind case") {
+    val a = (1 to 9).map(i => s"q$i").mkString(" ")             // 2 shingles
+    val b = "x1 x2 x3 " + a + " y1 y2 y3"                       // contains both
+    val d = (1 to 10).map(i => s"d$i").mkString(" ")            // 3 shingles
+    val e = "e1 " + (1 to 9).map(i => s"d$i").mkString(" ") + " e2" // 2 of the 3
+    val c = (1 to 12).map(i => s"c$i").mkString(" ")            // unrelated
+    val docs0 = docs(1L -> a, 2L -> b, 3L -> d, 4L -> e, 5L -> c)
+    val got = Dedup.containmentPairs(docs0, "doc_id", "text",
+        n = 8, minContainmentPct = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // 1 fully inside 2: containment 1000; the reverse direction is
+    // 2-of-8 = 25% — the asymmetry Jaccard cannot express (J = 2/8)
+    assert(got((1L, 2L)) === ((2L, 2L, 1000L)))
+    assert(!got.contains((2L, 1L)), "the superset is not 'contained'")
+    // 3 -> 4 shares 2 of 3 shingles: 1000*2 div 3 = 666, truncating
+    assert(got((3L, 4L)) === ((2L, 3L, 666L)))
+    assert(got.keySet === Set((1L, 2L), (3L, 4L), (4L, 3L)),
+      s"unrelated docs must not pair, got ${got.keySet}")
+  }
+
+  test("containmentPairs: hot boilerplate shingles capped; true quotes survive the cap") {
+    val a = (1 to 9).map(i => s"q$i").mkString(" ")
+    val b = "x1 x2 x3 " + a + " y1 y2 y3"
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    // 70 docs sharing ONE boilerplate shingle (over the cap of 64) plus
+    // a unique tail shingle each: uncapped, that one shingle generates
+    // 70*69 candidate rows; capped, those pairs vanish while the real
+    // quote pair keeps all its (cold) evidence
+    val plated = (10L until 80L).map(i => i -> s"$boiler filler$i")
+    val corpus = docs(Seq(1L -> a, 2L -> b) ++ plated: _*)
+    val capped = Dedup.containmentPairs(corpus, "doc_id", "text",
+        n = 8, minContainmentPct = 50, maxShingleDocs = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1L, 2L)),
+      s"boilerplate-only pairs must be capped away, got $capped")
+    // on a corpus with NO hot shingle the cap changes nothing
+    val clean = docs(1L -> a, 2L -> b, 3L -> (1 to 12).map(i => s"c$i").mkString(" "))
+    assert(
+      rowSet(Dedup.containmentPairs(clean, "doc_id", "text", 8, 50, 64)) ===
+        rowSet(Dedup.containmentPairs(clean, "doc_id", "text", 8, 50, 0)),
+      "cap must be a no-op without hot shingles")
+  }
+
+  test("containmentPairsDeduped: copies collapse to one pair carrying copy counts") {
+    val a = (1 to 9).map(i => s"q$i").mkString(" ")
+    val b = "x1 x2 x3 " + a + " y1 y2 y3"
+    // 1 copy of the quoted doc, 3 byte-identical copies of the superset:
+    // the raw operator emits 1x3 = 3 A-in-B rows (and copy-copy rows at
+    // 100% both ways); deduped emits ONE row with the counts
+    val corpus = docs(1L -> a, 2L -> b, 3L -> b, 4L -> b)
+    val raw = Dedup.containmentPairs(corpus, "doc_id", "text", 8, 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(raw === Set((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (3L, 2L), (2L, 4L), (4L, 2L), (3L, 4L), (4L, 3L)),
+      s"raw pays copies(A)*copies(B), got $raw")
+    val got = Dedup.containmentPairsDeduped(corpus, "doc_id", "text", 8, 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got === Map((1L, 2L) -> ((1000L, 1L, 3L))),
+      "one row per distinct-text pair, copy counts riding")
+  }
+
   test("removeDuplicatedSpans: a doc assembled from two other docs' spans empties out") {
     val d = docs(
       1L -> "m n o p z1 z2",
