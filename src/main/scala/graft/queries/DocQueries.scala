@@ -662,6 +662,13 @@ object DocQueries {
       graft.streaming.MediaStream.nearDupAgainstCorpus(incoming, idx, maxDist = 3)
     }),
 
+    "d34_leakage_safe_split" -> ((s, d) =>
+      // train/val/test split keyed on the TEXT hash, not the id: exact
+      // copies always share a split, closing the duplicate-leakage
+      // channel at zero cost — one per-row codegen map, no shuffle.
+      graft.sample.Sampling.leakageSafeSplit(documents(s, d), "text")
+        .select(col("doc_id"), col("bucket"), col("split"))),
+
     "d32_containment" -> ((s, d) =>
       // asymmetric quote/superset detection: containment |A∩B|/|A| over
       // exact distinct 8-token shingle sets — catches a short doc wholly
@@ -1073,6 +1080,18 @@ object DocQueries {
          |  CAST(len(c.s) AS INTEGER) AS n_bpe,
          |  ltrim(array_to_string(c.s, ''), ' ') AS chunk_text
          |FROM ch""".stripMargin,
+    // the 48-bit sha256-prefix bucket (the d17 hash replay) mod 1000
+    "d34_leakage_safe_split" ->
+      """WITH h AS (SELECT doc_id,
+        |    CAST(list_sum([(strpos('0123456789abcdef', substr(h12, i, 1)) - 1)
+        |                   * CAST(power(16, 12 - i) AS BIGINT)
+        |                   FOR i IN range(1, 13)]) AS BIGINT) % 1000 AS bucket
+        |  FROM (SELECT doc_id, substr(sha256(text), 1, 12) AS h12 FROM documents))
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 800 THEN 'train'
+        |       WHEN bucket < 900 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h""".stripMargin,
     // containment on raw span strings (Spark groups on xxhash64 — an
     // internal key that never leaves the plan); same hot-shingle cap,
     // same integer gate and integral division

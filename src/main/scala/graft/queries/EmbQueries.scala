@@ -134,6 +134,29 @@ object EmbQueries {
         "vec_id", "embedding", dim = 64, k = K, shortlist = 50)
     }),
 
+    "e22_persisted_ivf" -> ((s, d) => {
+      // the write-once-probe-everywhere face for vectors (the d24 story
+      // applied to ANN): build the IVF index — portable k-means fit,
+      // one full-corpus labelling, full-membership centroid sums — then
+      // persist cells PARTITIONED BY cell and probe the STORED tables:
+      // the probe plan has no fit, no centroid aggregation, and prunes
+      // its scan to the probed cells (dynamic partition pruning).
+      // Contract: build+probe ≡ e05's direct kmeans-IVF path bit for
+      // bit, so the oracle is the same end-to-end replay.
+      val emb = embeddings(s, d)
+      val name = "graft_ann_idx_" +
+        java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+      val idx = graft.similarity.AnnIndex.build(
+        emb, "vec_id", "embedding", k = 10, maxIterations = 5,
+        fitSampleSize = FitSample,
+        checkpoint = graft.core.CheckpointPolicy.Passthrough)
+      graft.similarity.AnnIndex.writePartitioned(idx, name)
+      graft.similarity.AnnIndex.readPartitioned(s, name)
+        .topK(emb.filter(col("vec_id") < NQUERIES), "vec_id", "embedding",
+          K, nprobe = 3)
+    }),
+
     "e21_hybrid_rrf" -> ((s, d) => {
       // hybrid retrieval: Reciprocal-Rank Fusion of two heterogeneous
       // retrievers — exact cosine and raw sign-bit Hamming (the coarse
@@ -868,6 +891,10 @@ object EmbQueries {
       ivfPqRerankSql(coarseK = 8, nprobe = 3, m = PqM, ksub = PqKsub,
         iters = PqIters, fitSample = FitSample, shortlist = RerankShortlist),
     "e05_knn_ivf_kmeans" ->
+      kmeansIvfSql(k = 10, iters = 5, nprobe = 3, fitSample = FitSample),
+    // the persisted-index probe is bit-for-bit the e05 direct path
+    // (spec-pinned), so its oracle is the SAME end-to-end replay
+    "e22_persisted_ivf" ->
       kmeansIvfSql(k = 10, iters = 5, nprobe = 3, fitSample = FitSample),
     "e16_prototypes" ->
       prototypesSql(k = ProtoK, iters = ProtoIters, m = ProtoM,

@@ -220,6 +220,38 @@ object Sampling {
       .drop("_h", "_hs", "_cum", "_off", budgetCol)
   }
 
+  /** LEAKAGE-SAFE train/validation/test split: the split decision hashes
+    * the TEXT, not the id, so byte-identical documents always land in
+    * the SAME split — the guard without which duplicate documents leak
+    * training text into evaluation (the de-facto standard is splitting
+    * on a content hash for exactly this reason; an id-hash split leaks
+    * one row per duplicate pair). Near-duplicates still need the d09
+    * near-dup machinery; this closes the exact-copy channel at zero
+    * extra cost. The bucket is the 48-bit sha256-prefix
+    * ([[graft.sketch.Kmv.portableHash]] — already oracle-replayable)
+    * mod 1000, so the split is a pure per-row codegen map: no shuffle,
+    * no state, reproducible across engines, retries and corpus growth
+    * (a new document never moves an old one).
+    *
+    * Output: input columns + `bucket` (0–999) + `split`
+    * ('train' below trainPermille, 'val' in the next valPermille,
+    * 'test' above). */
+  def leakageSafeSplit(
+      docs: DataFrame, textCol: String,
+      trainPermille: Int = 800, valPermille: Int = 100): DataFrame = {
+    require(trainPermille >= 0 && valPermille >= 0
+      && trainPermille + valPermille <= 1000,
+      s"permille shares must be >= 0 and sum <= 1000, " +
+        s"got $trainPermille + $valPermille")
+    docs
+      .withColumn("bucket",
+        pmod(graft.sketch.Kmv.portableHash(col(textCol)), lit(1000L)))
+      .withColumn("split",
+        when(col("bucket") < trainPermille, "train")
+          .when(col("bucket") < trainPermille + valPermille, "val")
+          .otherwise("test"))
+  }
+
   /** SOURCE-level curation report — the C4/Common-Crawl-style
     * domain-filter decision made from per-source aggregates instead of
     * per-document ones: heavy intra-source duplication and bottom-tier

@@ -1,0 +1,157 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.CheckpointPolicy
+
+/** Write-once, probe-everywhere IVF vector index — the
+  * [[graft.dedup.DedupIndex]] lifecycle applied to the similarity
+  * family. A production vector store builds its coarse quantizer ONCE
+  * (the expensive iterative part: Lloyd rounds + the full-corpus
+  * assignment) and then serves every query, every day, from the stored
+  * artifacts; recomputing the quantizer per job reads and shuffles the
+  * corpus once per consumer.
+  *
+  * Two frames:
+  *  - `centroids` (cell, cs, n) — per-cell EXACT integer component sums
+  *    and member counts over the FULL membership (the [[Ann.ivfTopK]]
+  *    probe convention: rank key `dot(q, S_cell)/n`, one
+  *    correctly-rounded division — bit-identical cell selection in any
+  *    engine, where a float-mean centroid's last-ulp wobble could flip
+  *    the nprobe-th cell).
+  *  - `cells` (cell, id, v) — the corpus labelled by its cell.
+  *
+  * [[Index.topK]] is the probe half of [[Ann.ivfTopK]] reading the
+  * stored frames: NO k-means fit, NO centroid aggregation, NO corpus
+  * shuffle — queries broadcast against the (tiny) centroid table, then
+  * against the probed slice of `cells`. [[build]]+[[Index.topK]] is
+  * bit-for-bit [[Ann.ivfTopK]] over [[KMeans.fitPredictPortable]]
+  * labels (spec-pinned), so the stored path inherits the e05/e06
+  * oracle story unchanged.
+  *
+  * Persistence: `cells` is written PARTITIONED BY cell, so a probe
+  * over the stored table prunes its scan to the probed cells — with
+  * k cells and nprobe probes, the scan reads ~nprobe/k of the corpus
+  * (the actual IVF economy, realized as partition pruning; the
+  * broadcast probe join triggers Spark's dynamic partition pruning,
+  * PlansSpec-pinned). The centroid table is dimension-sized.
+  *
+  * [[append]] is the daily-ingest face: new vectors are assigned to
+  * the FROZEN quantizer by the SAME rule probes use (max dot/n, ties
+  * to the smaller cell) — so an appended vector lands exactly in the
+  * cell its future queries probe first — and only `cells` grows;
+  * `centroids` is deliberately unchanged (the standard IVF trade:
+  * the quantizer drifts from the data as appends accumulate, and a
+  * periodic [[build]] re-fits it; updating the sums incrementally
+  * would silently change historical probe rankings).
+  */
+object AnnIndex {
+
+  final case class Index(centroids: DataFrame, cells: DataFrame) {
+
+    /** Probe-only IVF top-k over the stored frames — the
+      * [[Ann.ivfTopK]] probe half, verbatim. Output (qid, nid, qdot).
+      */
+    def topK(
+        queries: DataFrame, idCol: String, vecCol: String,
+        k: Int, nprobe: Int = 2): DataFrame = {
+      val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      val probeW = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("cell"))
+      val probes = q.join(broadcast(centroids), expr("true"))
+        .select(col("qid"), col("qv"), col("cell"),
+          (graft.functions.FloatLongDot(col("qv"), col("cs")).cast("double") /
+            col("n").cast("double")).as("score"))
+        .withColumn("rn", row_number().over(probeW))
+        .filter(col("rn") <= nprobe)
+        .select(col("qid"), col("qv"), col("cell"))
+      val scored = cells.join(broadcast(probes), Seq("cell"))
+        .filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("id").as("nid"),
+          Ann.quantizedDot(col("qv"), col("v")).as("qdot"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("nid"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .drop("rn")
+    }
+  }
+
+  /** Fit the portable k-means quantizer (Lloyd rounds on the bounded
+    * deterministic sample), label the corpus once, and aggregate the
+    * full-membership centroid sums — all the expensive work, paid here
+    * and never again. Pass [[CheckpointPolicy.Passthrough]] when the
+    * frames go straight to [[writePartitioned]] (the
+    * [[graft.dedup.DedupIndex.build]] convention). */
+  def build(
+      items: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxIterations: Int = 5, fitSampleSize: Int = 0,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): Index = {
+    val labels = KMeans.fitPredictPortable(
+      items, idCol, vecCol, k, maxIterations, checkpoint, fitSampleSize)
+    val cells = checkpoint.pin(
+      items.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .join(labels.select(col(idCol).as("id"), col("cell")), Seq("id")))
+    // full-membership sums — the Ann.ivfTopK centroid aggregation, with
+    // its ragged-length guard
+    val comp = cells.select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+    val centroids = checkpoint.pin(comp.groupBy(col("cell"), col("dim"))
+      .agg(
+        sum(expr("cast(round(cast(x as double) * 1000) as bigint)")).as("sx"),
+        count(lit(1)).as("nd"))
+      .groupBy(col("cell"))
+      .agg(
+        array_sort(collect_list(struct(col("dim"), col("sx")))).as("pairs"),
+        min(col("nd")).as("_nmin"), max(col("nd")).as("_nmax"))
+      .select(col("cell"),
+        transform(col("pairs"), p => p.getField("sx")).as("cs"),
+        when(col("_nmin") === col("_nmax"), col("_nmax"))
+          .otherwise(raise_error(concat(
+            lit("graft.AnnIndex: ragged vector lengths in cell "),
+            col("cell").cast("string"),
+            lit(" — member count is ill-defined; pad or filter to uniform dims"))))
+          .as("n")))
+    Index(centroids, cells)
+  }
+
+  /** Fold new vectors into the stored index against the FROZEN
+    * quantizer: assignment by the probe rule (max dot/n, ties to the
+    * smaller cell), `cells` grows, `centroids` stays — see the object
+    * scaladoc for the trade. Work is one broadcast score per new
+    * vector. */
+  def append(
+      idx: Index, newItems: DataFrame, idCol: String, vecCol: String): Index = {
+    val q = newItems.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val best = q.join(broadcast(idx.centroids), expr("true"))
+      .select(col("id"), col("cell"),
+        (graft.functions.FloatLongDot(col("v"), col("cs")).cast("double") /
+          col("n").cast("double")).as("_s"))
+      .groupBy(col("id"))
+      // min over (-score, cell): max score, ties to the SMALLER cell —
+      // double negation is overflow-free (the Ann.semanticContamination
+      // review lesson: never negate an integer id for ordering)
+      .agg(min_by(col("cell"), struct((-col("_s")).as("d"), col("cell")))
+        .as("cell"))
+    Index(idx.centroids,
+      idx.cells.unionByName(q.join(best, Seq("id"))
+        .select(col("cell"), col("id"), col("v"))))
+  }
+
+  /** Persist as catalog tables `<name>_{centroids,cells}` with `cells`
+    * partitioned by cell — later probes prune their scan to the probed
+    * cells via dynamic partition pruning. Overwrites. */
+  def writePartitioned(idx: Index, name: String): Unit = {
+    val spark = idx.centroids.sparkSession
+    Seq("centroids", "cells").foreach(t =>
+      graft.sources.CatalogTables.prepareOverwrite(spark, s"${name}_$t"))
+    idx.centroids.write.mode("overwrite").saveAsTable(s"${name}_centroids")
+    idx.cells.write.mode("overwrite").partitionBy("cell")
+      .saveAsTable(s"${name}_cells")
+  }
+
+  def readPartitioned(spark: SparkSession, name: String): Index =
+    Index(
+      spark.table(s"${name}_centroids"),
+      spark.table(s"${name}_cells"))
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.{Ann, AnnIndex, KMeans}
+
+class AnnIndexSpec extends SparkSpec {
+
+  private def corpus(n: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val centers = Array.fill(4)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    (0L until n.toLong).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => x + (rnd.nextGaussian() * 0.15).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("build + topK ≡ the direct fitPredict + ivfTopK path, bit for bit") {
+    val items = corpus(120)
+    val queries = items.filter(col("vec_id") < 5)
+    val idx = AnnIndex.build(items, "vec_id", "embedding", k = 4,
+      maxIterations = 4, fitSampleSize = 60)
+    val labels = KMeans.fitPredictPortable(items, "vec_id", "embedding",
+      k = 4, maxIterations = 4, fitSampleSize = 60)
+    val direct = Ann.ivfTopK(
+      items.join(labels, Seq("vec_id")), queries,
+      "vec_id", "embedding", "cell", k = 5, nprobe = 2)
+    assert(rowSet(idx.topK(queries, "vec_id", "embedding", 5, nprobe = 2)) ===
+      rowSet(direct))
+  }
+
+  test("persisted round-trip probes identically; the stored scan prunes to probed cells") {
+    val items = corpus(120)
+    val queries = items.filter(col("vec_id") < 5)
+    val idx = AnnIndex.build(items, "vec_id", "embedding", k = 4,
+      maxIterations = 4, fitSampleSize = 60,
+      checkpoint = graft.core.CheckpointPolicy.Passthrough)
+    AnnIndex.writePartitioned(idx, "annidx_spec")
+    val stored = AnnIndex.readPartitioned(spark, "annidx_spec")
+    val live = idx.topK(queries, "vec_id", "embedding", 5, nprobe = 2)
+    val fromDisk = stored.topK(queries, "vec_id", "embedding", 5, nprobe = 2)
+    assert(rowSet(fromDisk) === rowSet(live))
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    // the headline properties of the stored probe: no fit and no
+    // centroid aggregation anywhere (both paid at build), and the cells
+    // scan carries a dynamic-partition-pruning filter so only probed
+    // cells are read — the actual IVF scan economy
+    assert(!plan.contains("partial_sum") && !plan.contains("posexplode"),
+      s"probe must not rebuild centroids:\n$plan")
+    assert(plan.contains("dynamicpruning"),
+      s"cells scan must prune to probed cells:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the stored corpus must not shuffle:\n$plan")
+  }
+
+  test("append: frozen quantizer, probe-rule assignment, appended vectors retrievable") {
+    import spark.implicits._
+    val items = corpus(120)
+    val idx = AnnIndex.build(items, "vec_id", "embedding", k = 4,
+      maxIterations = 4, fitSampleSize = 60)
+    // append a near-copy of vector 3: it must land in 3's own
+    // first-probe cell (assignment uses the probe rule) and come back
+    // as 3's top neighbour (identical direction -> maximal dot)
+    val v3 = items.filter(col("vec_id") === 3L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val appended = AnnIndex.append(idx,
+      Seq((1003L, v3)).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    assert(rowSet(appended.centroids) === rowSet(idx.centroids),
+      "append must not touch the quantizer")
+    val cellOf = appended.cells.filter(col("id") === 1003L)
+      .select("cell").head().getLong(0)
+    val firstProbe = idx.topK(
+        Seq((1003L, v3)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 1, nprobe = 1)
+    // the probe rule and the assignment rule agree: cell of the top
+    // neighbour found with nprobe=1 IS the assigned cell
+    val probedCell = idx.cells
+      .filter(col("id") === firstProbe.select("nid").head().getLong(0))
+      .select("cell").head().getLong(0)
+    assert(cellOf === probedCell,
+      "appended vector must live where its queries probe first")
+    val back = appended.topK(items.filter(col("vec_id") === 3L),
+      "vec_id", "embedding", k = 1, nprobe = 1)
+      .select("nid").head().getLong(0)
+    assert(back === 1003L, "the appended near-copy must rank first for 3")
+  }
+}

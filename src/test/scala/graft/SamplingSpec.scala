@@ -247,6 +247,39 @@ class SamplingSpec extends SparkSpec {
     assert(got === ref, "two-level decomposition must equal the global window")
   }
 
+  test("leakageSafeSplit: identical texts share a split, shares near target, stable under growth") {
+    import spark.implicits._
+    val texts = (0 until 800).map(i => s"document body number $i with some words")
+    // every text twice under DIFFERENT ids — an id-hash split would
+    // leak ~2*p*(1-p) of the pairs across the boundary
+    val df = (texts ++ texts).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Sampling.leakageSafeSplit(df, "text")
+      .select("text", "split").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val perText = got.groupBy(_._1).values
+    assert(perText.forall(_.map(_._2).distinct.size == 1),
+      "byte-identical documents must never straddle a split")
+    val shares = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(shares("train") > 1200 && shares("train") < 1400,
+      s"train share far from 80%: $shares")
+    assert(shares("val") > 100 && shares("val") < 300, s"val share: $shares")
+    assert(shares("test") > 100 && shares("test") < 300, s"test share: $shares")
+    // growth stability: adding documents never moves an old one
+    val grown = Sampling.leakageSafeSplit(
+        df.unionByName(Seq((99999L, "a brand new document")).toDF("doc_id", "text")),
+        "text")
+      .filter(col("doc_id") < 1600L).select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val base = Sampling.leakageSafeSplit(df, "text")
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(grown === base)
+    intercept[IllegalArgumentException] {
+      Sampling.leakageSafeSplit(df, "text", trainPermille = 950, valPermille = 100)
+    }
+  }
+
   test("tokenBudgetSample: no single-reducer stratum — windows are hash-sharded") {
     val plan = Sampling.tokenBudgetSample(corpus(100), "doc_id", "n_tokens",
         "source", budgets("src0" -> 10L, "src1" -> 10L, "src2" -> 10L, "src3" -> 10L))
