@@ -145,6 +145,17 @@ object EventQueries {
           min(col("k")).as("min_k"),
           max(col("k")).as("max_k"))),
 
+    "s12_cooccurrence" -> ((s, d) =>
+      // related-items graph from the interaction log: distinct
+      // (user, item) collapse, bot-scale actors capped (>64 distinct
+      // items — the broadcast anti-join device), actor-keyed pair join,
+      // LIFT in milli-exact decimal arithmetic (monotone with PMI, no
+      // logs needed). The item id is the typed JSON props field.
+      graft.relational.Cooccurrence.itemPairs(
+        events(s, d).select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minSupport = 30L, maxActorItems = 64)),
+
     "s11_value_quantile_gate" -> ((s, d) => {
       // p95 anomaly gate per event type over the CONTINUOUS value
       // column — the exact case (distinct (stratum, value) pairs ≈ the
@@ -292,6 +303,22 @@ object EventQueries {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    // same distinct collapse, hot-actor cap, pair join and decimal lift
+    "s12_cooccurrence" ->
+      """WITH d0 AS (SELECT DISTINCT user_id AS u,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS i FROM events),
+        |hot AS (SELECT u FROM d0 GROUP BY u HAVING count(*) > 64),
+        |d AS (SELECT * FROM d0 ANTI JOIN hot USING (u)),
+        |nu AS (SELECT CAST(count(DISTINCT u) AS HUGEINT) AS N FROM d),
+        |ic AS (SELECT i, count(*) AS n_i FROM d GROUP BY i),
+        |p AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_ab
+        |      FROM d a JOIN d b ON a.u = b.u AND a.i < b.i GROUP BY 1, 2)
+        |SELECT p.item_a, p.item_b, p.n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+        |  CAST((1000 * CAST(p.n_ab AS HUGEINT) * N) // (ia.n_i * ib.n_i)
+        |    AS BIGINT) AS lift_milli
+        |FROM p JOIN ic ia ON ia.i = p.item_a
+        |JOIN ic ib ON ib.i = p.item_b CROSS JOIN nu
+        |WHERE p.n_ab >= 30""".stripMargin,
     // the d22 bottom-k rank-sample replay over events.value: same
     // sha256-prefix hash of (type|event_id), same (h, v, rid) sample
     // order, same ceil(0.95*m) rank pick, same >= gate
