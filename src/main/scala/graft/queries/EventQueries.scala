@@ -145,6 +145,15 @@ object EventQueries {
           min(col("k")).as("min_k"),
           max(col("k")).as("max_k"))),
 
+    "s13_mad_outliers" -> ((s, d) =>
+      // robust per-type outlier gate: exact lower median and MAD (50%
+      // breakdown — one wild value cannot drag the gate the way a
+      // mean/stddev z-score can), rule |x − med| > 3·MAD. Both medians
+      // come from the distinct-value running-count device; the corpus
+      // never sorts.
+      graft.relational.RobustStats.madOutliers(
+        events(s, d), "event_type", "value", k = 3.0)),
+
     "s12_cooccurrence" -> ((s, d) =>
       // related-items graph from the interaction log: distinct
       // (user, item) collapse, bot-scale actors capped (>64 distinct
@@ -303,6 +312,37 @@ object EventQueries {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    // both medians replayed with the d15 distinct-value running-count
+    // device; the gate is one IEEE multiply + compare
+    "s13_mad_outliers" ->
+      """WITH cc AS (SELECT event_type, value AS v, count(*) AS c
+        |            FROM events GROUP BY 1, 2),
+        |cw AS (SELECT event_type, v,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM cc),
+        |n0 AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |med AS (SELECT cw.event_type, min(cw.v) AS med
+        |        FROM cw JOIN n0 ON cw.event_type = n0.event_type
+        |        WHERE cw.cum >= CAST(ceil(0.5 * n0.n) AS BIGINT)
+        |        GROUP BY cw.event_type),
+        |dv AS (SELECT e.event_type, abs(e.value - m.med) AS d, m.med
+        |       FROM events e JOIN med m ON e.event_type = m.event_type),
+        |dc AS (SELECT event_type, d, count(*) AS c FROM dv GROUP BY 1, 2),
+        |dw AS (SELECT event_type, d,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM dc),
+        |mad AS (SELECT dw.event_type, min(dw.d) AS mad
+        |        FROM dw JOIN n0 ON dw.event_type = n0.event_type
+        |        WHERE dw.cum >= CAST(ceil(0.5 * n0.n) AS BIGINT)
+        |        GROUP BY dw.event_type)
+        |SELECT dv.event_type, min(dv.med) AS med, min(mad.mad) AS mad,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN dv.d > 3.0 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dv JOIN mad ON dv.event_type = mad.event_type
+        |GROUP BY dv.event_type""".stripMargin,
     // same distinct collapse, hot-actor cap, pair join and decimal lift
     "s12_cooccurrence" ->
       """WITH d0 AS (SELECT DISTINCT user_id AS u,

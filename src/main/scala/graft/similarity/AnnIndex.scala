@@ -138,6 +138,41 @@ object AnnIndex {
         .select(col("cell"), col("id"), col("v"))))
   }
 
+  /** Streaming face of [[append]] — the vector-ingest lifecycle run
+    * directly from the stream (the [[graft.dedup.DedupIndex.mergeStream]]
+    * shape, with a strictly better write story): each micro-batch is
+    * assigned against the FROZEN stored quantizer and INSERTED into the
+    * partitioned cells table — `cells` is append-only (no re-keying, no
+    * cluster rewrite, unlike the dedup index), so the write is O(batch)
+    * rows into exactly the touched cell partitions, never a table
+    * rewrite. `foreachBatch` is at-least-once on recovery, so delivered
+    * ids already present in the stored cells are anti-joined away
+    * (in-batch duplicates collapse first) — exactly-once index contents
+    * with O(batch) work.
+    *
+    * Returns the configured writer; callers add
+    * `.option("checkpointLocation", ...)` and `.start()`. */
+  def appendStream(
+      vecs: DataFrame, idCol: String, vecCol: String, name: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val idx = readPartitioned(spark, name)
+        val known = idx.cells.select(col("id").as(idCol))
+        val fresh = batch.dropDuplicates(Seq(idCol))
+          .join(known, Seq(idCol), "left_anti")
+        if (!fresh.isEmpty) {
+          val assigned = append(
+            Index(idx.centroids, idx.cells.limit(0)), fresh, idCol, vecCol)
+            .cells
+          // partitioned-table schema puts the partition column LAST;
+          // insertInto matches by position
+          assigned.select(col("id"), col("v"), col("cell"))
+            .write.mode("append").insertInto(s"${name}_cells")
+        }
+    }
+
   /** Persist as catalog tables `<name>_{centroids,cells}` with `cells`
     * partitioned by cell — later probes prune their scan to the probed
     * cells via dynamic partition pruning. Overwrites. */

@@ -453,6 +453,52 @@ class StreamingSpec extends SparkSpec {
     assert(feats.forall(_.n_bytes > 0))
   }
 
+  test("AnnIndex.appendStream: O(batch) inserts into cell partitions; redelivery a no-op") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.similarity.AnnIndex
+    val rnd = new scala.util.Random(77)
+    val centers = Array.fill(3)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    def near(c: Int): Seq[Float] =
+      centers(c).map(x => x + (rnd.nextGaussian() * 0.1).toFloat).toSeq
+    val base = (0L until 60L).map(i => (i, near((i % 3).toInt)))
+      .toDF("vec_id", "embedding")
+    val idx = AnnIndex.build(base, "vec_id", "embedding", k = 3,
+      maxIterations = 3, fitSampleSize = 30,
+      checkpoint = graft.core.CheckpointPolicy.Passthrough)
+    AnnIndex.writePartitioned(idx, "annidx_stream")
+    val v1 = near(0); val v2 = near(1); val v3 = near(2)
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("annidx_ckpt").toString
+    val q = AnnIndex.appendStream(
+        stream.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        "annidx_stream")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      stream.addData((2001L, v1), (2002L, v2)); q.processAllAvailable()
+      stream.addData((2001L, v1), (2003L, v3), (2003L, v3)) // redelivery + intra-batch dup
+      q.processAllAvailable()
+    } finally q.stop()
+    val stored = AnnIndex.readPartitioned(spark, "annidx_stream")
+    // stream-append ≡ batch append of the distinct new vectors
+    val ref = AnnIndex.append(idx,
+      Seq((2001L, v1), (2002L, v2), (2003L, v3)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    assert(rowSet(stored.cells) === rowSet(ref.cells),
+      "each delivered id folds exactly once, assigned by the frozen quantizer")
+    assert(rowSet(stored.centroids) === rowSet(idx.centroids),
+      "the stored quantizer never changes on append")
+    // the appended vector is retrievable through the stored probe: a
+    // fresh query with 2001's own vector probes 2001's assigned cell
+    // first (assignment uses the probe rule), and with k covering the
+    // cell, 2001 is among the hits
+    val hit = stored.topK(Seq((9999L, v1)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 60, nprobe = 1)
+      .select("nid").collect().map(_.getLong(0)).toSet
+    assert(hit.contains(2001L),
+      s"appended vector must be probe-visible in its own cell, got $hit")
+  }
+
   test("BudgetGate: straddler admitted, budget state survives batches, no-budget stratum rejects") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
