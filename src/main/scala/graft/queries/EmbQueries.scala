@@ -147,10 +147,13 @@ object EmbQueries {
       val name = "graft_ann_idx_" +
         java.lang.Long.toHexString(
           scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+      // default (Local) checkpointing, NOT Passthrough: centroids and
+      // cells share the fit lineage, and writePartitioned runs one
+      // action per table — unpinned, each write would re-run the whole
+      // k-means fit (measured 5x the pinned cost)
       val idx = graft.similarity.AnnIndex.build(
         emb, "vec_id", "embedding", k = 10, maxIterations = 5,
-        fitSampleSize = FitSample,
-        checkpoint = graft.core.CheckpointPolicy.Passthrough)
+        fitSampleSize = FitSample)
       graft.similarity.AnnIndex.writePartitioned(idx, name)
       graft.similarity.AnnIndex.readPartitioned(s, name)
         .topK(emb.filter(col("vec_id") < NQUERIES), "vec_id", "embedding",

@@ -145,6 +145,27 @@ object EventQueries {
           min(col("k")).as("min_k"),
           max(col("k")).as("max_k"))),
 
+    "s14_transition_matrix" -> ((s, d) => {
+      // the product-analytics transition matrix: per user, consecutive
+      // event pairs in (ts, event_id) order — lead() over the user
+      // window, the s03 sessionize shape — rolled into exact counts and
+      // milli-exact row-conditional probabilities P(next=b | cur=a) via
+      // one integral division. Type-vocabulary-sized output.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_ab"))
+        .withColumn("n_a", sum(col("n_ab"))
+          .over(Window.partitionBy(col("from_type"))))
+        .select(col("from_type"), col("to_type"), col("n_ab"), col("n_a"),
+          expr("(1000 * n_ab) div n_a").as("p_milli"))
+    }),
+
     "s13_mad_outliers" -> ((s, d) =>
       // robust per-type outlier gate: exact lower median and MAD (50%
       // breakdown — one wild value cannot drag the gate the way a
@@ -312,6 +333,19 @@ object EventQueries {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    // same lead() window in (ts, event_id) order, same integral division
+    "s14_transition_matrix" ->
+      """WITH p AS (SELECT user_id, event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n_ab FROM p
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_ab,
+        |  CAST(sum(n_ab) OVER (PARTITION BY from_type) AS BIGINT) AS n_a,
+        |  CAST((1000 * n_ab) // sum(n_ab) OVER (PARTITION BY from_type)
+        |    AS BIGINT) AS p_milli
+        |FROM c""".stripMargin,
     // both medians replayed with the d15 distinct-value running-count
     // device; the gate is one IEEE multiply + compare
     "s13_mad_outliers" ->

@@ -181,7 +181,13 @@ object AnnIndex {
     Seq("centroids", "cells").foreach(t =>
       graft.sources.CatalogTables.prepareOverwrite(spark, s"${name}_$t"))
     idx.centroids.write.mode("overwrite").saveAsTable(s"${name}_centroids")
-    idx.cells.write.mode("overwrite").partitionBy("cell")
+    // repartition on the partition key first: without it every shuffle
+    // task holds rows of every cell and the write emits
+    // tasks × cells files (a small-file storm that also slows every
+    // later probe's file listing); hashed on cell, each task owns whole
+    // cells and writes one file per cell
+    idx.cells.repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell")
       .saveAsTable(s"${name}_cells")
   }
 
