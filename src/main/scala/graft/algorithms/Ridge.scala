@@ -27,14 +27,19 @@ import org.apache.spark.sql.functions._
   * and the division cancels. Under λ>0 the shrunk solution is the
   * exact rational Cramer quotient, truncated at milli precision.
   *
-  * Overflow headroom (ANSI decimal throws, never wraps — a structural
-  * guard, the g55 convention): moments are linear in corpus size n and
-  * the determinants cubic in the moments, so |det·x·1000| stays inside
-  * decimal(38,0)'s 10^38 for n to ~10^6 documents at text-statistic
-  * feature magnitudes (x ≲ 10^4). Beyond that, fit the moments on a
-  * deterministic hash sample ([[graft.sample.Sampling.idHash]]) — the
-  * betas are corpus statistics, not per-row state, and a 10^6-doc
-  * sample pins them far tighter than milli precision.
+  * Overflow headroom (ANSI throws, never wraps — a structural guard,
+  * the g55 convention, at BOTH stages: the nine moments accumulate as
+  * i64 sums BEFORE the decimal cast, and the Cramer products run in
+  * decimal(38,0)). The binding bound is the prediction numerator
+  * |1000·det_i·x|: determinants are cubic in the moments and moments
+  * linear in corpus size n, so with text-statistic features
+  * (x1 ≲ 10^3 tokens, x2 ≲ 10^4 chars) the numerator is ~n³·10^21 —
+  * inside 10^38 for n up to roughly 5·10^5 documents, and the i64
+  * moment sums themselves bound n ≲ 10^10 at these magnitudes. Past
+  * the decimal envelope, fit the moments on a deterministic hash
+  * sample ([[graft.sample.Sampling.idHash]]) — the betas are corpus
+  * statistics, not per-row state, and a 10^5-doc sample pins them far
+  * tighter than milli precision.
   *
   * Output: the input frame + `pred_milli` (1000× the fitted value,
   * truncated integer).

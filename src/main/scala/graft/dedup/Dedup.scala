@@ -575,23 +575,29 @@ object Dedup {
     // collapse on the sha256 digest, not the raw text ([[exactGroups]]
     // groups by the text column itself — fine for its report shape, but
     // here the collapse is plumbing and 32-byte digests shuffle where
-    // documents must not: the DedupIndex.build device)
-    val clusters = docs
+    // documents must not: the DedupIndex.build device). Copies expand
+    // back through a digest-keyed JOIN, never a collect_list of the
+    // cluster's ids: on exactly the copy-heavy corpus this operator
+    // targets, one distinct text can hold ~10^9 copies, and an id array
+    // would put the whole cluster on a single aggregation task (the
+    // hot-key hazard [[containmentPairsDeduped]] also avoids by
+    // carrying only counts).
+    val keyed = docs
       .select(col(idCol).as("id"), sha2(col(textCol), 256).as("_th"))
+      .localCheckpoint() // reused: cluster minima AND the expansion join
+    val clusters = keyed
       .groupBy(col("_th"))
-      .agg(min(col("id")).as("keep_id"),
-        sort_array(collect_list(col("id"))).as("ids"))
-      .select(col("keep_id"), col("ids"))
-      .localCheckpoint() // reused: the rep semi-join AND the expansion
+      .agg(min(col("id")).as("keep_id"))
     val reps = docs.select(col(idCol).as("id"), col(textCol))
       .join(clusters.select(col("keep_id").as("id")), Seq("id"), "left_semi")
     val cleaned = removeDuplicatedSpans(
       reps.withColumnRenamed("id", idCol), idCol, textCol, n)
       .withColumnRenamed(idCol, "keep_id")
-    clusters
+    keyed
+      .join(clusters, Seq("_th"))
       .join(cleaned, Seq("keep_id"))
       .select(
-        explode(col("ids")).as(idCol),
+        col("id").as(idCol),
         col("clean_text"), col("n_kept"), col("n_removed"))
   }
 

@@ -269,11 +269,15 @@ object DedupIndex {
         val spark = batch.sparkSession
         val idx = readBucketed(spark, name)
         val known = idx.clusters.select(explode(col("ids")).as(idCol))
-        // dropDuplicates first: a producer-retry duplicate INSIDE one
-        // micro-batch would otherwise pass the anti-join twice and
-        // inflate n_copies; the anti-join then removes cross-batch
-        // redelivery
-        val fresh = batch.dropDuplicates(Seq(idCol))
+        // collapse intra-batch duplicates DETERMINISTICALLY first (a
+        // producer-retry duplicate would otherwise pass the anti-join
+        // twice and inflate n_copies; min(text) — not dropDuplicates,
+        // whose pick is partition-order-dependent — pins which payload
+        // wins when a retry changed the text, so reruns build identical
+        // indexes); the anti-join then removes cross-batch redelivery
+        val fresh = batch
+          .groupBy(col(idCol))
+          .agg(min(col(textCol)).as(textCol))
           .join(known, Seq(idCol), "left_anti")
         if (!fresh.isEmpty) {
           writeBucketed(merge(idx, fresh, idCol, textCol), name, numBuckets)

@@ -228,19 +228,7 @@ object Ann {
       idCol: String, vecCol: String, dim: Int, k: Int, shortlist: Int): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     require(dim % 32 == 0, s"dim must be a multiple of 32, got $dim")
-    val qb = queries.select(col(idCol).as("qid"),
-      packSignBits(col(vecCol), dim).as("qw"))
-    val nb = items.select(col(idCol).as("nid"),
-      packSignBits(col(vecCol), dim).as("nw"))
-    val hamming = aggregate(
-      zip_with(col("qw"), col("nw"),
-        (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
-      lit(0L), _ + _)
-    val ws = Window.partitionBy(col("qid")).orderBy(col("ham"), col("nid"))
-    val short = nb.join(broadcast(qb), col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), hamming.as("ham"))
-      .withColumn("rn", row_number().over(ws))
-      .filter(col("rn") <= shortlist)
+    val short = hammingRanked(items, queries, idCol, vecCol, dim, shortlist)
       .select(col("qid"), col("nid"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val full = items.select(col(idCol).as("nid"), col(vecCol).as("nv"))
@@ -265,6 +253,14 @@ object Ann {
     */
   def bruteForceCosineTopK(
       items: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    cosineRanked(items, queries, idCol, vecCol, k).drop("rn")
+
+  /** [[bruteForceCosineTopK]] with the rank kept — (qid, nid, cos, rn)
+    * — so rank consumers ([[hybridRrfTopK]]) don't pay a second
+    * identical window to reconstruct it. */
+  private def cosineRanked(
+      items: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       quantizedDot(col(vecCol), col(vecCol)).as("qn2"))
@@ -278,7 +274,27 @@ object Ann {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .drop("rn")
+  }
+
+  /** The coarse sign-bit Hamming ranking shared by [[binaryTopK]]'s
+    * shortlist stage and [[hybridRrfTopK]]'s second retriever:
+    * (qid, nid, ham, rn), rn ≤ k, ties on (ham, nid). */
+  private def hammingRanked(
+      items: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, k: Int): DataFrame = {
+    val qb = queries.select(col(idCol).as("qid"),
+      packSignBits(col(vecCol), dim).as("qw"))
+    val nb = items.select(col(idCol).as("nid"),
+      packSignBits(col(vecCol), dim).as("nw"))
+    val hamming = aggregate(
+      zip_with(col("qw"), col("nw"),
+        (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+      lit(0L), _ + _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("ham"), col("nid"))
+    nb.join(broadcast(qb), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), hamming.as("ham"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
   }
 
   /** Hybrid retrieval via Reciprocal-Rank Fusion (Cormack et al., SIGIR
@@ -315,26 +331,13 @@ object Ann {
       perList: Int, k: Int, k0: Int = 60): DataFrame = {
     // the fused pool holds up to 2·perList distinct candidates (the
     // lists need not overlap), so that is the meaningful bound on k
-    require(k <= 2 * perList, s"k ($k) must be <= 2 * perList ($perList)")
+    require(k <= 2 * perList,
+      s"k ($k) must be <= 2 * perList (= ${2 * perList})")
     require(k0 >= 1, s"k0 must be >= 1, got $k0")
-    val wc = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    val cosList = bruteForceCosineTopK(items, queries, idCol, vecCol, perList)
-      .withColumn("rnk_a", row_number().over(wc))
-      .select(col("qid"), col("nid"), col("rnk_a"))
-    val qb = queries.select(col(idCol).as("qid"),
-      packSignBits(col(vecCol), dim).as("qw"))
-    val nb = items.select(col(idCol).as("nid"),
-      packSignBits(col(vecCol), dim).as("nw"))
-    val hamming = aggregate(
-      zip_with(col("qw"), col("nw"),
-        (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
-      lit(0L), _ + _)
-    val wh = Window.partitionBy(col("qid")).orderBy(col("ham"), col("nid"))
-    val hamList = nb.join(broadcast(qb), col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), hamming.as("ham"))
-      .withColumn("rnk_b", row_number().over(wh))
-      .filter(col("rnk_b") <= perList)
-      .select(col("qid"), col("nid"), col("rnk_b"))
+    val cosList = cosineRanked(items, queries, idCol, vecCol, perList)
+      .select(col("qid"), col("nid"), col("rn").as("rnk_a"))
+    val hamList = hammingRanked(items, queries, idCol, vecCol, dim, perList)
+      .select(col("qid"), col("nid"), col("rn").as("rnk_b"))
     val rrf =
       coalesce(expr(s"1000000000000 div ($k0 + rnk_a)"), lit(0L)) +
         coalesce(expr(s"1000000000000 div ($k0 + rnk_b)"), lit(0L))

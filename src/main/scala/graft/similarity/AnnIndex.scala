@@ -147,8 +147,16 @@ object AnnIndex {
     * rows into exactly the touched cell partitions, never a table
     * rewrite. `foreachBatch` is at-least-once on recovery, so delivered
     * ids already present in the stored cells are anti-joined away
-    * (in-batch duplicates collapse first) — exactly-once index contents
-    * with O(batch) work.
+    * (in-batch duplicates collapse deterministically first) —
+    * exactly-once index contents.
+    *
+    * Honest cost accounting: the WRITE is O(batch) (the headline win
+    * over the dedup index's full-table rewrite), while the
+    * exactly-once dedup pass reads the stored table's id column once
+    * per micro-batch (column-pruned, but index-sized) — the same trade
+    * [[graft.dedup.DedupIndex.mergeStream]] makes against its compact
+    * clusters table; an id-bucketed side table would make that pass
+    * O(batch) too, at the price of a second artifact to maintain.
     *
     * Returns the configured writer; callers add
     * `.option("checkpointLocation", ...)` and `.start()`. */
@@ -160,7 +168,12 @@ object AnnIndex {
         val spark = batch.sparkSession
         val idx = readPartitioned(spark, name)
         val known = idx.cells.select(col("id").as(idCol))
-        val fresh = batch.dropDuplicates(Seq(idCol))
+        // min(vec) — not dropDuplicates — so a retry that changed the
+        // payload resolves deterministically across reruns (arrays are
+        // orderable in both engines)
+        val fresh = batch
+          .groupBy(col(idCol))
+          .agg(min(col(vecCol)).as(vecCol))
           .join(known, Seq(idCol), "left_anti")
         if (!fresh.isEmpty) {
           val assigned = append(

@@ -20,7 +20,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * checkpoint restart resumes the exact count (spec-pinned). Within a
   * micro-batch the group's rows are processed in id order (micro-batch
   * iterators carry no arrival order; sorting by id makes replays of the
-  * same batch split deterministic). Rejected rows still advance the
+  * same batch split deterministic) — which means the TRANSIENT
+  * per-batch buffer is the stratum's slice of the micro-batch, not one
+  * long: a backfill that funnels millions of one source's rows into a
+  * single trigger puts that slice on one task's heap. Size triggers
+  * accordingly (`maxFilesPerTrigger`/rate limits); a catch-up over a
+  * static backlog is the BATCH face's job
+  * ([[graft.sample.Sampling.tokenBudgetSample]] — its two-level shard
+  * device exists precisely so no reducer sees a whole stratum). Rejected rows still advance the
   * count — this cannot change any decision (they only occur once the
   * budget is crossed, and the gate is monotone) and it keeps the state
   * equal to the batch face's window sum, so stream ≡ batch whenever
