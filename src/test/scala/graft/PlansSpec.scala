@@ -350,6 +350,31 @@ class PlansSpec extends SparkSpec {
       s"d27 splice join must broadcast the removal sets at this scale:\n$p")
   }
 
+  test("d32/d33 containment: keyed shingle joins, broadcast hot cap, no cross products") {
+    for (q <- Seq("d32_containment", "d33_containment_deduped")) {
+      val p = plan(DocQueries.queries(q)(spark, SF))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q candidate generation must stay keyed equi-joins:\n$p")
+      assert(p.contains("partial_count"),
+        s"$q shingle/pair counts must map-side combine:\n$p")
+    }
+  }
+
+  test("s12 co-occurrence: distinct collapse combines; only the 1-row N frame crosses") {
+    import graft.queries.EventQueries
+    val p = plan(EventQueries.queries("s12_cooccurrence")(spark, SF))
+    assert(!p.contains("CartesianProduct"),
+      s"s12 must never plan a cartesian product:\n$p")
+    // the ONLY nested-loop join is the broadcast of the single-row
+    // distinct-actor count; pair generation itself is the actor-keyed
+    // equi-join
+    assert(p.split("BroadcastNestedLoopJoin").length <= 2,
+      s"s12 may broadcast-cross only the 1-row N frame:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"s12 counts must map-side combine:\n$p")
+  }
+
   test("g34/g35 graph stats: id-keyed joins plus combinable aggregates only") {
     for (q <- Seq("g34_modularity", "g35_assortativity")) {
       val p = plan(GraphQueries.queries(q)(spark, SF))
