@@ -662,6 +662,17 @@ object DocQueries {
       graft.streaming.MediaStream.nearDupAgainstCorpus(incoming, idx, maxDist = 3)
     }),
 
+    "d35_cluster_safe_split" -> ((s, d) =>
+      // the STRONG leakage guard: split on the fuzzy-dedup CLUSTER id
+      // (d12's exact-dedup -> LSH pairs -> connected components), so
+      // NEAR-duplicates — paraphrases, templated variants — co-locate
+      // in one split, not just byte-identical copies (d34's guarantee).
+      // This is the split discipline pretraining evaluation actually
+      // needs: a near-dup of a test document in train is still a leak.
+      graft.sample.Sampling.splitByKey(
+        SharedDedupIndex.clusters(s, d), "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("bucket"), col("split"))),
+
     "d34_leakage_safe_split" -> ((s, d) =>
       // train/val/test split keyed on the TEXT hash, not the id: exact
       // copies always share a split, closing the duplicate-leakage
@@ -1080,6 +1091,41 @@ object DocQueries {
          |  CAST(len(c.s) AS INTEGER) AS n_bpe,
          |  ltrim(array_to_string(c.s, ''), ' ') AS chunk_text
          |FROM ch""".stripMargin,
+    // the d12 cluster closure + the d34 sha-prefix bucket over the
+    // CLUSTER id — near-dups co-locate by construction
+    "d35_cluster_safe_split" ->
+      s"""WITH RECURSIVE
+         |keep AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
+         |mem AS (SELECT d.doc_id, k.rep FROM documents d JOIN keep k ON k.text = d.text),
+         |t0 AS (SELECT rep AS doc_id, $toksSql AS t FROM keep),
+         |sh AS (SELECT doc_id, $shinglesSql AS s FROM t0),
+         |nz AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0),
+         |pr AS (SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |        / (a.n + b.n - len(list_intersect(a.s, b.s))) AS jaccard
+         |    FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.4),
+         |eg AS (SELECT id_a AS es, id_b AS ed FROM pr
+         |       UNION ALL SELECT id_b, id_a FROM pr),
+         |reach(id, lab) AS (
+         |  SELECT rep, rep FROM keep
+         |  UNION
+         |  SELECT eg.ed, r.lab FROM reach r JOIN eg ON eg.es = r.id),
+         |comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+         |asg AS (SELECT m.doc_id, c.cluster_id FROM mem m JOIN comp c ON c.id = m.rep),
+         |b AS (SELECT doc_id, cluster_id,
+         |    CAST(list_sum([(strpos('0123456789abcdef', substr(h12, i, 1)) - 1)
+         |                   * CAST(power(16, 12 - i) AS BIGINT)
+         |                   FOR i IN range(1, 13)]) AS BIGINT) % 1000 AS bucket
+         |  FROM (SELECT doc_id, cluster_id,
+         |          substr(sha256(CAST(cluster_id AS VARCHAR)), 1, 12) AS h12
+         |        FROM asg))
+         |SELECT doc_id, cluster_id, bucket,
+         |  CASE WHEN bucket < 800 THEN 'train'
+         |       WHEN bucket < 900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b""".stripMargin,
     // the 48-bit sha256-prefix bucket (the d17 hash replay) mod 1000
     "d34_leakage_safe_split" ->
       """WITH h AS (SELECT doc_id,

@@ -238,14 +238,26 @@ object Sampling {
     * 'test' above). */
   def leakageSafeSplit(
       docs: DataFrame, textCol: String,
+      trainPermille: Int = 800, valPermille: Int = 100): DataFrame =
+    splitByKey(docs, textCol, trainPermille, valPermille)
+
+  /** The split mechanism itself, parameterized by the co-location KEY:
+    * rows with equal keys always share a split. [[leakageSafeSplit]]
+    * passes the text (exact copies co-locate); passing a fuzzy-dedup
+    * CLUSTER id ([[graft.dedup.Dedup.nearDupClusters]] /
+    * `DedupIndex.clusterAssign`) strengthens the guarantee to
+    * NEAR-duplicates — the paraphrased-leak channel a content-hash
+    * split still leaves open. */
+  def splitByKey(
+      df: DataFrame, keyCol: String,
       trainPermille: Int = 800, valPermille: Int = 100): DataFrame = {
     require(trainPermille >= 0 && valPermille >= 0
       && trainPermille + valPermille <= 1000,
       s"permille shares must be >= 0 and sum <= 1000, " +
         s"got $trainPermille + $valPermille")
-    docs
+    df
       .withColumn("bucket",
-        pmod(graft.sketch.Kmv.portableHash(col(textCol)), lit(1000L)))
+        pmod(graft.sketch.Kmv.portableHash(col(keyCol)), lit(1000L)))
       .withColumn("split",
         when(col("bucket") < trainPermille, "train")
           .when(col("bucket") < trainPermille + valPermille, "val")

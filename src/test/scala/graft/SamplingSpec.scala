@@ -280,6 +280,25 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("splitByKey on cluster ids: NEAR-duplicates co-locate where a text split separates them") {
+    import spark.implicits._
+    // a and b are near-duplicates (one word differs), c is unrelated
+    val a = "the quick brown fox jumps over the lazy dog and keeps running onward today"
+    val b = "the quick brown fox jumps over the lazy cat and keeps running onward today"
+    val c = (1 to 14).map(i => s"zq$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val textSplit = Sampling.leakageSafeSplit(df, "text")
+      .select("doc_id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(textSplit(1L) !== textSplit(2L),
+      "fixture sanity: the near-dup pair hashes to different text buckets " +
+        "(so a content-hash split WOULD separate them)")
+    val clusters = graft.dedup.Dedup.nearDupClusters(df, "doc_id", "text")
+    val got = Sampling.splitByKey(clusters, "cluster_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === got(2L),
+      "near-duplicates share a cluster, hence a split — the paraphrase-leak guard")
+  }
+
   test("tokenBudgetSample: no single-reducer stratum — windows are hash-sharded") {
     val plan = Sampling.tokenBudgetSample(corpus(100), "doc_id", "n_tokens",
         "source", budgets("src0" -> 10L, "src1" -> 10L, "src2" -> 10L, "src3" -> 10L))
