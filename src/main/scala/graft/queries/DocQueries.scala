@@ -1005,6 +1005,33 @@ object DocQueries {
        | THEN [ t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1) ]
        | ELSE [] END)""".stripMargin
 
+  /** The fuzzy-dedup cluster-closure CTE chain shared VERBATIM by the
+    * d12/d19/d35 oracles (one definition so the cluster contract —
+    * exact-dedup representatives, 0.4-Jaccard exact pairs, recursive
+    * min-label closure — can never silently diverge between them).
+    * Callers prepend `WITH RECURSIVE\n`; the chain ends with
+    * `comp(id, cluster_id)` and exposes keep/mem for member
+    * expansion. */
+  private lazy val clusterClosureSql: String =
+    s"""keep AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
+       |mem AS (SELECT d.doc_id, k.rep FROM documents d JOIN keep k ON k.text = d.text),
+       |t0 AS (SELECT rep AS doc_id, $toksSql AS t FROM keep),
+       |sh AS (SELECT doc_id, $shinglesSql AS s FROM t0),
+       |nz AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0),
+       |pr AS (SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |        / (a.n + b.n - len(list_intersect(a.s, b.s))) AS jaccard
+       |    FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.4),
+       |eg AS (SELECT id_a AS es, id_b AS ed FROM pr
+       |       UNION ALL SELECT id_b, id_a FROM pr),
+       |reach(id, lab) AS (
+       |  SELECT rep, rep FROM keep
+       |  UNION
+       |  SELECT eg.ed, r.lab FROM reach r JOIN eg ON eg.es = r.id),
+       |comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
   /** DuckDB-side non-distinct positional 3-gram shingles (winnowing and
     * repetition need multiplicity; dedup uses the distinct variant). */
   private val posShinglesSql =
@@ -1091,29 +1118,11 @@ object DocQueries {
          |  CAST(len(c.s) AS INTEGER) AS n_bpe,
          |  ltrim(array_to_string(c.s, ''), ' ') AS chunk_text
          |FROM ch""".stripMargin,
-    // the d12 cluster closure + the d34 sha-prefix bucket over the
+    // the shared cluster closure + the d34 sha-prefix bucket over the
     // CLUSTER id — near-dups co-locate by construction
     "d35_cluster_safe_split" ->
-      s"""WITH RECURSIVE
-         |keep AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
-         |mem AS (SELECT d.doc_id, k.rep FROM documents d JOIN keep k ON k.text = d.text),
-         |t0 AS (SELECT rep AS doc_id, $toksSql AS t FROM keep),
-         |sh AS (SELECT doc_id, $shinglesSql AS s FROM t0),
-         |nz AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0),
-         |pr AS (SELECT id_a, id_b FROM (
-         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |        / (a.n + b.n - len(list_intersect(a.s, b.s))) AS jaccard
-         |    FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
-         |  WHERE jaccard >= 0.4),
-         |eg AS (SELECT id_a AS es, id_b AS ed FROM pr
-         |       UNION ALL SELECT id_b, id_a FROM pr),
-         |reach(id, lab) AS (
-         |  SELECT rep, rep FROM keep
-         |  UNION
-         |  SELECT eg.ed, r.lab FROM reach r JOIN eg ON eg.es = r.id),
-         |comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
-         |asg AS (SELECT m.doc_id, c.cluster_id FROM mem m JOIN comp c ON c.id = m.rep),
+      ("WITH RECURSIVE\n" + clusterClosureSql + ",\n" +
+      s"""asg AS (SELECT m.doc_id, c.cluster_id FROM mem m JOIN comp c ON c.id = m.rep),
          |b AS (SELECT doc_id, cluster_id,
          |    CAST(list_sum([(strpos('0123456789abcdef', substr(h12, i, 1)) - 1)
          |                   * CAST(power(16, 12 - i) AS BIGINT)
@@ -1125,7 +1134,7 @@ object DocQueries {
          |  CASE WHEN bucket < 800 THEN 'train'
          |       WHEN bucket < 900 THEN 'val'
          |       ELSE 'test' END AS split
-         |FROM b""".stripMargin,
+         |FROM b""".stripMargin),
     // the 48-bit sha256-prefix bucket (the d17 hash replay) mod 1000
     "d34_leakage_safe_split" ->
       """WITH h AS (SELECT doc_id,
@@ -1758,50 +1767,14 @@ object DocQueries {
     // then a recursive min-label closure (= connected components), then
     // every doc mapped through its exact-dedup representative
     "d12_neardup_clusters" ->
-      s"""WITH RECURSIVE
-         |keep AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
-         |mem AS (SELECT d.doc_id, k.rep FROM documents d JOIN keep k ON k.text = d.text),
-         |t0 AS (SELECT rep AS doc_id, $toksSql AS t FROM keep),
-         |sh AS (SELECT doc_id, $shinglesSql AS s FROM t0),
-         |nz AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0),
-         |pr AS (SELECT id_a, id_b FROM (
-         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |        / (a.n + b.n - len(list_intersect(a.s, b.s))) AS jaccard
-         |    FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
-         |  WHERE jaccard >= 0.4),
-         |eg AS (SELECT id_a AS es, id_b AS ed FROM pr
-         |       UNION ALL SELECT id_b, id_a FROM pr),
-         |reach(id, lab) AS (
-         |  SELECT rep, rep FROM keep
-         |  UNION
-         |  SELECT eg.ed, r.lab FROM reach r JOIN eg ON eg.es = r.id),
-         |comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
-         |SELECT m.doc_id, c.cluster_id FROM mem m JOIN comp c ON c.id = m.rep""".stripMargin,
-    // d12's cluster closure + t02's bit-identical quality formula; the
-    // survivor pick replayed as a window (quality DESC, doc_id ASC) —
-    // equivalent to the Spark side's lexicographic struct max
+      ("WITH RECURSIVE\n" + clusterClosureSql + "\n" +
+        "SELECT m.doc_id, c.cluster_id FROM mem m JOIN comp c ON c.id = m.rep"),
+    // the shared cluster closure + t02's bit-identical quality formula;
+    // the survivor pick replayed as a window (quality DESC, doc_id ASC)
+    // — equivalent to the Spark side's lexicographic struct max
     "d19_best_of_cluster" ->
-      s"""WITH RECURSIVE
-         |keep AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
-         |mem AS (SELECT d.doc_id, k.rep FROM documents d JOIN keep k ON k.text = d.text),
-         |t0 AS (SELECT rep AS doc_id, $toksSql AS t FROM keep),
-         |sh AS (SELECT doc_id, $shinglesSql AS s FROM t0),
-         |nz AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0),
-         |pr AS (SELECT id_a, id_b FROM (
-         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |        / (a.n + b.n - len(list_intersect(a.s, b.s))) AS jaccard
-         |    FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
-         |  WHERE jaccard >= 0.4),
-         |eg AS (SELECT id_a AS es, id_b AS ed FROM pr
-         |       UNION ALL SELECT id_b, id_a FROM pr),
-         |reach(id, lab) AS (
-         |  SELECT rep, rep FROM keep
-         |  UNION
-         |  SELECT eg.ed, r.lab FROM reach r JOIN eg ON eg.es = r.id),
-         |comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
-         |cl AS (SELECT m.doc_id, c.cluster_id FROM mem m JOIN comp c ON c.id = m.rep),
+      ("WITH RECURSIVE\n" + clusterClosureSql + ",\n" +
+      s"""cl AS (SELECT m.doc_id, c.cluster_id FROM mem m JOIN comp c ON c.id = m.rep),
          |qt AS (SELECT doc_id, text, $toksSql AS t FROM documents),
          |qm AS (SELECT doc_id,
          |  CAST(len(t) AS DOUBLE) AS ntok,
@@ -1821,7 +1794,7 @@ object DocQueries {
          |      FROM cl JOIN q ON q.doc_id = cl.doc_id)
          |SELECT cluster_id, doc_id AS keep_id, round(quality, 6) AS quality,
          |       n_members
-         |FROM j WHERE rn = 1""".stripMargin,
+         |FROM j WHERE rn = 1""".stripMargin),
     // composed pipeline: d01's dedup + t02's quality formula + t03's
     // argmax + d07's chunking, chained exactly like the Spark side
     "d08_pipeline" ->
