@@ -46,6 +46,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // engine provenance for the dump — lets a cross-engine hash flake
+    // (oracle-engine version drift) be distinguished from a real bug
+    Files.writeString(Paths.get(s"$outDir/meta.json"),
+      s"""{"spark_version": ${q(spark.version)},
+         | "java_version": ${q(System.getProperty("java.version"))},
+         | "scala_version": ${q(scala.util.Properties.versionNumberString)}}"""
+        .stripMargin)
     spark.stop()
   }
 }

@@ -104,13 +104,23 @@ object HyperBall {
     * callers size `rounds` past the effective diameter (the same
     * saturation contract as [[effectiveDiameter]]).
     *
-    * Exactness device: per-vertex round estimates are 6-decimal doubles
-    * (cross-engine bit-equal), their deltas are nonnegative (registers
-    * only grow), and instead of dividing by r — decimal division
-    * rounds differently across engines — each delta is multiplied by
-    * the exact integer L/r where L = lcm(1..rounds) (the g33 harmonic-
-    * closeness device). Output (id, h_lcm): h_lcm = L·H(v) as an exact
-    * decimal; ranking and ratios are unaffected by the scaling.
+    * Exactness device — INTEGER MICRO-UNITS end to end. The per-round
+    * estimate is taken at 1e-6 granularity as
+    * `e_micro = floor(α_m·m²·2^Rmax / s_sum · 1e6)` — s_sum is an exact
+    * i64 on every engine, the two double steps (one divide, one
+    * multiply by 1e6) are single correctly-rounded IEEE-754 operations
+    * that any engine reproduces bit for bit, and `floor` has no
+    * tie-breaking rule at all. This replaces the previous
+    * `round(est, 6)` face, whose half-way behaviour on DOUBLES is
+    * engine- and version-dependent (DuckDB rounds the scaled double,
+    * Spark rounds the exact decimal expansion — a last-ulp trap).
+    * Deltas are nonnegative (registers only grow), and instead of
+    * dividing by r — division rounds — each delta is multiplied by the
+    * exact integer L/r where L = lcm(1..rounds) (the g33
+    * harmonic-closeness device), with the weighted sum carried in
+    * integer decimals so no overflow can shave it. Output
+    * (id, h_lcm_micro): h_lcm_micro = 1e6·L·H(v) exactly; ranking and
+    * ratios are unaffected by the scaling.
     *
     * Plan shape: the round frames are per-vertex aggregates of the SAME
     * checkpointed registers the NF reuses; the pivot is `rounds` keyed
@@ -118,30 +128,33 @@ object HyperBall {
     */
   def harmonicCentrality(g: Graph, p: Int, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    // lcm(1..16) = 720720 is the largest weight that fits the
-    // decimal(6,0) cast below; at 17 the lcm jumps to 12,252,240 and
-    // the cast would null out (or throw under ANSI) — and any wider
-    // decimal pushes the delta-times-weight product past precision 38,
-    // where Spark silently shaves the scale. 16 rounds covers real
-    // effective diameters (web/social graphs: single digits); deeper
-    // graphs should bucket rounds or use the NF face, which has no
-    // weight arithmetic.
+    // lcm(1..16) = 720720; at 17 it jumps to 12,252,240. 16 rounds
+    // covers real effective diameters (web/social graphs: single
+    // digits); deeper graphs should bucket rounds or use the NF face,
+    // which has no weight arithmetic.
     require(rounds <= 16,
       s"harmonicCentrality supports rounds <= 16 (lcm weight bound), got $rounds")
     val L = (1 to rounds).foldLeft(1L)((acc, r) =>
       acc / gcd(acc, r) * r)
+    // α_m·m²·2^Rmax, composed in the exact op order the SQL oracle
+    // uses: alpha first, then the power-of-two multiply (exact).
+    val m = 1 << p
+    val num = 0.7213 / (1.0 + 1.079 / m) * math.pow(2, p + 49)
     val ests = ballRegisters(g, p, rounds).zipWithIndex.map { case (regs, k) =>
       Hll.estimate(regs, Seq(ID), p)
-        .select(col(ID), col("est_raw").cast("decimal(26,6)").as(s"_e$k"))
+        .select(col(ID),
+          floor(lit(num) / col("s_sum").cast("double") * lit(1e6))
+            .as(s"_e$k"))
     }
     val joined = ests.reduce((a, b) => a.join(b, Seq(ID)))
-    // the integer weight is cast to a narrow decimal so Spark's
-    // decimal-times-bigint promotion cannot overflow precision 38 and
-    // silently shave the scale
+    // i64 deltas × narrow-decimal weights, summed as integer decimals:
+    // the product stays far inside precision 38, so Spark can neither
+    // overflow nor silently shave scale
     val h = (1 to rounds).map { r =>
-      (col(s"_e$r") - col(s"_e${r - 1}")) * lit(L / r).cast("decimal(6,0)")
+      (col(s"_e$r") - col(s"_e${r - 1}")).cast("decimal(20,0)") *
+        lit(L / r).cast("decimal(7,0)")
     }.reduce(_ + _)
-    joined.select(col(ID), h.cast("decimal(32,6)").as("h_lcm"))
+    joined.select(col(ID), h.cast("decimal(38,0)").as("h_lcm_micro"))
   }
 
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)

@@ -190,9 +190,11 @@ object GraphQueries {
       // per-vertex harmonic centrality estimated from the same
       // HyperBall rounds as g54 — the statistic the algorithm is named
       // for: H(v) = Σ_r (|B(v,r)|-|B(v,r-1)|)/r, with the division
-      // replaced by exact integer lcm(1..5)/r weights on decimal deltas
-      // (the g33 harmonic-closeness device) so every vertex's value
-      // replays bit for bit.
+      // replaced by exact integer lcm(1..5)/r weights on INTEGER
+      // MICRO-UNIT deltas (floor(est·1e6) — no round(), no double ever
+      // reaches the hasher; the r10 red row was a round(x,6)-on-double
+      // engine-version last-ulp trap) so every vertex replays bit for
+      // bit.
       val hg = hierarchyGraph(s, d)
       val g = Graph(hg.vertices, hg.edges, directed = false)
       HyperBall.harmonicCentrality(g, p = 4, rounds = 5)
@@ -1238,9 +1240,13 @@ object GraphQueries {
   }
 
   /** Per-vertex harmonic-centrality estimate from the same unrolled
-    * HyperBall rounds: per-round per-vertex raw estimates as
-    * DECIMAL(26,6), deltas weighted by the exact integers lcm(1..R)/r
-    * (no decimal division anywhere). */
+    * HyperBall rounds — INTEGER MICRO-UNITS end to end: per-round
+    * per-vertex estimates as `floor(raw · 1e6)` BIGINTs (one IEEE
+    * divide + one IEEE multiply, both bit-deterministic, and `floor`
+    * has no tie-breaking rule — unlike `round(x, 6)`, whose half-way
+    * behaviour on doubles is engine-version-dependent), deltas weighted
+    * by the exact integers lcm(1..R)/r in integer decimals (no decimal
+    * division anywhere, no double reaches the hasher). */
   private def hyperballHarmonicOracleSql(rounds: Int): String = {
     val (head, iters) = hyperballCommonSql(rounds)
     val alpha = hyperballAlpha
@@ -1250,20 +1256,21 @@ object GraphQueries {
       acc / gcd(acc, r) * r
     }
     val ests = (0 to rounds).map { k =>
-      s"""es$k AS (SELECT id, CAST(round($alpha
-         |      / CAST(sp + (16 - nb) * 35184372088832 AS DOUBLE), 6)
-         |    AS DECIMAL(26,6)) AS e
+      s"""es$k AS (SELECT id, CAST(floor($alpha
+         |      / CAST(sp + (16 - nb) * 35184372088832 AS DOUBLE)
+         |      * 1000000.0) AS BIGINT) AS e
          |  FROM (SELECT id, sum(CAST(power(2, 45 - r) AS BIGINT)) AS sp,
          |        count(*) AS nb FROM st$k GROUP BY id))""".stripMargin
     }
     val terms = (1 to rounds).map { r =>
-      s"(es$r.e - es${r - 1}.e) * CAST(${lcm / r} AS DECIMAL(6,0))"
+      s"CAST(es$r.e - es${r - 1}.e AS DECIMAL(20,0)) * CAST(${lcm / r} AS DECIMAL(7,0))"
     }.mkString(" + ")
     val joins = (1 to rounds).map(k => s"JOIN es$k USING (id)").mkString(" ")
     (Seq(head) ++ iters ++ ests ++ Seq(
-      s"""fin AS (SELECT es0.id AS id, CAST($terms AS DECIMAL(32,6)) AS h_lcm
+      s"""fin AS (SELECT es0.id AS id,
+         |    CAST($terms AS DECIMAL(38,0)) AS h_lcm_micro
          |  FROM es0 $joins)
-         |SELECT id, h_lcm FROM fin""".stripMargin)).mkString(",\n")
+         |SELECT id, h_lcm_micro FROM fin""".stripMargin)).mkString(",\n")
   }
 
   private val hyperballAlpha = "((0.7213/(1.0 + 1.079/16.0)) * 9007199254740992.0)"

@@ -876,20 +876,17 @@ class AlgorithmsSpec extends SparkSpec {
     // the hub reaches everything at distance 1 — strictly the largest
     val hub = h(0L)
     leaves.foreach(l => assert(h(l).compareTo(hub) < 0, s"leaf $l must trail the hub"))
-    // arithmetic composition: h_lcm REPLAYS from the per-vertex round
-    // estimates with exact integer weights lcm(1..3)/r = 6, 3, 2
-    val est = graft.algorithms.HyperBall.vertexNeighbourhoods(g, p = 6, rounds = 3)
-      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(4)).toMap
-    // valueOf (shortest decimal repr) + HALF_UP mirrors Spark's
-    // double -> decimal conversion
-    def bd(x: Double) = java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP)
+    // arithmetic composition: h_lcm_micro REPLAYS from the per-vertex
+    // round s_sums with exact integer weights lcm(1..3)/r = 6, 3, 2 —
+    // e_micro = floor(num / s_sum * 1e6), pure i64 after two IEEE ops
+    val sSum = graft.algorithms.HyperBall.vertexNeighbourhoods(g, p = 6, rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val num = 0.7213 / (1.0 + 1.079 / 64) * math.pow(2, 6 + 49)
     (0L +: leaves).foreach { v =>
-      val e = (0 to 3).map(r => bd(est((r, v))))
-      val manual = (1 to 3).map(r =>
-        e(r).subtract(e(r - 1))
-          .multiply(java.math.BigDecimal.valueOf(6 / r))).reduce(_ add _)
-      assert(h(v).compareTo(manual) === 0, s"vertex $v h_lcm mismatch")
+      val e = (0 to 3).map(r => math.floor(num / sSum((r, v)) * 1e6).toLong)
+      val manual = java.math.BigDecimal.valueOf(
+        (1 to 3).map(r => (e(r) - e(r - 1)) * (6 / r)).sum)
+      assert(h(v).compareTo(manual) === 0, s"vertex $v h_lcm_micro mismatch")
     }
   }
 
