@@ -46,25 +46,39 @@ object Similarity {
     *
     * Plan shape: one shuffle to build signatures (explode + 128-way min
     * aggregation, codegen'd), one equi-join on (band, bucket) — never the
-    * reference's O(V^2) theta join (jaccard_similarity.py:13-14). Hot
-    * buckets (many vertices with identical neighbourhoods) are the skew
-    * risk; AQE skew-join splits moderate cases.
+    * reference's O(V^2) theta join (jaccard_similarity.py:13-14). The
+    * adjacency aggregate is computed ONCE ([[Graph.persistAdjacency]])
+    * and shared by banding and both exact-verify joins.
+    *
+    * Hot buckets — many vertices with IDENTICAL neighbourhoods, which is
+    * the common case on real graphs (every leaf of a star has adjacency
+    * {hub}) — make the bucket self-join quadratic in the hot-key count.
+    * `maxBucketSize > 0` drops bucket keys with more members than the cap
+    * (the [[graft.dedup.Dedup.dropHotChunks]] pigeonhole device: one
+    * combinable count + a broadcast anti-join of only the hot keys).
+    * Recall contract under the cap: a qualifying pair is reported unless
+    * EVERY band-bucket it shares is hot — pairs inside an
+    * identical-neighbourhood cohort larger than the cap are the
+    * deliberately-dropped degenerate mass (quadratic, similarity exactly
+    * 1, recoverable by grouping on the adjacency hash instead of
+    * pairwise joining); pairs with any non-hot shared bucket are
+    * unaffected, and reported values are always exact.
     */
   def approxJaccard(
       g: Graph,
       threshold: Double = 0.5,
       numHashes: Int = 128,
-      bands: Int = 32): DataFrame = {
+      bands: Int = 32,
+      maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     import graft.dedup.Dedup
-    val adj = g.adjacency
+    val adj = g.persistAdjacency().adjacency
       .filter(size(col(ADJ)) > 0)
       .select(col(ID).as("id"), col(ADJ).as("sh"))
-      // reused by banding and the exact-verify join
-      .localCheckpoint()
-    val buckets = Dedup.minhashSignatures(adj, numHashes).select(
+    val allBuckets = Dedup.minhashSignatures(adj, numHashes).select(
       col("id"), explode(Dedup.lshBuckets(col("sig"), bands, r)).as("bk"))
+    val buckets = Dedup.dropHotChunks(allBuckets, col("bk"), maxBucketSize)
     val cands = buckets.as("x")
       .join(buckets.as("y"),
         col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))

@@ -29,9 +29,26 @@ final case class Graph(vertices: DataFrame, edges: DataFrame, directed: Boolean 
   /** Adjacency-list view `id -> set(neighbour ids)` (graph.py:82-93).
     * Undirected graphs union reversed edges first; isolated vertices are
     * kept with an empty array. Memoized like the reference's
-    * `cached_property` (plan only — call `.cache()` on it for data reuse).
+    * `cached_property` (plan only — [[persistAdjacency]] pins the data).
     */
-  lazy val adjacency: DataFrame = {
+  def adjacency: DataFrame = pinnedAdjacency.getOrElse(adjacencyPlan)
+
+  /** Opt-in data persistence for [[adjacency]]: materialize it once via
+    * `localCheckpoint` so every consumer (degrees, similarity banding +
+    * verify joins, label propagation) reads the same blocks instead of
+    * re-running the edge-union + collect_set aggregate per use. Same
+    * contract as [[localCheckpointed]]; idempotent. Returns `this` so it
+    * chains at call sites.
+    */
+  def persistAdjacency(): Graph = {
+    if (pinnedAdjacency.isEmpty)
+      pinnedAdjacency = Some(adjacencyPlan.localCheckpoint())
+    this
+  }
+
+  @transient private var pinnedAdjacency: Option[DataFrame] = None
+
+  private lazy val adjacencyPlan: DataFrame = {
     val fwd = edges.select(col(SRC), col(DST))
     val connected =
       if (directed) fwd

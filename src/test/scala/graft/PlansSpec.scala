@@ -99,6 +99,12 @@ class PlansSpec extends SparkSpec {
     val p = plan(GraphQueries.queries("g24_approx_jaccard")(spark, SF))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"all-pairs join shape in the LSH scale path:\n$p")
+    // adjacency is computed ONCE (Graph.persistAdjacency pins it behind a
+    // localCheckpoint) — its edge-union + collect_set aggregate must not
+    // appear in the query plan at all, for any of the three consumers
+    // (banding + both verify joins)
+    assert(!p.contains("collect_set"),
+      s"adjacency aggregate re-planned instead of read from the pinned blocks:\n$p")
   }
 
   test("e01 brute force: whole-stage codegen covers the scoring projection") {

@@ -102,6 +102,51 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("approxJaccard maxBucketSize: recall contract on a planted identical-adjacency star") {
+    import spark.implicits._
+    import graft.algorithms.Similarity
+    // hub 0 with 40 leaves — every leaf's adjacency is exactly {0}, the
+    // degenerate hot-bucket shape the cap exists for — plus one small
+    // identical-adjacency cohort {100, 101} (adjacency {102, 103}) that
+    // must SURVIVE the cap (cohort of 2 <= cap)
+    val star = (1L to 40L).map(l => (0L, l))
+    val pairCohort = Seq((100L, 102L), (100L, 103L), (101L, 102L), (101L, 103L))
+    val vs = ((0L to 40L) ++ Seq(100L, 101L, 102L, 103L)).toDF("id")
+    val g = Graph.index(vs, (star ++ pairCohort).toDF("src", "dst"), directed = false)
+
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = keyed(Similarity.jaccard(g)
+      .filter(col("vertex_a") < col("vertex_b") && col("jaccard_similarity") >= 0.8))
+    val uncapped = keyed(Similarity.approxJaccard(g, threshold = 0.8))
+    val capped = keyed(Similarity.approxJaccard(g, threshold = 0.8, maxBucketSize = 8))
+
+    // 40 identical leaves -> C(40,2) = 780 leaf pairs, plus the two
+    // small-cohort pairs: (100,101) with adjacency {102,103} and its
+    // mirror (102,103) with adjacency {100,101}
+    assert(exact.size === 782)
+    // cap off: full parity with the exact theta-join (LSH recall certain
+    // at s = 1.0)
+    assert(uncapped.keySet === exact.keySet)
+    // cap on: (a) never a false positive, and every reported value is the
+    // EXACT jaccard — the cap only drops candidates, the verify join is
+    // untouched
+    assert(capped.keySet.subsetOf(exact.keySet))
+    capped.foreach { case (k, v) => assert(math.abs(exact(k) - v) < 1e-12, s"value drift at $k") }
+    // (b) the survivors are exactly the two small cohorts — (100,101)
+    // and (102,103): every leaf-leaf pair shares ONLY hot buckets
+    // (identical signatures -> identical band keys, 40 > cap), so all
+    // 780 are dropped; cohorts of 2 are below the cap in all their
+    // buckets. ids in results are xxhash64 surrogates — map through
+    // old_id.
+    val sur = g.vertices.select(col("old_id").cast("long"), col("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def key(a: Long, b: Long) =
+      (math.min(sur(a), sur(b)), math.max(sur(a), sur(b)))
+    assert(capped.keySet === Set(key(100L, 101L), key(102L, 103L)),
+      s"expected only the small cohorts to survive, got ${capped.keySet}")
+  }
+
   test("surrogate-id collision guard: clean ids pass, a colliding scheme throws") {
     import spark.implicits._
     val vs = (0L to 7L).toDF("id")
