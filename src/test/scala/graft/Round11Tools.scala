@@ -1,0 +1,59 @@
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev harness (test scope) for the round-11 BASELINE.md evidence: the
+  * approxJaccard hot-bucket cap under a planted identical-adjacency star.
+  */
+object StarJaccardStress {
+
+  /** args: SF_DIR N_LEAVES [CAP]. Unions a planted star (one hub,
+    * N_LEAVES leaves) into the g24 supplier-part graph — every leaf's
+    * adjacency is exactly {hub}, so all leaves share ALL their LSH band
+    * buckets and the UNCAPPED candidate join owes C(N,2) pairs (x16 band
+    * multiplicity before distinct) from those buckets alone. CAP > 0
+    * times the capped run; the planted cohort's internal pairs (all at
+    * jaccard exactly 1.0) are the deliberately-dropped mass — grouping on
+    * the adjacency hash recovers them for free.
+    */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val n = args(1).toLong
+    val cap = if (args.length > 2) args(2).toInt else 64
+    val spark = session()
+    val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_suppkey").as("src"), pmod(col("l_partkey"), lit(97)).as("dst"))
+      .distinct()
+    val hub = 5000000000L
+    val star = spark.range(n)
+      .select(lit(hub).as("src"), (col("id") + hub + 1L).as("dst"))
+    val edges = base.select(col("src").cast("long"), col("dst").cast("long"))
+      .union(star)
+      .withColumn("edge_id", xxhash64(col("src"), col("dst")))
+      .localCheckpoint()
+    val verts = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst"))).distinct().localCheckpoint()
+    val g = graft.core.Graph(verts, edges, directed = false)
+    println(s"STARJACCARD vertices=${verts.count()} edges=${edges.count()} " +
+      s"leaves=$n cap=$cap")
+    val t0 = System.nanoTime()
+    val pairs = graft.algorithms.Similarity.approxJaccard(
+      g, threshold = 0.8, numHashes = 64, bands = 16,
+      maxBucketSize = cap).count()
+    val label = if (cap > 0) "capped" else "UNCAPPED"
+    println(f"STARJACCARD $label%-8s ${(System.nanoTime() - t0) / 1e9}%8.2f s  pairs=$pairs")
+    spark.stop()
+  }
+
+  private[this] def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
