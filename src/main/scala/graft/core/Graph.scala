@@ -201,23 +201,13 @@ object Graph {
     require(!edges.columns.contains(OLD_DST),
       s"edges dataframe already contains a column $OLD_DST")
 
-    val v = vertices.distinct()
-      .withColumnRenamed(ID, OLD_ID)
-      .withColumn(ID, surrogate(col(OLD_ID)))
+    val v = keyVertices(vertices, surrogate)
 
-    val renamed = edges.distinct()
-      .withColumnsRenamed(Map(SRC -> OLD_SRC, DST -> OLD_DST))
-    val attrCols = renamed.columns.toIndexedSeq
-    val keyed = renamed
-      .withColumn(SRC, surrogate(col(OLD_SRC)))
-      .withColumn(DST, surrogate(col(OLD_DST)))
-      // inner-join drop semantics (graph.py:60-63) without carrying vertex
-      // attributes through a wide join
+    // inner-join drop semantics (graph.py:60-63) without carrying vertex
+    // attributes through a wide join
+    val e = keyEdges(edges, surrogate)
       .join(v.select(col(ID).as(SRC)), Seq(SRC), "left_semi")
       .join(v.select(col(ID).as(DST)), Seq(DST), "left_semi")
-    val e = keyed.select(
-      (xxhash64(attrCols.map(col): _*)).as(EDGE_ID) +:
-        col(SRC) +: col(DST) +: attrCols.map(col): _*)
 
     if (checkCollisions) {
       val r = v.agg(
@@ -230,6 +220,41 @@ object Graph {
     }
 
     Graph(v, e, directed)
+  }
+
+  /** The vertex half of [[index]]'s keying, shared with the persisted
+    * append lifecycle ([[graft.sources.GraphIO.appendVertices]]): dedup,
+    * stash the user id as `old_id`, assign the surrogate. Deterministic —
+    * keying a batch in a later session yields the ids [[index]] would.
+    */
+  private[graft] def keyVertices(
+      vertices: DataFrame,
+      surrogate: Column => Column = surrogateId): DataFrame =
+    vertices.distinct()
+      .withColumnRenamed(ID, OLD_ID)
+      .withColumn(ID, surrogate(col(OLD_ID)))
+
+  /** The edge half of [[index]]'s keying (BEFORE the endpoint
+    * membership semi-joins), shared with
+    * [[graft.sources.GraphIO.appendEdges]]: dedup exact rows, stash user
+    * endpoints, surrogate-key `src`/`dst`, and assign the content
+    * `edge_id` (a hash of ALL pre-keying columns, so an exact duplicate
+    * row delivered later maps to the same id — the append lifecycle's
+    * idempotency key). Column order must match the original raw frame's
+    * for the edge_id to replay.
+    */
+  private[graft] def keyEdges(
+      edges: DataFrame,
+      surrogate: Column => Column = surrogateId): DataFrame = {
+    val renamed = edges.distinct()
+      .withColumnsRenamed(Map(SRC -> OLD_SRC, DST -> OLD_DST))
+    val attrCols = renamed.columns.toIndexedSeq
+    renamed
+      .withColumn(SRC, surrogate(col(OLD_SRC)))
+      .withColumn(DST, surrogate(col(OLD_DST)))
+      .select(
+        (xxhash64(attrCols.map(col): _*)).as(EDGE_ID) +:
+          col(SRC) +: col(DST) +: attrCols.map(col): _*)
   }
 
   /** Deterministic surrogate id: content hash of the original id.

@@ -41,6 +41,7 @@ class GraphIOSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS bk_g1_edges")
       spark.sql("DROP TABLE IF EXISTS bk_g1_vertices")
+      spark.sql("DROP TABLE IF EXISTS bk_g1_degrees")
     }
   }
 
@@ -66,11 +67,13 @@ class GraphIOSpec extends SparkSpec {
 
       // the per-round message join with the UNPINNED routes plan (the
       // CheckpointPolicy.Passthrough mode for bucketed storage): the
-      // routes side re-reads the bucketed table with no exchange, so a
-      // round costs exactly TWO exchanges — the rank side aligning to
-      // the bucket layout, and the inherent message groupBy(dst) — and
-      // NONE on the (100 TB-sized) edge routing table. A localCheckpoint
-      // of routes would NOT do this: under AQE the checkpointed frame
+      // routes side re-reads the bucketed table with no exchange, and —
+      // since writeBucketed buckets the VERTICES by id with the same
+      // bucket count — the rank side is already co-partitioned with the
+      // src-bucketed routes, so a round costs exactly ONE exchange: the
+      // inherent message groupBy(dst). NONE on the (100 TB-sized) edge
+      // routing table, none on the rank side. A localCheckpoint of
+      // routes would NOT do this: under AQE the checkpointed frame
       // reports UnknownPartitioning and the src exchange returns.
       val routes2 = pr.routes(back)
       val rank = back.vertices.select(col("id"), lit(1.0).as("rank"))
@@ -80,8 +83,8 @@ class GraphIOSpec extends SparkSpec {
       // AQE prints Final + Initial plans; count the executed (final) one
       val pc = contrib.queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head
-      assert("Exchange hashpartitioning".r.findAllIn(pc).size === 2,
-        s"bucketed round = rank-side + message exchange only:\n$pc")
+      assert("Exchange hashpartitioning".r.findAllIn(pc).size === 1,
+        s"bucketed round = the message exchange only:\n$pc")
 
       // end to end: bucketed-run ranks equal the plain-run ranks
       val a = pr.run(back).collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
@@ -92,6 +95,7 @@ class GraphIOSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
       spark.sql("DROP TABLE IF EXISTS bk_pr_edges")
       spark.sql("DROP TABLE IF EXISTS bk_pr_vertices")
+      spark.sql("DROP TABLE IF EXISTS bk_pr_degrees")
     }
   }
 

@@ -19,7 +19,7 @@ object StarJaccardStress {
     val sfDir = args(0)
     val n = args(1).toLong
     val cap = if (args.length > 2) args(2).toInt else 64
-    val spark = session()
+    val spark = Round11Tools.session()
     val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_suppkey").as("src"), pmod(col("l_partkey"), lit(97)).as("dst"))
       .distinct()
@@ -43,8 +43,65 @@ object StarJaccardStress {
     println(f"STARJACCARD $label%-8s ${(System.nanoTime() - t0) / 1e9}%8.2f s  pairs=$pairs")
     spark.stop()
   }
+}
 
-  private[this] def session(): SparkSession = {
+/** args: SF_DIR [BATCH_EDGES]. Times the persisted-graph append
+  * lifecycle at stress scale: full `writeBucketed` build of the
+  * supplier-part graph, then `appendEdges` of a BATCH_EDGES-sized batch
+  * (and a full redelivery of the same batch) — the per-batch cost must
+  * track the batch, not the corpus.
+  */
+object GraphAppendStress {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val batchN = if (args.length > 1) args(1).toInt else 1000
+    val spark = Round11Tools.session()
+    import org.apache.spark.sql.functions._
+    // orderkey -> partkey bipartite graph: distinct-edge count tracks the
+    // corpus (6M at sfx10, 60M at sfx100), so the append times below
+    // are measured against a stored table that actually scales
+    val raw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").cast("long").as("src"),
+        (col("l_partkey").cast("long") + 4000000000L).as("dst"))
+      .localCheckpoint()
+    val verts = raw.select(col("src").as("id"))
+      .union(raw.select(col("dst"))).distinct().localCheckpoint()
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"GRAPHAPPEND $label%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val g = graft.core.Graph.index(verts, raw, directed = true)
+    timed(s"build(${raw.count()})") {
+      graft.sources.GraphIO.writeBucketed(g, "stress_ap", buckets = 32)
+    }
+    // batch: pairs between EXISTING vertices (the membership semi-joins
+    // keep them), mostly new — redeliveries of stored edges are exactly
+    // what the anti-join device is for
+    val srcs = raw.select(col("src")).distinct().orderBy(col("src")).limit(100)
+    val dsts = raw.select(col("dst")).distinct().orderBy(col("dst"))
+      .limit(math.max(1, batchN / 100))
+    val batch = srcs.crossJoin(dsts).localCheckpoint()
+    println(s"GRAPHAPPEND batch=${batch.count()}")
+    timed("append") {
+      graft.sources.GraphIO.appendEdges(spark, "stress_ap", batch)
+    }
+    timed("append-redeliver") {
+      graft.sources.GraphIO.appendEdges(spark, "stress_ap", batch)
+    }
+    val e = spark.table("stress_ap_edges").count()
+    val d = graft.sources.GraphIO.readDegrees(spark, "stress_ap").count()
+    println(s"GRAPHAPPEND edges=$e degree_rows=$d")
+    Seq("vertices", "edges", "degrees").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS stress_ap_$t"))
+    spark.stop()
+  }
+}
+
+private object Round11Tools {
+  def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
