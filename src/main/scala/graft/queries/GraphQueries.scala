@@ -218,6 +218,15 @@ object GraphQueries {
         .select(col("round"), col("nf"), col("effective_diameter"))
     }),
 
+    "g57_degree_sketch" -> ((s, d) =>
+      // per-vertex distinct-out-neighbor HLL sketch on the customer ->
+      // order-bucket graph (p=4, the d20 register device keyed by
+      // vertex) — the batch face of GraphStream's streaming degree
+      // metric (StreamingSpec pins stream ≡ batch on the same
+      // transform). One map-side-combinable aggregation, no
+      // distinct-neighbors pre-shuffle: the 100 TB live-degree path.
+      graft.streaming.GraphStream.neighborSketch(ordersEdges(s, d), p = 4)),
+
     "g53_bias_baseline" -> ((s, d) => {
       // the bias-baseline predictor (r-hat = mu + b_u + b_i), the
       // standard stage BEFORE factor models: two alternating shrunk-
@@ -1609,6 +1618,37 @@ object GraphQueries {
     "g51_louvain_fit" -> louvainFitOracleSql(4, 4),
     "g54_hyperball_anf" -> hyperballOracleSql(5),
     "g56_harmonic_anf" -> hyperballHarmonicOracleSql(5),
+    // the d20 portable-HLL replay keyed by vertex: 48-bit sha256-prefix
+    // hash of the stringified neighbour id -> top-4-bit bucket, 44-bit
+    // suffix rank via unpadded binary-digit count, register max, exact
+    // 2^45-scaled harmonic sum, one pinned multiply + division
+    "g57_degree_sketch" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS src, o_orderkey % 211 AS dst
+        |           FROM orders),
+        |h0 AS (SELECT src AS id,
+        |    CAST(list_sum([(strpos('0123456789abcdef', substr(h12, i, 1)) - 1)
+        |                   * CAST(power(16, 12 - i) AS BIGINT)
+        |                   FOR i IN range(1, 13)]) AS BIGINT) AS h
+        |  FROM (SELECT src, substr(sha256(CAST(dst AS VARCHAR)), 1, 12) AS h12
+        |        FROM e)),
+        |rg AS (SELECT id, h // 17592186044416 AS bucket,
+        |         max(CASE WHEN h % 17592186044416 = 0 THEN 45
+        |              ELSE 45 - length(bin(h % 17592186044416)) END) AS r
+        |       FROM h0 GROUP BY id, bucket),
+        |agg AS (SELECT id,
+        |         CAST(sum(CAST(power(2, 45 - r) AS BIGINT)) AS BIGINT) AS sp,
+        |         count(*) AS nb
+        |       FROM rg GROUP BY id),
+        |est AS (SELECT id,
+        |         CAST(16 - nb AS BIGINT) AS n_zero,
+        |         CAST(sp + (16 - nb) * 35184372088832 AS BIGINT) AS s_sum
+        |       FROM agg)
+        |SELECT id, n_zero, s_sum,
+        |  round(((0.7213/(1.0 + 1.079/16.0)) * 9007199254740992.0)
+        |        / CAST(s_sum AS DOUBLE), 6) AS est_raw,
+        |  (round(((0.7213/(1.0 + 1.079/16.0)) * 9007199254740992.0)
+        |        / CAST(s_sum AS DOUBLE), 6) <= 40.0 AND n_zero > 0) AS lc_range
+        |FROM est""".stripMargin,
     // bias rounds (g53 device) -> S-scaled residuals -> rank-1 ALS on
     // the residuals (g52 device, signed) -> per-user implicit factor
     // sum -> one exact-integer prediction per rating row

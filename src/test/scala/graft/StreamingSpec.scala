@@ -29,6 +29,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("GraphStream degree sketch: edge stream with redelivery equals the batch face") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Long)]
+    val q = graft.streaming.GraphStream.neighborSketchStream(
+        stream.toDF().toDF("src", "dst"), p = 4)
+      .writeStream.format("memory").queryName("degsketch")
+      .outputMode("update").start()
+    // vertex 1: 40 distinct neighbours split across batches with overlap
+    // and an intra-batch multi-edge; vertex 2: 3 neighbours, redelivered
+    // wholesale in batch 2 (the appendEdgesStream at-least-once shape)
+    val b1 = (0L until 25L).map(d => (1L, d)) ++
+      Seq((1L, 5L), (2L, 100L), (2L, 101L), (2L, 102L))
+    val b2 = (20L until 40L).map(d => (1L, d)) ++
+      Seq((2L, 100L), (2L, 101L), (2L, 102L))
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      // latest emission per vertex (update mode re-emits refreshed rows)
+      val latest = spark.table("degsketch")
+        .groupBy(col("id"))
+        .agg(min(struct(col("n_zero"), col("s_sum"), col("est_raw"))).as("m"))
+        .select(col("id").cast("long").as("id"), col("m.n_zero"),
+          col("m.s_sum"), col("m.est_raw"))
+      val batch = graft.streaming.GraphStream.neighborSketch(
+        (b1 ++ b2).toDF("src", "dst"), p = 4)
+        .select(col("id"), col("n_zero"), col("s_sum"), col("est_raw"))
+      // register merge is an idempotent max: split + multi-edge +
+      // redelivery all land on the batch estimate bit for bit
+      assert(rowSet(latest) === rowSet(batch))
+    } finally q.stop()
+  }
+
   test("trendingCounts: sliding windows on a MemoryStream, 2 windows per event") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
