@@ -18,7 +18,7 @@ import graft.sources.GraphIO
 class GraphAppendSpec extends SparkSpec {
 
   private def drop(name: String): Unit =
-    Seq("vertices", "edges", "degrees").foreach(t =>
+    Seq("vertices", "edges", "degrees", "components").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
 
   private def rawVerts(ids: Seq[String]): DataFrame = {
@@ -80,6 +80,43 @@ class GraphAppendSpec extends SparkSpec {
       assert(rowSet(GraphIO.readDegrees(spark, "ap_g")) ===
         rowSet(GraphIO.degreesOf(rebuilt.edges)))
     } finally drop("ap_g")
+  }
+
+  test("maintained components: appends merge labels incrementally, ≡ whole-rebuild CC") {
+    // two separate chains a-b-c and d-e, plus isolated f
+    val v0 = Seq("a", "b", "c", "d", "e", "f")
+    val e0 = Seq(("a", "b"), ("b", "c"), ("d", "e"))
+    GraphIO.writeBucketed(
+      Graph.index(rawVerts(v0), rawEdges(e0), directed = true), "ap_c", buckets = 4)
+    try {
+      GraphIO.buildComponents(spark, "ap_c")
+      def expect(vs: Seq[String], es: Seq[(String, String)]): Unit = {
+        val rebuilt = Graph.index(rawVerts(vs), rawEdges(es), directed = true)
+        assert(rowSet(GraphIO.readComponents(spark, "ap_c")) ===
+          rowSet(GraphIO.componentsOf(rebuilt)))
+      }
+      // built table ≡ CC of the initial graph (incl. the isolated f)
+      expect(v0, e0)
+
+      // batch 1: an edge merging the two chains + a redelivered edge —
+      // the merge graph has ONE pair, the isolated vertex is untouched
+      GraphIO.appendEdges(spark, "ap_c", rawEdges(Seq(("c", "d"), ("a", "b"))))
+      expect(v0, e0 ++ Seq(("c", "d")))
+
+      // batch 2: new vertex g (own component), then an edge absorbing it
+      GraphIO.appendVertices(spark, "ap_c", rawVerts(Seq("g")))
+      expect(v0 :+ "g", e0 ++ Seq(("c", "d")))
+      GraphIO.appendEdges(spark, "ap_c", rawEdges(Seq(("g", "f"))))
+      expect(v0 :+ "g", e0 ++ Seq(("c", "d"), ("g", "f")))
+
+      // pure redelivery: no merge, table rewrite skipped, labels intact
+      GraphIO.appendEdges(spark, "ap_c", rawEdges(Seq(("c", "d"), ("g", "f"))))
+      expect(v0 :+ "g", e0 ++ Seq(("c", "d"), ("g", "f")))
+
+      // crash-recovery face rebuilds the same labels
+      GraphIO.refreshComponents(spark, "ap_c")
+      expect(v0 :+ "g", e0 ++ Seq(("c", "d"), ("g", "f")))
+    } finally drop("ap_c")
   }
 
   test("appendEdges plan shape: batch-sized work, no exchange on the stored sides") {

@@ -85,6 +85,9 @@ object GraphAppendStress {
       .limit(math.max(1, batchN / 100))
     val batch = srcs.crossJoin(dsts).localCheckpoint()
     println(s"GRAPHAPPEND batch=${batch.count()}")
+    timed("components-build") {
+      graft.sources.GraphIO.buildComponents(spark, "stress_ap")
+    }
     timed("append") {
       graft.sources.GraphIO.appendEdges(spark, "stress_ap", batch)
     }
@@ -93,9 +96,70 @@ object GraphAppendStress {
     }
     val e = spark.table("stress_ap_edges").count()
     val d = graft.sources.GraphIO.readDegrees(spark, "stress_ap").count()
-    println(s"GRAPHAPPEND edges=$e degree_rows=$d")
-    Seq("vertices", "edges", "degrees").foreach(t =>
+    val c = graft.sources.GraphIO.readComponents(spark, "stress_ap")
+      .select(col("component")).distinct().count()
+    println(s"GRAPHAPPEND edges=$e degree_rows=$d components=$c")
+    Seq("vertices", "edges", "degrees", "components").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS stress_ap_$t"))
+    spark.stop()
+  }
+}
+
+/** args: SF_DIR [BATCH_EDGES]. Times the maintained-components merge
+  * path where it actually fires: a star-per-order graph (component
+  * count = order count, ~1.5M at sfx10) whose append batch pairs
+  * distinct orders — so the label-merge graph is batch-sized and the
+  * O(V) narrow relabel rewrite is the measured cost, against a ONE-time
+  * full CC build.
+  */
+object ComponentMergeStress {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val batchN = if (args.length > 1) args(1).toInt else 1000
+    val spark = Round11Tools.session()
+    import org.apache.spark.sql.functions._
+    // one star component per order: src = orderkey, dst unique per line
+    val raw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").cast("long").as("src"),
+        (col("l_orderkey").cast("long") * 8L + col("l_linenumber").cast("long")
+          + 4000000000L).as("dst"))
+      .localCheckpoint()
+    val verts = raw.select(col("src").as("id"))
+      .union(raw.select(col("dst"))).distinct().localCheckpoint()
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"COMPMERGE $label%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val g = graft.core.Graph.index(verts, raw, directed = true)
+    timed(s"build(${raw.count()})") {
+      graft.sources.GraphIO.writeBucketed(g, "stress_cm", buckets = 32)
+    }
+    timed("components-build") {
+      graft.sources.GraphIO.buildComponents(spark, "stress_cm", maxIterations = 20)
+    }
+    val c0 = graft.sources.GraphIO.readComponents(spark, "stress_cm")
+      .select(col("component")).distinct().count()
+    // batch: chain 2·batchN distinct orders pairwise -> batchN merges
+    val keys = raw.select(col("src")).distinct().orderBy(col("src"))
+      .limit(2 * batchN).collect().map(_.getLong(0))
+    val pairs = keys.grouped(2).collect { case Array(a, b) => (a, b) }.toSeq
+    import spark.implicits._
+    val batch = pairs.toDF("src", "dst").localCheckpoint()
+    println(s"COMPMERGE batch=${batch.count()} components_before=$c0")
+    timed("append-merge") {
+      graft.sources.GraphIO.appendEdges(spark, "stress_cm", batch)
+    }
+    timed("append-redeliver") {
+      graft.sources.GraphIO.appendEdges(spark, "stress_cm", batch)
+    }
+    val c1 = graft.sources.GraphIO.readComponents(spark, "stress_cm")
+      .select(col("component")).distinct().count()
+    println(s"COMPMERGE components_after=$c1 (expected ${c0 - batchN})")
+    Seq("vertices", "edges", "degrees", "components").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS stress_cm_$t"))
     spark.stop()
   }
 }
