@@ -227,6 +227,37 @@ object GraphQueries {
       // distinct-neighbors pre-shuffle: the 100 TB live-degree path.
       graft.streaming.GraphStream.neighborSketch(ordersEdges(s, d), p = 4)),
 
+    "g58_graph_append" -> ((s, d) => {
+      // the persisted-graph append lifecycle END TO END under the value
+      // gate: index 90% of the customer->order-bucket edges, store them
+      // bucketed WITH the maintained degree + component tables, fold the
+      // remaining 10% in through appendVertices/appendEdges (some batch
+      // edges re-deliver stored ones — the anti-join must drop them),
+      // and read the maintained degrees back joined to the original id
+      // space. Oracle = plain degree counts over the DISTINCT union,
+      // because append ≡ whole-rebuild is the lifecycle's contract
+      // (components ride along surrogate-labelled — equivalence
+      // spec-pinned in GraphAppendSpec; degrees are the portable face).
+      val all = orders(s, d).select(
+        col("o_custkey").cast("long").as("src"),
+        (pmod(col("o_orderkey"), lit(211)) + lit(1000000L)).cast("long").as("dst"),
+        pmod(col("o_orderkey"), lit(10L)).as("_slice"))
+      def vertsOfE(e: DataFrame): DataFrame =
+        e.select(col("src").as("id")).union(e.select(col("dst"))).distinct()
+      val e90 = all.filter(col("_slice") =!= 0L).drop("_slice")
+      val e10 = all.filter(col("_slice") === 0L).drop("_slice")
+      val name = s"g58ap_${d.hashCode & 0x7fffffff}"
+      graft.sources.GraphIO.writeBucketed(
+        Graph.index(vertsOfE(e90), e90, directed = true), name, buckets = 8)
+      graft.sources.GraphIO.buildComponents(s, name)
+      graft.sources.GraphIO.appendVertices(s, name, vertsOfE(e10))
+      graft.sources.GraphIO.appendEdges(s, name, e10)
+      val v = s.table(s"${name}_vertices")
+      graft.sources.GraphIO.readDegrees(s, name)
+        .join(v.select(col("id"), col("old_id")), Seq("id"))
+        .select(col("old_id"), col("out_degree"), col("in_degree"))
+    }),
+
     "g53_bias_baseline" -> ((s, d) => {
       // the bias-baseline predictor (r-hat = mu + b_u + b_i), the
       // standard stage BEFORE factor models: two alternating shrunk-
@@ -1618,6 +1649,19 @@ object GraphQueries {
     "g51_louvain_fit" -> louvainFitOracleSql(4, 4),
     "g54_hyperball_anf" -> hyperballOracleSql(5),
     "g56_harmonic_anf" -> hyperballHarmonicOracleSql(5),
+    // append ≡ whole-rebuild, so the maintained degrees ARE the distinct
+    // union's degree counts — exactly the lifecycle contract the Spark
+    // side must earn through the bucketed store + append path
+    "g58_graph_append" ->
+      """WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |             CAST(o_orderkey % 211 + 1000000 AS BIGINT) AS dst
+        |           FROM orders),
+        |outd AS (SELECT src AS id, count(*) AS out_degree FROM e GROUP BY src),
+        |ind  AS (SELECT dst AS id, count(*) AS in_degree FROM e GROUP BY dst)
+        |SELECT COALESCE(outd.id, ind.id) AS old_id,
+        |  CAST(COALESCE(out_degree, 0) AS BIGINT) AS out_degree,
+        |  CAST(COALESCE(in_degree, 0) AS BIGINT) AS in_degree
+        |FROM outd FULL JOIN ind ON outd.id = ind.id""".stripMargin,
     // the d20 portable-HLL replay keyed by vertex: 48-bit sha256-prefix
     // hash of the stringified neighbour id -> top-4-bit bucket, 44-bit
     // suffix rank via unpadded binary-digit count, register max, exact
