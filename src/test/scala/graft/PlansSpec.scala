@@ -306,6 +306,18 @@ class PlansSpec extends SparkSpec {
       s"unexpected extra aggregation (distinct?) in HLL plan:\n$p")
   }
 
+  test("g57 degree sketch: vertex-keyed register max combines, no distinct, no join") {
+    val p = plan(GraphQueries.queries("g57_degree_sketch")(spark, SF))
+    // ordersEdges carries a distinct (shared builder); the sketch itself
+    // must add ONLY the register max + estimate fold — two aggregate
+    // pairs — and never join or re-shuffle the corpus
+    assert(p.contains("partial_max"),
+      s"register max must combine map-side:\n$p")
+    assert(!p.contains("Join"), s"the live-degree path must not join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size <= 6,
+      s"unexpected extra aggregation in degree-sketch plan:\n$p")
+  }
+
   test("g46 butterflies: keyed wedge join and combinable census only") {
     val p = plan(GraphQueries.queries("g46_butterflies")(spark, SF))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
