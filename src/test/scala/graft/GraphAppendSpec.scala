@@ -82,6 +82,39 @@ class GraphAppendSpec extends SparkSpec {
     } finally drop("ap_g")
   }
 
+  test("attributes ride the append: weighted edges + vertex attrs ≡ whole-rebuild") {
+    import spark.implicits._
+    // raw schemas WITH attributes — the edge_id is a hash of the whole
+    // raw row in column order, so an attribute-carrying batch must use
+    // the same column order as the original frame (the replay contract)
+    val v0 = Seq(("a", 10L), ("b", 20L), ("c", 30L))
+    val e0 = Seq(("a", "b", 5L), ("b", "c", 7L))
+    val v1 = Seq(("d", 40L))
+    // same (a,b) endpoints with a DIFFERENT weight is a DIFFERENT edge
+    // (multigraph by content), plus an exact redelivery that must vanish
+    val e1 = Seq(("a", "b", 9L), ("b", "c", 7L), ("c", "d", 1L))
+    def verts(vs: Seq[(String, Long)]) = vs.toDF("id", "attr")
+    def edges(es: Seq[(String, String, Long)]) = es.toDF("src", "dst", "weight")
+
+    GraphIO.writeBucketed(
+      Graph.index(verts(v0), edges(e0), directed = true), "ap_attr", buckets = 4)
+    try {
+      GraphIO.appendVertices(spark, "ap_attr", verts(v1))
+      GraphIO.appendEdges(spark, "ap_attr", edges(e1))
+      val appended = GraphIO.readBucketed(spark, "ap_attr")
+      val rebuilt = Graph.index(
+        verts(v0 ++ v1), edges(e0 ++ e1), directed = true)
+      assert(rowSet(appended.vertices) === rowSet(rebuilt.vertices))
+      assert(rowSet(appended.edges) === rowSet(rebuilt.edges))
+      // the weight column survived with its values
+      assert(appended.edges.columns.contains("weight"))
+      assert(appended.edges.agg(sum(col("weight"))).head().getLong(0) ===
+        (5L + 7L + 9L + 1L))
+      assert(rowSet(GraphIO.readDegrees(spark, "ap_attr")) ===
+        rowSet(GraphIO.degreesOf(rebuilt.edges)))
+    } finally drop("ap_attr")
+  }
+
   test("maintained components: appends merge labels incrementally, ≡ whole-rebuild CC") {
     // two separate chains a-b-c and d-e, plus isolated f
     val v0 = Seq("a", "b", "c", "d", "e", "f")
