@@ -72,10 +72,20 @@ final case class StronglyConnectedComponents(
     var result: Option[DataFrame] = None
     var i = 0
     while (i < maxIterations && !vertices.isEmpty) {
-      val fwd = minReach(vertices, edges, forward = true)
-        .withColumnRenamed(STATE, "_fwd")
-      val bwd = minReach(vertices, edges, forward = false)
-        .withColumnRenamed(STATE, "_bwd")
+      // the two propagations are INDEPENDENT (each reads only the pinned
+      // vertices/edges), so issue them as concurrent Spark job streams:
+      // a single propagation's supersteps are latency-bound driver
+      // round-trips over small per-superstep jobs that rarely saturate
+      // the executors — interleaving fwd and bwd fills that slack.
+      // Results are unchanged: each propagation is deterministic and
+      // shares nothing mutable (Spark actions are thread-safe).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fwdF = Future(minReach(vertices, edges, forward = true))
+      val bwdF = Future(minReach(vertices, edges, forward = false))
+      val fwd = Await.result(fwdF, Duration.Inf).withColumnRenamed(STATE, "_fwd")
+      val bwd = Await.result(bwdF, Duration.Inf).withColumnRenamed(STATE, "_bwd")
       val labelled = fwd.join(bwd, Seq(ID))
       val resolved = checkpoint.pin(labelled
         .filter(col("_fwd") === col("_bwd"))

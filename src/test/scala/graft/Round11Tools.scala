@@ -164,6 +164,23 @@ object ComponentMergeStress {
   }
 }
 
+/** args: QUERY [SF_DIR] [REPEATS]. Times one SparkEntry query (count()
+  * forced) — the single-row bench for iterating on a heavy query. */
+object QueryTime {
+  def main(args: Array[String]): Unit = {
+    val q = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = Round11Tools.session()
+    for (r <- 1 to reps) {
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(q)(spark, sfDir).count()
+      println(f"QTIME $q rep$r ${(System.nanoTime() - t0) / 1e9}%7.2f s rows=$n")
+    }
+    spark.stop()
+  }
+}
+
 private object Round11Tools {
   def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
