@@ -47,14 +47,30 @@ object Pq {
       maxIterations: Int = 5, fitSampleSize: Int = 0): PqModel = {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     val subDim = dims / m
-    val books = (0 until m).map { j =>
+    // the m subspace fits are INDEPENDENT deterministic k-means runs
+    // (content-hash seeding, method-local state only), each a chain of
+    // small latency-bound driver jobs — run them as concurrent Spark job
+    // streams so the scheduler interleaves the slack (the SCC device)
+    val books = concurrently(0 until m) { j =>
       KMeans.fit(
         items.select(col(idCol), subVec(vecCol, j, subDim).as("_sv")),
         idCol, "_sv", ksub, maxIterations,
         fitSampleSize = fitSampleSize)
         .select(lit(j).as("subspace"), col("cell").cast("int").as("code"), col("cv"))
+        .localCheckpoint()
     }
     PqModel(books.reduce(_ unionByName _).localCheckpoint(), m, subDim)
+  }
+
+  /** Run independent per-subspace builds as concurrent Spark job
+    * streams; each thunk must be deterministic and self-contained. The
+    * results are materialized (localCheckpoint) inside their own thread
+    * so no lazy plan escapes the concurrency scope. */
+  private def concurrently[A](js: Range)(f: Int => A): Seq[A] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(js.map(j => Future(f(j)))), Duration.Inf)
   }
 
   /** Encode every vector as m (subspace, code) rows — the compact corpus
@@ -89,11 +105,13 @@ object Pq {
       maxIterations: Int = 5, fitSampleSize: Int = 0): PqPortableModel = {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     val subDim = dims / m
-    val books = (0 until m).map { j =>
+    // independent deterministic fits -> concurrent job streams (see fit)
+    val books = concurrently(0 until m) { j =>
       KMeans.fitPortable(
         items.select(col(idCol), subVec(vecCol, j, subDim).as("_sv")),
         idCol, "_sv", ksub, maxIterations, fitSampleSize = fitSampleSize)
         .select(lit(j).as("subspace"), col("cell"), col("cs"), col("n"), col("ss"))
+        .localCheckpoint()
     }
     PqPortableModel(books.reduce(_ unionByName _).localCheckpoint(), m, subDim)
   }
