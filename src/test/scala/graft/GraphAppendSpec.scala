@@ -152,6 +152,45 @@ class GraphAppendSpec extends SparkSpec {
     } finally drop("ap_c")
   }
 
+  test("property: random graphs + random overlapping batches ≡ whole-rebuild") {
+    // fixed-seed generative cases (the PropertiesSpec device): random
+    // edge multisets over a small universe — self-loops and duplicates
+    // arise by chance — split into a base and two batches whose rows
+    // OVERLAP the base and each other (redelivery), plus batch vertices
+    // that may or may not be new
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val ids = ('a' to 'j').map(_.toString)
+      def edge() = (ids(rnd.nextInt(ids.size)), ids(rnd.nextInt(ids.size)))
+      val base = Seq.fill(4 + rnd.nextInt(6))(edge())
+      val b1 = Seq.fill(1 + rnd.nextInt(4))(edge()) ++ base.take(rnd.nextInt(3))
+      val b2 = Seq.fill(1 + rnd.nextInt(4))(edge()) ++ b1.take(rnd.nextInt(2))
+      def endpoints(es: Seq[(String, String)]) =
+        es.flatMap(e => Seq(e._1, e._2)).distinct
+      val name = s"ap_prop$seed"
+      GraphIO.writeBucketed(
+        Graph.index(rawVerts(endpoints(base)), rawEdges(base), directed = true),
+        name, buckets = 4)
+      try {
+        GraphIO.buildComponents(spark, name)
+        for (b <- Seq(b1, b2)) {
+          GraphIO.appendVertices(spark, name, rawVerts(endpoints(b)))
+          GraphIO.appendEdges(spark, name, rawEdges(b))
+        }
+        val rebuilt = Graph.index(
+          rawVerts(endpoints(base ++ b1 ++ b2)),
+          rawEdges(base ++ b1 ++ b2), directed = true)
+        val got = GraphIO.readBucketed(spark, name)
+        assert(rowSet(got.vertices) === rowSet(rebuilt.vertices), s"seed $seed vertices")
+        assert(rowSet(got.edges) === rowSet(rebuilt.edges), s"seed $seed edges")
+        assert(rowSet(GraphIO.readDegrees(spark, name)) ===
+          rowSet(GraphIO.degreesOf(rebuilt.edges)), s"seed $seed degrees")
+        assert(rowSet(GraphIO.readComponents(spark, name)) ===
+          rowSet(GraphIO.componentsOf(rebuilt)), s"seed $seed components")
+      } finally drop(name)
+    }
+  }
+
   test("appendEdges plan shape: batch-sized work, no exchange on the stored sides") {
     val v0 = ('a' to 'j').map(_.toString)
     val e0 = v0.zip(v0.tail).map { case (s, d) => (s, d) }
