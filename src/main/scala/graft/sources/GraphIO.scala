@@ -329,6 +329,157 @@ object GraphIO {
     }
   }
 
+  /** Physically remove a batch of edges from a bucketed graph — the
+    * deletion half of the lifecycle (the GDPR/right-to-be-forgotten
+    * shape, which is why rows are REWRITTEN OUT rather than tombstoned:
+    * a tombstone retains the data it is supposed to erase). `rawEdges`
+    * carries the ORIGINAL schema — deletion is by content, through the
+    * same deterministic keying as [[appendEdges]], so exactly the rows
+    * an equal append created are removed and a re-append after a delete
+    * restores the original graph (spec-pinned).
+    *
+    *  - the edge rewrite is the honest cost: one anti-join on
+    *    `(src, edge_id)` riding the write-time bucketing (batch side
+    *    broadcasts/aligns; stored side plans no exchange) and one
+    *    bucketed overwrite — O(E) once per delete BATCH, the same
+    *    copy-on-write trade every columnar store pays for deletion;
+    *  - degrees advance by an exact integer DECREMENT of the removed
+    *    rows' [[degreesOf]] delta; vertices that stop being endpoints
+    *    drop their row (the defining aggregate is preserved);
+    *  - the component table, if present, is DROPPED: deletion can split
+    *    components, and a silently-stale label table is worse than a
+    *    loud missing one — run [[buildComponents]] after a delete burst;
+    *  - redelivered deletes are no-ops (already-removed rows match
+    *    nothing), so the face is idempotent like the appends.
+    */
+  def deleteEdges(spark: SparkSession, name: String, rawEdges: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val stored = spark.table(s"${name}_edges")
+    val reqAll = "spark.sql.requireAllClusterKeysForCoPartition"
+    val prevReqAll = spark.conf.get(reqAll, "true")
+    spark.conf.set(reqAll, "false")
+    // the USING join fronts its keys — restore the stored column order
+    // so the rewrite round-trips the table schema exactly
+    val cols = stored.columns.map(col).toIndexedSeq
+    val (removed, keptPlan) =
+      try {
+        val keys = Graph.keyEdges(rawEdges)
+          .select(col("src"), col("edge_id")).distinct().localCheckpoint()
+        // rows actually stored that the batch names — batch-sized, so
+        // materializing it to gate the no-op path is cheap; `kept` stays
+        // LAZY here: a redelivered delete matches nothing and must not
+        // pay an O(E) materialization just to discover that (measured
+        // 29 s of no-op at the 100x corpus when it was eager)
+        (stored.join(keys, Seq("src", "edge_id"), "left_semi")
+          .select(cols: _*).localCheckpoint(),
+          stored.join(keys, Seq("src", "edge_id"), "left_anti")
+            .select(cols: _*))
+      } finally spark.conf.set(reqAll, prevReqAll)
+    if (!removed.isEmpty) {
+      // pinned only now, BEFORE the overwrite of the table it reads —
+      // under the same conf scope (physical planning reads it at action
+      // time, and the anti-join's stored side must ride its bucketing)
+      spark.conf.set(reqAll, "false")
+      val kept =
+        try keptPlan.localCheckpoint()
+        finally spark.conf.set(reqAll, prevReqAll)
+      applyEdgeRemoval(spark, name, removed, kept)
+      invalidateComponents(spark, name)
+    }
+  }
+
+  /** Remove vertices AND their incident edges — the actual
+    * right-to-be-forgotten request ("erase user X"): `rawVertices`
+    * carries the original id schema; the vertices, every edge touching
+    * them, and the neighbours' degree contributions all go, exactly as
+    * a rebuild without those rows would say (spec-pinned). Costs one
+    * bucketed rewrite of each table, like [[deleteEdges]].
+    */
+  def deleteVertices(spark: SparkSession, name: String, rawVertices: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val ids = Graph.keyVertices(rawVertices).select(col("id")).localCheckpoint()
+    val storedV = spark.table(s"${name}_vertices")
+    // redelivery guard: nothing stored matches -> a true no-op (no
+    // rewrites, no component invalidation)
+    if (storedV.join(ids, Seq("id"), "left_semi").isEmpty) return
+    val vcols = storedV.columns.map(col).toIndexedSeq
+    val keptV = storedV.join(ids, Seq("id"), "left_anti")
+      .select(vcols: _*).localCheckpoint()
+    val stored = spark.table(s"${name}_edges")
+    val ecols = stored.columns.map(col).toIndexedSeq
+    val gone = broadcastIfSmall(ids)
+    val removed = stored
+      .join(gone.select(col("id").as("src")), Seq("src"), "left_semi")
+      .select(ecols: _*)
+      .unionByName(stored
+        .join(gone.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(gone.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select(ecols: _*))
+      .localCheckpoint()
+    val kept = stored
+      .join(gone.select(col("id").as("src")), Seq("src"), "left_anti")
+      .join(gone.select(col("id").as("dst")), Seq("dst"), "left_anti")
+      .select(ecols: _*)
+      .localCheckpoint()
+    val buckets = tableBuckets(spark, s"${name}_vertices")
+    CatalogTables.prepareOverwrite(spark, s"${name}_vertices")
+    keptV.write.mode("overwrite")
+      .bucketBy(buckets, "id").sortBy("id")
+      .saveAsTable(s"${name}_vertices")
+    // the degree table's defining aggregate ranges over the kept edges
+    // only; removed endpoints whose counts reach zero drop their row
+    applyEdgeRemoval(spark, name, removed, kept)
+    // vertices were removed even if no edges were (isolated subjects) —
+    // their self-labels must not linger
+    invalidateComponents(spark, name)
+  }
+
+  /** Shared tail of the two delete faces: overwrite the edge table with
+    * `kept`, decrement the degree cache by `removed`'s delta (dropping
+    * rows that reach zero), and invalidate the component table. Both
+    * inputs must be pinned. */
+  private def applyEdgeRemoval(
+      spark: SparkSession, name: String,
+      removed: DataFrame, kept: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    // a delete that matched nothing (redelivery, unknown rows) must not
+    // pay the O(E) rewrite — measured 21 s of pure no-op at the 100x
+    // corpus without this guard
+    if (removed.isEmpty) return
+    val buckets = tableBuckets(spark, s"${name}_edges")
+    val merged = readDegrees(spark, name).as("o")
+      .join(degreesOf(removed).as("d"), Seq("id"), "left")
+      .select(
+        col("id"),
+        (col("o.out_degree") - coalesce(col("d.out_degree"), lit(0L)))
+          .as("out_degree"),
+        (col("o.in_degree") - coalesce(col("d.in_degree"), lit(0L)))
+          .as("in_degree"))
+      .filter(col("out_degree") > 0L || col("in_degree") > 0L)
+      .localCheckpoint()
+    CatalogTables.prepareOverwrite(spark, s"${name}_edges")
+    kept.write.mode("overwrite")
+      .bucketBy(buckets, "src").sortBy("src")
+      .saveAsTable(s"${name}_edges")
+    CatalogTables.prepareOverwrite(spark, s"${name}_degrees")
+    merged.write.mode("overwrite")
+      .bucketBy(buckets, "id").sortBy("id")
+      .saveAsTable(s"${name}_degrees")
+  }
+
+  /** Deletion can split components — a silently-stale label table is
+    * worse than a loud missing one, so the delete faces call this when
+    * they actually removed something. */
+  private def invalidateComponents(spark: SparkSession, name: String): Unit =
+    if (hasComponents(spark, name))
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_components")
+
+  /** Broadcast a frame expected to be batch-sized; falls back to the
+    * plain frame above the hint threshold semantics (Spark ignores the
+    * hint when the plan can't broadcast). */
+  private def broadcastIfSmall(df: DataFrame): DataFrame =
+    org.apache.spark.sql.functions.broadcast(df)
+
   /** Rebuild the degree cache from the stored edge table — the recovery
     * path after a crash between [[appendEdges]]'s two writes. One
     * exchange-free pass (the aggregates key on the bucketed `src`/`dst`

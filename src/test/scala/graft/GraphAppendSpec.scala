@@ -231,6 +231,77 @@ class GraphAppendSpec extends SparkSpec {
     }
   }
 
+  test("deleteEdges: rebuild-without semantics, idempotent, re-append restores") {
+    val v0 = Seq("a", "b", "c", "d", "e")
+    val e0 = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "c"))
+    val del = Seq(("b", "c"), ("a", "c"), ("x", "y")) // unknown edge: no-op
+    val keptRaw = Seq(("a", "b"), ("c", "d"), ("d", "e"))
+    GraphIO.writeBucketed(
+      Graph.index(rawVerts(v0), rawEdges(e0), directed = true), "ap_del", buckets = 4)
+    try {
+      GraphIO.buildComponents(spark, "ap_del")
+      GraphIO.deleteEdges(spark, "ap_del", rawEdges(del))
+
+      val rebuilt = Graph.index(rawVerts(v0), rawEdges(keptRaw), directed = true)
+      val got = GraphIO.readBucketed(spark, "ap_del")
+      assert(rowSet(got.edges) === rowSet(rebuilt.edges))
+      assert(rowSet(got.vertices) === rowSet(rebuilt.vertices))
+      assert(rowSet(GraphIO.readDegrees(spark, "ap_del")) ===
+        rowSet(GraphIO.degreesOf(rebuilt.edges)))
+      // deletion can split components -> the label table fails loudly
+      assert(!spark.catalog.tableExists("ap_del_components"))
+
+      // idempotent: redelivering the delete changes nothing
+      GraphIO.deleteEdges(spark, "ap_del", rawEdges(del))
+      assert(rowSet(GraphIO.readBucketed(spark, "ap_del").edges) ===
+        rowSet(rebuilt.edges))
+      assert(rowSet(GraphIO.readDegrees(spark, "ap_del")) ===
+        rowSet(GraphIO.degreesOf(rebuilt.edges)))
+
+      // a deleted edge is physically gone, so appending it back restores
+      // the ORIGINAL graph (content keying gives it the same edge_id)
+      GraphIO.appendEdges(spark, "ap_del", rawEdges(Seq(("b", "c"), ("a", "c"))))
+      val orig = Graph.index(rawVerts(v0), rawEdges(e0), directed = true)
+      assert(rowSet(GraphIO.readBucketed(spark, "ap_del").edges) ===
+        rowSet(orig.edges))
+      assert(rowSet(GraphIO.readDegrees(spark, "ap_del")) ===
+        rowSet(GraphIO.degreesOf(orig.edges)))
+    } finally drop("ap_del")
+  }
+
+  test("deleteVertices: the right-to-be-forgotten cascade ≡ rebuild without the subject") {
+    // hub "c" touches most of the graph; deleting it must take every
+    // incident edge and the neighbours' degree contributions with it
+    val v0 = Seq("a", "b", "c", "d", "e")
+    val e0 = Seq(("a", "c"), ("c", "b"), ("c", "c"), ("d", "c"), ("a", "b"), ("d", "e"))
+    GraphIO.writeBucketed(
+      Graph.index(rawVerts(v0), rawEdges(e0), directed = true), "ap_gdpr", buckets = 4)
+    try {
+      GraphIO.buildComponents(spark, "ap_gdpr")
+      GraphIO.deleteVertices(spark, "ap_gdpr", rawVerts(Seq("c", "z")))
+
+      val rebuilt = Graph.index(
+        rawVerts(Seq("a", "b", "d", "e")),
+        rawEdges(Seq(("a", "b"), ("d", "e"))), directed = true)
+      val got = GraphIO.readBucketed(spark, "ap_gdpr")
+      assert(rowSet(got.vertices) === rowSet(rebuilt.vertices))
+      assert(rowSet(got.edges) === rowSet(rebuilt.edges))
+      assert(rowSet(GraphIO.readDegrees(spark, "ap_gdpr")) ===
+        rowSet(GraphIO.degreesOf(rebuilt.edges)))
+      assert(!spark.catalog.tableExists("ap_gdpr_components"))
+
+      // idempotent redelivery
+      GraphIO.deleteVertices(spark, "ap_gdpr", rawVerts(Seq("c")))
+      assert(rowSet(GraphIO.readBucketed(spark, "ap_gdpr").vertices) ===
+        rowSet(rebuilt.vertices))
+
+      // the component table rebuilds on demand over the survivors
+      GraphIO.buildComponents(spark, "ap_gdpr")
+      assert(rowSet(GraphIO.readComponents(spark, "ap_gdpr")) ===
+        rowSet(GraphIO.componentsOf(rebuilt)))
+    } finally drop("ap_gdpr")
+  }
+
   test("appendEdgesStream: micro-batches fold in; redelivery appends nothing") {
     import spark.implicits._
     val v0 = Seq("a", "b", "c", "d", "e")

@@ -99,6 +99,15 @@ object GraphAppendStress {
     val c = graft.sources.GraphIO.readComponents(spark, "stress_ap")
       .select(col("component")).distinct().count()
     println(s"GRAPHAPPEND edges=$e degree_rows=$d components=$c")
+    // deletion = the O(E) copy-on-write rewrite, measured at corpus scale
+    timed("delete") {
+      graft.sources.GraphIO.deleteEdges(spark, "stress_ap", batch)
+    }
+    timed("delete-redeliver") {
+      graft.sources.GraphIO.deleteEdges(spark, "stress_ap", batch)
+    }
+    val e2 = spark.table("stress_ap_edges").count()
+    println(s"GRAPHAPPEND edges_after_delete=$e2 (expected ${e - batch.count()})")
     Seq("vertices", "edges", "degrees", "components").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS stress_ap_$t"))
     spark.stop()
