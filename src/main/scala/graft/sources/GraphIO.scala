@@ -508,6 +508,19 @@ object GraphIO {
         if (!batch.isEmpty) appendEdges(batch.sparkSession, name, batch)
     }
 
+  /** Streaming face of [[deleteEdges]] — the deletion side of a CDC
+    * feed: each micro-batch removes the rows it names through the same
+    * idempotent path, so at-least-once redelivery of a delete batch is
+    * absorbed (the second arrival matches nothing and pays one key
+    * probe, no rewrite). Pair with [[appendEdgesStream]] on a routed
+    * CDC stream: inserts to one sink, deletes to this one. */
+  def deleteEdgesStream(rawEdges: DataFrame, name: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rawEdges.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) deleteEdges(batch.sparkSession, name, batch)
+    }
+
   /** Bucket count of an existing catalog table (so appends never have to
     * re-state — or mis-state — the write-time spec). */
   private def tableBuckets(spark: SparkSession, table: String): Int = {

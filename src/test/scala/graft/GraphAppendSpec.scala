@@ -302,6 +302,63 @@ class GraphAppendSpec extends SparkSpec {
     } finally drop("ap_gdpr")
   }
 
+  test("deleteEdgesStream: CDC deletes apply per micro-batch; redelivery removes nothing") {
+    import spark.implicits._
+    val v0 = Seq("a", "b", "c", "d")
+    val e0 = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"))
+    GraphIO.writeBucketed(
+      Graph.index(rawVerts(v0), rawEdges(e0), directed = true), "ap_ds", buckets = 4)
+    val ckpt = java.nio.file.Files.createTempDirectory("ap_ds_ck").toString
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val stream = MemoryStream[(String, String)]
+      val q = GraphIO.deleteEdgesStream(
+        stream.toDF().toDF("src", "dst"), "ap_ds")
+        .option("checkpointLocation", ckpt).start()
+      try {
+        stream.addData(("b", "c"))
+        q.processAllAvailable()
+        // second batch: a redelivered delete + one new delete
+        stream.addData(("b", "c"), ("a", "d"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rebuilt = Graph.index(
+        rawVerts(v0), rawEdges(Seq(("a", "b"), ("c", "d"))), directed = true)
+      val got = GraphIO.readBucketed(spark, "ap_ds")
+      assert(rowSet(got.edges) === rowSet(rebuilt.edges))
+      assert(rowSet(GraphIO.readDegrees(spark, "ap_ds")) ===
+        rowSet(GraphIO.degreesOf(rebuilt.edges)))
+    } finally drop("ap_ds")
+  }
+
+  test("deleteEdges plan shape: stored sides ride their bucketing") {
+    val v0 = ('a' to 'j').map(_.toString)
+    val e0 = v0.zip(v0.tail)
+    GraphIO.writeBucketed(
+      Graph.index(rawVerts(v0), rawEdges(e0), directed = true), "ap_dplan", buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      val stored = spark.table("ap_dplan_edges")
+      val keys = Graph.keyEdges(rawEdges(Seq(("a", "b"))))
+        .select(col("src"), col("edge_id")).distinct()
+      val kept = stored.join(keys, Seq("src", "edge_id"), "left_anti")
+      kept.collect()
+      val p = kept.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!p.contains("Bucketed: false"),
+        s"the delete anti-join must ride the stored bucketing:\n$p")
+      assert(!p.contains("Exchange hashpartitioning(src#") ||
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+        s"stored side must not re-shuffle:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "true")
+      drop("ap_dplan")
+    }
+  }
+
   test("appendEdgesStream: micro-batches fold in; redelivery appends nothing") {
     import spark.implicits._
     val v0 = Seq("a", "b", "c", "d", "e")
