@@ -329,6 +329,53 @@ object GraphIO {
     }
   }
 
+  /** Overwrite the ATTRIBUTES of existing vertices from a raw-schema
+    * batch — the update cell of the lifecycle's CRUD (profile changes,
+    * re-scored quality, refreshed metadata). Rows are matched by the
+    * deterministic surrogate id; batch rows naming unknown vertices are
+    * IGNORED (use [[appendVertices]] to add), and vertices outside the
+    * batch keep their attributes. Cost: one broadcast-or-aligned left
+    * join riding the id bucketing plus the O(V) narrow vertex rewrite —
+    * the degree/component tables are untouched (attributes don't change
+    * structure). Idempotent: re-delivering the batch rewrites the same
+    * values.
+    */
+  def upsertVertexAttrs(spark: SparkSession, name: String, rawVertices: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val stored = spark.table(s"${name}_vertices")
+    val batch = Graph.keyVertices(rawVertices)
+    val attrs = batch.columns.filter(c => c != "id" && c != "old_id")
+    require(attrs.nonEmpty,
+      "upsertVertexAttrs needs at least one attribute column besides the id")
+    require(attrs.forall(stored.columns.contains),
+      s"batch attribute columns ${attrs.mkString(",")} must exist in the stored " +
+        s"vertex schema ${stored.columns.mkString(",")}")
+    // a presence flag, not coalesce on the value: a matched row replaces
+    // its attributes WHOLESALE, so an explicit null in the batch lands
+    val renamed = batch.select(
+      col("id") +: lit(true).as("_hit") +:
+        attrs.map(c => col(c).as(s"_new_$c")).toIndexedSeq: _*)
+      .localCheckpoint()
+    // two batch rows for one id with DIFFERENT attrs would fan the join
+    // out and duplicate stored vertices — refuse loudly (exact-duplicate
+    // rows already collapsed in the keying)
+    require(renamed.groupBy(col("id")).count().filter(col("count") > 1).isEmpty,
+      "upsertVertexAttrs batch contains conflicting rows for the same vertex id")
+    val merged = stored.join(broadcastIfSmall(renamed), Seq("id"), "left")
+      .select(stored.columns.map { c =>
+        if (attrs.contains(c))
+          when(col("_hit"), col(s"_new_$c")).otherwise(col(c)).as(c)
+        else col(c)
+      }.toIndexedSeq: _*)
+      // pinned BEFORE the overwrite of the table it reads
+      .localCheckpoint()
+    val buckets = tableBuckets(spark, s"${name}_vertices")
+    CatalogTables.prepareOverwrite(spark, s"${name}_vertices")
+    merged.write.mode("overwrite")
+      .bucketBy(buckets, "id").sortBy("id")
+      .saveAsTable(s"${name}_vertices")
+  }
+
   /** Physically remove a batch of edges from a bucketed graph — the
     * deletion half of the lifecycle (the GDPR/right-to-be-forgotten
     * shape, which is why rows are REWRITTEN OUT rather than tombstoned:

@@ -231,6 +231,44 @@ class GraphAppendSpec extends SparkSpec {
     }
   }
 
+  test("upsertVertexAttrs: matched rows replace attrs wholesale, others keep theirs") {
+    import spark.implicits._
+    val v0 = Seq(("a", 1L, "x"), ("b", 2L, "y"), ("c", 3L, "z"))
+    val e0 = Seq(("a", "b"))
+    def verts(vs: Seq[(String, Long, String)]) = vs.toDF("id", "score", "tag")
+    GraphIO.writeBucketed(
+      Graph.index(verts(v0), rawEdges(e0), directed = true), "ap_up", buckets = 4)
+    try {
+      // update a and b (b's tag to null — wholesale replace must land it),
+      // name an unknown vertex (ignored), leave c untouched
+      val batch = Seq(("a", 10L, "x2"), ("b", 20L, null: String), ("nope", 9L, "q"))
+        .toDF("id", "score", "tag")
+      GraphIO.upsertVertexAttrs(spark, "ap_up", batch)
+      val got = GraphIO.readBucketed(spark, "ap_up").vertices
+        .select(col("old_id"), col("score"), col("tag"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(got === Set(("a", 10L, "x2"), ("b", 20L, null), ("c", 3L, "z")))
+
+      // structure untouched: degrees unchanged, edges unchanged
+      val rebuilt = Graph.index(verts(v0), rawEdges(e0), directed = true)
+      assert(rowSet(GraphIO.readDegrees(spark, "ap_up")) ===
+        rowSet(GraphIO.degreesOf(rebuilt.edges)))
+
+      // idempotent redelivery
+      GraphIO.upsertVertexAttrs(spark, "ap_up", batch)
+      val again = GraphIO.readBucketed(spark, "ap_up").vertices
+        .select(col("old_id"), col("score"), col("tag"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(again === got)
+
+      // conflicting same-id rows refuse loudly
+      val bad = Seq(("a", 1L, "p"), ("a", 2L, "q")).toDF("id", "score", "tag")
+      intercept[IllegalArgumentException] {
+        GraphIO.upsertVertexAttrs(spark, "ap_up", bad)
+      }
+    } finally drop("ap_up")
+  }
+
   test("deleteEdges: rebuild-without semantics, idempotent, re-append restores") {
     val v0 = Seq("a", "b", "c", "d", "e")
     val e0 = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "c"))
