@@ -258,6 +258,35 @@ object GraphQueries {
         .select(col("old_id"), col("out_degree"), col("in_degree"))
     }),
 
+    "g59_graph_delete" -> ((s, d) => {
+      // the DELETION face under the value gate — g58's mirror: index the
+      // FULL customer->order-bucket edge set, store it bucketed with the
+      // maintained degree table, physically delete the 10% slice through
+      // deleteEdges (plus rows that never existed — must no-op), and
+      // read the maintained degrees back. Oracle = plain degree counts
+      // over the REMAINING distinct edges: delete ≡ rebuild-without is
+      // the contract, and the degree table got there by exact integer
+      // DECREMENT, never a re-scan.
+      val all = orders(s, d).select(
+        col("o_custkey").cast("long").as("src"),
+        (pmod(col("o_orderkey"), lit(211)) + lit(1000000L)).cast("long").as("dst"),
+        pmod(col("o_orderkey"), lit(10L)).as("_slice"))
+      def vertsOfE(e: DataFrame): DataFrame =
+        e.select(col("src").as("id")).union(e.select(col("dst"))).distinct()
+      val eAll = all.drop("_slice")
+      val e10 = all.filter(col("_slice") === 0L).drop("_slice")
+        // phantom rows: vertices exist, these edges never did -> no-op
+        .unionByName(all.limit(5).select(col("dst").as("src"), col("src").as("dst")))
+      val name = s"g59del_${d.hashCode & 0x7fffffff}"
+      graft.sources.GraphIO.writeBucketed(
+        Graph.index(vertsOfE(eAll), eAll, directed = true), name, buckets = 8)
+      graft.sources.GraphIO.deleteEdges(s, name, e10)
+      val v = s.table(s"${name}_vertices")
+      graft.sources.GraphIO.readDegrees(s, name)
+        .join(v.select(col("id"), col("old_id")), Seq("id"))
+        .select(col("old_id"), col("out_degree"), col("in_degree"))
+    }),
+
     "g53_bias_baseline" -> ((s, d) => {
       // the bias-baseline predictor (r-hat = mu + b_u + b_i), the
       // standard stage BEFORE factor models: two alternating shrunk-
@@ -1656,6 +1685,24 @@ object GraphQueries {
       """WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
         |             CAST(o_orderkey % 211 + 1000000 AS BIGINT) AS dst
         |           FROM orders),
+        |outd AS (SELECT src AS id, count(*) AS out_degree FROM e GROUP BY src),
+        |ind  AS (SELECT dst AS id, count(*) AS in_degree FROM e GROUP BY dst)
+        |SELECT COALESCE(outd.id, ind.id) AS old_id,
+        |  CAST(COALESCE(out_degree, 0) AS BIGINT) AS out_degree,
+        |  CAST(COALESCE(in_degree, 0) AS BIGINT) AS in_degree
+        |FROM outd FULL JOIN ind ON outd.id = ind.id""".stripMargin,
+    // delete ≡ rebuild-without: the maintained degrees equal the counts
+    // over (all distinct edges) EXCEPT (the deleted slice's distinct
+    // edges) — note a pair produced by BOTH slices is one stored row and
+    // deletion is by content, so EXCEPT is exactly the semantics
+    "g59_graph_delete" ->
+      """WITH a AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |             CAST(o_orderkey % 211 + 1000000 AS BIGINT) AS dst
+        |           FROM orders),
+        |d10 AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |          CAST(o_orderkey % 211 + 1000000 AS BIGINT) AS dst
+        |        FROM orders WHERE o_orderkey % 10 = 0),
+        |e AS (SELECT src, dst FROM a EXCEPT SELECT src, dst FROM d10),
         |outd AS (SELECT src AS id, count(*) AS out_degree FROM e GROUP BY src),
         |ind  AS (SELECT dst AS id, count(*) AS in_degree FROM e GROUP BY dst)
         |SELECT COALESCE(outd.id, ind.id) AS old_id,
