@@ -104,22 +104,25 @@ object HyperBall {
     * callers size `rounds` past the effective diameter (the same
     * saturation contract as [[effectiveDiameter]]).
     *
-    * Exactness device — INTEGER MICRO-UNITS end to end. The per-round
-    * estimate is taken at 1e-6 granularity as
-    * `e_micro = floor(α_m·m²·2^Rmax / s_sum · 1e6)` — s_sum is an exact
-    * i64 on every engine, the two double steps (one divide, one
-    * multiply by 1e6) are single correctly-rounded IEEE-754 operations
-    * that any engine reproduces bit for bit, and `floor` has no
-    * tie-breaking rule at all. This replaces the previous
-    * `round(est, 6)` face, whose half-way behaviour on DOUBLES is
-    * engine- and version-dependent (DuckDB rounds the scaled double,
-    * Spark rounds the exact decimal expansion — a last-ulp trap).
+    * Exactness device — INTEGER MICRO-UNITS with NO floating point
+    * anywhere. The per-round estimate is taken at 1e-6 granularity as
+    * `e_micro = K div s_sum` where `K = floor(α_m·m²·2^Rmax·1e6)` is
+    * ONE exact integer ([[harmonicNumeratorMicro]], BigInt rational
+    * arithmetic, pasted into the plan as a digit-string DECIMAL
+    * literal) and s_sum is an exact i64: integral division of two
+    * exact positive integers, so no engine folds a double constant, no
+    * IEEE operation exists to differ by an ulp, and no rounding rule
+    * is ever consulted. (Two earlier faces — `round(est, 6)` on a
+    * double, then `floor(num/s_sum·1e6)` with an engine-folded double
+    * `num` — each proved portable in-container yet flipped a last-ulp
+    * boundary in another engine build; only the all-integer form is
+    * safe against engine-version drift.)
     * Deltas are nonnegative (registers only grow), and instead of
     * dividing by r — division rounds — each delta is multiplied by the
     * exact integer L/r where L = lcm(1..rounds) (the g33
     * harmonic-closeness device), with the weighted sum carried in
     * integer decimals so no overflow can shave it. Output
-    * (id, h_lcm_micro): h_lcm_micro = 1e6·L·H(v) exactly; ranking and
+    * (id, h_lcm_micro): h_lcm_micro ≈ 1e6·L·H(v); ranking and
     * ratios are unaffected by the scaling.
     *
     * Plan shape: the round frames are per-vertex aggregates of the SAME
@@ -136,15 +139,13 @@ object HyperBall {
       s"harmonicCentrality supports rounds <= 16 (lcm weight bound), got $rounds")
     val L = (1 to rounds).foldLeft(1L)((acc, r) =>
       acc / gcd(acc, r) * r)
-    // α_m·m²·2^Rmax, composed in the exact op order the SQL oracle
-    // uses: alpha first, then the power-of-two multiply (exact).
-    val m = 1 << p
-    val num = 0.7213 / (1.0 + 1.079 / m) * math.pow(2, p + 49)
-    val ests = ballRegisters(g, p, rounds).zipWithIndex.map { case (regs, k) =>
+    // the exact integer numerator as a digit-string DECIMAL literal;
+    // `div` (IntegralDivide) of positive integers = floor, no double
+    val k = harmonicNumeratorMicro(p)
+    val kLit = s"CAST('$k' AS DECIMAL(${k.toString.length}, 0))"
+    val ests = ballRegisters(g, p, rounds).zipWithIndex.map { case (regs, n) =>
       Hll.estimate(regs, Seq(ID), p)
-        .select(col(ID),
-          floor(lit(num) / col("s_sum").cast("double") * lit(1e6))
-            .as(s"_e$k"))
+        .select(col(ID), expr(s"$kLit div s_sum").as(s"_e$n"))
     }
     val joined = ests.reduce((a, b) => a.join(b, Seq(ID)))
     // i64 deltas × narrow-decimal weights, summed as integer decimals:
@@ -158,6 +159,18 @@ object HyperBall {
   }
 
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+
+  /** The harmonic-centrality micro-unit numerator as ONE exact integer:
+    * K = floor(α_m · m² · 2^Rmax · 10^6) with
+    * α_m = 0.7213/(1 + 1.079/m) expanded rationally —
+    * K = ⌊7213 · m · 2^(p+49) · 10^5 / (1000m + 1079)⌋. BigInt
+    * arithmetic, so both the Spark face and the SQL oracle embed the
+    * identical digit string (p=4 → 6086438618134249105544) and neither
+    * engine ever folds a floating-point constant.
+    */
+  def harmonicNumeratorMicro(p: Int): BigInt =
+    (BigInt(7213) * (1L << p) * BigInt(2).pow(p + 49) * 100000) /
+      (1000L * (1L << p) + 1079)
 
   /** Effective diameter at fraction `num`/`den` (default 9/10): the
     * smallest round r with den·nf(r) >= num·max(nf) — all-decimal

@@ -191,10 +191,11 @@ object GraphQueries {
       // HyperBall rounds as g54 — the statistic the algorithm is named
       // for: H(v) = Σ_r (|B(v,r)|-|B(v,r-1)|)/r, with the division
       // replaced by exact integer lcm(1..5)/r weights on INTEGER
-      // MICRO-UNIT deltas (floor(est·1e6) — no round(), no double ever
-      // reaches the hasher; the r10 red row was a round(x,6)-on-double
-      // engine-version last-ulp trap) so every vertex replays bit for
-      // bit.
+      // MICRO-UNIT deltas, e_micro = K div s_sum with K one exact
+      // integer literal shared by both faces — NO floating point
+      // anywhere (the r10 red row was round(x,6)-on-double; the r11
+      // red row was an engine-folded double alpha constant: only the
+      // all-integer pipeline removes the last-ulp trap).
       val hg = hierarchyGraph(s, d)
       val g = Graph(hg.vertices, hg.edges, directed = false)
       HyperBall.harmonicCentrality(g, p = 4, rounds = 5)
@@ -1309,25 +1310,27 @@ object GraphQueries {
   }
 
   /** Per-vertex harmonic-centrality estimate from the same unrolled
-    * HyperBall rounds — INTEGER MICRO-UNITS end to end: per-round
-    * per-vertex estimates as `floor(raw · 1e6)` BIGINTs (one IEEE
-    * divide + one IEEE multiply, both bit-deterministic, and `floor`
-    * has no tie-breaking rule — unlike `round(x, 6)`, whose half-way
-    * behaviour on doubles is engine-version-dependent), deltas weighted
-    * by the exact integers lcm(1..R)/r in integer decimals (no decimal
-    * division anywhere, no double reaches the hasher). */
+    * HyperBall rounds — INTEGER MICRO-UNITS with no floating point
+    * anywhere: the numerator is the ONE exact integer digit string
+    * shared with the Spark face
+    * ([[graft.algorithms.HyperBall.harmonicNumeratorMicro]]), the
+    * per-round per-vertex estimate is HUGEINT integral division of two
+    * exact positive integers (DuckDB `//` ≡ Spark `div` on positives),
+    * and deltas are weighted by the exact integers lcm(1..R)/r in
+    * integer decimals — no double constant for either engine to fold,
+    * no rounding rule ever consulted. */
   private def hyperballHarmonicOracleSql(rounds: Int): String = {
     val (head, iters) = hyperballCommonSql(rounds)
-    val alpha = hyperballAlpha
+    val knum = graft.algorithms.HyperBall.harmonicNumeratorMicro(4)
     val lcm = (1 to rounds).foldLeft(1L) { (acc, r) =>
       @annotation.tailrec
       def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
       acc / gcd(acc, r) * r
     }
     val ests = (0 to rounds).map { k =>
-      s"""es$k AS (SELECT id, CAST(floor($alpha
-         |      / CAST(sp + (16 - nb) * 35184372088832 AS DOUBLE)
-         |      * 1000000.0) AS BIGINT) AS e
+      s"""es$k AS (SELECT id, CAST(CAST('$knum' AS HUGEINT)
+         |      // CAST(sp + (16 - nb) * 35184372088832 AS HUGEINT)
+         |      AS BIGINT) AS e
          |  FROM (SELECT id, sum(CAST(power(2, 45 - r) AS BIGINT)) AS sp,
          |        count(*) AS nb FROM st$k GROUP BY id))""".stripMargin
     }

@@ -878,16 +878,25 @@ class AlgorithmsSpec extends SparkSpec {
     leaves.foreach(l => assert(h(l).compareTo(hub) < 0, s"leaf $l must trail the hub"))
     // arithmetic composition: h_lcm_micro REPLAYS from the per-vertex
     // round s_sums with exact integer weights lcm(1..3)/r = 6, 3, 2 —
-    // e_micro = floor(num / s_sum * 1e6), pure i64 after two IEEE ops
+    // e_micro = K div s_sum, integral division of exact integers, no
+    // floating point anywhere
     val sSum = graft.algorithms.HyperBall.vertexNeighbourhoods(g, p = 6, rounds = 3)
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(3)).toMap
-    val num = 0.7213 / (1.0 + 1.079 / 64) * math.pow(2, 6 + 49)
+    val num = graft.algorithms.HyperBall.harmonicNumeratorMicro(6)
     (0L +: leaves).foreach { v =>
-      val e = (0 to 3).map(r => math.floor(num / sSum((r, v)) * 1e6).toLong)
+      val e = (0 to 3).map(r => (num / sSum((r, v))).toLong)
       val manual = java.math.BigDecimal.valueOf(
         (1 to 3).map(r => (e(r) - e(r - 1)) * (6 / r)).sum)
       assert(h(v).compareTo(manual) === 0, s"vertex $v h_lcm_micro mismatch")
     }
+  }
+
+  test("HyperBall harmonic numerator: exact digit string pinned at p=4") {
+    // BOTH faces (Spark plan and DuckDB oracle) embed this literal;
+    // the pin guards the formula against edits that would silently
+    // desync the cross-engine gate
+    assert(graft.algorithms.HyperBall.harmonicNumeratorMicro(4).toString
+      === "6086438618134249105544")
   }
 
   test("HyperBall NF is monotone; star effective diameter is 2") {
