@@ -99,11 +99,39 @@ final case class PageRank(
   }
 
   def run(g: Graph): DataFrame = {
-    val routes = pinStatic(this.routes(g))
     val n = g.vertices.count().toDouble
+    iterate(g, n, checkpoint.pin(g.vertices.select(col(ID), lit(1.0 / n).as(RANK))))
+  }
+
+  /** WARM-START power iteration from a prior rank vector — the
+    * maintained-analytic face ([[graft.sources.GraphIO.refreshRanks]]):
+    * after an append perturbs the graph, re-converging from the stored
+    * ranks costs rounds ∝ the perturbation instead of a full cold
+    * start. `initial` is (id, rank); vertices missing from it (newly
+    * appended) seed at the uniform mass 1/N, then the whole vector is
+    * renormalized to sum 1 — the PageRank fixpoint is the unique
+    * stationary distribution of the damped walk, so the starting point
+    * changes the ROUND COUNT, never the answer (within `tolerance`;
+    * GraphAppendSpec pins warm ≡ cold). Rows in `initial` for vertices
+    * no longer in the graph are ignored. */
+  def runFrom(g: Graph, initial: DataFrame): DataFrame = {
+    val n = g.vertices.count().toDouble
+    val seeded = g.vertices.select(col(ID))
+      .join(initial.select(col(ID), col(RANK).cast("double").as("_r0")),
+        Seq(ID), "left")
+      .select(col(ID), coalesce(col("_r0"), lit(1.0 / n)).as(RANK))
+    val tot = seeded.agg(sum(col(RANK))).head().getDouble(0)
+    require(tot > 0.0 && !tot.isNaN,
+      s"runFrom needs an initial vector with positive total mass, got $tot")
+    iterate(g, n,
+      checkpoint.pin(seeded.select(col(ID), (col(RANK) / lit(tot)).as(RANK))))
+  }
+
+  private def iterate(g: Graph, n: Double, rank0: DataFrame): DataFrame = {
+    val routes = pinStatic(this.routes(g))
     val teleport = (1.0 - damping) / n
 
-    var rank = checkpoint.pin(g.vertices.select(col(ID), lit(1.0 / n).as(RANK)))
+    var rank = rank0
     var i = 0
     var done = false
     while (i < maxIterations && !done) {

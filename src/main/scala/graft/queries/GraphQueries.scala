@@ -276,8 +276,14 @@ object GraphQueries {
         e.select(col("src").as("id")).union(e.select(col("dst"))).distinct()
       val eAll = all.drop("_slice")
       val e10 = all.filter(col("_slice") === 0L).drop("_slice")
-        // phantom rows: vertices exist, these edges never did -> no-op
-        .unionByName(all.limit(5).select(col("dst").as("src"), col("src").as("dst")))
+        // phantom rows that must no-op: DETERMINISTIC construction over
+        // a provably disjoint dst range — stored dst is always in
+        // [1000000, 1000210] at ANY scale factor, so dst >= 2e9 can
+        // never name a stored edge (the previous limit(5)-with-reversal
+        // device was nondeterministic AND collided with real edges once
+        // custkeys reach the dst range at large SF)
+        .unionByName(s.range(1, 6)
+          .select(col("id").as("src"), (col("id") + lit(2000000000L)).as("dst")))
       val name = s"g59del_${d.hashCode & 0x7fffffff}"
       graft.sources.GraphIO.writeBucketed(
         Graph.index(vertsOfE(eAll), eAll, directed = true), name, buckets = 8)

@@ -28,6 +28,33 @@ object CatalogTables {
     * this helper exists for); if the name resolves to something without a
     * location (a view), nothing is deleted.
     */
+  /** Crash-safe replacement of a catalog table: `write` the new
+    * contents into `<table>__staged` FIRST — the live table stays
+    * intact and readable throughout, so plans that derive the new
+    * contents FROM the old table need no defensive materialization —
+    * then drop the old table and rename the staged one into place
+    * (the in-memory and Hive catalogs both move a MANAGED table's
+    * directory on rename).
+    *
+    * This closes the primary-data-loss window of the naive
+    * drop-then-write sequence: there, a failure between the drop and
+    * the write's commit loses the only copy (a `localCheckpoint` of
+    * the replacement is non-replicated and dies with its executors).
+    * Here the data always exists durably in either the live or the
+    * staged location; the residual window is between the two METADATA
+    * ops, where a crash leaves `<table>__staged` complete on disk —
+    * recovery is re-issuing the rename, not a rebuild. A leftover
+    * staged table from an earlier crash is cleared before writing.
+    */
+  def stagedOverwrite(spark: SparkSession, table: String)(
+      write: String => Unit): Unit = {
+    val staged = s"${table}__staged"
+    prepareOverwrite(spark, staged)
+    write(staged)
+    prepareOverwrite(spark, table)
+    spark.sql(s"ALTER TABLE `$staged` RENAME TO `$table`")
+  }
+
   def prepareOverwrite(spark: SparkSession, table: String): Unit = {
     import org.apache.spark.sql.functions.col
     val location: Option[String] =

@@ -19,6 +19,33 @@ import graft.core.Graph
   */
 object GraphIO {
 
+  /** All lifecycle mutations in this JVM serialize through this lock.
+    * Two concurrent append/delete/upsert calls would otherwise (a) race
+    * the session-conf save/restore in [[withSubsetKeyCoPartition]] and
+    * (b) — the deeper problem — race the degree/component
+    * read-modify-write cycles themselves: both would fold their delta
+    * into the SAME base table and one update would be lost. Serializing
+    * maintenance writes per driver is the correct granularity;
+    * cross-driver coordination is a catalog/lakehouse concern, not this
+    * library's. */
+  private val crudLock = new Object
+
+  /** Run `body` with subset-key co-partitioning enabled (Spark 4 gates
+    * it off by default): the lifecycle's (src, edge_id) joins key on a
+    * SUPERSET of the src bucketing, and this conf is what lets the
+    * stored side ride its write-time layout with zero exchange. The
+    * flip is session-visible while `body` runs — harmless for
+    * correctness (it only widens the planner's exchange-elision
+    * choices; results are unaffected, at worst a concurrent query plans
+    * one fewer shuffle) — and the save/restore race between lifecycle
+    * calls is closed by [[crudLock]], which every caller holds. */
+  private def withSubsetKeyCoPartition[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.requireAllClusterKeysForCoPartition"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
   def write(g: Graph, path: String, partitionByKey: Boolean = false): Unit = {
     import g.vertices.sparkSession.implicits._
     g.vertices.write.mode("overwrite").parquet(s"$path/vertices")
@@ -136,14 +163,15 @@ object GraphIO {
     * re-runs CC over the corpus: the O(log²) star rounds run once here,
     * then each batch pays a batch-sized merge (see [[appendEdges]]).
     */
-  def buildComponents(spark: SparkSession, name: String, maxIterations: Int = 20): Unit = {
-    val comps = componentsOf(readBucketed(spark, name), maxIterations)
-      .localCheckpoint()
-    CatalogTables.prepareOverwrite(spark, s"${name}_components")
-    comps.write.mode("overwrite")
-      .bucketBy(tableBuckets(spark, s"${name}_edges"), "id").sortBy("id")
-      .saveAsTable(s"${name}_components")
-  }
+  def buildComponents(spark: SparkSession, name: String, maxIterations: Int = 20): Unit =
+    crudLock.synchronized {
+      val comps = componentsOf(readBucketed(spark, name), maxIterations)
+      CatalogTables.stagedOverwrite(spark, s"${name}_components") { t =>
+        comps.write.mode("overwrite")
+          .bucketBy(tableBuckets(spark, s"${name}_edges"), "id").sortBy("id")
+          .saveAsTable(t)
+      }
+    }
 
   /** The maintained component table — always equal to
     * `componentsOf(<rebuilt graph>)` (GraphAppendSpec pins the
@@ -168,7 +196,7 @@ object GraphIO {
     * membership anti-join probes the id-bucketed vertex table with no
     * exchange on the stored side.
     */
-  def appendVertices(spark: SparkSession, name: String, rawVertices: DataFrame): Unit = {
+  def appendVertices(spark: SparkSession, name: String, rawVertices: DataFrame): Unit = crudLock.synchronized {
     import org.apache.spark.sql.functions._
     val stored = spark.table(s"${name}_vertices")
     val directed = stored.select("_directed").limit(1).collect()
@@ -230,31 +258,30 @@ object GraphIO {
     * stale — [[refreshDegrees]] / [[refreshComponents]] rebuild from
     * the edge table.
     */
-  def appendEdges(spark: SparkSession, name: String, rawEdges: DataFrame): Unit = {
+  def appendEdges(spark: SparkSession, name: String, rawEdges: DataFrame): Unit = crudLock.synchronized {
     import org.apache.spark.sql.functions._
     val stored = spark.table(s"${name}_edges")
     val v = spark.table(s"${name}_vertices")
-    // the anti-join keys on (src, edge_id) while the table is bucketed on
-    // src alone; subset-key co-partitioning is what lets the stored side
+    // the anti-join keys on (src, edge_id) while the table is bucketed
+    // on src alone — subset-key co-partitioning lets the stored side
     // ride its bucketing with ZERO exchange (the batch aligns to the
-    // bucket layout instead), and Spark 4 gates it behind this conf
-    // (default true = require all keys). Scoped to the eager
-    // localCheckpoint below, then restored.
-    val reqAll = "spark.sql.requireAllClusterKeysForCoPartition"
-    val prevReqAll = spark.conf.get(reqAll, "true")
-    spark.conf.set(reqAll, "false")
-    val fresh =
-      try Graph.keyEdges(rawEdges)
+    // bucket layout instead). Scoped to the eager localCheckpoint.
+    val fresh = withSubsetKeyCoPartition(spark) {
+      Graph.keyEdges(rawEdges)
         .join(v.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(v.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .join(stored.select(col("src"), col("edge_id")),
           Seq("src", "edge_id"), "left_anti")
         .select(stored.columns.map(col).toIndexedSeq: _*)
-        // consumed by the edge append AND the degree delta; pinned so the
-        // writes below cannot invalidate the plan that feeds them (and so
-        // the conf scope above ends here — localCheckpoint is eager)
+        // consumed by the edge append, the degree delta AND the
+        // component merge; pinned so the append below cannot invalidate
+        // the plan that feeds it (an append writes into the table the
+        // plan reads — the one face the staged-overwrite device cannot
+        // cover, and the batch-sized frame is cheap to pin)
         .localCheckpoint()
-      finally spark.conf.set(reqAll, prevReqAll)
+    }
+    // LAZY: the staged write below reads the LIVE degree table while
+    // writing its replacement, so no defensive pin is needed
     val merged = readDegrees(spark, name).as("o")
       .join(degreesOf(fresh).as("d"), Seq("id"), "full")
       .select(
@@ -263,16 +290,15 @@ object GraphIO {
           coalesce(col("d.out_degree"), lit(0L))).as("out_degree"),
         (coalesce(col("o.in_degree"), lit(0L)) +
           coalesce(col("d.in_degree"), lit(0L))).as("in_degree"))
-      // pinned BEFORE the overwrite of the table it reads
-      .localCheckpoint()
     val buckets = tableBuckets(spark, s"${name}_edges")
     fresh.write.mode("append")
       .bucketBy(buckets, "src").sortBy("src")
       .saveAsTable(s"${name}_edges")
-    CatalogTables.prepareOverwrite(spark, s"${name}_degrees")
-    merged.write.mode("overwrite")
-      .bucketBy(buckets, "id").sortBy("id")
-      .saveAsTable(s"${name}_degrees")
+    CatalogTables.stagedOverwrite(spark, s"${name}_degrees") { t =>
+      merged.write.mode("overwrite")
+        .bucketBy(buckets, "id").sortBy("id")
+        .saveAsTable(t)
+    }
 
     // component maintenance (opt-in, see [[buildComponents]]): appends
     // only MERGE components, so the whole update is (1) map the batch's
@@ -311,19 +337,24 @@ object GraphIO {
         // TWICE — once for the join, once to restore the id bucketing;
         // measured 91 s shuffled vs 16.6 s broadcast per 1000-edge batch
         // at the 100x stress corpus, 75M vertices / 14.7M components).
-        // A batch that merges more components than fits a broadcast is a
-        // corpus-scale restructuring — the full rebuild IS the fast path.
-        if (mapping.count() <= 5000000L) {
+        // The cap is the MEMORY guard, not a planner hint: broadcast()
+        // is unconditional (it bypasses autoBroadcastJoinThreshold), so
+        // the row bound must itself keep the hashed relation small —
+        // 500k (old, new) pairs ≈ 8 MB, safely inside default driver
+        // and executor memory. A batch that merges more components than
+        // that is a corpus-scale restructuring — the full rebuild IS
+        // the fast path.
+        if (mapping.count() <= 500000L) {
+          // LAZY: the staged write reads the live component table
           val relabeled = comp
             .join(broadcast(mapping), comp("component") === mapping("_old"), "left")
             .select(col("id"),
               coalesce(col("_new"), col("component")).as("component"))
-            // pinned BEFORE the overwrite of the table it reads
-            .localCheckpoint()
-          CatalogTables.prepareOverwrite(spark, s"${name}_components")
-          relabeled.write.mode("overwrite")
-            .bucketBy(buckets, "id").sortBy("id")
-            .saveAsTable(s"${name}_components")
+          CatalogTables.stagedOverwrite(spark, s"${name}_components") { t =>
+            relabeled.write.mode("overwrite")
+              .bucketBy(buckets, "id").sortBy("id")
+              .saveAsTable(t)
+          }
         } else refreshComponents(spark, name)
       }
     }
@@ -340,7 +371,7 @@ object GraphIO {
     * structure). Idempotent: re-delivering the batch rewrites the same
     * values.
     */
-  def upsertVertexAttrs(spark: SparkSession, name: String, rawVertices: DataFrame): Unit = {
+  def upsertVertexAttrs(spark: SparkSession, name: String, rawVertices: DataFrame): Unit = crudLock.synchronized {
     import org.apache.spark.sql.functions._
     val stored = spark.table(s"${name}_vertices")
     val batch = Graph.keyVertices(rawVertices)
@@ -361,19 +392,20 @@ object GraphIO {
     // rows already collapsed in the keying)
     require(renamed.groupBy(col("id")).count().filter(col("count") > 1).isEmpty,
       "upsertVertexAttrs batch contains conflicting rows for the same vertex id")
+    // LAZY: the staged write reads the LIVE vertex table while writing
+    // its replacement — no O(V) defensive copy, no loss window
     val merged = stored.join(broadcastIfSmall(renamed), Seq("id"), "left")
       .select(stored.columns.map { c =>
         if (attrs.contains(c))
           when(col("_hit"), col(s"_new_$c")).otherwise(col(c)).as(c)
         else col(c)
       }.toIndexedSeq: _*)
-      // pinned BEFORE the overwrite of the table it reads
-      .localCheckpoint()
     val buckets = tableBuckets(spark, s"${name}_vertices")
-    CatalogTables.prepareOverwrite(spark, s"${name}_vertices")
-    merged.write.mode("overwrite")
-      .bucketBy(buckets, "id").sortBy("id")
-      .saveAsTable(s"${name}_vertices")
+    CatalogTables.stagedOverwrite(spark, s"${name}_vertices") { t =>
+      merged.write.mode("overwrite")
+        .bucketBy(buckets, "id").sortBy("id")
+        .saveAsTable(t)
+    }
   }
 
   /** Physically remove a batch of edges from a bucketed graph — the
@@ -393,45 +425,42 @@ object GraphIO {
     *  - degrees advance by an exact integer DECREMENT of the removed
     *    rows' [[degreesOf]] delta; vertices that stop being endpoints
     *    drop their row (the defining aggregate is preserved);
-    *  - the component table, if present, is DROPPED: deletion can split
-    *    components, and a silently-stale label table is worse than a
-    *    loud missing one — run [[buildComponents]] after a delete burst;
+    *  - the component table, if present, is REPAIRED in place: deletion
+    *    can only split the components the removed rows touched, so CC
+    *    re-runs over just those components' surviving subgraph and the
+    *    result is spliced in — ≡ a full rebuild row for row
+    *    (GraphAppendSpec pins it), at a cost ∝ affected component mass;
     *  - redelivered deletes are no-ops (already-removed rows match
     *    nothing), so the face is idempotent like the appends.
     */
-  def deleteEdges(spark: SparkSession, name: String, rawEdges: DataFrame): Unit = {
+  def deleteEdges(spark: SparkSession, name: String, rawEdges: DataFrame): Unit = crudLock.synchronized {
     import org.apache.spark.sql.functions._
     val stored = spark.table(s"${name}_edges")
-    val reqAll = "spark.sql.requireAllClusterKeysForCoPartition"
-    val prevReqAll = spark.conf.get(reqAll, "true")
-    spark.conf.set(reqAll, "false")
     // the USING join fronts its keys — restore the stored column order
     // so the rewrite round-trips the table schema exactly
     val cols = stored.columns.map(col).toIndexedSeq
-    val (removed, keptPlan) =
-      try {
-        val keys = Graph.keyEdges(rawEdges)
-          .select(col("src"), col("edge_id")).distinct().localCheckpoint()
-        // rows actually stored that the batch names — batch-sized, so
-        // materializing it to gate the no-op path is cheap; `kept` stays
-        // LAZY here: a redelivered delete matches nothing and must not
-        // pay an O(E) materialization just to discover that (measured
-        // 29 s of no-op at the 100x corpus when it was eager)
-        (stored.join(keys, Seq("src", "edge_id"), "left_semi")
-          .select(cols: _*).localCheckpoint(),
-          stored.join(keys, Seq("src", "edge_id"), "left_anti")
-            .select(cols: _*))
-      } finally spark.conf.set(reqAll, prevReqAll)
+    val keys = Graph.keyEdges(rawEdges)
+      .select(col("src"), col("edge_id")).distinct().localCheckpoint()
+    // rows actually stored that the batch names — batch-sized, so
+    // materializing it to gate the no-op path is cheap; `kept` stays
+    // LAZY: a redelivered delete matches nothing and must not pay an
+    // O(E) pass just to discover that (measured 29 s of no-op at the
+    // 100x corpus when it was eager), and the matched path writes it
+    // straight into the staged table while the live one stays readable
+    val removed = withSubsetKeyCoPartition(spark) {
+      stored.join(keys, Seq("src", "edge_id"), "left_semi")
+        .select(cols: _*).localCheckpoint()
+    }
     if (!removed.isEmpty) {
-      // pinned only now, BEFORE the overwrite of the table it reads —
-      // under the same conf scope (physical planning reads it at action
-      // time, and the anti-join's stored side must ride its bucketing)
-      spark.conf.set(reqAll, "false")
-      val kept =
-        try keptPlan.localCheckpoint()
-        finally spark.conf.set(reqAll, prevReqAll)
+      val kept = stored.join(keys, Seq("src", "edge_id"), "left_anti")
+        .select(cols: _*)
+      // component labels the batch touches — read BEFORE any rewrite
+      // (bounded by the batch: each removed edge's endpoints shared one
+      // label while the edge existed, so probing src alone is complete)
+      val affected = affectedLabels(spark, name,
+        removed.select(col("src").as("id")))
       applyEdgeRemoval(spark, name, removed, kept)
-      invalidateComponents(spark, name)
+      affected.foreach(repairComponents(spark, name, _, removedIds = None))
     }
   }
 
@@ -442,16 +471,21 @@ object GraphIO {
     * a rebuild without those rows would say (spec-pinned). Costs one
     * bucketed rewrite of each table, like [[deleteEdges]].
     */
-  def deleteVertices(spark: SparkSession, name: String, rawVertices: DataFrame): Unit = {
+  def deleteVertices(spark: SparkSession, name: String, rawVertices: DataFrame): Unit = crudLock.synchronized {
     import org.apache.spark.sql.functions._
     val ids = Graph.keyVertices(rawVertices).select(col("id")).localCheckpoint()
     val storedV = spark.table(s"${name}_vertices")
     // redelivery guard: nothing stored matches -> a true no-op (no
-    // rewrites, no component invalidation)
+    // rewrites, no component repair)
     if (storedV.join(ids, Seq("id"), "left_semi").isEmpty) return
+    // labels of the subjects' components — read BEFORE any rewrite;
+    // covers isolated subjects (their self-label rows must not linger)
+    // as well as every component their incident edges touched
+    val affected = affectedLabels(spark, name, ids)
     val vcols = storedV.columns.map(col).toIndexedSeq
+    // LAZY: written straight into the staged vertex table below
     val keptV = storedV.join(ids, Seq("id"), "left_anti")
-      .select(vcols: _*).localCheckpoint()
+      .select(vcols: _*)
     val stored = spark.table(s"${name}_edges")
     val ecols = stored.columns.map(col).toIndexedSeq
     val gone = broadcastIfSmall(ids)
@@ -463,28 +497,30 @@ object GraphIO {
         .join(gone.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .select(ecols: _*))
       .localCheckpoint()
+    // LAZY: the edge rewrite in applyEdgeRemoval stages it likewise
     val kept = stored
       .join(gone.select(col("id").as("src")), Seq("src"), "left_anti")
       .join(gone.select(col("id").as("dst")), Seq("dst"), "left_anti")
       .select(ecols: _*)
-      .localCheckpoint()
     val buckets = tableBuckets(spark, s"${name}_vertices")
-    CatalogTables.prepareOverwrite(spark, s"${name}_vertices")
-    keptV.write.mode("overwrite")
-      .bucketBy(buckets, "id").sortBy("id")
-      .saveAsTable(s"${name}_vertices")
+    CatalogTables.stagedOverwrite(spark, s"${name}_vertices") { t =>
+      keptV.write.mode("overwrite")
+        .bucketBy(buckets, "id").sortBy("id")
+        .saveAsTable(t)
+    }
     // the degree table's defining aggregate ranges over the kept edges
     // only; removed endpoints whose counts reach zero drop their row
     applyEdgeRemoval(spark, name, removed, kept)
-    // vertices were removed even if no edges were (isolated subjects) —
-    // their self-labels must not linger
-    invalidateComponents(spark, name)
+    affected.foreach(repairComponents(spark, name, _, removedIds = Some(ids)))
   }
 
   /** Shared tail of the two delete faces: overwrite the edge table with
-    * `kept`, decrement the degree cache by `removed`'s delta (dropping
-    * rows that reach zero), and invalidate the component table. Both
-    * inputs must be pinned. */
+    * `kept` (LAZY — the staged write reads the live table while writing
+    * its replacement, so no O(E) defensive copy is paid and the
+    * primary data survives until the new write commits), and decrement
+    * the degree cache by `removed`'s delta (dropping rows that reach
+    * zero). `removed` must be pinned (it gates the no-op path and is
+    * read twice). */
   private def applyEdgeRemoval(
       spark: SparkSession, name: String,
       removed: DataFrame, kept: DataFrame): Unit = {
@@ -494,6 +530,7 @@ object GraphIO {
     // corpus without this guard
     if (removed.isEmpty) return
     val buckets = tableBuckets(spark, s"${name}_edges")
+    // LAZY: reads the live degree table inside its own staged write
     val merged = readDegrees(spark, name).as("o")
       .join(degreesOf(removed).as("d"), Seq("id"), "left")
       .select(
@@ -503,41 +540,160 @@ object GraphIO {
         (col("o.in_degree") - coalesce(col("d.in_degree"), lit(0L)))
           .as("in_degree"))
       .filter(col("out_degree") > 0L || col("in_degree") > 0L)
-      .localCheckpoint()
-    CatalogTables.prepareOverwrite(spark, s"${name}_edges")
-    kept.write.mode("overwrite")
-      .bucketBy(buckets, "src").sortBy("src")
-      .saveAsTable(s"${name}_edges")
-    CatalogTables.prepareOverwrite(spark, s"${name}_degrees")
-    merged.write.mode("overwrite")
-      .bucketBy(buckets, "id").sortBy("id")
-      .saveAsTable(s"${name}_degrees")
+    // the conf scope must cover the ACTION: physical planning of the
+    // kept anti-join reads it when the staged write runs
+    withSubsetKeyCoPartition(spark) {
+      CatalogTables.stagedOverwrite(spark, s"${name}_edges") { t =>
+        kept.write.mode("overwrite")
+          .bucketBy(buckets, "src").sortBy("src")
+          .saveAsTable(t)
+      }
+    }
+    CatalogTables.stagedOverwrite(spark, s"${name}_degrees") { t =>
+      merged.write.mode("overwrite")
+        .bucketBy(buckets, "id").sortBy("id")
+        .saveAsTable(t)
+    }
   }
 
-  /** Deletion can split components — a silently-stale label table is
-    * worse than a loud missing one, so the delete faces call this when
-    * they actually removed something. */
-  private def invalidateComponents(spark: SparkSession, name: String): Unit =
-    if (hasComponents(spark, name))
-      spark.sql(s"DROP TABLE IF EXISTS ${name}_components")
+  /** The component labels a delete batch touches, or None when no
+    * component table is maintained. `endpointIds` is batch-sized (one
+    * row per removed edge's src, or per deleted vertex id), so the
+    * result is too — pinned, it feeds [[repairComponents]] twice. Must
+    * be read BEFORE any table rewrite. */
+  private def affectedLabels(
+      spark: SparkSession, name: String, endpointIds: DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    if (!hasComponents(spark, name)) None
+    else Some(readComponents(spark, name)
+      .join(endpointIds.distinct(), Seq("id"), "left_semi")
+      .select(col("component").as("_lbl")).distinct()
+      .localCheckpoint())
+  }
 
-  /** Broadcast a frame expected to be batch-sized; falls back to the
-    * plain frame above the hint threshold semantics (Spark ignores the
-    * hint when the plan can't broadcast). */
-  private def broadcastIfSmall(df: DataFrame): DataFrame =
-    org.apache.spark.sql.functions.broadcast(df)
+  /** Bounded component repair after a delete (VERDICT r11 item 5 — the
+    * pre-r12 behaviour dropped the whole label table). Deletion can
+    * only SPLIT the components the removed rows touched: re-run CC over
+    * just those components' SURVIVING vertices against the
+    * already-rewritten edge table and splice the result over the
+    * affected rows. Unaffected components are byte-identical to what a
+    * rebuild would say (their vertex sets, edges, and min-id labels are
+    * untouched), and the affected recompute IS the rebuild restricted
+    * to its subgraph — so repair ≡ [[refreshComponents]] row for row
+    * (GraphAppendSpec pins it) at a cost ∝ affected component mass plus
+    * the O(V) narrow rewrite every component write pays, never CC over
+    * the corpus. The src-probe of the edge table is complete because an
+    * edge never crosses a component boundary, and it rides the src
+    * bucketing. */
+  private def repairComponents(
+      spark: SparkSession, name: String,
+      labels: DataFrame, removedIds: Option[DataFrame]): Unit = {
+    import org.apache.spark.sql.functions._
+    val comp = readComponents(spark, name)
+    val lbl = broadcastIfSmall(labels)
+    val inAffected = comp.join(lbl, comp("component") === lbl("_lbl"), "left_semi")
+      .select(col("id"))
+    val survivors = removedIds.fold(inAffected)(ids =>
+        inAffected.join(ids, Seq("id"), "left_anti"))
+      // bounded by the affected component mass; feeds the CC rounds AND
+      // the splice below
+      .localCheckpoint()
+    val subEdges = spark.table(s"${name}_edges")
+      .join(survivors.select(col("id").as("src")), Seq("src"), "left_semi")
+    val repaired = componentsOf(Graph(survivors, subEdges, directed = true))
+    // LAZY: the staged write reads the live component table
+    val next = comp.join(lbl, comp("component") === lbl("_lbl"), "left_anti")
+      .unionByName(repaired)
+    val buckets = tableBuckets(spark, s"${name}_components")
+    CatalogTables.stagedOverwrite(spark, s"${name}_components") { t =>
+      next.write.mode("overwrite")
+        .bucketBy(buckets, "id").sortBy("id")
+        .saveAsTable(t)
+    }
+  }
+
+  /** Broadcast a frame only when it is ACTUALLY small. `broadcast()` is
+    * an unconditional hint — it bypasses autoBroadcastJoinThreshold
+    * entirely, so hinting an unexpectedly large frame builds the whole
+    * hashed relation on the driver (an OOM, not just a slow plan). The
+    * explicit row gate is therefore the memory guard; callers pass a
+    * PINNED frame so the count is a cheap block scan, not a recompute. */
+  private def broadcastIfSmall(df: DataFrame, maxRows: Long = 500000L): DataFrame =
+    if (df.count() <= maxRows) org.apache.spark.sql.functions.broadcast(df) else df
 
   /** Rebuild the degree cache from the stored edge table — the recovery
     * path after a crash between [[appendEdges]]'s two writes. One
     * exchange-free pass (the aggregates key on the bucketed `src`/`dst`
     * — only the full-outer merge shuffles, and only vertex-sized
     * frames). */
-  def refreshDegrees(spark: SparkSession, name: String): Unit = {
-    val d = degreesOf(spark.table(s"${name}_edges")).localCheckpoint()
-    CatalogTables.prepareOverwrite(spark, s"${name}_degrees")
-    d.write.mode("overwrite")
-      .bucketBy(tableBuckets(spark, s"${name}_edges"), "id").sortBy("id")
-      .saveAsTable(s"${name}_degrees")
+  def refreshDegrees(spark: SparkSession, name: String): Unit = crudLock.synchronized {
+    val d = degreesOf(spark.table(s"${name}_edges"))
+    CatalogTables.stagedOverwrite(spark, s"${name}_degrees") { t =>
+      d.write.mode("overwrite")
+        .bucketBy(tableBuckets(spark, s"${name}_edges"), "id").sortBy("id")
+        .saveAsTable(t)
+    }
+  }
+
+  /** Build the opt-in maintained PAGERANK table `<name>_ranks` — the
+    * lifecycle's first derived ANALYTIC (degrees/components are derived
+    * STRUCTURE): one cold power iteration over the stored graph, ranks
+    * stored id-bucketed beside the degree table. Appends do NOT advance
+    * it per batch (rank is a global fixpoint — every batch would pay
+    * full iterations); instead [[refreshRanks]] WARM-STARTS from the
+    * stored vector after a batch (or burst) of appends, re-converging
+    * in the few rounds the perturbation actually needs rather than the
+    * ~10 a cold start pays. The fixpoint of the PageRank system is
+    * unique, so warm ≡ cold within the convergence tolerance
+    * (GraphAppendSpec pins it; BASELINE.md carries measured round
+    * counts). Until refreshed, the stored ranks are the PRE-append
+    * ranks — stale the way any materialized analytic is, never silently
+    * wrong about what they ranked. */
+  def buildRanks(
+      spark: SparkSession, name: String,
+      damping: Double = 0.85, maxIterations: Int = 10,
+      tolerance: Option[Double] = None): Unit = crudLock.synchronized {
+    val g = readBucketed(spark, name)
+    writeRanks(spark, name, rankEngine(damping, maxIterations, tolerance).run(g))
+  }
+
+  /** The maintained rank table: (id, rank), always the result of the
+    * last [[buildRanks]]/[[refreshRanks]] over the then-current graph. */
+  def readRanks(spark: SparkSession, name: String): DataFrame =
+    spark.table(s"${name}_ranks")
+
+  /** Re-converge the maintained ranks after appends, warm-starting from
+    * the stored vector: new vertices seed at uniform mass, the vector
+    * renormalizes to a distribution, and the iteration stops at
+    * `tolerance` — typically 2-3 rounds for a small append vs ~10 cold
+    * (BASELINE.md). Converges to the same fixpoint as a cold
+    * [[buildRanks]] (unique solution of the linear system), so staleness
+    * repair costs rounds ∝ perturbation, not graph history. */
+  def refreshRanks(
+      spark: SparkSession, name: String,
+      damping: Double = 0.85, maxIterations: Int = 10,
+      tolerance: Option[Double] = Some(1e-9)): Unit = crudLock.synchronized {
+    val g = readBucketed(spark, name)
+    writeRanks(spark, name,
+      rankEngine(damping, maxIterations, tolerance)
+        .runFrom(g, readRanks(spark, name)))
+  }
+
+  private def rankEngine(
+      damping: Double, maxIterations: Int, tolerance: Option[Double]) =
+    graft.algorithms.PageRank(damping, maxIterations, tolerance,
+      // the routing table re-reads the bucketed edge layout with zero
+      // exchange each round instead of re-shuffling a checkpointed copy
+      staticCheckpoint = Some(graft.core.CheckpointPolicy.Passthrough))
+
+  private def writeRanks(spark: SparkSession, name: String, ranks: DataFrame): Unit = {
+    // PageRank's result is already pinned by its per-round checkpoint
+    // policy; the staged write never reads the live rank table anyway
+    CatalogTables.stagedOverwrite(spark, s"${name}_ranks") { t =>
+      ranks.write.mode("overwrite")
+        .bucketBy(tableBuckets(spark, s"${name}_edges"), "id").sortBy("id")
+        .saveAsTable(t)
+    }
   }
 
   /** Streaming face of [[appendEdges]] — continuous edge ingest into the

@@ -18,7 +18,7 @@ import graft.sources.GraphIO
 class GraphAppendSpec extends SparkSpec {
 
   private def drop(name: String): Unit =
-    Seq("vertices", "edges", "degrees", "components").foreach(t =>
+    Seq("vertices", "edges", "degrees", "components", "ranks").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
 
   private def rawVerts(ids: Seq[String]): DataFrame = {
@@ -286,8 +286,11 @@ class GraphAppendSpec extends SparkSpec {
       assert(rowSet(got.vertices) === rowSet(rebuilt.vertices))
       assert(rowSet(GraphIO.readDegrees(spark, "ap_del")) ===
         rowSet(GraphIO.degreesOf(rebuilt.edges)))
-      // deletion can split components -> the label table fails loudly
-      assert(!spark.catalog.tableExists("ap_del_components"))
+      // deletion SPLITS a component here (b->c and a->c both went, so
+      // {a,b} and {c,d,e} part ways) — the bounded repair must say
+      // exactly what a rebuild-without would
+      assert(rowSet(GraphIO.readComponents(spark, "ap_del")) ===
+        rowSet(GraphIO.componentsOf(rebuilt)))
 
       // idempotent: redelivering the delete changes nothing
       GraphIO.deleteEdges(spark, "ap_del", rawEdges(del))
@@ -297,13 +300,16 @@ class GraphAppendSpec extends SparkSpec {
         rowSet(GraphIO.degreesOf(rebuilt.edges)))
 
       // a deleted edge is physically gone, so appending it back restores
-      // the ORIGINAL graph (content keying gives it the same edge_id)
+      // the ORIGINAL graph (content keying gives it the same edge_id) —
+      // and the append's label-merge heals the split components too
       GraphIO.appendEdges(spark, "ap_del", rawEdges(Seq(("b", "c"), ("a", "c"))))
       val orig = Graph.index(rawVerts(v0), rawEdges(e0), directed = true)
       assert(rowSet(GraphIO.readBucketed(spark, "ap_del").edges) ===
         rowSet(orig.edges))
       assert(rowSet(GraphIO.readDegrees(spark, "ap_del")) ===
         rowSet(GraphIO.degreesOf(orig.edges)))
+      assert(rowSet(GraphIO.readComponents(spark, "ap_del")) ===
+        rowSet(GraphIO.componentsOf(orig)))
     } finally drop("ap_del")
   }
 
@@ -326,15 +332,15 @@ class GraphAppendSpec extends SparkSpec {
       assert(rowSet(got.edges) === rowSet(rebuilt.edges))
       assert(rowSet(GraphIO.readDegrees(spark, "ap_gdpr")) ===
         rowSet(GraphIO.degreesOf(rebuilt.edges)))
-      assert(!spark.catalog.tableExists("ap_gdpr_components"))
+      // the cascade SPLITS the hub's component and erases the subject's
+      // own label row — the bounded repair ≡ rebuild-without
+      assert(rowSet(GraphIO.readComponents(spark, "ap_gdpr")) ===
+        rowSet(GraphIO.componentsOf(rebuilt)))
 
       // idempotent redelivery
       GraphIO.deleteVertices(spark, "ap_gdpr", rawVerts(Seq("c")))
       assert(rowSet(GraphIO.readBucketed(spark, "ap_gdpr").vertices) ===
         rowSet(rebuilt.vertices))
-
-      // the component table rebuilds on demand over the survivors
-      GraphIO.buildComponents(spark, "ap_gdpr")
       assert(rowSet(GraphIO.readComponents(spark, "ap_gdpr")) ===
         rowSet(GraphIO.componentsOf(rebuilt)))
     } finally drop("ap_gdpr")
@@ -395,6 +401,102 @@ class GraphAppendSpec extends SparkSpec {
       spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "true")
       drop("ap_dplan")
     }
+  }
+
+  test("property: component repair under random deletes ≡ rebuild-without, always") {
+    // the bounded-repair contract stressed generatively: random base
+    // graphs, then a random mix of edge deletes (splitting or not) and
+    // vertex cascades, checking the maintained label table against a
+    // full rebuild after EVERY mutation
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(100 + seed)
+      val ids = ('a' to 'j').map(_.toString)
+      def edge() = (ids(rnd.nextInt(ids.size)), ids(rnd.nextInt(ids.size)))
+      var edges = Seq.fill(8 + rnd.nextInt(8))(edge()).distinct
+      var verts = ids
+      val name = s"ap_rdel$seed"
+      GraphIO.writeBucketed(
+        Graph.index(rawVerts(verts), rawEdges(edges), directed = true),
+        name, buckets = 4)
+      try {
+        GraphIO.buildComponents(spark, name)
+        for (_ <- 1 to 3) {
+          if (rnd.nextBoolean() && edges.nonEmpty) {
+            val del = rnd.shuffle(edges).take(1 + rnd.nextInt(2))
+            GraphIO.deleteEdges(spark, name, rawEdges(del ++ Seq(("zz", "zz"))))
+            edges = edges.filterNot(del.contains)
+          } else if (verts.size > 2) {
+            val v = verts(rnd.nextInt(verts.size))
+            GraphIO.deleteVertices(spark, name, rawVerts(Seq(v)))
+            verts = verts.filterNot(_ == v)
+            edges = edges.filterNot(e => e._1 == v || e._2 == v)
+          }
+          val rebuilt = Graph.index(rawVerts(verts), rawEdges(edges), directed = true)
+          assert(rowSet(GraphIO.readComponents(spark, name)) ===
+            rowSet(GraphIO.componentsOf(rebuilt)), s"seed $seed labels")
+          assert(rowSet(GraphIO.readDegrees(spark, name)) ===
+            rowSet(GraphIO.degreesOf(rebuilt.edges)), s"seed $seed degrees")
+        }
+      } finally drop(name)
+    }
+  }
+
+  test("maintained ranks: warm restart after an append ≡ cold rebuild within tolerance") {
+    // a chain plus a disconnected pair; the append attaches the pair —
+    // a real perturbation, not a no-op
+    val v0 = Seq("a", "b", "c", "d", "e", "f")
+    val e0 = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"))
+    val tol = 1e-10
+    GraphIO.writeBucketed(
+      Graph.index(rawVerts(v0), rawEdges(e0), directed = true), "ap_rank", buckets = 4)
+    try {
+      GraphIO.buildRanks(spark, "ap_rank", maxIterations = 60, tolerance = Some(tol))
+      val before = GraphIO.readRanks(spark, "ap_rank")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+      GraphIO.appendEdges(spark, "ap_rank", rawEdges(Seq(("d", "e"))))
+      // stored ranks are the PRE-append vector until refreshed (stale,
+      // not wrong): unchanged by the append itself
+      val stale = GraphIO.readRanks(spark, "ap_rank")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(stale === before)
+
+      GraphIO.refreshRanks(spark, "ap_rank",
+        maxIterations = 60, tolerance = Some(tol))
+      val warm = GraphIO.readRanks(spark, "ap_rank")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+      val rebuilt = Graph.index(
+        rawVerts(v0), rawEdges(e0 :+ ("d", "e")), directed = true)
+      val cold = graft.algorithms.PageRank(
+        maxIterations = 60, tolerance = Some(tol)).run(rebuilt)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+      assert(warm.keySet === cold.keySet)
+      // unique fixpoint: both stopped within tol of it, so they agree
+      // to a small multiple of tol
+      warm.foreach { case (id, r) =>
+        assert(math.abs(r - cold(id)) < 50 * tol, s"vertex $id warm=$r cold=${cold(id)}")
+      }
+      // mass conserved
+      assert(math.abs(warm.values.sum - 1.0) < 1e-6)
+    } finally drop("ap_rank")
+  }
+
+  test("PageRank.runFrom with the uniform vector ≡ run, bit for bit") {
+    import spark.implicits._
+    val g = Graph.index(
+      rawVerts(Seq("a", "b", "c", "d")),
+      rawEdges(Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))),
+      directed = true)
+    val n = 4.0
+    val uniform = g.vertices.select(col("id"), lit(1.0 / n).as("rank"))
+    val pr = graft.algorithms.PageRank(maxIterations = 5)
+    val a = pr.run(g).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = pr.runFrom(g, uniform).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the seeded vector normalizes to exactly the uniform start (sum is
+    // exactly 1.0 in binary for n=4), so every round replays identically
+    assert(a === b)
   }
 
   test("appendEdgesStream: micro-batches fold in; redelivery appends nothing") {
