@@ -50,6 +50,12 @@ final case class PageRank(
 
   val RANK = "rank"
 
+  /** Rounds the last run/runFrom actually executed — the observable the
+    * warm-start story is measured by (a warm restart after a small
+    * append should re-converge in a small fraction of the cold count;
+    * BASELINE.md records it). Diagnostic only, set after each run. */
+  @volatile private[graft] var lastIterations: Int = 0
+
   private def pinStatic(df: DataFrame): DataFrame =
     staticCheckpoint.getOrElse(checkpoint).pin(df)
 
@@ -161,6 +167,7 @@ final case class PageRank(
       rank = pinned
       i += 1
     }
+    lastIterations = i
     rank
   }
 

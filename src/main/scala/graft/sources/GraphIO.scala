@@ -648,13 +648,16 @@ object GraphIO {
     * (GraphAppendSpec pins it; BASELINE.md carries measured round
     * counts). Until refreshed, the stored ranks are the PRE-append
     * ranks — stale the way any materialized analytic is, never silently
-    * wrong about what they ranked. */
+    * wrong about what they ranked. Returns the executed round count
+    * (as does [[refreshRanks]] — the warm-vs-cold observable). */
   def buildRanks(
       spark: SparkSession, name: String,
       damping: Double = 0.85, maxIterations: Int = 10,
-      tolerance: Option[Double] = None): Unit = crudLock.synchronized {
+      tolerance: Option[Double] = None): Int = crudLock.synchronized {
     val g = readBucketed(spark, name)
-    writeRanks(spark, name, rankEngine(damping, maxIterations, tolerance).run(g))
+    val pr = rankEngine(damping, maxIterations, tolerance)
+    writeRanks(spark, name, pr.run(g))
+    pr.lastIterations
   }
 
   /** The maintained rank table: (id, rank), always the result of the
@@ -672,11 +675,11 @@ object GraphIO {
   def refreshRanks(
       spark: SparkSession, name: String,
       damping: Double = 0.85, maxIterations: Int = 10,
-      tolerance: Option[Double] = Some(1e-9)): Unit = crudLock.synchronized {
+      tolerance: Option[Double] = Some(1e-9)): Int = crudLock.synchronized {
     val g = readBucketed(spark, name)
-    writeRanks(spark, name,
-      rankEngine(damping, maxIterations, tolerance)
-        .runFrom(g, readRanks(spark, name)))
+    val pr = rankEngine(damping, maxIterations, tolerance)
+    writeRanks(spark, name, pr.runFrom(g, readRanks(spark, name)))
+    pr.lastIterations
   }
 
   private def rankEngine(

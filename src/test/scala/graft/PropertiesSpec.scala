@@ -59,6 +59,26 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("salted Pregel CC ≡ unsalted, row for row (random graphs + a planted hub)") {
+    // the skew lever must change the aggregation tree shape ONLY: the
+    // two-level (recipient, salt) max composes to the same per-vertex
+    // max because min (the CC aggregate) is associative-commutative —
+    // SkewStress measures the wall-profile side at corpus scale
+    for (seed <- seeds.take(4)) {
+      val edges = randomEdges(seed)
+      val g = graphOf(edges, directed = false)
+      val plain = ConnectedComponents(maxIterations = 10).run(g)
+      val salted = ConnectedComponents(maxIterations = 10, saltBuckets = 8).run(g)
+      assert(rowSet(plain) === rowSet(salted), s"seed $seed: $edges")
+    }
+    // a star hub: every round funnels all leaf messages to one vertex —
+    // the planted-skew shape the salt exists for
+    val star = (1L to 200L).map(i => (0L, i))
+    val sg = graphOf(star, directed = false)
+    assert(rowSet(ConnectedComponents(maxIterations = 10).run(sg)) ===
+      rowSet(ConnectedComponents(maxIterations = 10, saltBuckets = 8).run(sg)))
+  }
+
   test("jaccard/overlap are in [0,1], symmetric, and overlap >= jaccard") {
     for (seed <- seeds.take(4)) {
       val edges = randomEdges(seed)
