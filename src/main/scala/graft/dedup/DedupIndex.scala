@@ -65,17 +65,7 @@ object DedupIndex {
       * Output (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
       */
     def pairs(threshold: Double, maxBucketSize: Int = 0): DataFrame = {
-      val b =
-        if (maxBucketSize <= 0) buckets
-        else {
-          // hot-bucket cap, the minhashDuplicates device: drop buckets
-          // whose candidate contribution would be quadratic
-          val hot = buckets.groupBy(col("band"), col("bucket"))
-            .agg(count(lit(1)).as("_n"))
-            .filter(col("_n") > maxBucketSize)
-            .select(col("band"), col("bucket"))
-          buckets.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-        }
+      val b = cappedBuckets(buckets, maxBucketSize)
       val cands = b.as("x")
         .join(b.as("y"),
           col("x.band") === col("y.band") &&
@@ -93,6 +83,31 @@ object DedupIndex {
         .filter(col("jaccard") >= threshold)
     }
 
+    /** REPRESENTATIVE-level near-dup cluster map: (id, cluster_id), one
+      * row per representative, cluster_id = the minimum representative
+      * id of the connected near-dup component (singletons label
+      * themselves). The full-closure build of the maintained cluster
+      * table ([[DedupIndex.buildNearClusters]]); [[clusterAssign]] is
+      * this exploded to exact copies. Min-id labels are deterministic,
+      * which is what makes the incremental advance
+      * ([[DedupIndex.advanceClusters]]) provably ≡ this rebuilt.
+      */
+    def nearClusters(
+        threshold: Double,
+        maxBucketSize: Int = 0,
+        maxIterations: Int = 20): DataFrame = {
+      import graft.core.{Columns, Graph}
+      val reps = clusters.select(col("keep_id").as(Columns.ID))
+      val edges = pairs(threshold, maxBucketSize)
+        .select(col("id_a").as(Columns.SRC), col("id_b").as(Columns.DST))
+      val cc = graft.algorithms.AlternatingConnectedComponents(maxIterations)
+        .run(Graph(reps, edges, directed = false))
+      reps
+        .join(cc, Seq(Columns.ID), "left")
+        .select(col(Columns.ID).as("id"),
+          coalesce(col(Columns.COMPONENT), col(Columns.ID)).as("cluster_id"))
+    }
+
     /** Fuzzy-dedup cluster assignment — [[Dedup.nearDupClusters]] from
       * the stored index: connected components over the near-dup pair
       * graph among representatives, then every exact copy inherits its
@@ -103,20 +118,31 @@ object DedupIndex {
         threshold: Double,
         idColOut: String,
         maxBucketSize: Int = 0,
-        maxIterations: Int = 20): DataFrame = {
-      import graft.core.{Columns, Graph}
-      val reps = clusters.select(col("keep_id").as(Columns.ID), col("ids"))
-      val edges = pairs(threshold, maxBucketSize)
-        .select(col("id_a").as(Columns.SRC), col("id_b").as(Columns.DST))
-      val cc = graft.algorithms.AlternatingConnectedComponents(maxIterations)
-        .run(Graph(reps.select(col(Columns.ID)), edges, directed = false))
-      reps
-        .join(cc, Seq(Columns.ID), "left")
-        .select(
-          explode(col("ids")).as(idColOut),
-          coalesce(col(Columns.COMPONENT), col(Columns.ID)).as("cluster_id"))
-    }
+        maxIterations: Int = 20): DataFrame =
+      clusterAssignFrom(
+        nearClusters(threshold, maxBucketSize, maxIterations), idColOut)
+
+    /** [[clusterAssign]] from an ALREADY-BUILT representative-level
+      * cluster map — the consumer face of the maintained table
+      * ([[DedupIndex.readNearClusters]]): every exact copy inherits its
+      * representative's cluster, no pair generation, no CC. */
+    def clusterAssignFrom(ncl: DataFrame, idColOut: String): DataFrame =
+      clusters.select(col("keep_id").as("id"), col("ids"))
+        .join(ncl, Seq("id"))
+        .select(explode(col("ids")).as(idColOut), col("cluster_id"))
   }
+
+  /** The hot-bucket cap, the [[Dedup.minhashDuplicates]] device: drop
+    * buckets whose candidate contribution would be quadratic. */
+  private def cappedBuckets(buckets: DataFrame, maxBucketSize: Int): DataFrame =
+    if (maxBucketSize <= 0) buckets
+    else {
+      val hot = buckets.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > maxBucketSize)
+        .select(col("band"), col("bucket"))
+      buckets.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    }
 
   /** Build the index frames from a corpus. `checkpoint` pins all three
     * (the default `Local` is right when the index is consumed in the
@@ -180,7 +206,20 @@ object DedupIndex {
     */
   def merge(
       old: Index, newDocs: DataFrame, idCol: String, textCol: String,
-      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): Index = {
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): Index =
+    mergeDetailed(old, newDocs, idCol, textCol, checkpoint).index
+
+  /** [[merge]]'s working parts, exposed for the incremental consumers:
+    * `rekey` is the (old rep id -> new rep id) rewrite map (batch-
+    * bounded: only groups where the batch undercut the stored
+    * representative), `newRepIds` the genuinely-new representatives —
+    * exactly what [[advanceClusters]] needs to stay batch-sized. */
+  final case class MergeResult(
+      index: Index, rekey: DataFrame, newRepIds: DataFrame)
+
+  def mergeDetailed(
+      old: Index, newDocs: DataFrame, idCol: String, textCol: String,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): MergeResult = {
     val newGroups = newDocs
       .select(col(idCol).as("id"), sha2(col(textCol), 256).as("sha"))
       .groupBy(col("sha"))
@@ -228,11 +267,117 @@ object DedupIndex {
         explode(Dedup.lshBuckets(col("sig"), old.bands,
           old.numHashes / old.bands)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"), col("id"))
-    Index(
-      clusters,
-      checkpoint.pin(rekeyed(old.shingles).unionByName(newShs)),
-      checkpoint.pin(rekeyed(old.buckets).unionByName(newBks)),
-      old.shingleSize, old.numHashes, old.bands)
+    MergeResult(
+      Index(
+        clusters,
+        checkpoint.pin(rekeyed(old.shingles).unionByName(newShs)),
+        checkpoint.pin(rekeyed(old.buckets).unionByName(newBks)),
+        old.shingleSize, old.numHashes, old.bands),
+      rekey.localCheckpoint(),
+      newReps.select(col(idCol).as("id")).localCheckpoint())
+  }
+
+  /** Advance a representative-level near-dup cluster table across a
+    * [[mergeDetailed]] — the [[graft.sources.GraphIO]] component-merge
+    * device transplanted to the dedup family (VERDICT r11 item 2):
+    * appending documents only ever ADDS near-dup pairs, and new pairs
+    * only ever MERGE clusters, so the full CC closure
+    * ([[Index.nearClusters]], the d35-standalone 133 s at 100x) never
+    * re-runs. Per batch:
+    *
+    *  1. REKEY — where the batch undercut a stored representative id,
+    *     rewrite both the key and the label columns through the
+    *     (batch-bounded, broadcast) rekey map: min-id labels track the
+    *     id bijection exactly, so this is a rename, not a recompute;
+    *  2. PROBE — LSH candidates for the batch's new representatives
+    *     against the merged bucket table (new x old AND new x new; the
+    *     stored side rides its (band, bucket) bucketing in the
+    *     persisted face), verified by exact Jaccard over the merged
+    *     shingles — signature work was already batch-sized in the merge;
+    *  3. MERGE — map the verified pairs' endpoints to their CURRENT
+    *     labels, run CC over the tiny label-merge graph (≤ 2·batch
+    *     nodes), and relabel the O(reps) narrow table through the
+    *     broadcast old→new mapping. A batch that merges nothing skips
+    *     the relabel.
+    *
+    * Advance ≡ whole-rebuild on cluster ids (TextDedupSpec pins it):
+    * pairs among OLD representatives are a pure function of their
+    * unchanged texts, new pairs all touch a new representative — the
+    * probe's exact candidate set — and min-label CC is confluent under
+    * edge arrival order. With a hot-bucket cap the maintained table is
+    * the stronger artifact: the cap applies to each batch's probe as
+    * buckets stood THEN, so pairs verified before a bucket crossed the
+    * cap keep contributing, where a capped rebuild would drop them
+    * (recall(maintained) ⊇ recall(capped rebuild); equality is exact in
+    * the uncapped setting).
+    */
+  def advanceClusters(
+      m: MergeResult,
+      oldClusters: DataFrame,
+      threshold: Double,
+      maxBucketSize: Int = 0,
+      maxIterations: Int = 20): DataFrame = {
+    import graft.core.{Columns, Graph}
+    val rk = m.rekey
+    // 1. rekey both columns (two broadcast lookups, one narrow pass)
+    val k1 = rk.select(col("_oldid").as("_ko"), col("_newid").as("_kn"))
+    val k2 = rk.select(col("_oldid").as("_lo"), col("_newid").as("_ln"))
+    val rekeyedC = oldClusters
+      .join(broadcast(k1), oldClusters("id") === col("_ko"), "left")
+      .join(broadcast(k2), oldClusters("cluster_id") === col("_lo"), "left")
+      .select(
+        coalesce(col("_kn"), oldClusters("id")).as("id"),
+        coalesce(col("_ln"), oldClusters("cluster_id")).as("cluster_id"))
+    // new representatives start as their own singleton cluster
+    val cur = rekeyedC.unionByName(
+      m.newRepIds.select(col("id"), col("id").as("cluster_id")))
+    // 2. LSH probe: candidates touching a NEW representative, against
+    // the merged bucket table (hot-bucket cap applied to the buckets as
+    // they stand NOW — the batch-probe recall contract above)
+    val probe = cappedBuckets(m.index.buckets, maxBucketSize)
+    val nb = probe.join(m.newRepIds, Seq("id"), "left_semi")
+    val cands = nb.as("x")
+      .join(probe.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.id") =!= col("y.id"))
+      .select(
+        least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"))
+      .distinct()
+    val sh = m.index.shingles
+    val newPairs = cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .filter(
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    // 3. label-merge graph over CURRENT labels — batch-sized
+    val touched = newPairs
+      .join(cur.select(col("id").as("id_a"), col("cluster_id").as("_la")), Seq("id_a"))
+      .join(cur.select(col("id").as("id_b"), col("cluster_id").as("_lb")), Seq("id_b"))
+      .select(col("_la"), col("_lb"))
+      .filter(col("_la") =!= col("_lb"))
+      .distinct()
+      .localCheckpoint()
+    if (touched.isEmpty) cur
+    else {
+      val mergeEdges = touched
+        .select(col("_la").as(Columns.SRC), col("_lb").as(Columns.DST))
+        .withColumn(Columns.EDGE_ID, xxhash64(col(Columns.SRC), col(Columns.DST)))
+      val mergeVerts = mergeEdges.select(col(Columns.SRC).as(Columns.ID))
+        .union(mergeEdges.select(col(Columns.DST))).distinct()
+      val mapping = graft.algorithms.AlternatingConnectedComponents(
+          maxIterations, requireConvergence = true)
+        .run(Graph(mergeVerts, mergeEdges, directed = false))
+        .filter(col(Columns.ID) =!= col(Columns.COMPONENT))
+        .select(col(Columns.ID).as("_old"), col(Columns.COMPONENT).as("_new"))
+        .localCheckpoint()
+      cur.join(broadcast(mapping), cur("cluster_id") === col("_old"), "left")
+        .select(col("id"),
+          coalesce(col("_new"), col("cluster_id")).as("cluster_id"))
+    }
   }
 
   /** Streaming face of [[merge]] — the daily-append lifecycle run
@@ -279,10 +424,76 @@ object DedupIndex {
           .groupBy(col(idCol))
           .agg(min(col(textCol)).as(textCol))
           .join(known, Seq(idCol), "left_anti")
-        if (!fresh.isEmpty) {
-          writeBucketed(merge(idx, fresh, idCol, textCol), name, numBuckets)
-        }
+        if (!fresh.isEmpty) mergeBucketed(spark, name, fresh, idCol, textCol, numBuckets)
     }
+
+  /** Fold a batch of NEW documents into the PERSISTED index tables —
+    * the batch face [[mergeStream]] wraps: read → [[mergeDetailed]] →
+    * [[writeBucketed]], and, when [[buildNearClusters]] has opted the
+    * graph in, the batch-sized [[advanceClusters]] of the maintained
+    * cluster table (its staged overwrite reads the live table while
+    * writing the replacement, the [[graft.sources.CatalogTables]]
+    * device). Callers own the exactly-once guard (drop ids already
+    * indexed — the [[mergeStream]] anti-join). */
+  def mergeBucketed(
+      spark: SparkSession, name: String, newDocs: DataFrame,
+      idCol: String, textCol: String, numBuckets: Int = 32): Unit = {
+    val idx = readBucketed(spark, name)
+    val m = mergeDetailed(idx, newDocs, idCol, textCol)
+    val nclT = s"${name}_nearclusters"
+    val advanced =
+      if (!spark.catalog.tableExists(nclT)) None
+      else {
+        val meta = spark.table(s"${name}_nclmeta").head()
+        // pinned: the writeBucketed below overwrites the bucket/shingle
+        // tables; the merge frames the advance probes are themselves
+        // pinned, but the advance output must not replan against the
+        // rewritten tables either
+        Some(advanceClusters(m, spark.table(nclT),
+          threshold = meta.getDouble(0), maxBucketSize = meta.getInt(1))
+          .localCheckpoint())
+      }
+    writeBucketed(m.index, name, numBuckets)
+    advanced.foreach { a =>
+      graft.sources.CatalogTables.stagedOverwrite(spark, nclT) { t =>
+        a.write.mode("overwrite")
+          .bucketBy(numBuckets, "id").sortBy("id").saveAsTable(t)
+      }
+    }
+  }
+
+  /** Build the OPT-IN maintained near-dup cluster table of a persisted
+    * index: one full [[Index.nearClusters]] closure (the expensive CC
+    * over the whole pair graph — the 133 s d35-standalone cost at 100x,
+    * BASELINE.md), stored id-bucketed as `<name>_nearclusters` with its
+    * parameters in `<name>_nclmeta`. Once present, [[mergeBucketed]] /
+    * [[mergeStream]] advance it per batch ([[advanceClusters]]) — the
+    * closure never re-runs. Consumers read it back with
+    * [[readNearClusters]] and explode to documents via
+    * [[Index.clusterAssignFrom]]. */
+  def buildNearClusters(
+      spark: SparkSession, name: String, threshold: Double,
+      maxBucketSize: Int = 0, numBuckets: Int = 32): Unit = {
+    import spark.implicits._
+    val ncl = readBucketed(spark, name)
+      .nearClusters(threshold, maxBucketSize)
+      .localCheckpoint()
+    graft.sources.CatalogTables.stagedOverwrite(spark, s"${name}_nearclusters") { t =>
+      ncl.write.mode("overwrite")
+        .bucketBy(numBuckets, "id").sortBy("id").saveAsTable(t)
+    }
+    graft.sources.CatalogTables.stagedOverwrite(spark, s"${name}_nclmeta") { t =>
+      Seq((threshold, maxBucketSize)).toDF("threshold", "max_bucket_size")
+        .coalesce(1).write.mode("overwrite").saveAsTable(t)
+    }
+  }
+
+  /** The maintained representative-level cluster table — always ≡
+    * `readBucketed(name).nearClusters(threshold)` rebuilt, across any
+    * sequence of merges (TextDedupSpec pins it; see [[advanceClusters]]
+    * for the capped-recall nuance). */
+  def readNearClusters(spark: SparkSession, name: String): DataFrame =
+    spark.table(s"${name}_nearclusters")
 
   private def metaFrame(idx: Index): DataFrame = {
     val spark = idx.clusters.sparkSession

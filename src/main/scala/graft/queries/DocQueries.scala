@@ -395,6 +395,31 @@ object DocQueries {
           round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    "d36_incremental_clusters" -> ((s, d) => {
+      // the INCREMENTAL near-dup cluster lifecycle under the value gate
+      // (VERDICT r11 item 2 — g58's dedup twin): index 90% of the
+      // corpus, persist it bucketed, pay the full cluster closure ONCE
+      // (buildNearClusters), fold the remaining 10% in through
+      // mergeBucketed — which advances the maintained table by LSH
+      // pairs for the batch + CC over the batch-sized label-merge graph
+      // + a broadcast relabel, never re-running the closure — and read
+      // the maintained assignment back. Oracle = the full-corpus
+      // recursive min-label closure (d12's), because advance ≡
+      // whole-rebuild on cluster ids is the lifecycle's contract
+      // (TextDedupSpec pins it batch by batch).
+      import graft.dedup.DedupIndex
+      val docs0 = documents(s, d)
+      val base = docs0.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+      val batch = docs0.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+      val name = s"d36ncl_${d.hashCode & 0x7fffffff}"
+      DedupIndex.writeBucketed(
+        DedupIndex.build(base, "doc_id", "text"), name)
+      DedupIndex.buildNearClusters(s, name, threshold = 0.4)
+      DedupIndex.mergeBucketed(s, name, batch, "doc_id", "text")
+      DedupIndex.readBucketed(s, name)
+        .clusterAssignFrom(DedupIndex.readNearClusters(s, name), "doc_id")
+    }),
+
     "d13_mixture_sample" -> ((s, d) => {
       // corpus composition ("data mixing"): deterministic per-source
       // Bernoulli sampling at source-specific rates — upsample curated
@@ -1767,6 +1792,12 @@ object DocQueries {
     // then a recursive min-label closure (= connected components), then
     // every doc mapped through its exact-dedup representative
     "d12_neardup_clusters" ->
+      ("WITH RECURSIVE\n" + clusterClosureSql + "\n" +
+        "SELECT m.doc_id, c.cluster_id FROM mem m JOIN comp c ON c.id = m.rep"),
+    // the incremental lifecycle's contract IS d12's full closure: the
+    // maintained table advanced over the 90/10 split must say exactly
+    // what a whole-corpus rebuild says
+    "d36_incremental_clusters" ->
       ("WITH RECURSIVE\n" + clusterClosureSql + "\n" +
         "SELECT m.doc_id, c.cluster_id FROM mem m JOIN comp c ON c.id = m.rep"),
     // the shared cluster closure + t02's bit-identical quality formula;

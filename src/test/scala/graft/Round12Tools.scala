@@ -240,6 +240,66 @@ object G58Phases {
   }
 }
 
+/** args: SF_DIR [BATCH_DOCS]. The incremental near-dup cluster
+  * lifecycle (VERDICT r11 item 2) at corpus scale: persisted index over
+  * the documents table, ONE full closure (`buildNearClusters` — the
+  * d35-standalone cost), then a batch of near-dup variants folded
+  * through `mergeBucketed` — the advance must cost ∝ batch + the
+  * O(reps) narrow relabel, never the closure. A second full closure is
+  * timed for the comparison row.
+  */
+object NearClusterStress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val batchN = if (args.length > 1) args(1).toInt else 1000
+    val spark = Round12Tools.session()
+    import graft.dedup.DedupIndex
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"NEARCLUSTER $label%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .localCheckpoint()
+    val name = "stress_ncl"
+    def dropAll(): Unit =
+      Seq("clusters", "shingles", "buckets", "meta", "nearclusters", "nclmeta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+    dropAll()
+    try {
+      timed(s"index-build(${docs.count()})") {
+        DedupIndex.writeBucketed(
+          DedupIndex.build(docs, "doc_id", "text"), name)
+      }
+      timed("closure-once") {
+        DedupIndex.buildNearClusters(spark, name, threshold = 0.4,
+          maxBucketSize = 64)
+      }
+      // batch: near-dup VARIANTS of existing docs under fresh ids —
+      // most verify as pairs and many fire live cluster merges
+      val batch = docs.orderBy(col("doc_id")).limit(batchN)
+        .select((col("doc_id") + 20000000000000L).as("doc_id"),
+          concat(col("text"), lit(" zz qq")).as("text"))
+        .localCheckpoint()
+      println(s"NEARCLUSTER batch=${batch.count()}")
+      timed("merge+advance") {
+        DedupIndex.mergeBucketed(spark, name, batch, "doc_id", "text")
+      }
+      val n = DedupIndex.readNearClusters(spark, name).count()
+      val c = DedupIndex.readNearClusters(spark, name)
+        .select(col("cluster_id")).distinct().count()
+      println(s"NEARCLUSTER reps=$n clusters=$c")
+      timed("closure-again") {
+        DedupIndex.buildNearClusters(spark, name, threshold = 0.4,
+          maxBucketSize = 64)
+      }
+    } finally dropAll()
+    spark.stop()
+  }
+}
+
 private object Round12Tools {
   def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

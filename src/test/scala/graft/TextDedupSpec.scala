@@ -530,6 +530,88 @@ class TextDedupSpec extends SparkSpec {
       rowSet(whole.clusterAssign(0.4, "doc_id")))
   }
 
+  test("advanceClusters: maintained map ≡ rebuilt closure across batches, merges fire") {
+    import graft.dedup.DedupIndex
+    // two far-apart clusters X and Y, plus an exact-copy pair
+    val tX = "aa bb cc dd ee ff gg hh ii jj"
+    val tY = "kk ll mm nn oo pp qq rr ss tt"
+    val base = docs(
+      1L -> tX, 2L -> tX,
+      5L -> tY,
+      7L -> "completely separate text about something else entirely here")
+    // batch 1: an undercut copy (0 < 1 — the rekey path: key AND label
+    // must follow), a near-dup of X (extends X's cluster), a new
+    // singleton
+    val b1 = docs(
+      0L -> tX,
+      12L -> "aa bb cc dd ee ff gg hh ii zz",
+      14L -> "nothing like anything indexed so far in this whole corpus")
+    // batch 2: a BRIDGE doc overlapping both X and Y — the transitive
+    // cluster merge the closure exists for (J(bridge, X) = J(bridge, Y)
+    // = 4/14 ≈ 0.286, so threshold 0.25; 64 bands of 2 rows make the
+    // LSH recall deterministic-certain at that similarity)
+    val b2 = docs(20L -> "aa bb cc dd ee ff kk ll mm nn oo pp")
+    val thr = 0.25
+    val idx0 = DedupIndex.build(base, "doc_id", "text", bands = 64)
+    val ncl0 = idx0.nearClusters(thr).localCheckpoint()
+
+    val m1 = DedupIndex.mergeDetailed(idx0, b1, "doc_id", "text")
+    val ncl1 = DedupIndex.advanceClusters(m1, ncl0, thr).localCheckpoint()
+    assert(rowSet(ncl1) === rowSet(m1.index.nearClusters(thr)),
+      "batch 1: advance must equal the closure rebuilt")
+    assert(rowSet(ncl1) === rowSet(
+      DedupIndex.build(base.unionByName(b1), "doc_id", "text", bands = 64)
+        .nearClusters(thr)),
+      "batch 1: and the closure of a whole-corpus rebuild")
+    // the rekey landed: X's cluster is labelled by the new minimum 0
+    val l1 = ncl1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l1(0L) === 0L && l1(12L) === 0L)
+
+    val m2 = DedupIndex.mergeDetailed(m1.index, b2, "doc_id", "text")
+    val ncl2 = DedupIndex.advanceClusters(m2, ncl1, thr).localCheckpoint()
+    assert(rowSet(ncl2) === rowSet(m2.index.nearClusters(thr)),
+      "batch 2: advance must equal the closure rebuilt")
+    // the bridge MERGED X and Y into one cluster labelled 0
+    val l2 = ncl2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2(5L) === 0L && l2(20L) === 0L,
+      s"bridge must merge X and Y: $l2")
+    // untouched singletons keep their labels
+    assert(l2(7L) === 7L && l2(14L) === 14L)
+  }
+
+  test("persisted near-cluster lifecycle: build once, advance per batch, read ≡ rebuild") {
+    import graft.dedup.DedupIndex
+    val tX = "aa bb cc dd ee ff gg hh ii jj"
+    val base = docs(
+      1L -> tX, 2L -> tX,
+      5L -> "kk ll mm nn oo pp qq rr ss tt",
+      7L -> "completely separate text about something else entirely here")
+    val batch = docs(
+      0L -> tX,
+      12L -> "aa bb cc dd ee ff gg hh ii zz")
+    val name = "ncl_life"
+    def dropAll(): Unit =
+      Seq("clusters", "shingles", "buckets", "meta", "nearclusters", "nclmeta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+    dropAll()
+    try {
+      DedupIndex.writeBucketed(
+        DedupIndex.build(base, "doc_id", "text"), name, numBuckets = 4)
+      DedupIndex.buildNearClusters(spark, name, threshold = 0.4, numBuckets = 4)
+      DedupIndex.mergeBucketed(spark, name, batch, "doc_id", "text", numBuckets = 4)
+      val got = DedupIndex.readNearClusters(spark, name)
+      val rebuilt = DedupIndex.readBucketed(spark, name).nearClusters(0.4)
+      assert(rowSet(got) === rowSet(rebuilt),
+        "maintained table must equal the closure over the merged index")
+      // and the document-level face explodes through the stored clusters
+      val assign = DedupIndex.readBucketed(spark, name)
+        .clusterAssignFrom(got, "doc_id")
+      val whole = DedupIndex.build(base.unionByName(batch), "doc_id", "text")
+        .clusterAssign(0.4, "doc_id")
+      assert(rowSet(assign) === rowSet(whole))
+    } finally dropAll()
+  }
+
   test("DocStream.fromDedupIndex probe equals the indexCorpusDeduped probe") {
     import graft.streaming.DocStream
     val corpus = docs(
