@@ -462,6 +462,186 @@ object DedupIndex {
     }
   }
 
+  /** [[deleteDetailed]]'s working parts: `touchedShas` the groups the
+    * batch actually named (empty → the whole delete is a no-op — the
+    * redelivery guard), `rekey` the (old rep id -> new rep id) map where
+    * the deleted id WAS the representative but copies survive, and
+    * `emptiedRepIds` the representatives whose whole group vanished
+    * (their text leaves the corpus — the only event that can change the
+    * near-dup pair graph). All batch-bounded and pinned. */
+  final case class DeleteResult(
+      index: Index, touchedShas: DataFrame,
+      rekey: DataFrame, emptiedRepIds: DataFrame)
+
+  def deleteDocs(
+      old: Index, ids: DataFrame, idCol: String,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): Index =
+    deleteDetailed(old, ids, idCol, checkpoint).index
+
+  /** Physically remove documents from the index — the GDPR /
+    * right-to-be-forgotten face ([[graft.sources.GraphIO.deleteVertices]]'s
+    * dedup twin), completing the family's CRUD. Rows are REWRITTEN OUT,
+    * never tombstoned (a tombstone retains the data it is supposed to
+    * erase). Exactly ≡ `build(corpus minus the ids)` (TextDedupSpec pins
+    * it), because every build step is replayed on the touched groups
+    * alone:
+    *
+    *  - groups are located by ONE broadcast `array_contains` probe of
+    *    the compact clusters table — batch-bounded output, the corpus
+    *    text never moves;
+    *  - a group losing a NON-representative copy just shrinks its `ids`
+    *    array (signatures untouched — they are a function of the text);
+    *  - a group losing its REPRESENTATIVE while copies survive promotes
+    *    the minimum survivor, and the stored shingle/bucket rows REKEY
+    *    (an id rename, the [[merge]] undercut device in reverse — never
+    *    a recompute);
+    *  - a group losing its LAST copy leaves entirely: its rep's
+    *    shingle/bucket rows are anti-joined away — the one case that
+    *    changes the near-dup pair graph (see
+    *    [[repairClustersAfterDelete]]);
+    *  - ids the index never held match nothing — idempotent like every
+    *    lifecycle face.
+    */
+  def deleteDetailed(
+      old: Index, ids: DataFrame, idCol: String,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): DeleteResult = {
+    val del = ids.select(col(idCol).as("_del")).distinct().localCheckpoint()
+    val touched = old.clusters
+      .join(broadcast(del), array_contains(col("ids"), col("_del")))
+      .groupBy(col("sha"))
+      .agg(
+        first(col("keep_id")).as("keep_id"),
+        first(col("ids")).as("ids"),
+        collect_list(col("_del")).as("_dels"))
+      .withColumn("_kept", array_except(col("ids"), col("_dels")))
+      .localCheckpoint() // bounded by the batch's groups
+    val surviving = touched.filter(size(col("_kept")) > 0)
+    val emptied = touched.filter(size(col("_kept")) === 0)
+      .select(col("keep_id").as("id")).localCheckpoint()
+    val rekey = surviving
+      .filter(array_contains(col("_dels"), col("keep_id")))
+      .select(col("keep_id").as("_oldid"), array_min(col("_kept")).as("_newid"))
+      .localCheckpoint()
+    val clusters = checkpoint.pin(
+      old.clusters.join(touched.select(col("sha")), Seq("sha"), "left_anti")
+        .select(col("keep_id"), col("n_copies"), col("ids"), col("sha"))
+        .unionByName(surviving.select(
+          array_min(col("_kept")).as("keep_id"),
+          size(col("_kept")).cast("long").as("n_copies"),
+          col("_kept").as("ids"),
+          col("sha"))))
+    def rekeyDropped(df: DataFrame): DataFrame = {
+      val alive = df.join(emptied, Seq("id"), "left_anti")
+      alive.join(broadcast(rekey), alive("id") === col("_oldid"), "left")
+        .select(df.columns.map {
+          case "id" => coalesce(col("_newid"), col("id")).as("id")
+          case c => col(c)
+        }.toSeq: _*)
+    }
+    DeleteResult(
+      Index(
+        clusters,
+        checkpoint.pin(rekeyDropped(old.shingles)),
+        checkpoint.pin(rekeyDropped(old.buckets)),
+        old.shingleSize, old.numHashes, old.bands),
+      touched.select(col("sha")),
+      rekey, emptied)
+  }
+
+  /** Bounded repair of the maintained cluster table after a delete —
+    * [[graft.sources.GraphIO]]'s delete-repair device for the dedup
+    * family. Deletion changes the pair graph ONLY where a group's last
+    * copy left (its text leaves the corpus — possibly a transitive
+    * BRIDGE, so its cluster can split); groups that merely shrank or
+    * re-keyed keep their text, hence their pairs. So: components
+    * untouched by an emptied or rekeyed rep pass through unchanged;
+    * affected components' surviving representatives get their pair
+    * subgraph re-derived from the post-delete buckets/shingles (bounded
+    * by the affected cluster mass — no pair ever crossed a cluster
+    * boundary) and CC re-labels them min-id. Repair ≡ the closure
+    * rebuilt over the post-delete index, row for row (TextDedupSpec
+    * pins it, split case included) — exactly in the uncapped setting;
+    * under a hot-bucket cap the usual [[advanceClusters]] nuance
+    * applies (a bucket dropping back under the cap re-admits pairs for
+    * affected clusters only). */
+  def repairClustersAfterDelete(
+      r: DeleteResult, oldNcl: DataFrame, threshold: Double,
+      maxBucketSize: Int = 0, maxIterations: Int = 20): DataFrame = {
+    import graft.core.{Columns, Graph}
+    val touchedIds = r.emptiedRepIds
+      .unionByName(r.rekey.select(col("_oldid").as("id")))
+      .distinct().localCheckpoint()
+    val lbl = oldNcl.join(broadcast(touchedIds), Seq("id"), "left_semi")
+      .select(col("cluster_id").as("_lbl")).distinct().localCheckpoint()
+    val unaffected = oldNcl
+      .join(broadcast(lbl), oldNcl("cluster_id") === col("_lbl"), "left_anti")
+      .select(col("id"), col("cluster_id"))
+    val inAffected = oldNcl
+      .join(broadcast(lbl), oldNcl("cluster_id") === col("_lbl"), "left_semi")
+      .join(r.emptiedRepIds, Seq("id"), "left_anti")
+    val survivors = inAffected
+      .join(broadcast(r.rekey), inAffected("id") === col("_oldid"), "left")
+      .select(coalesce(col("_newid"), inAffected("id")).as("id"))
+      .localCheckpoint() // bounded by the affected cluster mass
+    // every affected cluster vanished outright — nothing to re-derive
+    if (survivors.isEmpty) return unaffected
+    val pb = cappedBuckets(r.index.buckets, maxBucketSize)
+      .join(survivors, Seq("id"), "left_semi")
+    val cands = pb.as("x")
+      .join(pb.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val sh = r.index.shingles
+    val edges = cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .filter(
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))) >= threshold)
+      .select(col("id_a").as(Columns.SRC), col("id_b").as(Columns.DST))
+    val cc = graft.algorithms.AlternatingConnectedComponents(
+        maxIterations, requireConvergence = true)
+      .run(Graph(survivors.select(col("id").as(Columns.ID)), edges,
+        directed = false))
+    val repaired = survivors
+      .join(cc, survivors("id") === cc(Columns.ID), "left")
+      .select(survivors("id"),
+        coalesce(col(Columns.COMPONENT), survivors("id")).as("cluster_id"))
+    unaffected.unionByName(repaired)
+  }
+
+  /** Remove documents from the PERSISTED index tables — the batch GDPR
+    * face: read → [[deleteDetailed]] → [[writeBucketed]] (staged, so the
+    * live tables survive until the replacements commit), plus the
+    * bounded [[repairClustersAfterDelete]] when the maintained cluster
+    * table exists. A delete that matches nothing rewrites nothing. */
+  def deleteBucketed(
+      spark: SparkSession, name: String, ids: DataFrame,
+      idCol: String, numBuckets: Int = 32): Unit = {
+    val idx = readBucketed(spark, name)
+    val r = deleteDetailed(idx, ids, idCol)
+    if (r.touchedShas.isEmpty) return
+    val nclT = s"${name}_nearclusters"
+    val repaired =
+      if (!spark.catalog.tableExists(nclT)) None
+      else {
+        val meta = spark.table(s"${name}_nclmeta").head()
+        Some(repairClustersAfterDelete(r, spark.table(nclT),
+          threshold = meta.getDouble(0), maxBucketSize = meta.getInt(1))
+          .localCheckpoint())
+      }
+    writeBucketed(r.index, name, numBuckets)
+    repaired.foreach { a =>
+      graft.sources.CatalogTables.stagedOverwrite(spark, nclT) { t =>
+        a.write.mode("overwrite")
+          .bucketBy(numBuckets, "id").sortBy("id").saveAsTable(t)
+      }
+    }
+  }
+
   /** Build the OPT-IN maintained near-dup cluster table of a persisted
     * index: one full [[Index.nearClusters]] closure (the expensive CC
     * over the whole pair graph — the 133 s d35-standalone cost at 100x,
@@ -508,16 +688,27 @@ object DedupIndex {
     */
   def writeBucketed(idx: Index, name: String, numBuckets: Int = 32): Unit = {
     val spark = idx.clusters.sparkSession
-    Seq("clusters", "shingles", "buckets", "meta").foreach(t =>
-      graft.sources.CatalogTables.prepareOverwrite(spark, s"${name}_$t"))
-    idx.clusters.write.mode("overwrite").saveAsTable(s"${name}_clusters")
-    idx.shingles.write.mode("overwrite")
-      .bucketBy(numBuckets, "id").sortBy("id")
-      .saveAsTable(s"${name}_shingles")
-    idx.buckets.write.mode("overwrite")
-      .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
-      .saveAsTable(s"${name}_buckets")
-    metaFrame(idx).coalesce(1).write.mode("overwrite").saveAsTable(s"${name}_meta")
+    import graft.sources.CatalogTables.stagedOverwrite
+    // staged overwrites (the GraphIO r12 device): each live table stays
+    // intact and readable until its replacement commits — a merge/delete
+    // rewrite can no longer lose the only copy mid-write, and lazy
+    // frames deriving the new contents FROM the stored tables stay valid
+    stagedOverwrite(spark, s"${name}_clusters") { t =>
+      idx.clusters.write.mode("overwrite").saveAsTable(t)
+    }
+    stagedOverwrite(spark, s"${name}_shingles") { t =>
+      idx.shingles.write.mode("overwrite")
+        .bucketBy(numBuckets, "id").sortBy("id")
+        .saveAsTable(t)
+    }
+    stagedOverwrite(spark, s"${name}_buckets") { t =>
+      idx.buckets.write.mode("overwrite")
+        .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
+        .saveAsTable(t)
+    }
+    stagedOverwrite(spark, s"${name}_meta") { t =>
+      metaFrame(idx).coalesce(1).write.mode("overwrite").saveAsTable(t)
+    }
   }
 
   def readBucketed(spark: SparkSession, name: String): Index = {

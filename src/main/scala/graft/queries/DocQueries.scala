@@ -420,6 +420,30 @@ object DocQueries {
         .clusterAssignFrom(DedupIndex.readNearClusters(s, name), "doc_id")
     }),
 
+    "d37_index_delete" -> ((s, d) => {
+      // the dedup DELETION face under the value gate — d36's mirror and
+      // g59's dedup twin: index the FULL corpus with the maintained
+      // cluster table, physically remove the 10% slice (plus ids that
+      // never existed — must no-op) through deleteBucketed — staged
+      // rewrites, rep promotion on rekey, bounded cluster repair where
+      // a vanished text could split a cluster — and read the maintained
+      // assignment back. Oracle = the closure over the REMAINING
+      // corpus: delete ≡ rebuild-without is the contract
+      // (TextDedupSpec pins it frame by frame, split case included).
+      import graft.dedup.DedupIndex
+      val docs0 = documents(s, d)
+      val name = s"d37del_${d.hashCode & 0x7fffffff}"
+      DedupIndex.writeBucketed(
+        DedupIndex.build(docs0, "doc_id", "text"), name)
+      DedupIndex.buildNearClusters(s, name, threshold = 0.4)
+      val del = docs0.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+        .select(col("doc_id"))
+        .unionByName(s.range(1, 4).select((-col("id")).as("doc_id")))
+      DedupIndex.deleteBucketed(s, name, del, "doc_id")
+      DedupIndex.readBucketed(s, name)
+        .clusterAssignFrom(DedupIndex.readNearClusters(s, name), "doc_id")
+    }),
+
     "d13_mixture_sample" -> ((s, d) => {
       // corpus composition ("data mixing"): deterministic per-source
       // Bernoulli sampling at source-specific rates — upsample curated
@@ -1037,9 +1061,15 @@ object DocQueries {
     * Callers prepend `WITH RECURSIVE\n`; the chain ends with
     * `comp(id, cluster_id)` and exposes keep/mem for member
     * expansion. */
-  private lazy val clusterClosureSql: String =
-    s"""keep AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
-       |mem AS (SELECT d.doc_id, k.rep FROM documents d JOIN keep k ON k.text = d.text),
+  private lazy val clusterClosureSql: String = clusterClosureSqlOver("documents")
+
+  /** The d12 recursive min-label closure over an arbitrary documents
+    * relation — the delete lifecycle's oracle filters the corpus first
+    * (delete ≡ rebuild-without IS the contract, so the oracle of the
+    * post-delete state is the closure of the post-delete corpus). */
+  private def clusterClosureSqlOver(rel: String): String =
+    s"""keep AS (SELECT text, min(doc_id) AS rep FROM $rel GROUP BY text),
+       |mem AS (SELECT d.doc_id, k.rep FROM $rel d JOIN keep k ON k.text = d.text),
        |t0 AS (SELECT rep AS doc_id, $toksSql AS t FROM keep),
        |sh AS (SELECT doc_id, $shinglesSql AS s FROM t0),
        |nz AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0),
@@ -1799,6 +1829,13 @@ object DocQueries {
     // what a whole-corpus rebuild says
     "d36_incremental_clusters" ->
       ("WITH RECURSIVE\n" + clusterClosureSql + "\n" +
+        "SELECT m.doc_id, c.cluster_id FROM mem m JOIN comp c ON c.id = m.rep"),
+    // the delete lifecycle's contract is the closure of the REMAINING
+    // corpus: what survives the physical removal must cluster exactly
+    // as if the deleted documents had never been indexed
+    "d37_index_delete" ->
+      ("WITH RECURSIVE rem AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),\n" +
+        clusterClosureSqlOver("rem") + "\n" +
         "SELECT m.doc_id, c.cluster_id FROM mem m JOIN comp c ON c.id = m.rep"),
     // the shared cluster closure + t02's bit-identical quality formula;
     // the survivor pick replayed as a window (quality DESC, doc_id ASC)

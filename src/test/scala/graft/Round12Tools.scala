@@ -22,6 +22,7 @@ object WarmRankStress {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val batchN = if (args.length > 1) args(1).toInt else 1000
+    val tolArg = if (args.length > 2) args(2).toDouble else 1e-8
     val spark = Round12Tools.session()
     val raw = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey").cast("long").as("src"),
@@ -39,7 +40,7 @@ object WarmRankStress {
     timed(s"build(${raw.count()})") {
       graft.sources.GraphIO.writeBucketed(g, "stress_wr", buckets = 32)
     }
-    val tol = Some(1e-10)
+    val tol = Some(tolArg)
     val coldRounds = timed("ranks-cold") {
       graft.sources.GraphIO.buildRanks(spark, "stress_wr",
         maxIterations = 60, tolerance = tol)
@@ -284,6 +285,20 @@ object NearClusterStress {
           concat(col("text"), lit(" zz qq")).as("text"))
         .localCheckpoint()
       println(s"NEARCLUSTER batch=${batch.count()}")
+      // compute-only faces first (no table writes — the O(reps) narrow
+      // rewrite is the same for both paths, so this isolates the CLUSTER
+      // work: batch-sized advance vs the full pair-graph closure)
+      val idx0 = DedupIndex.readBucketed(spark, name)
+      val ncl0 = DedupIndex.readNearClusters(spark, name).localCheckpoint()
+      val m = timed("merge-compute") {
+        DedupIndex.mergeDetailed(idx0, batch, "doc_id", "text")
+      }
+      timed("advance-compute") {
+        DedupIndex.advanceClusters(m, ncl0, 0.4, maxBucketSize = 64).count()
+      }
+      timed("closure-compute") {
+        m.index.nearClusters(0.4, maxBucketSize = 64).count()
+      }
       timed("merge+advance") {
         DedupIndex.mergeBucketed(spark, name, batch, "doc_id", "text")
       }

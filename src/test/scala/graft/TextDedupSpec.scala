@@ -612,6 +612,113 @@ class TextDedupSpec extends SparkSpec {
     } finally dropAll()
   }
 
+  test("deleteDocs: rebuild-without on every frame; rekey, shrink, empty, unknown, idempotent") {
+    import graft.dedup.DedupIndex
+    val tA = "the quick brown fox jumps over the lazy dog again and again"
+    val tB = "completely different text about spark catalyst optimizer plans"
+    val tC = "a brand new page that was never indexed before today okay"
+    val tD = "nothing like anything indexed so far in this whole corpus"
+    val corpus = docs(
+      1L -> tA, 2L -> tA, 3L -> tA, // delete the REP 1 -> promote 2, rekey
+      5L -> tB,                     // delete 5 -> group EMPTIES, text leaves
+      7L -> tC, 8L -> tC,           // delete the COPY 8 -> ids shrink only
+      9L -> tD)                     // untouched
+    import spark.implicits._
+    val del = Seq(1L, 5L, 8L, 99L).toDF("doc_id") // 99 never existed
+    val r = DedupIndex.deleteDetailed(
+      DedupIndex.build(corpus, "doc_id", "text"), del, "doc_id")
+    val remaining = docs(2L -> tA, 3L -> tA, 7L -> tC, 9L -> tD)
+    val rebuilt = DedupIndex.build(remaining, "doc_id", "text")
+    assert(rowSet(r.index.clusters) === rowSet(rebuilt.clusters))
+    assert(rowSet(r.index.shingles) === rowSet(rebuilt.shingles))
+    assert(rowSet(r.index.buckets) === rowSet(rebuilt.buckets))
+    // the working parts say what happened
+    assert(rowSet(r.rekey) === Set(Seq(1L, 2L)))
+    assert(rowSet(r.emptiedRepIds) === Set(Seq(5L)))
+    // downstream consumers replay off the delete exactly
+    assert(rowSet(r.index.clusterAssign(0.4, "doc_id")) ===
+      rowSet(rebuilt.clusterAssign(0.4, "doc_id")))
+    // idempotent: re-delivering the delete names nothing
+    val r2 = DedupIndex.deleteDetailed(r.index, del, "doc_id")
+    assert(r2.touchedShas.isEmpty)
+    assert(rowSet(r2.index.clusters) === rowSet(rebuilt.clusters))
+  }
+
+  test("repairClustersAfterDelete: a deleted bridge SPLITS its cluster ≡ rebuilt closure") {
+    import graft.dedup.DedupIndex
+    import spark.implicits._
+    val tX = "aa bb cc dd ee ff gg hh ii jj"
+    val tY = "kk ll mm nn oo pp qq rr ss tt"
+    val tB = "aa bb cc dd ee ff kk ll mm nn oo pp" // bridges X and Y
+    val thr = 0.25
+    val corpus = docs(1L -> tX, 2L -> tX, 5L -> tY, 20L -> tB)
+    val idx0 = DedupIndex.build(corpus, "doc_id", "text", bands = 64)
+    val ncl0 = idx0.nearClusters(thr).localCheckpoint()
+    // the bridge holds X and Y together in ONE cluster labelled 1
+    val l0 = ncl0.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l0(5L) === 1L && l0(20L) === 1L, s"bridge must merge upfront: $l0")
+
+    // delete the bridge's only copy -> its text leaves -> the cluster
+    // must SPLIT back into {1(,2)} and {5}
+    val r1 = DedupIndex.deleteDetailed(idx0, Seq(20L).toDF("doc_id"), "doc_id")
+    val ncl1 = DedupIndex.repairClustersAfterDelete(r1, ncl0, thr).localCheckpoint()
+    assert(rowSet(ncl1) === rowSet(r1.index.nearClusters(thr)),
+      "repair must equal the closure rebuilt post-delete")
+    val l1 = ncl1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l1 === Map(1L -> 1L, 5L -> 5L), s"split must land: $l1")
+
+    // delete the REP of X (copy 2 survives): pure rekey, labels follow
+    val r2 = DedupIndex.deleteDetailed(r1.index, Seq(1L).toDF("doc_id"), "doc_id")
+    val ncl2 = DedupIndex.repairClustersAfterDelete(r2, ncl1, thr).localCheckpoint()
+    assert(rowSet(ncl2) === rowSet(r2.index.nearClusters(thr)))
+    val l2 = ncl2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2 === Map(2L -> 2L, 5L -> 5L), s"rekey must land: $l2")
+
+    // delete the Y singleton outright: its whole affected cluster
+    // vanishes and only the untouched rows pass through
+    val r3 = DedupIndex.deleteDetailed(r2.index, Seq(5L).toDF("doc_id"), "doc_id")
+    val ncl3 = DedupIndex.repairClustersAfterDelete(r3, ncl2, thr).localCheckpoint()
+    assert(rowSet(ncl3) === rowSet(r3.index.nearClusters(thr)))
+    assert(rowSet(ncl3) === Set(Seq(2L, 2L)))
+  }
+
+  test("persisted delete lifecycle: deleteBucketed rewrites staged, repairs the cluster table") {
+    import graft.dedup.DedupIndex
+    import spark.implicits._
+    val tX = "aa bb cc dd ee ff gg hh ii jj"
+    val tY = "kk ll mm nn oo pp qq rr ss tt"
+    val tB = "aa bb cc dd ee ff kk ll mm nn oo pp"
+    val corpus = docs(1L -> tX, 2L -> tX, 5L -> tY, 20L -> tB,
+      9L -> "nothing like anything indexed so far in this whole corpus")
+    val name = "ncl_del"
+    def dropAll(): Unit =
+      Seq("clusters", "shingles", "buckets", "meta", "nearclusters", "nclmeta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+    dropAll()
+    try {
+      DedupIndex.writeBucketed(
+        DedupIndex.build(corpus, "doc_id", "text", bands = 64), name, numBuckets = 4)
+      DedupIndex.buildNearClusters(spark, name, threshold = 0.25, numBuckets = 4)
+      DedupIndex.deleteBucketed(spark, name,
+        Seq(20L, 1L).toDF("doc_id"), "doc_id", numBuckets = 4)
+      val idx = DedupIndex.readBucketed(spark, name)
+      val rebuilt = DedupIndex.build(
+        docs(2L -> tX, 5L -> tY,
+          9L -> "nothing like anything indexed so far in this whole corpus"),
+        "doc_id", "text", bands = 64)
+      assert(rowSet(idx.clusters) === rowSet(rebuilt.clusters))
+      assert(rowSet(idx.shingles) === rowSet(rebuilt.shingles))
+      assert(rowSet(idx.buckets) === rowSet(rebuilt.buckets))
+      assert(rowSet(DedupIndex.readNearClusters(spark, name)) ===
+        rowSet(idx.nearClusters(0.25)))
+      // a no-op delete touches nothing (the redelivery guard)
+      DedupIndex.deleteBucketed(spark, name,
+        Seq(20L, 1L).toDF("doc_id"), "doc_id", numBuckets = 4)
+      assert(rowSet(DedupIndex.readBucketed(spark, name).clusters) ===
+        rowSet(rebuilt.clusters))
+    } finally dropAll()
+  }
+
   test("DocStream.fromDedupIndex probe equals the indexCorpusDeduped probe") {
     import graft.streaming.DocStream
     val corpus = docs(
