@@ -160,6 +160,35 @@ object EmbQueries {
           K, nprobe = 3)
     }),
 
+    "e23_index_delete" -> ((s, d) => {
+      // the vector DELETION face under the value gate — e22's mirror
+      // and d37/g59's vector twin: build the IVF index on the FULL
+      // corpus, persist cells partitioned, physically erase the 10%
+      // slice (plus ids that never existed — must no-op) through
+      // deletePartitioned — only the touched cell partitions rewrite,
+      // emptied cells drop, quantizer FROZEN — and probe the stored
+      // tables. Oracle = the e05 replay with the fit on the full corpus
+      // and the probed cells filtered: delete never refits (mutating
+      // the sums would change historical probe rankings), so what
+      // remains must rank exactly as the frozen quantizer says.
+      val emb = embeddings(s, d)
+      val name = s"e23del_${d.hashCode & 0x7fffffff}"
+      val idx = graft.similarity.AnnIndex.build(
+        emb, "vec_id", "embedding", k = 10, maxIterations = 5,
+        fitSampleSize = FitSample)
+      graft.similarity.AnnIndex.writePartitioned(idx, name)
+      // queries stay the raw table rows — erasing a query's own vector
+      // from the INDEX only stops it being a neighbour, same as the
+      // oracle's probe filter says
+      val del = emb.filter(pmod(col("vec_id"), lit(10L)) === 0L)
+        .select(col("vec_id"))
+        .unionByName(s.range(1, 4).select((-col("id")).as("vec_id")))
+      graft.similarity.AnnIndex.deletePartitioned(s, name, del, "vec_id")
+      graft.similarity.AnnIndex.readPartitioned(s, name)
+        .topK(emb.filter(col("vec_id") < NQUERIES), "vec_id", "embedding",
+          K, nprobe = 3)
+    }),
+
     "e21_hybrid_rrf" -> ((s, d) => {
       // hybrid retrieval: Reciprocal-Rank Fusion of two heterogeneous
       // retrievers — exact cosine and raw sign-bit Hamming (the coarse
@@ -504,7 +533,13 @@ object EmbQueries {
        |  FROM sc) WHERE rank <= $m""".stripMargin
   }
 
-  private def kmeansIvfSql(k: Int, iters: Int, nprobe: Int, fitSample: Int): String = {
+  /** `probeFilter`: extra predicate on the scored corpus side (e.g.
+    * "AND l.id % 10 <> 0") — the delete-lifecycle oracle: the quantizer
+    * is fit on the FULL corpus (frozen — delete never refits), only the
+    * probed cells lose the erased vectors. */
+  private def kmeansIvfSql(
+      k: Int, iters: Int, nprobe: Int, fitSample: Int,
+      probeFilter: String = ""): String = {
     // assignment of every `src` item to its nearest centroid c{i-1} -> a$i
     def assignCte(i: Int, src: String): String =
       s"""s$i AS (SELECT i.id, c.cell,
@@ -568,7 +603,7 @@ object EmbQueries {
        |  JOIN lab l ON l.cell = p.cell
        |  JOIN it i2 ON i2.id = l.id
        |  JOIN q ON q.qid = p.qid
-       |  WHERE l.id <> p.qid)
+       |  WHERE l.id <> p.qid $probeFilter)
        |SELECT qid, nid, qdot FROM (
        |  SELECT qid, nid, qdot,
        |         row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, nid) AS rn
@@ -899,6 +934,11 @@ object EmbQueries {
     // (spec-pinned), so its oracle is the SAME end-to-end replay
     "e22_persisted_ivf" ->
       kmeansIvfSql(k = 10, iters = 5, nprobe = 3, fitSample = FitSample),
+    // delete ≡ the frozen full-corpus quantizer probing the remaining
+    // vectors: same replay, probed side filtered to the survivors
+    "e23_index_delete" ->
+      kmeansIvfSql(k = 10, iters = 5, nprobe = 3, fitSample = FitSample,
+        probeFilter = "AND l.id % 10 <> 0"),
     "e16_prototypes" ->
       prototypesSql(k = ProtoK, iters = ProtoIters, m = ProtoM,
         fitSample = FitSample),

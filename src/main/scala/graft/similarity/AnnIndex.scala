@@ -175,7 +175,7 @@ object AnnIndex {
           .groupBy(col(idCol))
           .agg(min(col(vecCol)).as(vecCol))
           .join(known, Seq(idCol), "left_anti")
-        if (!fresh.isEmpty) {
+        if (!fresh.isEmpty) crudLock.synchronized {
           val assigned = append(
             Index(idx.centroids, idx.cells.limit(0)), fresh, idCol, vecCol)
             .cells
@@ -185,6 +185,71 @@ object AnnIndex {
             .write.mode("append").insertInto(s"${name}_cells")
         }
     }
+
+  /** Physically remove vectors from the index — the GDPR face
+    * completing the family's CRUD
+    * ([[graft.sources.GraphIO.deleteVertices]] /
+    * [[graft.dedup.DedupIndex.deleteDocs]]'s vector twin). `cells`
+    * loses the named rows; `centroids` is deliberately FROZEN, exactly
+    * like [[append]] (the quantizer is a fitted artifact — mutating its
+    * sums per delete would silently change historical probe rankings;
+    * a periodic [[build]] re-fits). So delete ≡ the same frozen
+    * quantizer serving the corpus minus the ids: probes can never
+    * return a deleted vector again (AnnIndexSpec pins both). Unknown
+    * ids match nothing — idempotent. */
+  def delete(idx: Index, ids: DataFrame, idCol: String): Index =
+    Index(idx.centroids,
+      idx.cells.join(ids.select(col(idCol).as("id")).distinct(),
+        Seq("id"), "left_anti"))
+
+  /** Remove vectors from the PERSISTED index — the surgical write the
+    * partitioned layout exists for: only the cell partitions that
+    * actually hold a named vector are rewritten (dynamic partition
+    * overwrite), every other partition's files are untouched
+    * (AnnIndexSpec pins the untouched-file claim by mtime), and a cell
+    * whose last vector leaves is DROPPED explicitly (dynamic overwrite
+    * cannot express an empty partition — without the drop the old rows
+    * would silently survive). A delete that names nothing rewrites
+    * nothing. Cost: one column-pruned id probe of the cells table to
+    * find the touched partitions + O(touched cells) rewrite — never the
+    * corpus. */
+  def deletePartitioned(
+      spark: SparkSession, name: String, ids: DataFrame, idCol: String): Unit =
+    crudLock.synchronized {
+      val del = ids.select(col(idCol).as("id")).distinct().localCheckpoint()
+      val cells = spark.table(s"${name}_cells")
+      // touched partitions — batch-bounded (≤ one per deleted vector)
+      val touched = cells.join(del, Seq("id"), "left_semi")
+        .select(col("cell")).distinct().localCheckpoint()
+      if (touched.isEmpty) return
+      val kept = cells.join(broadcast(touched), Seq("cell"), "left_semi")
+        .join(del, Seq("id"), "left_anti")
+        .localCheckpoint() // pinned: the dynamic overwrite below rewrites
+                           // the very partitions this plan reads
+      // partitions with survivors: rewrite just those (dynamic mode
+      // only touches partitions present in the data)
+      val mode = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.get(mode, "static")
+      spark.conf.set(mode, "dynamic")
+      try {
+        if (!kept.isEmpty)
+          kept.select(col("id"), col("v"), col("cell"))
+            .write.mode("overwrite").insertInto(s"${name}_cells")
+      } finally spark.conf.set(mode, prev)
+      // partitions emptied outright: drop them explicitly — touched
+      // cells are batch-bounded, so the driver-side loop is too
+      val emptied = touched.join(
+          kept.select(col("cell")).distinct(), Seq("cell"), "left_anti")
+        .collect().map(_.get(0))
+      emptied.foreach { c =>
+        spark.sql(s"ALTER TABLE ${name}_cells DROP IF EXISTS PARTITION (cell=$c)")
+      }
+    }
+
+  /** Mutation faces serialize per JVM (the [[graft.sources.GraphIO]]
+    * convention): a concurrent append and delete would race the
+    * partition listing and the conf save/restore. */
+  private val crudLock = new Object
 
   /** Persist as catalog tables `<name>_{centroids,cells}` with `cells`
     * partitioned by cell — later probes prune their scan to the probed

@@ -85,4 +85,74 @@ class AnnIndexSpec extends SparkSpec {
       .select("nid").head().getLong(0)
     assert(back === 1003L, "the appended near-copy must rank first for 3")
   }
+
+  test("delete: frozen quantizer, erased vectors never probe back, idempotent") {
+    import spark.implicits._
+    val items = corpus(120)
+    val queries = items.filter(col("vec_id") < 5)
+    val idx = AnnIndex.build(items, "vec_id", "embedding", k = 4,
+      maxIterations = 4, fitSampleSize = 60)
+    val del = Seq(7L, 11L, 42L, 9999L).toDF("vec_id") // 9999 never existed
+    val after = AnnIndex.delete(idx, del, "vec_id")
+    assert(rowSet(after.centroids) === rowSet(idx.centroids),
+      "delete must not touch the quantizer")
+    // cells ≡ the same frozen quantizer over the corpus minus the ids
+    assert(rowSet(after.cells) ===
+      rowSet(idx.cells.filter(!col("id").isin(7L, 11L, 42L))))
+    // probes can never return an erased vector
+    val got = after.topK(queries, "vec_id", "embedding", k = 20, nprobe = 4)
+      .select("nid").collect().map(_.getLong(0)).toSet
+    assert(!got.contains(7L) && !got.contains(11L) && !got.contains(42L))
+    // idempotent redelivery
+    assert(rowSet(AnnIndex.delete(after, del, "vec_id").cells) ===
+      rowSet(after.cells))
+  }
+
+  test("deletePartitioned: only touched cell partitions rewrite; emptied cells drop") {
+    import spark.implicits._
+    val items = corpus(120)
+    val idx = AnnIndex.build(items, "vec_id", "embedding", k = 4,
+      maxIterations = 4, fitSampleSize = 60,
+      checkpoint = graft.core.CheckpointPolicy.Passthrough)
+    val name = "annidx_del"
+    Seq("centroids", "cells").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+    try {
+      AnnIndex.writePartitioned(idx, name)
+      val stored = AnnIndex.readPartitioned(spark, name)
+      // pick a victim cell to EMPTY outright and one vector from
+      // another cell; a third cell stays wholly untouched
+      val byCell = stored.cells.select(col("cell"), col("id")).collect()
+        .groupBy(_.getLong(0)).map { case (c, rs) => c -> rs.map(_.getLong(1)).toSeq }
+      val cellsSorted = byCell.keys.toSeq.sorted
+      val emptyCell = cellsSorted.head
+      val shrinkCell = cellsSorted(1)
+      val untouchedCell = cellsSorted(2)
+      val delIds = byCell(emptyCell) :+ byCell(shrinkCell).head
+      // mtime pin: the untouched partition's files must not be rewritten
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val untouchedDir = new java.io.File(s"$wh/${name}_cells/cell=$untouchedCell")
+      val before = untouchedDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+      AnnIndex.deletePartitioned(spark, name,
+        (delIds :+ 424242L).toDF("vec_id"), "vec_id")
+      val after = AnnIndex.readPartitioned(spark, name)
+      assert(rowSet(after.cells) ===
+        rowSet(idx.cells.filter(!col("id").isin(delIds: _*))),
+        "stored cells ≡ rebuild-without")
+      // the emptied partition is GONE (dynamic overwrite alone would
+      // have silently kept its rows)
+      assert(after.cells.filter(col("cell") === emptyCell).isEmpty)
+      val nowFiles = untouchedDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+      assert(nowFiles === before,
+        s"untouched partition must keep its exact files: $before vs $nowFiles")
+      // no-op redelivery rewrites nothing anywhere
+      val shrunkDir = new java.io.File(s"$wh/${name}_cells/cell=$shrinkCell")
+      val shrunkBefore = shrunkDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+      AnnIndex.deletePartitioned(spark, name,
+        delIds.toDF("vec_id"), "vec_id")
+      val shrunkAfter = shrunkDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+      assert(shrunkAfter === shrunkBefore, "a no-op delete must not rewrite")
+    } finally Seq("centroids", "cells").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+  }
 }
