@@ -1,0 +1,64 @@
+package graft.algorithms
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Driver-side min-label connected components for BATCH-BOUNDED merge
+  * graphs — the lifecycle maintenance device.
+  *
+  * The incremental faces (graph append/delete-repair, dedup cluster
+  * advance/repair) all end in CC over a graph bounded by the BATCH, not
+  * the corpus: a label-merge graph of ≤ 2·batch nodes, or an affected
+  * subgraph. The distributed star rounds are the right algorithm at
+  * corpus scale, but on a 50-node merge graph their cost is pure
+  * per-round JOB OVERHEAD — 4+ driver round-trips per round, ~10 rounds
+  * — which dominates every batch's latency. A union-find over a
+  * collected edge list is exact, deterministic (min-label), and
+  * microseconds at batch scale; memory is bounded by the explicit edge
+  * cap, and callers FALL BACK to the distributed path when the cap is
+  * exceeded (None), so nothing corpus-sized ever lands on the driver.
+  *
+  * Output (id, component): one row per edge ENDPOINT, component = the
+  * minimum id of its connected set — identical, row for row, to the
+  * min-label distributed CC over the same edges (spec-pinned in
+  * AlgorithmsSpec; isolated vertices are the caller's left-join
+  * coalesce, exactly as with the distributed path).
+  */
+object UnionFind {
+
+  def minLabel(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxEdges: Int = 100000): Option[DataFrame] = {
+    val rows = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+      .limit(maxEdges + 1).collect()
+    if (rows.length > maxEdges) None
+    else {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        // path compression
+        var c = x
+        while (parent.getOrElse(c, c) != r) {
+          val n = parent.getOrElse(c, c); parent(c) = r; c = n
+        }
+        r
+      }
+      rows.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root: the representative is always the set's
+        // minimum id, so labels match the distributed min-label CC
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val labels = parent.keys.toSeq.sorted.map(v => (v, find(v)))
+      val spark = edges.sparkSession
+      import spark.implicits._
+      Some(labels.toDF("id", "component"))
+    }
+  }
+}

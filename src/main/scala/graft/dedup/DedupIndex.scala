@@ -100,8 +100,13 @@ object DedupIndex {
       val reps = clusters.select(col("keep_id").as(Columns.ID))
       val edges = pairs(threshold, maxBucketSize)
         .select(col("id_a").as(Columns.SRC), col("id_b").as(Columns.DST))
-      val cc = graft.algorithms.AlternatingConnectedComponents(maxIterations)
-        .run(Graph(reps, edges, directed = false))
+      // the pair graph is usually tiny next to its star-round job
+      // overhead — driver union-find under the cap, distributed CC over
+      // it (both min-label, AlgorithmsSpec-pinned identical)
+      val cc = graft.algorithms.UnionFind
+        .minLabel(edges, Columns.SRC, Columns.DST)
+        .getOrElse(graft.algorithms.AlternatingConnectedComponents(maxIterations)
+          .run(Graph(reps, edges, directed = false)))
       reps
         .join(cc, Seq(Columns.ID), "left")
         .select(col(Columns.ID).as("id"),
@@ -363,14 +368,22 @@ object DedupIndex {
       .localCheckpoint()
     if (touched.isEmpty) cur
     else {
-      val mergeEdges = touched
-        .select(col("_la").as(Columns.SRC), col("_lb").as(Columns.DST))
-        .withColumn(Columns.EDGE_ID, xxhash64(col(Columns.SRC), col(Columns.DST)))
-      val mergeVerts = mergeEdges.select(col(Columns.SRC).as(Columns.ID))
-        .union(mergeEdges.select(col(Columns.DST))).distinct()
-      val mapping = graft.algorithms.AlternatingConnectedComponents(
-          maxIterations, requireConvergence = true)
-        .run(Graph(mergeVerts, mergeEdges, directed = false))
+      // batch-bounded label-merge graph: driver union-find (the GraphIO
+      // device) instead of distributed star-round job overhead;
+      // distributed CC is the over-cap fallback
+      val labels = graft.algorithms.UnionFind
+        .minLabel(touched, "_la", "_lb")
+        .getOrElse {
+          val mergeEdges = touched
+            .select(col("_la").as(Columns.SRC), col("_lb").as(Columns.DST))
+            .withColumn(Columns.EDGE_ID, xxhash64(col(Columns.SRC), col(Columns.DST)))
+          val mergeVerts = mergeEdges.select(col(Columns.SRC).as(Columns.ID))
+            .union(mergeEdges.select(col(Columns.DST))).distinct()
+          graft.algorithms.AlternatingConnectedComponents(
+            maxIterations, requireConvergence = true)
+            .run(Graph(mergeVerts, mergeEdges, directed = false))
+        }
+      val mapping = labels
         .filter(col(Columns.ID) =!= col(Columns.COMPONENT))
         .select(col(Columns.ID).as("_old"), col(Columns.COMPONENT).as("_new"))
         .localCheckpoint()
@@ -602,10 +615,14 @@ object DedupIndex {
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))) >= threshold)
       .select(col("id_a").as(Columns.SRC), col("id_b").as(Columns.DST))
-    val cc = graft.algorithms.AlternatingConnectedComponents(
+    // affected-mass-bounded pair subgraph: driver union-find when small,
+    // distributed CC over the cap
+    val cc = graft.algorithms.UnionFind
+      .minLabel(edges, Columns.SRC, Columns.DST)
+      .getOrElse(graft.algorithms.AlternatingConnectedComponents(
         maxIterations, requireConvergence = true)
-      .run(Graph(survivors.select(col("id").as(Columns.ID)), edges,
-        directed = false))
+        .run(Graph(survivors.select(col("id").as(Columns.ID)), edges,
+          directed = false)))
     val repaired = survivors
       .join(cc, survivors("id") === cc(Columns.ID), "left")
       .select(survivors("id"),

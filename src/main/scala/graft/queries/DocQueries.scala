@@ -412,10 +412,12 @@ object DocQueries {
       val base = docs0.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
       val batch = docs0.filter(pmod(col("doc_id"), lit(10L)) === 0L)
       val name = s"d36ncl_${d.hashCode & 0x7fffffff}"
+      // 8 buckets (the g58 sizing): the gate corpus is 5k docs — 32
+      // buckets paid file-count overhead in every rewrite, not scan time
       DedupIndex.writeBucketed(
-        DedupIndex.build(base, "doc_id", "text"), name)
-      DedupIndex.buildNearClusters(s, name, threshold = 0.4)
-      DedupIndex.mergeBucketed(s, name, batch, "doc_id", "text")
+        DedupIndex.build(base, "doc_id", "text"), name, numBuckets = 8)
+      DedupIndex.buildNearClusters(s, name, threshold = 0.4, numBuckets = 8)
+      DedupIndex.mergeBucketed(s, name, batch, "doc_id", "text", numBuckets = 8)
       DedupIndex.readBucketed(s, name)
         .clusterAssignFrom(DedupIndex.readNearClusters(s, name), "doc_id")
     }),
@@ -434,12 +436,12 @@ object DocQueries {
       val docs0 = documents(s, d)
       val name = s"d37del_${d.hashCode & 0x7fffffff}"
       DedupIndex.writeBucketed(
-        DedupIndex.build(docs0, "doc_id", "text"), name)
-      DedupIndex.buildNearClusters(s, name, threshold = 0.4)
+        DedupIndex.build(docs0, "doc_id", "text"), name, numBuckets = 8)
+      DedupIndex.buildNearClusters(s, name, threshold = 0.4, numBuckets = 8)
       val del = docs0.filter(pmod(col("doc_id"), lit(10L)) === 0L)
         .select(col("doc_id"))
         .unionByName(s.range(1, 4).select((-col("id")).as("doc_id")))
-      DedupIndex.deleteBucketed(s, name, del, "doc_id")
+      DedupIndex.deleteBucketed(s, name, del, "doc_id", numBuckets = 8)
       DedupIndex.readBucketed(s, name)
         .clusterAssignFrom(DedupIndex.readNearClusters(s, name), "doc_id")
     }),

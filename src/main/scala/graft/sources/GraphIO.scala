@@ -320,13 +320,22 @@ object GraphIO {
         .distinct()
         .localCheckpoint()
       if (!touched.isEmpty) {
-        val mergeEdges = touched.select(col("_ca").as("src"), col("_cb").as("dst"))
-          .withColumn("edge_id", xxhash64(col("src"), col("dst")))
-        val mergeVerts = mergeEdges.select(col("src").as("id"))
-          .union(mergeEdges.select(col("dst"))).distinct()
-        val mapping = graft.algorithms.AlternatingConnectedComponents(
-            maxIterations = 20, requireConvergence = true)
-          .run(Graph(mergeVerts, mergeEdges, directed = false))
+        // the merge graph is batch-bounded by contract — a driver-side
+        // union-find beats ~10 distributed star rounds of pure job
+        // overhead; the distributed path remains the (never-expected)
+        // over-cap fallback
+        val labels = graft.algorithms.UnionFind
+          .minLabel(touched, "_ca", "_cb")
+          .getOrElse {
+            val mergeEdges = touched.select(col("_ca").as("src"), col("_cb").as("dst"))
+              .withColumn("edge_id", xxhash64(col("src"), col("dst")))
+            val mergeVerts = mergeEdges.select(col("src").as("id"))
+              .union(mergeEdges.select(col("dst"))).distinct()
+            graft.algorithms.AlternatingConnectedComponents(
+              maxIterations = 20, requireConvergence = true)
+              .run(Graph(mergeVerts, mergeEdges, directed = false))
+          }
+        val mapping = labels
           .filter(col("id") =!= col("component"))
           .select(col("id").as("_old"), col("component").as("_new"))
           .localCheckpoint()
@@ -432,8 +441,18 @@ object GraphIO {
     *    (GraphAppendSpec pins it), at a cost ∝ affected component mass;
     *  - redelivered deletes are no-ops (already-removed rows match
     *    nothing), so the face is idempotent like the appends.
+    *
+    * `repairComponents = false` opts a DELETE BURST out of per-batch
+    * repair: on a graph whose touched components are corpus-sized (one
+    * giant component), repair ≈ a full CC per delete — N burst deletes
+    * would pay N closures where ONE rebuild after the burst suffices.
+    * The opt-out DROPS the component table loudly (a silently-stale
+    * label table is worse than a missing one); run [[buildComponents]]
+    * after the burst.
     */
-  def deleteEdges(spark: SparkSession, name: String, rawEdges: DataFrame): Unit = crudLock.synchronized {
+  def deleteEdges(
+      spark: SparkSession, name: String, rawEdges: DataFrame,
+      repairComponents: Boolean = true): Unit = crudLock.synchronized {
     import org.apache.spark.sql.functions._
     val stored = spark.table(s"${name}_edges")
     // the USING join fronts its keys — restore the stored column order
@@ -457,10 +476,14 @@ object GraphIO {
       // component labels the batch touches — read BEFORE any rewrite
       // (bounded by the batch: each removed edge's endpoints shared one
       // label while the edge existed, so probing src alone is complete)
-      val affected = affectedLabels(spark, name,
-        removed.select(col("src").as("id")))
+      val affected =
+        if (repairComponents)
+          affectedLabels(spark, name, removed.select(col("src").as("id")))
+        else None
       applyEdgeRemoval(spark, name, removed, kept)
-      affected.foreach(repairComponents(spark, name, _, removedIds = None))
+      if (repairComponents)
+        affected.foreach(repairComponentTable(spark, name, _, removedIds = None))
+      else invalidateComponents(spark, name)
     }
   }
 
@@ -471,7 +494,9 @@ object GraphIO {
     * a rebuild without those rows would say (spec-pinned). Costs one
     * bucketed rewrite of each table, like [[deleteEdges]].
     */
-  def deleteVertices(spark: SparkSession, name: String, rawVertices: DataFrame): Unit = crudLock.synchronized {
+  def deleteVertices(
+      spark: SparkSession, name: String, rawVertices: DataFrame,
+      repairComponents: Boolean = true): Unit = crudLock.synchronized {
     import org.apache.spark.sql.functions._
     val ids = Graph.keyVertices(rawVertices).select(col("id")).localCheckpoint()
     val storedV = spark.table(s"${name}_vertices")
@@ -481,7 +506,8 @@ object GraphIO {
     // labels of the subjects' components — read BEFORE any rewrite;
     // covers isolated subjects (their self-label rows must not linger)
     // as well as every component their incident edges touched
-    val affected = affectedLabels(spark, name, ids)
+    val affected =
+      if (repairComponents) affectedLabels(spark, name, ids) else None
     val vcols = storedV.columns.map(col).toIndexedSeq
     // LAZY: written straight into the staged vertex table below
     val keptV = storedV.join(ids, Seq("id"), "left_anti")
@@ -511,7 +537,9 @@ object GraphIO {
     // the degree table's defining aggregate ranges over the kept edges
     // only; removed endpoints whose counts reach zero drop their row
     applyEdgeRemoval(spark, name, removed, kept)
-    affected.foreach(repairComponents(spark, name, _, removedIds = Some(ids)))
+    if (repairComponents)
+      affected.foreach(repairComponentTable(spark, name, _, removedIds = Some(ids)))
+    else invalidateComponents(spark, name)
   }
 
   /** Shared tail of the two delete faces: overwrite the edge table with
@@ -556,10 +584,17 @@ object GraphIO {
     }
   }
 
+  /** The burst opt-out's loud invalidation: a silently-stale label
+    * table is worse than a missing one — run [[buildComponents]] after
+    * the burst. */
+  private def invalidateComponents(spark: SparkSession, name: String): Unit =
+    if (hasComponents(spark, name))
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_components")
+
   /** The component labels a delete batch touches, or None when no
     * component table is maintained. `endpointIds` is batch-sized (one
     * row per removed edge's src, or per deleted vertex id), so the
-    * result is too — pinned, it feeds [[repairComponents]] twice. Must
+    * result is too — pinned, it feeds [[repairComponentTable]] twice. Must
     * be read BEFORE any table rewrite. */
   private def affectedLabels(
       spark: SparkSession, name: String, endpointIds: DataFrame): Option[DataFrame] = {
@@ -585,7 +620,7 @@ object GraphIO {
     * the corpus. The src-probe of the edge table is complete because an
     * edge never crosses a component boundary, and it rides the src
     * bucketing. */
-  private def repairComponents(
+  private def repairComponentTable(
       spark: SparkSession, name: String,
       labels: DataFrame, removedIds: Option[DataFrame]): Unit = {
     import org.apache.spark.sql.functions._
@@ -600,7 +635,15 @@ object GraphIO {
       .localCheckpoint()
     val subEdges = spark.table(s"${name}_edges")
       .join(survivors.select(col("id").as("src")), Seq("src"), "left_semi")
-    val repaired = componentsOf(Graph(survivors, subEdges, directed = true))
+    // small affected mass (the common case): driver union-find instead
+    // of ~10 star rounds of job overhead; big mass: distributed CC
+    val cc = graft.algorithms.UnionFind.minLabel(subEdges, "src", "dst")
+      .getOrElse(graft.algorithms.AlternatingConnectedComponents(
+        maxIterations = 20, requireConvergence = true)
+        .run(Graph(survivors, subEdges, directed = true)))
+    val repaired = survivors
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
     // LAZY: the staged write reads the live component table
     val next = comp.join(lbl, comp("component") === lbl("_lbl"), "left_anti")
       .unionByName(repaired)

@@ -891,6 +891,33 @@ class AlgorithmsSpec extends SparkSpec {
     }
   }
 
+  test("UnionFind.minLabel ≡ distributed min-label CC on random edge lists; cap falls back") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(400 + seed)
+      val edges = Seq.fill(5 + rnd.nextInt(20))(
+        (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong)).toDF(SRC, DST)
+      val local = graft.algorithms.UnionFind.minLabel(edges, SRC, DST).get
+      val verts = edges.select(col(SRC).as(ID))
+        .union(edges.select(col(DST))).distinct()
+      val distCc = graft.algorithms.AlternatingConnectedComponents(
+          maxIterations = 20, requireConvergence = true)
+        .run(Graph(verts,
+          edges.withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+          directed = false))
+      // compare at the CONSUMPTION contract (every call site left-joins
+      // and coalesces): AltCC omits self-loop-only vertices, UnionFind
+      // labels every endpoint — both coalesce to the same rows
+      val dist = verts.join(distCc, Seq(ID), "left")
+        .select(col(ID).as("id"),
+          coalesce(col(COMPONENT), col(ID)).as("component"))
+      assert(rowSet(local) === rowSet(dist), s"seed $seed")
+    }
+    // over-cap input must decline, not truncate
+    val big = spark.range(0, 50).select(col("id").as(SRC), (col("id") + 1).as(DST))
+    assert(graft.algorithms.UnionFind.minLabel(big, SRC, DST, maxEdges = 10).isEmpty)
+  }
+
   test("HyperBall harmonic numerator: exact digit string pinned at p=4") {
     // BOTH faces (Spark plan and DuckDB oracle) embed this literal;
     // the pin guards the formula against edits that would silently

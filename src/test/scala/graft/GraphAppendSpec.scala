@@ -441,6 +441,30 @@ class GraphAppendSpec extends SparkSpec {
     }
   }
 
+  test("delete burst opt-out: repairComponents=false drops the table loudly; rebuild recovers") {
+    val v0 = Seq("a", "b", "c", "d")
+    val e0 = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+    GraphIO.writeBucketed(
+      Graph.index(rawVerts(v0), rawEdges(e0), directed = true), "ap_burst", buckets = 4)
+    try {
+      GraphIO.buildComponents(spark, "ap_burst")
+      // a burst of two deletes with repair deferred: no per-batch CC,
+      // the label table is GONE (stale would be worse), degrees exact
+      GraphIO.deleteEdges(spark, "ap_burst", rawEdges(Seq(("b", "c"))),
+        repairComponents = false)
+      assert(!spark.catalog.tableExists("ap_burst_components"))
+      GraphIO.deleteEdges(spark, "ap_burst", rawEdges(Seq(("c", "d"))),
+        repairComponents = false)
+      val rebuilt = Graph.index(rawVerts(v0), rawEdges(Seq(("a", "b"))), directed = true)
+      assert(rowSet(GraphIO.readDegrees(spark, "ap_burst")) ===
+        rowSet(GraphIO.degreesOf(rebuilt.edges)))
+      // one rebuild after the burst restores the maintained table
+      GraphIO.buildComponents(spark, "ap_burst")
+      assert(rowSet(GraphIO.readComponents(spark, "ap_burst")) ===
+        rowSet(GraphIO.componentsOf(rebuilt)))
+    } finally drop("ap_burst")
+  }
+
   test("maintained ranks: warm restart after an append ≡ cold rebuild within tolerance") {
     // a chain plus a disconnected pair; the append attaches the pair —
     // a real perturbation, not a no-op
