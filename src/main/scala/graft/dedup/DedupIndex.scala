@@ -421,7 +421,10 @@ object DedupIndex {
   def mergeStream(
       docs: DataFrame, idCol: String, textCol: String,
       name: String, numBuckets: Int = 32)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // foreachBatch runs on a CLONED session; refresh the origin's
+    // cached listings after each rewrite (CatalogTables.refreshTables)
+    val origin = docs.sparkSession
     docs.writeStream.outputMode("update").foreachBatch {
       (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
@@ -437,8 +440,12 @@ object DedupIndex {
           .groupBy(col(idCol))
           .agg(min(col(textCol)).as(textCol))
           .join(known, Seq(idCol), "left_anti")
-        if (!fresh.isEmpty) mergeBucketed(spark, name, fresh, idCol, textCol, numBuckets)
+        if (!fresh.isEmpty) {
+          mergeBucketed(spark, name, fresh, idCol, textCol, numBuckets)
+          refreshFamily(origin, name)
+        }
     }
+  }
 
   /** Fold a batch of NEW documents into the PERSISTED index tables —
     * the batch face [[mergeStream]] wraps: read → [[mergeDetailed]] →
@@ -658,6 +665,34 @@ object DedupIndex {
       }
     }
   }
+
+  /** Streaming face of [[deleteBucketed]] — the delete side of a CDC
+    * document feed (the [[graft.sources.GraphIO.deleteEdgesStream]]
+    * shape): each micro-batch physically removes the ids it names
+    * through the same idempotent path — already-removed ids match
+    * nothing and rewrite nothing — so at-least-once redelivery is
+    * absorbed. Pair with [[mergeStream]] on a routed CDC stream:
+    * inserts to that sink, deletes to this one. Returns the configured
+    * writer; callers add `.option("checkpointLocation", ...)` and
+    * `.start()`. */
+  def deleteStream(
+      ids: DataFrame, idCol: String, name: String, numBuckets: Int = 32)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val origin = ids.sparkSession
+    ids.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          deleteBucketed(batch.sparkSession, name, batch, idCol, numBuckets)
+          refreshFamily(origin, name)
+        }
+    }
+  }
+
+  /** All catalog tables a persisted index family can own. */
+  private def refreshFamily(spark: SparkSession, name: String): Unit =
+    graft.sources.CatalogTables.refreshTables(spark,
+      Seq("clusters", "shingles", "buckets", "meta", "nearclusters", "nclmeta")
+        .map(t => s"${name}_$t"))
 
   /** Build the OPT-IN maintained near-dup cluster table of a persisted
     * index: one full [[Index.nearClusters]] closure (the expensive CC

@@ -162,7 +162,11 @@ object AnnIndex {
     * `.option("checkpointLocation", ...)` and `.start()`. */
   def appendStream(
       vecs: DataFrame, idCol: String, vecCol: String, name: String)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // foreachBatch runs on a CLONED session: an insert adds files the
+    // origin session's cached listing would silently MISS — refresh it
+    // after each batch (CatalogTables.refreshTables)
+    val origin = vecs.sparkSession
     vecs.writeStream.outputMode("update").foreachBatch {
       (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
@@ -183,8 +187,11 @@ object AnnIndex {
           // insertInto matches by position
           assigned.select(col("id"), col("v"), col("cell"))
             .write.mode("append").insertInto(s"${name}_cells")
+          graft.sources.CatalogTables.refreshTables(
+            origin, Seq(s"${name}_cells"))
         }
     }
+  }
 
   /** Physically remove vectors from the index — the GDPR face
     * completing the family's CRUD
@@ -245,6 +252,26 @@ object AnnIndex {
         spark.sql(s"ALTER TABLE ${name}_cells DROP IF EXISTS PARTITION (cell=$c)")
       }
     }
+
+  /** Streaming face of [[deletePartitioned]] — the delete side of a
+    * CDC vector feed: each micro-batch erases the ids it names through
+    * the same surgical idempotent path (already-erased ids touch no
+    * partition), so at-least-once redelivery is absorbed. Pair with
+    * [[appendStream]] on a routed CDC stream. Returns the configured
+    * writer; callers add `.option("checkpointLocation", ...)` and
+    * `.start()`. */
+  def deleteStream(ids: DataFrame, idCol: String, name: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val origin = ids.sparkSession
+    ids.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          deletePartitioned(batch.sparkSession, name, batch, idCol)
+          graft.sources.CatalogTables.refreshTables(
+            origin, Seq(s"${name}_cells"))
+        }
+    }
+  }
 
   /** Mutation faces serialize per JVM (the [[graft.sources.GraphIO]]
     * convention): a concurrent append and delete would race the

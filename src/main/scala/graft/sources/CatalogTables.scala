@@ -53,7 +53,27 @@ object CatalogTables {
     write(staged)
     prepareOverwrite(spark, table)
     spark.sql(s"ALTER TABLE `$staged` RENAME TO `$table`")
+    // the rename re-points the SAME final path at NEW files; a session
+    // that read the table before the swap may hold a stale file-listing
+    // cache for that path (seen as FILE_NOT_EXIST on the next read in
+    // long-lived sessions — the streaming faces re-read every batch)
+    spark.catalog.refreshTable(table)
   }
+
+  /** Invalidate a session's cached file listings for the named tables
+    * (missing ones skipped). The streaming lifecycle faces run their
+    * batches on Structured Streaming's CLONED session, so the rename in
+    * [[stagedOverwrite]] refreshes the clone only — the ORIGIN session
+    * that built the stream (and that the caller keeps reading from)
+    * would otherwise serve FILE_NOT_EXIST from its stale listing. Each
+    * face captures its origin session at writer construction and calls
+    * this after every mutating batch; sessions this library never saw
+    * follow the standard Spark contract (REFRESH TABLE after external
+    * changes). */
+  def refreshTables(spark: SparkSession, tables: Seq[String]): Unit =
+    tables.foreach { t =>
+      if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
+    }
 
   def prepareOverwrite(spark: SparkSession, table: String): Unit = {
     import org.apache.spark.sql.functions.col

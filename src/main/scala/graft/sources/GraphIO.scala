@@ -751,11 +751,19 @@ object GraphIO {
     * `.option("checkpointLocation", ...)` and `.start()`.
     */
   def appendEdgesStream(rawEdges: DataFrame, name: String)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // foreachBatch runs on a CLONED session; the origin session that
+    // built the stream keeps reading these tables — refresh its cached
+    // listings after each mutating batch (CatalogTables.refreshTables)
+    val origin = rawEdges.sparkSession
     rawEdges.writeStream.outputMode("update").foreachBatch {
       (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) appendEdges(batch.sparkSession, name, batch)
+        if (!batch.isEmpty) {
+          appendEdges(batch.sparkSession, name, batch)
+          refreshFamily(origin, name)
+        }
     }
+  }
 
   /** Streaming face of [[deleteEdges]] — the deletion side of a CDC
     * feed: each micro-batch removes the rows it names through the same
@@ -764,11 +772,22 @@ object GraphIO {
     * probe, no rewrite). Pair with [[appendEdgesStream]] on a routed
     * CDC stream: inserts to one sink, deletes to this one. */
   def deleteEdgesStream(rawEdges: DataFrame, name: String)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val origin = rawEdges.sparkSession
     rawEdges.writeStream.outputMode("update").foreachBatch {
       (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) deleteEdges(batch.sparkSession, name, batch)
+        if (!batch.isEmpty) {
+          deleteEdges(batch.sparkSession, name, batch)
+          refreshFamily(origin, name)
+        }
     }
+  }
+
+  /** All catalog tables a persisted graph family can own. */
+  private def refreshFamily(spark: SparkSession, name: String): Unit =
+    CatalogTables.refreshTables(spark,
+      Seq("vertices", "edges", "degrees", "components", "ranks")
+        .map(t => s"${name}_$t"))
 
   /** Bucket count of an existing catalog table (so appends never have to
     * re-state — or mis-state — the write-time spec). */

@@ -325,6 +325,86 @@ class StreamingSpec extends SparkSpec {
     assert(rowSet(got.pairs(0.4)).nonEmpty)
   }
 
+  test("DedupIndex.deleteStream: CDC deletes erase per micro-batch; redelivery removes nothing") {
+    import spark.implicits._
+    import graft.dedup.DedupIndex
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val tA = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = docs(
+      1L -> tA, 2L -> tA, 3L -> tA,
+      5L -> "completely different text about spark catalyst optimizer plans",
+      9L -> "a brand new page that was never indexed before today okay")
+    def dropAll(): Unit =
+      Seq("clusters", "shingles", "buckets", "meta", "nearclusters", "nclmeta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS dsidx_$t"))
+    dropAll()
+    val ckpt = java.nio.file.Files.createTempDirectory("dsidx_ckpt").toString
+    try {
+      DedupIndex.writeBucketed(
+        DedupIndex.build(corpus, "doc_id", "text"), "dsidx", numBuckets = 4)
+      DedupIndex.buildNearClusters(spark, "dsidx", threshold = 0.4, numBuckets = 4)
+      val stream = MemoryStream[Long]
+      val q = DedupIndex.deleteStream(
+          stream.toDF().toDF("doc_id"), "doc_id", "dsidx", numBuckets = 4)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        stream.addData(1L, 5L)       // rep removal (rekey 1->2) + group empties
+        q.processAllAvailable()
+        stream.addData(1L, 5L, 3L)   // redelivered + one more copy
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = DedupIndex.readBucketed(spark, "dsidx")
+      val rebuilt = DedupIndex.build(
+        docs(2L -> tA, 9L -> "a brand new page that was never indexed before today okay"),
+        "doc_id", "text")
+      assert(rowSet(got.clusters) === rowSet(rebuilt.clusters),
+        "stream-delete ≡ rebuild-without (redelivery erased exactly once)")
+      assert(rowSet(got.shingles) === rowSet(rebuilt.shingles))
+      assert(rowSet(got.buckets) === rowSet(rebuilt.buckets))
+      assert(rowSet(DedupIndex.readNearClusters(spark, "dsidx")) ===
+        rowSet(got.nearClusters(0.4)),
+        "maintained cluster table repaired through the stream")
+    } finally dropAll()
+  }
+
+  test("AnnIndex.deleteStream: CDC vector erases apply per micro-batch; redelivery is a no-op") {
+    import spark.implicits._
+    import graft.similarity.AnnIndex
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val items = (0L until 60L).map(i =>
+      (i, Seq.fill(8)((rnd.nextGaussian()).toFloat))).toDF("vec_id", "embedding")
+    Seq("centroids", "cells").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS annds_$t"))
+    val ckpt = java.nio.file.Files.createTempDirectory("annds_ckpt").toString
+    try {
+      val idx = AnnIndex.build(items, "vec_id", "embedding", k = 4,
+        maxIterations = 3, fitSampleSize = 30,
+        checkpoint = graft.core.CheckpointPolicy.Passthrough)
+      AnnIndex.writePartitioned(idx, "annds")
+      val stream = MemoryStream[Long]
+      val q = AnnIndex.deleteStream(
+          stream.toDF().toDF("vec_id"), "vec_id", "annds")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        stream.addData(3L, 7L)
+        q.processAllAvailable()
+        stream.addData(3L, 11L) // 3 redelivered
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = AnnIndex.readPartitioned(spark, "annds")
+      assert(rowSet(got.cells) ===
+        rowSet(idx.cells.filter(!col("id").isin(3L, 7L, 11L))),
+        "stream-delete ≡ rebuild-without on the stored cells")
+      assert(rowSet(got.centroids) === rowSet(idx.centroids),
+        "the quantizer stays frozen through stream deletes")
+    } finally Seq("centroids", "cells").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS annds_$t"))
+  }
+
   test("media index hot-chunk cap bounds per-item candidates; real hits survive") {
     import spark.implicits._
     import graft.streaming.MediaStream
