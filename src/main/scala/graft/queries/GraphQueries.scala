@@ -666,6 +666,25 @@ object GraphQueries {
         .select(col(ID), round(col("rank"), 9).as("rank"))
     }),
 
+    "g60_ranks_lifecycle" -> ((s, d) => {
+      // the maintained-ranks lifecycle under the value gate: store the
+      // orders graph bucketed, buildRanks COLD (5 fixed rounds — g21's
+      // exact arithmetic riding the Passthrough bucketed-routes plan),
+      // and read the persisted table back. Oracle = g21's unrolled CTE:
+      // the storage round-trip and the zero-exchange plan shape must
+      // not move a single value past the shared round(...,9)
+      // summation-order absorber. (The WARM face — runFrom after an
+      // append — is spec-pinned instead: its mass renormalization has
+      // no bit-exact SQL twin.)
+      val e = ordersEdges(s, d)
+      val name = s"g60rk_${d.hashCode & 0x7fffffff}"
+      graft.sources.GraphIO.writeBucketed(
+        indexedGraph(vertsOf(e), e, directed = true), name, buckets = 8)
+      graft.sources.GraphIO.buildRanks(s, name, maxIterations = 5)
+      graft.sources.GraphIO.readRanks(s, name)
+        .select(col(ID), round(col("rank"), 9).as("rank"))
+    }),
+
     "g27_ppr" -> ((s, d) => {
       // personalized PageRank from the id%17==0 seed set: teleport and
       // dangling mass return to the seeds, so rank measures closeness to
@@ -1631,6 +1650,8 @@ object GraphQueries {
         |       FROM ee JOIN l2 p ON p.id = ee.b GROUP BY ee.a)
         |SELECT sha256(string_agg(l, '' ORDER BY l)) AS wl_hash FROM l3""".stripMargin,
     "g21_pagerank" -> pageRankOracleSql(5),
+    // the stored-rank lifecycle must round-trip g21's values exactly
+    "g60_ranks_lifecycle" -> pageRankOracleSql(5),
     "g27_ppr" -> personalizedPageRankOracleSql(5),
     "g28_hits" -> hitsOracleSql(3),
     "g43_eigenvector" -> eigenvectorOracleSql(3),
