@@ -334,8 +334,28 @@ object DedupIndex {
         coalesce(col("_kn"), oldClusters("id")).as("id"),
         coalesce(col("_ln"), oldClusters("cluster_id")).as("cluster_id"))
     // new representatives start as their own singleton cluster
-    val cur = rekeyedC.unionByName(
+    val cur0 = rekeyedC.unionByName(
       m.newRepIds.select(col("id"), col("id").as("cluster_id")))
+    // min-label REPAIR for rekeyed clusters: a rekeyed rep's id DROPPED,
+    // and if it undercuts its cluster's current label the plain value
+    // rename above cannot see it (the label is some OTHER member's id —
+    // cluster {3, 7} labelled 3, batch copy 1 re-keys 7→1: rebuild says
+    // label 1). Recompute min(id) for just the clusters holding a
+    // rekeyed rep — member scan bounded by their mass, map bounded by
+    // the batch's rekey count.
+    val rekeyTouched = rekeyedC
+      .join(broadcast(rk.select(col("_newid").as("id"))), Seq("id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+      .localCheckpoint()
+    val newMin = cur0
+      .join(broadcast(rekeyTouched), Seq("cluster_id"), "left_semi")
+      .groupBy(col("cluster_id")).agg(min(col("id")).as("_m"))
+      .filter(col("cluster_id") =!= col("_m"))
+      .select(col("cluster_id").as("_oldl"), col("_m").as("_newl"))
+      .localCheckpoint()
+    val cur = cur0
+      .join(broadcast(newMin), cur0("cluster_id") === col("_oldl"), "left")
+      .select(col("id"), coalesce(col("_newl"), cur0("cluster_id")).as("cluster_id"))
     // 2. LSH probe: candidates touching a NEW representative, against
     // the merged bucket table (hot-bucket cap applied to the buckets as
     // they stand NOW — the batch-probe recall contract above)

@@ -577,6 +577,21 @@ class TextDedupSpec extends SparkSpec {
       s"bridge must merge X and Y: $l2")
     // untouched singletons keep their labels
     assert(l2(7L) === 7L && l2(14L) === 14L)
+
+    // batch 3 — the rekey-undercuts-the-LABEL trap: an exact copy of
+    // tY (rep 5, NOT the cluster's label 0) arrives with id -1 < 0, so
+    // rep 5 re-keys to -1 and the whole merged cluster's min drops
+    // below its current label — a plain label-value rename cannot see
+    // this; the bounded min repair must
+    val b3 = docs(-1L -> tY)
+    val m3 = DedupIndex.mergeDetailed(m2.index, b3, "doc_id", "text")
+    val ncl3 = DedupIndex.advanceClusters(m3, ncl2, thr).localCheckpoint()
+    assert(rowSet(ncl3) === rowSet(m3.index.nearClusters(thr)),
+      "batch 3: advance must equal the closure rebuilt after an undercut rekey")
+    val l3 = ncl3.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l3(0L) === -1L && l3(-1L) === -1L && l3(20L) === -1L,
+      s"the rekeyed member must relabel its whole cluster: $l3")
+    assert(l3(7L) === 7L && l3(14L) === 14L)
   }
 
   test("persisted near-cluster lifecycle: build once, advance per batch, read ≡ rebuild") {
