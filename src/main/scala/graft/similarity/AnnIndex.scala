@@ -203,7 +203,11 @@ object AnnIndex {
     * a periodic [[build]] re-fits). So delete ≡ the same frozen
     * quantizer serving the corpus minus the ids: probes can never
     * return a deleted vector again (AnnIndexSpec pins both). Unknown
-    * ids match nothing — idempotent. */
+    * ids match nothing — idempotent. Retention honesty: the frozen
+    * centroid SUMS still include the erased vectors' aggregate
+    * contribution (statistics over the whole fitted corpus, not any
+    * one vector); a strict-erasure deployment schedules the periodic
+    * re-[[build]] as its purge. */
   def delete(idx: Index, ids: DataFrame, idCol: String): Index =
     Index(idx.centroids,
       idx.cells.join(ids.select(col(idCol).as("id")).distinct(),

@@ -540,6 +540,19 @@ object GraphIO {
     if (repairComponents)
       affected.foreach(repairComponentTable(spark, name, _, removedIds = Some(ids)))
     else invalidateComponents(spark, name)
+    // the cascade takes DERIVED per-subject data too: a rank row about
+    // an erased vertex is retained data about it (other vertices' rank
+    // VALUES go stale until refreshRanks — documented — but the
+    // subject's row must physically go)
+    if (spark.catalog.tableExists(s"${name}_ranks")) {
+      val keptR = spark.table(s"${name}_ranks").join(ids, Seq("id"), "left_anti")
+      val rb = tableBuckets(spark, s"${name}_ranks")
+      CatalogTables.stagedOverwrite(spark, s"${name}_ranks") { t =>
+        keptR.write.mode("overwrite")
+          .bucketBy(rb, "id").sortBy("id")
+          .saveAsTable(t)
+      }
+    }
   }
 
   /** Shared tail of the two delete faces: overwrite the edge table with

@@ -343,6 +343,15 @@ class GraphAppendSpec extends SparkSpec {
         rowSet(rebuilt.vertices))
       assert(rowSet(GraphIO.readComponents(spark, "ap_gdpr")) ===
         rowSet(GraphIO.componentsOf(rebuilt)))
+
+      // the cascade takes the subject's DERIVED rank row too (a rank
+      // about an erased vertex is retained data about it)
+      GraphIO.buildRanks(spark, "ap_gdpr", maxIterations = 3)
+      val cId = Graph.keyVertices(rawVerts(Seq("d"))).select("id").head().getLong(0)
+      GraphIO.deleteVertices(spark, "ap_gdpr", rawVerts(Seq("d")))
+      assert(GraphIO.readRanks(spark, "ap_gdpr")
+        .filter(col("id") === cId).isEmpty,
+        "the erased subject's rank row must physically go")
     } finally drop("ap_gdpr")
   }
 
