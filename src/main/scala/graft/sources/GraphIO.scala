@@ -528,15 +528,22 @@ object GraphIO {
       .join(gone.select(col("id").as("src")), Seq("src"), "left_anti")
       .join(gone.select(col("id").as("dst")), Seq("dst"), "left_anti")
       .select(ecols: _*)
+    // ORDER = crash recovery: the redelivery guard above keys on VERTEX
+    // presence, so the vertex swap must come LAST — a crash after the
+    // edge rewrite leaves the subject's vertex row in place, and
+    // re-delivering the same delete then completes the cascade (the
+    // edge half no-ops, the remaining rewrites run). Swapping vertices
+    // first would make the redelivered cascade return early and leave
+    // the incident edges orphaned forever.
+    // The degree table's defining aggregate ranges over the kept edges
+    // only; removed endpoints whose counts reach zero drop their row.
+    applyEdgeRemoval(spark, name, removed, kept)
     val buckets = tableBuckets(spark, s"${name}_vertices")
     CatalogTables.stagedOverwrite(spark, s"${name}_vertices") { t =>
       keptV.write.mode("overwrite")
         .bucketBy(buckets, "id").sortBy("id")
         .saveAsTable(t)
     }
-    // the degree table's defining aggregate ranges over the kept edges
-    // only; removed endpoints whose counts reach zero drop their row
-    applyEdgeRemoval(spark, name, removed, kept)
     if (repairComponents)
       affected.foreach(repairComponentTable(spark, name, _, removedIds = Some(ids)))
     else invalidateComponents(spark, name)

@@ -450,6 +450,35 @@ class GraphAppendSpec extends SparkSpec {
     }
   }
 
+  test("cascade crash recovery: redelivery completes a vertex delete whose edge half already ran") {
+    // the state a crash between deleteVertices' edge rewrite and its
+    // vertex swap leaves behind = incident edges gone, vertex row (and
+    // its component/rank rows) still present; the redelivered cascade
+    // must finish the job, because the no-op guard keys on VERTEX
+    // presence and the vertex swap is ordered LAST
+    val v0 = Seq("a", "b", "c", "d")
+    val e0 = Seq(("a", "c"), ("c", "b"), ("a", "d"))
+    GraphIO.writeBucketed(
+      Graph.index(rawVerts(v0), rawEdges(e0), directed = true), "ap_crash", buckets = 4)
+    try {
+      GraphIO.buildComponents(spark, "ap_crash")
+      // simulate the half-committed cascade
+      GraphIO.deleteEdges(spark, "ap_crash", rawEdges(Seq(("a", "c"), ("c", "b"))))
+      // redelivered full cascade
+      GraphIO.deleteVertices(spark, "ap_crash", rawVerts(Seq("c")))
+      val rebuilt = Graph.index(
+        rawVerts(Seq("a", "b", "d")), rawEdges(Seq(("a", "d"))), directed = true)
+      assert(rowSet(GraphIO.readBucketed(spark, "ap_crash").vertices) ===
+        rowSet(rebuilt.vertices))
+      assert(rowSet(GraphIO.readBucketed(spark, "ap_crash").edges) ===
+        rowSet(rebuilt.edges))
+      assert(rowSet(GraphIO.readComponents(spark, "ap_crash")) ===
+        rowSet(GraphIO.componentsOf(rebuilt)))
+      assert(rowSet(GraphIO.readDegrees(spark, "ap_crash")) ===
+        rowSet(GraphIO.degreesOf(rebuilt.edges)))
+    } finally drop("ap_crash")
+  }
+
   test("delete burst opt-out: repairComponents=false drops the table loudly; rebuild recovers") {
     val v0 = Seq("a", "b", "c", "d")
     val e0 = Seq(("a", "b"), ("b", "c"), ("c", "d"))
