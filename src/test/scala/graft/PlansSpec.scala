@@ -394,6 +394,28 @@ class PlansSpec extends SparkSpec {
       s"s12 counts must map-side combine:\n$p")
   }
 
+  test("dedup delete probe: batch side broadcasts, the corpus never crosses itself") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // deleteDetailed's group-location join is a theta join
+    // (array_contains) — it MUST plan as a broadcast nested-loop with
+    // the batch-sized delete frame broadcast, never a cartesian of the
+    // clusters table against anything its own size
+    val idx = graft.dedup.DedupIndex.build(
+      spark.read.parquet(s"$SF/documents.parquet")
+        .select(col("doc_id"), col("text")),
+      "doc_id", "text")
+    val del = Seq(1L, 2L, 3L).toDF("doc_id").select(col("doc_id").as("_del"))
+    val probed = idx.clusters
+      .join(broadcast(del), array_contains(col("ids"), col("_del")))
+    probed.collect()
+    val p = plan(probed)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the delete probe must broadcast the batch:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the delete probe must not go cartesian:\n$p")
+  }
+
   test("g34/g35 graph stats: id-keyed joins plus combinable aggregates only") {
     for (q <- Seq("g34_modularity", "g35_assortativity")) {
       val p = plan(GraphQueries.queries(q)(spark, SF))
