@@ -120,10 +120,9 @@ object HyperBall {
     * Deltas are nonnegative (registers only grow), and instead of
     * dividing by r — division rounds — each delta is multiplied by the
     * exact integer L/r where L = lcm(1..rounds) (the g33
-    * harmonic-closeness device), with the weighted sum carried in
-    * integer decimals so no overflow can shave it. Output
-    * (id, h_lcm_micro): h_lcm_micro ≈ 1e6·L·H(v); ranking and
-    * ratios are unaffected by the scaling.
+    * harmonic-closeness device), with the weighted sum carried in i64.
+    * Output (id, h_lcm_micro) as BIGINT: h_lcm_micro ≈ 1e6·L·H(v);
+    * ranking and ratios are unaffected by the scaling.
     *
     * Plan shape: the round frames are per-vertex aggregates of the SAME
     * checkpointed registers the NF reuses; the pivot is `rounds` keyed
@@ -131,12 +130,15 @@ object HyperBall {
     */
   def harmonicCentrality(g: Graph, p: Int, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    // lcm(1..16) = 720720; at 17 it jumps to 12,252,240. 16 rounds
+    // lcm(1..16) = 720720; at 17 it jumps to 12,252,240 and the
+    // weight×delta products leave the safe i64 envelope. 16 rounds
     // covers real effective diameters (web/social graphs: single
-    // digits); deeper graphs should bucket rounds or use the NF face,
-    // which has no weight arithmetic.
-    require(rounds <= 16,
-      s"harmonicCentrality supports rounds <= 16 (lcm weight bound), got $rounds")
+    // digits); DEEPER graphs fall back to the bucketed-rounds face —
+    // same integer pipeline, rounds grouped so each bucket's lcm
+    // weights stay small, one integral division per bucket. NOTE the
+    // fallback's output column is (id, h_micro) ≈ 1e6·H(v) — the
+    // single-bucket lcm scaling cannot extend past 16 rounds.
+    if (rounds > 16) return harmonicCentralityDeep(g, p, rounds)
     val L = (1 to rounds).foldLeft(1L)((acc, r) =>
       acc / gcd(acc, r) * r)
     // the exact integer numerator as a digit-string DECIMAL literal;
@@ -148,14 +150,79 @@ object HyperBall {
         .select(col(ID), expr(s"$kLit div s_sum").as(s"_e$n"))
     }
     val joined = ests.reduce((a, b) => a.join(b, Seq(ID)))
-    // i64 deltas × narrow-decimal weights, summed as integer decimals:
-    // the product stays far inside precision 38, so Spark can neither
-    // overflow nor silently shave scale
+    // i64 deltas × i64 weights, summed in i64 — BIGINT end to end. The
+    // bound is comfortable: e_micro ≤ 1e6·α·m·|B| (real balls, not the
+    // register-saturation ceiling), so each term ≤ lcm(1..16)·e_max
+    // ≈ 7·10^5·e_max and the 16-term sum stays far inside 2^63 for any
+    // graph whose micro-estimates fit i64 in the first place. BIGINT
+    // (not DECIMAL) output on BOTH faces: the unique-to-this-query
+    // DECIMAL(38,0) column was one of two constructs separating the
+    // r10–r12 driver-red oracle from the 166 green ones.
     val h = (1 to rounds).map { r =>
-      (col(s"_e$r") - col(s"_e${r - 1}")).cast("decimal(20,0)") *
-        lit(L / r).cast("decimal(7,0)")
+      (col(s"_e$r") - col(s"_e${r - 1}")) * lit(L / r)
     }.reduce(_ + _)
-    joined.select(col(ID), h.cast("decimal(38,0)").as("h_lcm_micro"))
+    joined.select(col(ID), h.cast("long").as("h_lcm_micro"))
+  }
+
+  /** Deep-graph harmonic face for effective diameters past 16: the
+    * identical integer pipeline with ROUNDS GROUPED INTO BUCKETS so the
+    * lcm weights stay bounded. Rounds are partitioned greedily — a
+    * bucket [lo..hi] extends while lcm(lo..hi)/lo ≤ 720720, the exact
+    * face's own weight envelope (lo=1 reproduces the 1..16 bucket; deep
+    * buckets shrink as new primes enter, and a singleton bucket always
+    * fits since its weight is 1). Within a bucket deltas are weighted
+    * by the exact integers L_b/r as before (no division); buckets are
+    * then combined as Σ_b (S_b div L_b) — ONE floor division per
+    * bucket, each losing < 1 micro-unit, so the result understates
+    * 1e6·H(v) by at most #buckets micro-units (≈1e-6·#buckets in H
+    * units, orders below the HLL error itself). All-integer, so the
+    * same engine-portability contract as the exact face holds.
+    *
+    * Output (id, h_micro) as BIGINT: h_micro ≈ 1e6·H(v) directly (no
+    * lcm scaling — bucket lcms differ, so a common scale must be H's
+    * own).
+    */
+  def harmonicCentralityDeep(g: Graph, p: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val buckets = bucketRounds(rounds)
+    val k = harmonicNumeratorMicro(p)
+    val kLit = s"CAST('$k' AS DECIMAL(${k.toString.length}, 0))"
+    val ests = ballRegisters(g, p, rounds).zipWithIndex.map { case (regs, n) =>
+      Hll.estimate(regs, Seq(ID), p)
+        .select(col(ID), expr(s"$kLit div s_sum").as(s"_e$n"))
+    }
+    val joined = ests.reduce((a, b) => a.join(b, Seq(ID)))
+    val sums = buckets.zipWithIndex.map { case ((lo, hi, lb), i) =>
+      (lo to hi).map { r =>
+        (col(s"_e$r") - col(s"_e${r - 1}")) * lit(lb / r)
+      }.reduce(_ + _).as(s"_s$i")
+    }
+    val hExpr = buckets.zipWithIndex
+      .map { case ((_, _, lb), i) => s"(_s$i div ${lb}L)" }
+      .mkString(" + ")
+    joined.select(col(ID) +: sums: _*)
+      .selectExpr(ID, s"CAST($hExpr AS BIGINT) AS h_micro")
+  }
+
+  /** Greedy round-bucket partition for [[harmonicCentralityDeep]]:
+    * contiguous (lo, hi, lcm(lo..hi)) spans of 1..rounds, each extended
+    * while its max weight lcm(lo..hi)/lo stays ≤ 720720 (= lcm(1..16),
+    * the exact face's envelope). */
+  private[graft] def bucketRounds(rounds: Int): Seq[(Int, Int, Long)] = {
+    val out = Seq.newBuilder[(Int, Int, Long)]
+    var lo = 1
+    while (lo <= rounds) {
+      var hi = lo
+      var l = lo.toLong
+      var grown = true
+      while (grown && hi < rounds) {
+        val next = l / gcd(l, hi + 1L) * (hi + 1)
+        if (next / lo <= 720720L) { hi += 1; l = next } else grown = false
+      }
+      out += ((lo, hi, l))
+      lo = hi + 1
+    }
+    out.result()
   }
 
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)

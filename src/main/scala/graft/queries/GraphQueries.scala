@@ -201,6 +201,18 @@ object GraphQueries {
       HyperBall.harmonicCentrality(g, p = 4, rounds = 5)
     }),
 
+    "g61_harmonic_anf_sum" -> ((s, d) => {
+      // diagnostic twin of g56: the identical integer harmonic pipeline
+      // collapsed to one total row (the g54 single-aggregate shape).
+      // g61 green + g56 red would localize any residual driver
+      // sensitivity to representation/join shape rather than values.
+      val hg = hierarchyGraph(s, d)
+      val g = Graph(hg.vertices, hg.edges, directed = false)
+      HyperBall.harmonicCentrality(g, p = 4, rounds = 5)
+        .agg(sum(col("h_lcm_micro")).cast("long").as("h_total"),
+          count(lit(1)).as("n_vertices"))
+    }),
+
     "g54_hyperball_anf" -> ((s, d) => {
       // HyperBall / ANF on the undirected customer->nation->hub
       // hierarchy: per-vertex portable-HLL ball counters (p=4, the d20
@@ -1359,15 +1371,38 @@ object GraphQueries {
          |  FROM (SELECT id, sum(CAST(power(2, 45 - r) AS BIGINT)) AS sp,
          |        count(*) AS nb FROM st$k GROUP BY id))""".stripMargin
     }
-    val terms = (1 to rounds).map { r =>
-      s"CAST(es$r.e - es${r - 1}.e AS DECIMAL(20,0)) * CAST(${lcm / r} AS DECIMAL(7,0))"
-    }.mkString(" + ")
-    val joins = (1 to rounds).map(k => s"JOIN es$k USING (id)").mkString(" ")
+    // Long-format tail — ONLY constructs already driver-green elsewhere
+    // (r10–r12 lesson: the red rows' residual was construct sensitivity,
+    // not values; the old tail's chained `JOIN esK USING (id)` pivot and
+    // DECIMAL(38,0) output were unique to this query among all oracles).
+    // UNION ALL the per-round estimates into (round, id, e), delta-join
+    // with an explicit ON round = round - 1 (the convention every green
+    // iterative oracle uses), weight via CASE, and sum per id as BIGINT.
+    val unions = (0 to rounds)
+      .map(k => s"SELECT $k AS round, id, e FROM es$k")
+      .mkString(" UNION ALL ")
+    val cases = (1 to rounds).map(r => s"WHEN $r THEN ${lcm / r}").mkString(" ")
     (Seq(head) ++ iters ++ ests ++ Seq(
-      s"""fin AS (SELECT es0.id AS id,
-         |    CAST($terms AS DECIMAL(38,0)) AS h_lcm_micro
-         |  FROM es0 $joins)
+      s"""esall AS ($unions),
+         |fin AS (SELECT a.id AS id,
+         |    CAST(sum((a.e - b.e) * (CASE a.round $cases END)) AS BIGINT)
+         |      AS h_lcm_micro
+         |  FROM esall a JOIN esall b
+         |    ON b.id = a.id AND b.round = a.round - 1
+         |  GROUP BY a.id)
          |SELECT id, h_lcm_micro FROM fin""".stripMargin)).mkString(",\n")
+  }
+
+  /** g61 diagnostic twin of [[hyperballHarmonicOracleSql]]: the SAME
+    * integer pipeline collapsed to ONE total row (the g54 single-
+    * aggregate shape). If g61 is driver-green while g56 stays red, the
+    * residual is representation/join-shape, not values — the bisect
+    * round 12's verdict ordered. */
+  private def hyperballHarmonicSumOracleSql(rounds: Int): String = {
+    val body = hyperballHarmonicOracleSql(rounds)
+    body.replace("SELECT id, h_lcm_micro FROM fin",
+      "SELECT CAST(sum(h_lcm_micro) AS BIGINT) AS h_total," +
+        " count(*) AS n_vertices FROM fin")
   }
 
   private val hyperballAlpha = "((0.7213/(1.0 + 1.079/16.0)) * 9007199254740992.0)"
@@ -1708,6 +1743,7 @@ object GraphQueries {
     "g51_louvain_fit" -> louvainFitOracleSql(4, 4),
     "g54_hyperball_anf" -> hyperballOracleSql(5),
     "g56_harmonic_anf" -> hyperballHarmonicOracleSql(5),
+    "g61_harmonic_anf_sum" -> hyperballHarmonicSumOracleSql(5),
     // append ≡ whole-rebuild, so the maintained degrees ARE the distinct
     // union's degree counts — exactly the lifecycle contract the Spark
     // side must earn through the bucketed store + append path

@@ -871,11 +871,15 @@ class AlgorithmsSpec extends SparkSpec {
       leaves.map(i => (0L, i)).toDF(SRC, DST)
         .withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
       directed = false)
-    val h = graft.algorithms.HyperBall.harmonicCentrality(g, p = 6, rounds = 3)
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val hDf = graft.algorithms.HyperBall.harmonicCentrality(g, p = 6, rounds = 3)
+    // BIGINT output on both faces (the unique DECIMAL(38,0) column was
+    // half of the r10–r12 driver-red construct surface)
+    assert(hDf.schema("h_lcm_micro").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val h = hDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // the hub reaches everything at distance 1 — strictly the largest
     val hub = h(0L)
-    leaves.foreach(l => assert(h(l).compareTo(hub) < 0, s"leaf $l must trail the hub"))
+    leaves.foreach(l => assert(h(l) < hub, s"leaf $l must trail the hub"))
     // arithmetic composition: h_lcm_micro REPLAYS from the per-vertex
     // round s_sums with exact integer weights lcm(1..3)/r = 6, 3, 2 —
     // e_micro = K div s_sum, integral division of exact integers, no
@@ -885,10 +889,54 @@ class AlgorithmsSpec extends SparkSpec {
     val num = graft.algorithms.HyperBall.harmonicNumeratorMicro(6)
     (0L +: leaves).foreach { v =>
       val e = (0 to 3).map(r => (num / sSum((r, v))).toLong)
-      val manual = java.math.BigDecimal.valueOf(
-        (1 to 3).map(r => (e(r) - e(r - 1)) * (6 / r)).sum)
-      assert(h(v).compareTo(manual) === 0, s"vertex $v h_lcm_micro mismatch")
+      val manual = (1 to 3).map(r => (e(r) - e(r - 1)) * (6 / r)).sum
+      assert(h(v) === manual, s"vertex $v h_lcm_micro mismatch")
     }
+  }
+
+  test("HyperBall deep harmonic: rounds > 16 buckets, exact integer replay on a deep path") {
+    import spark.implicits._
+    // bucket partition invariants: contiguous cover of 1..rounds, every
+    // bucket's max weight lcm/lo inside the exact face's 720720 envelope
+    val buckets = graft.algorithms.HyperBall.bucketRounds(20)
+    assert(buckets.head === ((1, 16, 720720L)), "first bucket must be the exact face's 1..16")
+    assert(buckets.flatMap(b => b._1 to b._2) === (1 to 20).toSeq)
+    buckets.foreach { case (lo, hi, l) =>
+      assert(l / lo <= 720720L, s"bucket $lo..$hi weight ${l / lo} over envelope")
+      (lo to hi).foreach(r => assert(l % r === 0L, s"lcm $l not divisible by $r"))
+    }
+    // a 25-vertex path needs 20+ rounds to saturate — the require this
+    // replaces would have refused it
+    val n = 24L
+    val g = Graph(
+      (0L to n).toDF(ID),
+      (0L until n).map(i => (i, i + 1)).toDF(SRC, DST)
+        .withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
+      directed = false)
+    val deep = graft.algorithms.HyperBall.harmonicCentrality(g, p = 4, rounds = 20)
+    assert(deep.schema.fieldNames.toSeq === Seq(ID, "h_micro"))
+    val h = deep.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h.size === 25)
+    // exact replay: same buckets, same e_micro = K div s_sum, same
+    // per-bucket floor division — driver-side integer recompute
+    val sSum = graft.algorithms.HyperBall.vertexNeighbourhoods(g, p = 4, rounds = 20)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val num = graft.algorithms.HyperBall.harmonicNumeratorMicro(4)
+    (0L to n).foreach { v =>
+      val e = (0 to 20).map(r => (num / sSum((r, v))).toLong)
+      val manual = buckets.map { case (lo, hi, l) =>
+        (lo to hi).map(r => (e(r) - e(r - 1)) * (l / r)).sum / l
+      }.sum
+      assert(h(v) === manual, s"vertex $v h_micro mismatch")
+    }
+    // middle of the path sees more close vertices than the endpoints
+    assert(h(12L) > h(0L) && h(12L) > h(24L))
+    // single-bucket consistency: deep(5) == exact(5) div lcm(1..5)
+    val exact5 = graft.algorithms.HyperBall.harmonicCentrality(g, p = 4, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val deep5 = graft.algorithms.HyperBall.harmonicCentralityDeep(g, p = 4, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to n).foreach(v => assert(deep5(v) === exact5(v) / 60L, s"vertex $v deep/exact"))
   }
 
   test("UnionFind.minLabel ≡ distributed min-label CC on random edge lists; cap falls back") {
