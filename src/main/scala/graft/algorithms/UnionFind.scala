@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions.col
   * collected edge list is exact, deterministic (min-label), and
   * microseconds at batch scale; memory is bounded by the explicit edge
   * cap, and callers FALL BACK to the distributed path when the cap is
-  * exceeded (None), so nothing corpus-sized ever lands on the driver.
+  * exceeded or an id column is non-integral (None), so nothing
+  * corpus-sized ever lands on the driver and no caller-typed id is
+  * coerced into a different label ordering.
   *
   * Output (id, component): one row per edge ENDPOINT, component = the
   * minimum id of its connected set — identical, row for row, to the
@@ -29,6 +31,17 @@ object UnionFind {
   def minLabel(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxEdges: Int = 100000): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    // integral key columns only: the callers' id columns are
+    // caller-typed. A string id would cast to null here (NPE at
+    // getLong), and a numeric STRING would get numeric min-label
+    // ordering while the distributed path this short-circuits orders
+    // labels by the column's OWN type — decline and let the caller
+    // fall back to the distributed CC, which is type-generic.
+    val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
+    val fields = edges.schema
+    if (!integral(fields(srcCol).dataType) || !integral(fields(dstCol).dataType))
+      return None
     val rows = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
       .limit(maxEdges + 1).collect()
     if (rows.length > maxEdges) None

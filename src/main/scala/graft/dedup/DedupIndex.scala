@@ -446,7 +446,7 @@ object DedupIndex {
     // cached listings after each rewrite (CatalogTables.refreshTables)
     val origin = docs.sparkSession
     docs.writeStream.outputMode("update").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, _: Long) => crudLock.synchronized {
         val spark = batch.sparkSession
         val idx = readBucketed(spark, name)
         val known = idx.clusters.select(explode(col("ids")).as(idCol))
@@ -464,6 +464,7 @@ object DedupIndex {
           mergeBucketed(spark, name, fresh, idCol, textCol, numBuckets)
           refreshFamily(origin, name)
         }
+      }
     }
   }
 
@@ -477,21 +478,19 @@ object DedupIndex {
     * indexed — the [[mergeStream]] anti-join). */
   def mergeBucketed(
       spark: SparkSession, name: String, newDocs: DataFrame,
-      idCol: String, textCol: String, numBuckets: Int = 32): Unit = {
+      idCol: String, textCol: String, numBuckets: Int = 32): Unit = crudLock.synchronized {
     val idx = readBucketed(spark, name)
     val m = mergeDetailed(idx, newDocs, idCol, textCol)
     val nclT = s"${name}_nearclusters"
     val advanced =
-      if (!spark.catalog.tableExists(nclT)) None
-      else {
-        val meta = spark.table(s"${name}_nclmeta").head()
+      nclParams(spark, name).map { case (threshold, maxBucketSize) =>
         // pinned: the writeBucketed below overwrites the bucket/shingle
         // tables; the merge frames the advance probes are themselves
         // pinned, but the advance output must not replan against the
         // rewritten tables either
-        Some(advanceClusters(m, spark.table(nclT),
-          threshold = meta.getDouble(0), maxBucketSize = meta.getInt(1))
-          .localCheckpoint())
+        advanceClusters(m, spark.table(nclT),
+          threshold = threshold, maxBucketSize = maxBucketSize)
+          .localCheckpoint()
       }
     writeBucketed(m.index, name, numBuckets)
     advanced.foreach { a =>
@@ -664,18 +663,16 @@ object DedupIndex {
     * table exists. A delete that matches nothing rewrites nothing. */
   def deleteBucketed(
       spark: SparkSession, name: String, ids: DataFrame,
-      idCol: String, numBuckets: Int = 32): Unit = {
+      idCol: String, numBuckets: Int = 32): Unit = crudLock.synchronized {
     val idx = readBucketed(spark, name)
     val r = deleteDetailed(idx, ids, idCol)
     if (r.touchedShas.isEmpty) return
     val nclT = s"${name}_nearclusters"
     val repaired =
-      if (!spark.catalog.tableExists(nclT)) None
-      else {
-        val meta = spark.table(s"${name}_nclmeta").head()
-        Some(repairClustersAfterDelete(r, spark.table(nclT),
-          threshold = meta.getDouble(0), maxBucketSize = meta.getInt(1))
-          .localCheckpoint())
+      nclParams(spark, name).map { case (threshold, maxBucketSize) =>
+        repairClustersAfterDelete(r, spark.table(nclT),
+          threshold = threshold, maxBucketSize = maxBucketSize)
+          .localCheckpoint()
       }
     writeBucketed(r.index, name, numBuckets)
     repaired.foreach { a =>
@@ -700,11 +697,42 @@ object DedupIndex {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val origin = ids.sparkSession
     ids.writeStream.outputMode("update").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, _: Long) => crudLock.synchronized {
         if (!batch.isEmpty) {
           deleteBucketed(batch.sparkSession, name, batch, idCol, numBuckets)
           refreshFamily(origin, name)
         }
+      }
+    }
+  }
+
+  /** Serializes the persisted-index read-modify-rewrite cycles within
+    * this JVM — the [[graft.sources.GraphIO]] convention. The lifecycle
+    * doc recommends pairing [[mergeStream]] and [[deleteStream]] on a
+    * routed CDC stream, where the two queries' foreachBatch callbacks
+    * run on CONCURRENT threads against the same `<name>_*` tables: an
+    * unserialized interleave computes one side's rewrite from a stale
+    * base and silently discards the other's update. Cross-process
+    * coordination stays a catalog/lakehouse concern (see GraphIO). */
+  private val crudLock = new Object
+
+  /** Maintained-cluster parameters, gated on BOTH tables: None when no
+    * maintained table exists; throws when `<name>_nearclusters` is
+    * present without `<name>_nclmeta` — the signature of a
+    * buildNearClusters interrupted between its two staged writes, where
+    * silently skipping the advance would let later [[readNearClusters]]
+    * reads serve a stale table as truth. */
+  private def nclParams(spark: SparkSession, name: String): Option[(Double, Int)] = {
+    val nclT = s"${name}_nearclusters"
+    val metaT = s"${name}_nclmeta"
+    if (!spark.catalog.tableExists(nclT)) None
+    else if (!spark.catalog.tableExists(metaT))
+      throw new IllegalStateException(
+        s"$nclT exists but $metaT is missing (interrupted buildNearClusters?) — " +
+          s"re-run DedupIndex.buildNearClusters('$name', ...) to restore the pair")
+    else {
+      val meta = spark.table(metaT).head() // bounded: one parameter row
+      Some((meta.getDouble(0), meta.getInt(1)))
     }
   }
 
@@ -725,7 +753,7 @@ object DedupIndex {
     * [[Index.clusterAssignFrom]]. */
   def buildNearClusters(
       spark: SparkSession, name: String, threshold: Double,
-      maxBucketSize: Int = 0, numBuckets: Int = 32): Unit = {
+      maxBucketSize: Int = 0, numBuckets: Int = 32): Unit = crudLock.synchronized {
     import spark.implicits._
     val ncl = readBucketed(spark, name)
       .nearClusters(threshold, maxBucketSize)

@@ -49,6 +49,17 @@ object CatalogTables {
   def stagedOverwrite(spark: SparkSession, table: String)(
       write: String => Unit): Unit = {
     val staged = s"${table}__staged"
+    // Crash recovery FIRST: a prior mutation that died between dropping
+    // the live table and renaming `__staged` left the staged copy as
+    // the ONLY copy. Blindly clearing it here would destroy that copy —
+    // and the retry's own `write` typically reads from the (gone) live
+    // table, so nothing could rebuild it. Complete the pending rename
+    // instead, restoring the pre-crash "new contents live" state; the
+    // retry then proceeds as a normal overwrite on top of it.
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(staged)) {
+      spark.sql(s"ALTER TABLE `$staged` RENAME TO `$table`")
+      spark.catalog.refreshTable(table)
+    }
     prepareOverwrite(spark, staged)
     write(staged)
     prepareOverwrite(spark, table)

@@ -966,6 +966,25 @@ class AlgorithmsSpec extends SparkSpec {
     assert(graft.algorithms.UnionFind.minLabel(big, SRC, DST, maxEdges = 10).isEmpty)
   }
 
+  test("UnionFind.minLabel declines non-integral id columns — distributed fallback") {
+    import spark.implicits._
+    // string ids: a blind long cast would NPE (null at getLong)…
+    val strs = Seq(("a", "b"), ("b", "c")).toDF(SRC, DST)
+    assert(graft.algorithms.UnionFind.minLabel(strs, SRC, DST).isEmpty)
+    // …and NUMERIC strings would silently get numeric min-label ordering
+    // ("9" < "10") while the distributed path orders lexicographically
+    // ("10" < "9") — decline both, let the type-generic CC serve them
+    val numStrs = Seq(("10", "9"), ("9", "100")).toDF(SRC, DST)
+    assert(graft.algorithms.UnionFind.minLabel(numStrs, SRC, DST).isEmpty)
+    val dbls = Seq((1.5, 2.5)).toDF(SRC, DST)
+    assert(graft.algorithms.UnionFind.minLabel(dbls, SRC, DST).isEmpty)
+    // integral widths all remain served
+    val ints = Seq((10, 9), (9, 100)).toDF(SRC, DST)
+    val got = graft.algorithms.UnionFind.minLabel(ints, SRC, DST).get
+    assert(got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Map(9L -> 9L, 10L -> 9L, 100L -> 9L))
+  }
+
   test("HyperBall harmonic numerator: exact digit string pinned at p=4") {
     // BOTH faces (Spark plan and DuckDB oracle) embed this literal;
     // the pin guards the formula against edits that would silently

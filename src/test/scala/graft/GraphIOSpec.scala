@@ -99,6 +99,29 @@ class GraphIOSpec extends SparkSpec {
     }
   }
 
+  test("stagedOverwrite recovery: a pending rename is completed, not deleted") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val t = "so_crash_t"
+    Seq(s"$t", s"${t}__staged").foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
+    try {
+      // simulate the crash window of a prior mutation: the replacement
+      // fully committed to __staged, the live table already dropped,
+      // the rename never issued — __staged is the ONLY copy
+      Seq(10L, 20L, 30L).toDF("x").write.saveAsTable(s"${t}__staged")
+      // the retry's write derives its contents FROM the live table —
+      // exactly the read that blind staged-clearing would break twice
+      // over (staged copy destroyed AND the source table missing)
+      graft.sources.CatalogTables.stagedOverwrite(spark, t) { staged =>
+        spark.table(t).select((col("x") + 1).as("x"))
+          .localCheckpoint().write.saveAsTable(staged)
+      }
+      assert(spark.table(t).collect().map(_.getLong(0)).toSet === Set(11L, 21L, 31L))
+      assert(!spark.catalog.tableExists(s"${t}__staged"))
+    } finally
+      Seq(s"$t", s"${t}__staged").foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
+  }
+
   test("edge-list text ingestion: comments skipped, ids indexed, dups collapse") {
     val dir = java.nio.file.Files.createTempDirectory("graft-edgelist")
     java.nio.file.Files.writeString(dir.resolve("g.tsv"),

@@ -627,6 +627,34 @@ class TextDedupSpec extends SparkSpec {
     } finally dropAll()
   }
 
+  test("mergeBucketed/deleteBucketed refuse a nearclusters table missing its nclmeta") {
+    import graft.dedup.DedupIndex
+    import spark.implicits._
+    val name = "ncl_halfbuilt"
+    def dropAll(): Unit =
+      Seq("clusters", "shingles", "buckets", "meta", "nearclusters", "nclmeta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+    dropAll()
+    try {
+      DedupIndex.writeBucketed(
+        DedupIndex.build(docs(1L -> "aa bb cc dd ee ff gg hh ii jj"),
+          "doc_id", "text"), name, numBuckets = 4)
+      DedupIndex.buildNearClusters(spark, name, threshold = 0.4, numBuckets = 4)
+      // the signature of a buildNearClusters interrupted between its two
+      // staged writes: clusters committed, parameters missing. Advancing
+      // silently would leave readNearClusters serving a stale table.
+      spark.sql(s"DROP TABLE ${name}_nclmeta")
+      val batch = docs(2L -> "kk ll mm nn oo pp qq rr ss tt")
+      val ex = intercept[IllegalStateException](
+        DedupIndex.mergeBucketed(spark, name, batch, "doc_id", "text", numBuckets = 4))
+      assert(ex.getMessage.contains("buildNearClusters"))
+      val ex2 = intercept[IllegalStateException](
+        DedupIndex.deleteBucketed(spark, name, Seq(1L).toDF("doc_id"), "doc_id",
+          numBuckets = 4))
+      assert(ex2.getMessage.contains("buildNearClusters"))
+    } finally dropAll()
+  }
+
   test("deleteDocs: rebuild-without on every frame; rekey, shrink, empty, unknown, idempotent") {
     import graft.dedup.DedupIndex
     val tA = "the quick brown fox jumps over the lazy dog again and again"
