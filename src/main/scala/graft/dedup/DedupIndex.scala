@@ -478,7 +478,7 @@ object DedupIndex {
     * indexed — the [[mergeStream]] anti-join). */
   def mergeBucketed(
       spark: SparkSession, name: String, newDocs: DataFrame,
-      idCol: String, textCol: String, numBuckets: Int = 32): Unit = crudLock.synchronized {
+      idCol: String, textCol: String, numBuckets: Int = 32): Unit = mutate(spark, name) {
     val idx = readBucketed(spark, name)
     val m = mergeDetailed(idx, newDocs, idCol, textCol)
     val nclT = s"${name}_nearclusters"
@@ -663,7 +663,7 @@ object DedupIndex {
     * table exists. A delete that matches nothing rewrites nothing. */
   def deleteBucketed(
       spark: SparkSession, name: String, ids: DataFrame,
-      idCol: String, numBuckets: Int = 32): Unit = crudLock.synchronized {
+      idCol: String, numBuckets: Int = 32): Unit = mutate(spark, name) {
     val idx = readBucketed(spark, name)
     val r = deleteDetailed(idx, ids, idCol)
     if (r.touchedShas.isEmpty) return
@@ -716,6 +716,16 @@ object DedupIndex {
     * coordination stays a catalog/lakehouse concern (see GraphIO). */
   private val crudLock = new Object
 
+  /** Both guards for every persisted-index mutation: [[crudLock]]
+    * serializes writers in this JVM; the family epoch
+    * ([[graft.sources.CatalogTables.withFamilyEpochGuard]]) aborts
+    * loudly when a SECOND PROCESS committed to the same `<name>_*`
+    * tables while this mutation ran. */
+  private def mutate[T](spark: SparkSession, name: String)(body: => T): T =
+    crudLock.synchronized {
+      graft.sources.CatalogTables.withFamilyEpochGuard(spark, name)(body)
+    }
+
   /** Maintained-cluster parameters, gated on BOTH tables: None when no
     * maintained table exists; throws when `<name>_nearclusters` is
     * present without `<name>_nclmeta` — the signature of a
@@ -753,7 +763,7 @@ object DedupIndex {
     * [[Index.clusterAssignFrom]]. */
   def buildNearClusters(
       spark: SparkSession, name: String, threshold: Double,
-      maxBucketSize: Int = 0, numBuckets: Int = 32): Unit = crudLock.synchronized {
+      maxBucketSize: Int = 0, numBuckets: Int = 32): Unit = mutate(spark, name) {
     import spark.implicits._
     val ncl = readBucketed(spark, name)
       .nearClusters(threshold, maxBucketSize)
@@ -789,25 +799,27 @@ object DedupIndex {
   def writeBucketed(idx: Index, name: String, numBuckets: Int = 32): Unit = {
     val spark = idx.clusters.sparkSession
     import graft.sources.CatalogTables.stagedOverwrite
-    // staged overwrites (the GraphIO r12 device): each live table stays
-    // intact and readable until its replacement commits — a merge/delete
-    // rewrite can no longer lose the only copy mid-write, and lazy
-    // frames deriving the new contents FROM the stored tables stay valid
-    stagedOverwrite(spark, s"${name}_clusters") { t =>
-      idx.clusters.write.mode("overwrite").saveAsTable(t)
-    }
-    stagedOverwrite(spark, s"${name}_shingles") { t =>
-      idx.shingles.write.mode("overwrite")
-        .bucketBy(numBuckets, "id").sortBy("id")
-        .saveAsTable(t)
-    }
-    stagedOverwrite(spark, s"${name}_buckets") { t =>
-      idx.buckets.write.mode("overwrite")
-        .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
-        .saveAsTable(t)
-    }
-    stagedOverwrite(spark, s"${name}_meta") { t =>
-      metaFrame(idx).coalesce(1).write.mode("overwrite").saveAsTable(t)
+    mutate(spark, name) {
+      // staged overwrites (the GraphIO r12 device): each live table stays
+      // intact and readable until its replacement commits — a merge/delete
+      // rewrite can no longer lose the only copy mid-write, and lazy
+      // frames deriving the new contents FROM the stored tables stay valid
+      stagedOverwrite(spark, s"${name}_clusters") { t =>
+        idx.clusters.write.mode("overwrite").saveAsTable(t)
+      }
+      stagedOverwrite(spark, s"${name}_shingles") { t =>
+        idx.shingles.write.mode("overwrite")
+          .bucketBy(numBuckets, "id").sortBy("id")
+          .saveAsTable(t)
+      }
+      stagedOverwrite(spark, s"${name}_buckets") { t =>
+        idx.buckets.write.mode("overwrite")
+          .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
+          .saveAsTable(t)
+      }
+      stagedOverwrite(spark, s"${name}_meta") { t =>
+        metaFrame(idx).coalesce(1).write.mode("overwrite").saveAsTable(t)
+      }
     }
   }
 

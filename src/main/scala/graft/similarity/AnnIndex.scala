@@ -179,7 +179,7 @@ object AnnIndex {
           .groupBy(col(idCol))
           .agg(min(col(vecCol)).as(vecCol))
           .join(known, Seq(idCol), "left_anti")
-        if (!fresh.isEmpty) crudLock.synchronized {
+        if (!fresh.isEmpty) mutate(spark, name) {
           val assigned = append(
             Index(idx.centroids, idx.cells.limit(0)), fresh, idCol, vecCol)
             .cells
@@ -226,7 +226,7 @@ object AnnIndex {
     * corpus. */
   def deletePartitioned(
       spark: SparkSession, name: String, ids: DataFrame, idCol: String): Unit =
-    crudLock.synchronized {
+    mutate(spark, name) {
       val del = ids.select(col(idCol).as("id")).distinct().localCheckpoint()
       val cells = spark.table(s"${name}_cells")
       // touched partitions — batch-bounded (≤ one per deleted vector)
@@ -282,22 +282,34 @@ object AnnIndex {
     * partition listing and the conf save/restore. */
   private val crudLock = new Object
 
+  /** Both guards for every persisted-index mutation: [[crudLock]] in
+    * this JVM, plus the family epoch
+    * ([[graft.sources.CatalogTables.withFamilyEpochGuard]]) so a SECOND
+    * PROCESS committing to the same `<name>_*` tables mid-mutation
+    * aborts this one loudly instead of silently interleaving. */
+  private def mutate[T](spark: SparkSession, name: String)(body: => T): T =
+    crudLock.synchronized {
+      graft.sources.CatalogTables.withFamilyEpochGuard(spark, name)(body)
+    }
+
   /** Persist as catalog tables `<name>_{centroids,cells}` with `cells`
     * partitioned by cell — later probes prune their scan to the probed
     * cells via dynamic partition pruning. Overwrites. */
   def writePartitioned(idx: Index, name: String): Unit = {
     val spark = idx.centroids.sparkSession
-    Seq("centroids", "cells").foreach(t =>
-      graft.sources.CatalogTables.prepareOverwrite(spark, s"${name}_$t"))
-    idx.centroids.write.mode("overwrite").saveAsTable(s"${name}_centroids")
-    // repartition on the partition key first: without it every shuffle
-    // task holds rows of every cell and the write emits
-    // tasks × cells files (a small-file storm that also slows every
-    // later probe's file listing); hashed on cell, each task owns whole
-    // cells and writes one file per cell
-    idx.cells.repartition(col("cell")).write.mode("overwrite")
-      .partitionBy("cell")
-      .saveAsTable(s"${name}_cells")
+    mutate(spark, name) {
+      Seq("centroids", "cells").foreach(t =>
+        graft.sources.CatalogTables.prepareOverwrite(spark, s"${name}_$t"))
+      idx.centroids.write.mode("overwrite").saveAsTable(s"${name}_centroids")
+      // repartition on the partition key first: without it every shuffle
+      // task holds rows of every cell and the write emits
+      // tasks × cells files (a small-file storm that also slows every
+      // later probe's file listing); hashed on cell, each task owns whole
+      // cells and writes one file per cell
+      idx.cells.repartition(col("cell")).write.mode("overwrite")
+        .partitionBy("cell")
+        .saveAsTable(s"${name}_cells")
+    }
   }
 
   def readPartitioned(spark: SparkSession, name: String): Index =

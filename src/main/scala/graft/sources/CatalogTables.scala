@@ -48,6 +48,14 @@ object CatalogTables {
     */
   def stagedOverwrite(spark: SparkSession, table: String)(
       write: String => Unit): Unit = {
+    // inside a guarded mutation, re-verify the family generation before
+    // EVERY swap: a second writer that committed since this mutation
+    // read its base tables is detected here, BEFORE this mutation
+    // clobbers that writer's update with a rewrite computed from the
+    // stale base (see [[withFamilyEpochGuard]])
+    epochCtx.get.foreach { case (family, base) =>
+      if (!table.endsWith("__epoch")) assertFamilyEpoch(spark, family, base)
+    }
     val staged = s"${table}__staged"
     // Crash recovery FIRST: a prior mutation that died between dropping
     // the live table and renaming `__staged` left the staged copy as
@@ -85,6 +93,76 @@ object CatalogTables {
     tables.foreach { t =>
       if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
     }
+
+  /** CROSS-PROCESS write coordination for a persisted table family —
+    * the optimistic complement of the JVM-local `crudLock`s. Each
+    * family (`<name>_vertices`/`_edges`/…, `<name>_clusters`/…,
+    * `<name>_cells`/…) carries a generation counter in
+    * `<family>__epoch`; every mutation captures the generation when it
+    * starts, re-verifies it before each staged swap AND once more
+    * before publishing, then bumps it as its final act. Two writers
+    * interleaving on the same family therefore cannot BOTH complete:
+    * the second to reach a swap (or the final check) sees the advanced
+    * generation and aborts loudly, its staged rewrites unpublished, the
+    * first writer's tables intact.
+    *
+    * Honesty about the guarantee: without an atomic compare-and-swap in
+    * the catalog this is OPTIMISTIC detection — two writers that pass
+    * the same check in the instant before either bumps can still race
+    * (the window is one check-to-rename gap, not the whole mutation).
+    * The contract is therefore "single writer at a time per family,
+    * enforced loudly on violation", not a distributed lock; real
+    * multi-writer deployments put a lease or a lakehouse transaction
+    * layer in front. A missing epoch table reads as generation 0.
+    */
+  def withFamilyEpochGuard[T](spark: SparkSession, family: String)(body: => T): T =
+    if (epochCtx.get.isDefined) body // the OUTERMOST mutation owns the guard
+    else {
+      val base = familyEpoch(spark, family)
+      epochCtx.set(Some((family, base)))
+      try {
+        val out = body
+        // final check-and-bump before this mutation counts as committed
+        assertFamilyEpoch(spark, family, base)
+        epochCtx.remove() // the bump itself must not self-check
+        val t = s"${family}__epoch"
+        // drop-then-write is fine HERE, unlike for data tables: the
+        // epoch is one derivable row, and a crash between the steps
+        // resets the family to generation 0 — which can only cause a
+        // FALSE abort on a concurrent writer, never a silent overwrite
+        prepareOverwrite(spark, t)
+        spark.sql(s"SELECT CAST(${base + 1} AS BIGINT) AS epoch")
+          .coalesce(1).write.saveAsTable(t)
+        out
+      } finally epochCtx.remove()
+    }
+
+  /** The current generation of a table family (0 when never written).
+    * Refreshes the session's listing first so another PROCESS's bump is
+    * visible despite this session's file-listing cache. */
+  def familyEpoch(spark: SparkSession, family: String): Long = {
+    val t = s"${family}__epoch"
+    if (!spark.catalog.tableExists(t)) 0L
+    else {
+      spark.catalog.refreshTable(t)
+      spark.table(t).head().getLong(0) // bounded: one generation row
+    }
+  }
+
+  private def assertFamilyEpoch(
+      spark: SparkSession, family: String, base: Long): Unit = {
+    val now = familyEpoch(spark, family)
+    if (now != base)
+      throw new java.util.ConcurrentModificationException(
+        s"table family '$family' advanced from generation $base to $now while this " +
+          "mutation was running — another writer committed concurrently. Aborting " +
+          "WITHOUT publishing this mutation's remaining writes; re-read the tables " +
+          "and retry. The persisted stores are single-writer-at-a-time per family.")
+  }
+
+  private val epochCtx = new ThreadLocal[Option[(String, Long)]] {
+    override def initialValue: Option[(String, Long)] = None
+  }
 
   def prepareOverwrite(spark: SparkSession, table: String): Unit = {
     import org.apache.spark.sql.functions.col

@@ -30,6 +30,19 @@ object GraphIO {
     * library's. */
   private val crudLock = new Object
 
+  /** Every graph-store mutation runs under BOTH guards: [[crudLock]]
+    * serializes writers within this JVM, and the family epoch
+    * ([[CatalogTables.withFamilyEpochGuard]]) detects a SECOND PROCESS
+    * committing to the same `<name>_*` tables — the staged swaps
+    * re-verify the generation and the whole mutation aborts loudly on a
+    * stale base instead of silently discarding the other writer's
+    * update. */
+  private def mutate[T](spark: org.apache.spark.sql.SparkSession, name: String)(
+      body: => T): T =
+    crudLock.synchronized {
+      CatalogTables.withFamilyEpochGuard(spark, name)(body)
+    }
+
   /** Run `body` with subset-key co-partitioning enabled (Spark 4 gates
     * it off by default): the lifecycle's (src, edge_id) joins key on a
     * SUPERSET of the src bucketing, and this conf is what lets the
@@ -84,23 +97,25 @@ object GraphIO {
     */
   def writeBucketed(g: Graph, name: String, buckets: Int = 32): Unit = {
     import org.apache.spark.sql.functions._
-    Seq("vertices", "edges", "degrees").foreach(t =>
-      CatalogTables.prepareOverwrite(g.vertices.sparkSession, s"${name}_$t"))
-    // vertices bucketed by id: the append lifecycle's endpoint-membership
-    // semi-joins (and any vertex-keyed probe) then plan no exchange on
-    // the stored side
-    g.vertices.withColumn("_directed", lit(g.directed))
-      .write.mode("overwrite")
-      .bucketBy(buckets, "id").sortBy("id")
-      .saveAsTable(s"${name}_vertices")
-    g.edges.write.mode("overwrite")
-      .bucketBy(buckets, "src").sortBy("src")
-      .saveAsTable(s"${name}_edges")
-    // maintained degree cache — [[appendEdges]] folds batch deltas into
-    // it instead of re-scanning the edge table
-    degreesOf(g.edges).write.mode("overwrite")
-      .bucketBy(buckets, "id").sortBy("id")
-      .saveAsTable(s"${name}_degrees")
+    mutate(g.vertices.sparkSession, name) {
+      Seq("vertices", "edges", "degrees").foreach(t =>
+        CatalogTables.prepareOverwrite(g.vertices.sparkSession, s"${name}_$t"))
+      // vertices bucketed by id: the append lifecycle's endpoint-membership
+      // semi-joins (and any vertex-keyed probe) then plan no exchange on
+      // the stored side
+      g.vertices.withColumn("_directed", lit(g.directed))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "id").sortBy("id")
+        .saveAsTable(s"${name}_vertices")
+      g.edges.write.mode("overwrite")
+        .bucketBy(buckets, "src").sortBy("src")
+        .saveAsTable(s"${name}_edges")
+      // maintained degree cache — [[appendEdges]] folds batch deltas into
+      // it instead of re-scanning the edge table
+      degreesOf(g.edges).write.mode("overwrite")
+        .bucketBy(buckets, "id").sortBy("id")
+        .saveAsTable(s"${name}_degrees")
+    }
   }
 
   def readBucketed(spark: SparkSession, name: String): Graph = {
@@ -164,7 +179,7 @@ object GraphIO {
     * then each batch pays a batch-sized merge (see [[appendEdges]]).
     */
   def buildComponents(spark: SparkSession, name: String, maxIterations: Int = 20): Unit =
-    crudLock.synchronized {
+    mutate(spark, name) {
       val comps = componentsOf(readBucketed(spark, name), maxIterations)
       CatalogTables.stagedOverwrite(spark, s"${name}_components") { t =>
         comps.write.mode("overwrite")
@@ -196,7 +211,7 @@ object GraphIO {
     * membership anti-join probes the id-bucketed vertex table with no
     * exchange on the stored side.
     */
-  def appendVertices(spark: SparkSession, name: String, rawVertices: DataFrame): Unit = crudLock.synchronized {
+  def appendVertices(spark: SparkSession, name: String, rawVertices: DataFrame): Unit = mutate(spark, name) {
     import org.apache.spark.sql.functions._
     val stored = spark.table(s"${name}_vertices")
     val directed = stored.select("_directed").limit(1).collect()
@@ -258,7 +273,7 @@ object GraphIO {
     * stale — [[refreshDegrees]] / [[refreshComponents]] rebuild from
     * the edge table.
     */
-  def appendEdges(spark: SparkSession, name: String, rawEdges: DataFrame): Unit = crudLock.synchronized {
+  def appendEdges(spark: SparkSession, name: String, rawEdges: DataFrame): Unit = mutate(spark, name) {
     import org.apache.spark.sql.functions._
     val stored = spark.table(s"${name}_edges")
     val v = spark.table(s"${name}_vertices")
@@ -380,7 +395,7 @@ object GraphIO {
     * structure). Idempotent: re-delivering the batch rewrites the same
     * values.
     */
-  def upsertVertexAttrs(spark: SparkSession, name: String, rawVertices: DataFrame): Unit = crudLock.synchronized {
+  def upsertVertexAttrs(spark: SparkSession, name: String, rawVertices: DataFrame): Unit = mutate(spark, name) {
     import org.apache.spark.sql.functions._
     val stored = spark.table(s"${name}_vertices")
     val batch = Graph.keyVertices(rawVertices)
@@ -452,7 +467,7 @@ object GraphIO {
     */
   def deleteEdges(
       spark: SparkSession, name: String, rawEdges: DataFrame,
-      repairComponents: Boolean = true): Unit = crudLock.synchronized {
+      repairComponents: Boolean = true): Unit = mutate(spark, name) {
     import org.apache.spark.sql.functions._
     val stored = spark.table(s"${name}_edges")
     // the USING join fronts its keys — restore the stored column order
@@ -496,7 +511,7 @@ object GraphIO {
     */
   def deleteVertices(
       spark: SparkSession, name: String, rawVertices: DataFrame,
-      repairComponents: Boolean = true): Unit = crudLock.synchronized {
+      repairComponents: Boolean = true): Unit = mutate(spark, name) {
     import org.apache.spark.sql.functions._
     val ids = Graph.keyVertices(rawVertices).select(col("id")).localCheckpoint()
     val storedV = spark.table(s"${name}_vertices")
@@ -689,7 +704,7 @@ object GraphIO {
     * exchange-free pass (the aggregates key on the bucketed `src`/`dst`
     * — only the full-outer merge shuffles, and only vertex-sized
     * frames). */
-  def refreshDegrees(spark: SparkSession, name: String): Unit = crudLock.synchronized {
+  def refreshDegrees(spark: SparkSession, name: String): Unit = mutate(spark, name) {
     val d = degreesOf(spark.table(s"${name}_edges"))
     CatalogTables.stagedOverwrite(spark, s"${name}_degrees") { t =>
       d.write.mode("overwrite")
@@ -716,7 +731,7 @@ object GraphIO {
   def buildRanks(
       spark: SparkSession, name: String,
       damping: Double = 0.85, maxIterations: Int = 10,
-      tolerance: Option[Double] = None): Int = crudLock.synchronized {
+      tolerance: Option[Double] = None): Int = mutate(spark, name) {
     val g = readBucketed(spark, name)
     val pr = rankEngine(damping, maxIterations, tolerance)
     writeRanks(spark, name, pr.run(g))
@@ -738,7 +753,7 @@ object GraphIO {
   def refreshRanks(
       spark: SparkSession, name: String,
       damping: Double = 0.85, maxIterations: Int = 10,
-      tolerance: Option[Double] = Some(1e-9)): Int = crudLock.synchronized {
+      tolerance: Option[Double] = Some(1e-9)): Int = mutate(spark, name) {
     val g = readBucketed(spark, name)
     val pr = rankEngine(damping, maxIterations, tolerance)
     writeRanks(spark, name, pr.runFrom(g, readRanks(spark, name)))

@@ -122,6 +122,58 @@ class GraphIOSpec extends SparkSpec {
       Seq(s"$t", s"${t}__staged").foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
   }
 
+  test("family epoch guard: mutations bump the generation; a concurrent commit aborts, tables intact") {
+    import graft.sources.CatalogTables
+    val name = "epoch_g1"
+    def dropAll(): Unit =
+      Seq("_vertices", "_edges", "_degrees", "_components", "_ranks", "__epoch")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$name$t`"))
+    dropAll()
+    try {
+      val g = Fixtures.sample1(spark, directed = true)
+      GraphIO.writeBucketed(g, name, buckets = 4)
+      assert(CatalogTables.familyEpoch(spark, name) === 1L,
+        "initial build must advance the family from generation 0")
+      GraphIO.refreshDegrees(spark, name)
+      assert(CatalogTables.familyEpoch(spark, name) === 2L,
+        "every committed mutation bumps exactly once")
+      // SECOND WRITER: while a guarded mutation is in flight, another
+      // process commits (emulated by advancing the generation directly,
+      // exactly what its final bump would do). The in-flight mutation's
+      // next staged swap must abort BEFORE clobbering that commit.
+      val before = rowSet(spark.table(s"${name}_degrees"))
+      val ex = intercept[java.util.ConcurrentModificationException] {
+        CatalogTables.withFamilyEpochGuard(spark, name) {
+          CatalogTables.prepareOverwrite(spark, s"${name}__epoch")
+          spark.sql("SELECT CAST(3 AS BIGINT) AS epoch")
+            .coalesce(1).write.saveAsTable(s"${name}__epoch")
+          CatalogTables.stagedOverwrite(spark, s"${name}_degrees") { t =>
+            spark.sql("SELECT CAST(1 AS BIGINT) AS id, CAST(99 AS BIGINT) AS out_degree, CAST(99 AS BIGINT) AS in_degree")
+              .write.saveAsTable(t)
+          }
+        }
+      }
+      assert(ex.getMessage.contains("another writer"))
+      assert(rowSet(spark.table(s"${name}_degrees")) === before,
+        "the aborted mutation must not have touched the data tables")
+      assert(CatalogTables.familyEpoch(spark, name) === 3L,
+        "the surviving writer's generation stands; the aborted one never bumped")
+      // an INSERT-only mutation (no staged swap to check at) is caught
+      // by the final check-and-bump instead
+      val ex2 = intercept[java.util.ConcurrentModificationException] {
+        CatalogTables.withFamilyEpochGuard(spark, name) {
+          CatalogTables.prepareOverwrite(spark, s"${name}__epoch")
+          spark.sql("SELECT CAST(9 AS BIGINT) AS epoch")
+            .coalesce(1).write.saveAsTable(s"${name}__epoch")
+        }
+      }
+      assert(ex2.getMessage.contains("another writer"))
+      // and a clean guarded mutation still commits + bumps afterwards
+      GraphIO.refreshDegrees(spark, name)
+      assert(CatalogTables.familyEpoch(spark, name) === 10L)
+    } finally dropAll()
+  }
+
   test("edge-list text ingestion: comments skipped, ids indexed, dups collapse") {
     val dir = java.nio.file.Files.createTempDirectory("graft-edgelist")
     java.nio.file.Files.writeString(dir.resolve("g.tsv"),
