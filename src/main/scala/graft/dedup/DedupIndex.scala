@@ -764,10 +764,23 @@ object DedupIndex {
   def buildNearClusters(
       spark: SparkSession, name: String, threshold: Double,
       maxBucketSize: Int = 0, numBuckets: Int = 32): Unit = mutate(spark, name) {
-    import spark.implicits._
     val ncl = readBucketed(spark, name)
       .nearClusters(threshold, maxBucketSize)
       .localCheckpoint()
+    writeNearClusters(spark, name, ncl, threshold, maxBucketSize, numBuckets)
+  }
+
+  /** The WRITE half of [[buildNearClusters]]: persist an
+    * already-computed cluster closure as the maintained table pair.
+    * Public so a caller that caches the closure across runs (the bench
+    * memo — the d10/d12/d19 precedent) can restore the persisted state
+    * without re-paying the closure CC; `ncl` must be the closure of the
+    * stored index at exactly these parameters (the advance/repair faces
+    * trust `_nclmeta` to describe `_nearclusters`). */
+  def writeNearClusters(
+      spark: SparkSession, name: String, ncl: DataFrame, threshold: Double,
+      maxBucketSize: Int = 0, numBuckets: Int = 32): Unit = mutate(spark, name) {
+    import spark.implicits._
     graft.sources.CatalogTables.stagedOverwrite(spark, s"${name}_nearclusters") { t =>
       ncl.write.mode("overwrite")
         .bucketBy(numBuckets, "id").sortBy("id").saveAsTable(t)

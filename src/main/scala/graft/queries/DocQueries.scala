@@ -74,6 +74,21 @@ object DocQueries {
           "doc_id", "text", shingleSize = 3, numHashes = 128, bands = 32)
       }
 
+    /** the cluster CLOSURE over [[corpus90]] at threshold 0.4 — d36's
+      * maintained-table seed, memoized so bench repeats time the table
+      * restore + ADVANCE, not the closure CC that used to drown the
+      * mutate signal (VERDICT r12 item 5) */
+    def ncl90(s: SparkSession, d: String): DataFrame =
+      memo(s, s"$d|ncl90_0.4") {
+        corpus90(s, d).nearClusters(0.4).localCheckpoint()
+      }
+
+    /** the full-corpus closure at 0.4 — d37's seed, same contract */
+    def nclFull(s: SparkSession, d: String): DataFrame =
+      memo(s, s"$d|nclfull_0.4") {
+        index(s, d).nearClusters(0.4).localCheckpoint()
+      }
+
     /** the PERSISTED face: the full-corpus index written once per
       * session as bucketed catalog tables, read back for probing */
     def persisted(s: SparkSession, d: String): graft.dedup.DedupIndex.Index =
@@ -407,16 +422,22 @@ object DocQueries {
       // recursive min-label closure (d12's), because advance ≡
       // whole-rebuild on cluster ids is the lifecycle's contract
       // (TextDedupSpec pins it batch by batch).
+      // The 90% index and its closure are session-memoized (the
+      // d10/d12/d19 precedent, VERDICT r12 item 5): bench repeat 1 pays
+      // the build like before, repeats 2+ time the table RESTORE +
+      // ADVANCE — the steady-state per-batch cost this row exists to
+      // track (g58 stays the fully-cold lifecycle gate). Tables are
+      // still rewritten fresh each repeat: mergeBucketed mutates them,
+      // so reusing a merged table would double-apply the batch.
       import graft.dedup.DedupIndex
       val docs0 = documents(s, d)
-      val base = docs0.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
       val batch = docs0.filter(pmod(col("doc_id"), lit(10L)) === 0L)
       val name = s"d36ncl_${d.hashCode & 0x7fffffff}"
       // 8 buckets (the g58 sizing): the gate corpus is 5k docs — 32
       // buckets paid file-count overhead in every rewrite, not scan time
-      DedupIndex.writeBucketed(
-        DedupIndex.build(base, "doc_id", "text"), name, numBuckets = 8)
-      DedupIndex.buildNearClusters(s, name, threshold = 0.4, numBuckets = 8)
+      DedupIndex.writeBucketed(SharedDedupIndex.corpus90(s, d), name, numBuckets = 8)
+      DedupIndex.writeNearClusters(s, name, SharedDedupIndex.ncl90(s, d),
+        threshold = 0.4, numBuckets = 8)
       DedupIndex.mergeBucketed(s, name, batch, "doc_id", "text", numBuckets = 8)
       DedupIndex.readBucketed(s, name)
         .clusterAssignFrom(DedupIndex.readNearClusters(s, name), "doc_id")
@@ -432,12 +453,14 @@ object DocQueries {
       // assignment back. Oracle = the closure over the REMAINING
       // corpus: delete ≡ rebuild-without is the contract
       // (TextDedupSpec pins it frame by frame, split case included).
+      // full-corpus index + closure are session-memoized like d36's:
+      // repeats time restore + DELETE steady-state, not the rebuild
       import graft.dedup.DedupIndex
       val docs0 = documents(s, d)
       val name = s"d37del_${d.hashCode & 0x7fffffff}"
-      DedupIndex.writeBucketed(
-        DedupIndex.build(docs0, "doc_id", "text"), name, numBuckets = 8)
-      DedupIndex.buildNearClusters(s, name, threshold = 0.4, numBuckets = 8)
+      DedupIndex.writeBucketed(SharedDedupIndex.index(s, d), name, numBuckets = 8)
+      DedupIndex.writeNearClusters(s, name, SharedDedupIndex.nclFull(s, d),
+        threshold = 0.4, numBuckets = 8)
       val del = docs0.filter(pmod(col("doc_id"), lit(10L)) === 0L)
         .select(col("doc_id"))
         .unionByName(s.range(1, 4).select((-col("id")).as("doc_id")))

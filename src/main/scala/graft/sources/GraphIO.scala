@@ -202,6 +202,59 @@ object GraphIO {
   private def hasComponents(spark: SparkSession, name: String): Boolean =
     spark.catalog.tableExists(s"${name}_components")
 
+  /** Build the OPT-IN spanning-forest table `<name>_forest` — the
+    * delete-repair GUARD. Component repair after an edge delete is the
+    * lifecycle's one honest worst case (on a single-component graph it
+    * ≈ a full CC, 84.6 s at the 100× corpus); but deleting an edge
+    * OUTSIDE a spanning forest of the graph provably cannot change any
+    * component — every surviving vertex pair stays connected through
+    * the untouched forest — so [[deleteEdges]] consults this table and
+    * SKIPS repair outright for non-forest deletes (the vast majority on
+    * any graph denser than a tree: |F| ≤ V−1 of E edges).
+    *
+    * Contents: canonical `(src, dst)` pairs (src < dst), a subset of
+    * the stored edges ignoring direction, spanning every component
+    * ([[graft.algorithms.Boruvka]] over unit weights — deterministic
+    * pick order, so rebuilds replay). Maintained as a CONNECTIVITY
+    * CERTIFICATE rather than a strictly minimal forest: appends add
+    * every batch edge that crosses two current components (cheap,
+    * batch-sized; possible extra cycle edges only cause FALSE repairs,
+    * never missed ones), and a forest-hit delete re-runs Borůvka over
+    * just the affected components' surviving subgraph inside
+    * [[repairComponentTable]] — re-tightening locally. Requires the
+    * component table (the guard exists to protect its repair); the
+    * burst opt-out (`repairComponents = false`) drops BOTH tables
+    * loudly. */
+  def buildForest(spark: SparkSession, name: String): Unit = mutate(spark, name) {
+    require(hasComponents(spark, name),
+      s"buildForest requires the maintained component table — run buildComponents('$name') first")
+    val forest = forestOf(spark.table(s"${name}_edges")).localCheckpoint()
+    val buckets = tableBuckets(spark, s"${name}_edges")
+    CatalogTables.stagedOverwrite(spark, s"${name}_forest") { t =>
+      forest.write.mode("overwrite")
+        .bucketBy(buckets, "src").sortBy("src")
+        .saveAsTable(t)
+    }
+  }
+
+  /** The maintained connectivity certificate: canonical (src, dst)
+    * pairs, subset of the stored edges, same components as the graph. */
+  def readForest(spark: SparkSession, name: String): DataFrame =
+    spark.table(s"${name}_forest")
+
+  private def hasForest(spark: SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(s"${name}_forest")
+
+  /** Spanning forest of an edge frame as canonical (src, dst) pairs —
+    * Borůvka over unit weights (ties broken by (src, dst): the forest
+    * is a pure function of the edge set). */
+  private def forestOf(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.algorithms.Boruvka()
+      .run(edges.select(col("src"), col("dst")).withColumn("weight", lit(1L)))
+      .select(col("src"), col("dst"))
+  }
+
   /** Incrementally fold a batch of NEW vertices into a bucketed graph —
     * the vertex half of the append lifecycle. `rawVertices` carries the
     * ORIGINAL user schema (same columns as the frame the graph was
@@ -335,6 +388,26 @@ object GraphIO {
         .distinct()
         .localCheckpoint()
       if (!touched.isEmpty) {
+        // certificate upkeep ([[buildForest]]): every batch edge that
+        // crosses two CURRENT components joins the certificate — the
+        // connectivity it adds must be witnessed or a later delete of an
+        // old edge could skip a repair it needs. Batch-sized; possible
+        // redundant cycle edges (three components pairwise bridged) only
+        // ever cause FALSE repairs, never missed ones. Pinned against
+        // the PRE-merge labels before the relabel overwrite below.
+        val crossing =
+          if (hasForest(spark, name))
+            Some(fresh
+              .join(comp.select(col("id").as("src"), col("component").as("_ca")),
+                Seq("src"))
+              .join(comp.select(col("id").as("dst"), col("component").as("_cb")),
+                Seq("dst"))
+              .filter(col("_ca") =!= col("_cb"))
+              .select(least(col("src"), col("dst")).as("src"),
+                greatest(col("src"), col("dst")).as("dst"))
+              .distinct()
+              .localCheckpoint())
+          else None
         // the merge graph is batch-bounded by contract — a driver-side
         // union-find beats ~10 distributed star rounds of pure job
         // overhead; the distributed path remains the (never-expected)
@@ -380,6 +453,17 @@ object GraphIO {
               .saveAsTable(t)
           }
         } else refreshComponents(spark, name)
+        // the certificate append rides either relabel path (the edge set
+        // is the same); already-present canonical pairs (a fresh parallel
+        // edge over a stored one) are anti-joined away
+        crossing.foreach { c =>
+          val add = c.join(
+            readForest(spark, name).select(col("src"), col("dst")),
+            Seq("src", "dst"), "left_anti")
+          add.write.mode("append")
+            .bucketBy(tableBuckets(spark, s"${name}_forest"), "src").sortBy("src")
+            .saveAsTable(s"${name}_forest")
+        }
       }
     }
   }
@@ -488,11 +572,32 @@ object GraphIO {
     if (!removed.isEmpty) {
       val kept = stored.join(keys, Seq("src", "edge_id"), "left_anti")
         .select(cols: _*)
+      // an orphaned certificate (forest kept past its component table)
+      // would silently go stale on the next cut — drop it loudly
+      if (hasForest(spark, name) && !hasComponents(spark, name))
+        spark.sql(s"DROP TABLE IF EXISTS ${name}_forest")
+      // SPANNING-FOREST GUARD ([[buildForest]]): when the certificate is
+      // maintained and NONE of the removed edges are in it, components
+      // provably cannot change — every surviving vertex pair stays
+      // connected through the untouched forest — so the label read and
+      // the repair (the lifecycle's honest worst case: ≈ full CC on a
+      // single-component graph) are skipped outright. The probe is the
+      // batch-sized canonical pairs semi-joined against the src-bucketed
+      // forest table, evaluated BEFORE any rewrite. Non-forest deletes
+      // (the vast majority on graphs denser than a tree: |F| ≤ V−1 of E
+      // edges) therefore pay the table rewrites and nothing else.
+      val forestSkip = repairComponents && hasForest(spark, name) && {
+        readForest(spark, name).join(
+          removed.select(
+            least(col("src"), col("dst")).as("src"),
+            greatest(col("src"), col("dst")).as("dst")).distinct(),
+          Seq("src", "dst"), "left_semi").isEmpty
+      }
       // component labels the batch touches — read BEFORE any rewrite
       // (bounded by the batch: each removed edge's endpoints shared one
       // label while the edge existed, so probing src alone is complete)
       val affected =
-        if (repairComponents)
+        if (repairComponents && !forestSkip)
           affectedLabels(spark, name, removed.select(col("src").as("id")))
         else None
       applyEdgeRemoval(spark, name, removed, kept)
@@ -622,9 +727,15 @@ object GraphIO {
   /** The burst opt-out's loud invalidation: a silently-stale label
     * table is worse than a missing one — run [[buildComponents]] after
     * the burst. */
-  private def invalidateComponents(spark: SparkSession, name: String): Unit =
+  private def invalidateComponents(spark: SparkSession, name: String): Unit = {
     if (hasComponents(spark, name))
       spark.sql(s"DROP TABLE IF EXISTS ${name}_components")
+    // the certificate is coupled to the component table it guards — kept
+    // past the opt-out it would go stale on the next cut; rebuild both
+    // with buildComponents + buildForest after the burst
+    if (hasForest(spark, name))
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_forest")
+  }
 
   /** The component labels a delete batch touches, or None when no
     * component table is maintained. `endpointIds` is batch-sized (one
@@ -679,6 +790,27 @@ object GraphIO {
     val repaired = survivors
       .join(cc, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    // certificate upkeep on the CUT path: drop the affected components'
+    // forest rows (canonical src membership is complete — a forest edge
+    // never crosses a component) and splice in a fresh Borůvka over the
+    // affected SURVIVING subgraph — the same mass bound as the label
+    // recompute, re-tightening the certificate back to a true forest
+    // locally. Runs BEFORE the component swap so `inAffected` (old
+    // labels, including removed ids whose rows must go) is still what
+    // the live table says.
+    if (hasForest(spark, name)) {
+      val affectedIds = inAffected.localCheckpoint()
+      // LAZY: reads the live forest table inside its own staged write
+      val keptF = readForest(spark, name)
+        .join(affectedIds.select(col("id").as("src")), Seq("src"), "left_anti")
+      val freshF = forestOf(subEdges)
+      val fb = tableBuckets(spark, s"${name}_forest")
+      CatalogTables.stagedOverwrite(spark, s"${name}_forest") { t =>
+        keptF.unionByName(freshF).write.mode("overwrite")
+          .bucketBy(fb, "src").sortBy("src")
+          .saveAsTable(t)
+      }
+    }
     // LAZY: the staged write reads the live component table
     val next = comp.join(lbl, comp("component") === lbl("_lbl"), "left_anti")
       .unionByName(repaired)

@@ -18,8 +18,16 @@ import graft.sources.GraphIO
 class GraphAppendSpec extends SparkSpec {
 
   private def drop(name: String): Unit =
-    Seq("vertices", "edges", "degrees", "components", "ranks").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+    Seq("vertices", "edges", "degrees", "components", "ranks", "forest")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+
+  /** (file name -> mtime) of a managed table's directory — the
+    * "this table was not rewritten" pin. */
+  private def tableFiles(table: String): Map[String, Long] = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(s"$wh/$table").listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+  }
 
   private def rawVerts(ids: Seq[String]): DataFrame = {
     import spark.implicits._
@@ -412,6 +420,82 @@ class GraphAppendSpec extends SparkSpec {
     }
   }
 
+  test("spanning-forest guard: non-forest deletes skip repair; cuts repair ≡ rebuild-without; appends keep the certificate honest") {
+    val v0 = Seq("a", "b", "c", "d", "e")
+    // a triangle (one redundant edge) plus a chain of bridges
+    val e0 = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"))
+    val name = "ap_forest"
+    GraphIO.writeBucketed(
+      Graph.index(rawVerts(v0), rawEdges(e0), directed = true), name, buckets = 4)
+    try {
+      GraphIO.buildComponents(spark, name)
+      GraphIO.buildForest(spark, name)
+      val idOf = Graph.keyVertices(rawVerts(v0)).collect()
+        .map(r => r.getAs[String]("old_id") -> r.getAs[Long]("id")).toMap
+      def canon(e: (String, String)) =
+        (math.min(idOf(e._1), idOf(e._2)), math.max(idOf(e._1), idOf(e._2)))
+      def forestPairs() = GraphIO.readForest(spark, name).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      // certificate invariants: F ⊆ canonical(E), spanning the one component
+      val f0 = forestPairs()
+      assert(f0.subsetOf(e0.map(canon).toSet), "forest must be a subset of the edges")
+      assert(f0.size === 4, "5 connected vertices -> spanning tree of 4 edges")
+
+      // 1) NON-forest delete (the triangle's redundant edge): labels ≡
+      // rebuild-without AND the component table was never touched — the
+      // guard skipped repair outright
+      val nonForest = Seq(("a", "b"), ("b", "c"), ("a", "c"))
+        .find(e => !f0.contains(canon(e))).get
+      val compBefore = tableFiles(s"${name}_components")
+      GraphIO.deleteEdges(spark, name, rawEdges(Seq(nonForest)))
+      val e1 = e0.filterNot(_ == nonForest)
+      assert(rowSet(GraphIO.readComponents(spark, name)) ===
+        rowSet(GraphIO.componentsOf(Graph.index(rawVerts(v0), rawEdges(e1), directed = true))))
+      assert(tableFiles(s"${name}_components") === compBefore,
+        "a non-forest delete must skip component repair entirely")
+      assert(forestPairs() === f0, "the certificate is untouched when no forest edge is cut")
+
+      // 2) FOREST cut that splits: d-e is a bridge, necessarily in F
+      GraphIO.deleteEdges(spark, name, rawEdges(Seq(("d", "e"))))
+      val e2 = e1.filterNot(_ == (("d", "e")))
+      assert(rowSet(GraphIO.readComponents(spark, name)) ===
+        rowSet(GraphIO.componentsOf(Graph.index(rawVerts(v0), rawEdges(e2), directed = true))))
+      val f2 = forestPairs()
+      assert(f2 === e2.map(canon).toSet,
+        "after the cut the 3 surviving edges ARE the spanning forest of {a,b,c,d} + isolated e")
+
+      // 3) append a NEW bridge between the split parts, then cut it again:
+      // the certificate must have learned the bridge — otherwise this
+      // delete would skip the repair it needs (the missed-repair trap)
+      GraphIO.appendEdges(spark, name, rawEdges(Seq(("e", "a"))))
+      assert(forestPairs().contains(canon(("e", "a"))),
+        "a component-crossing append must join the certificate")
+      assert(rowSet(GraphIO.readComponents(spark, name)) ===
+        rowSet(GraphIO.componentsOf(
+          Graph.index(rawVerts(v0), rawEdges(e2 :+ (("e", "a"))), directed = true))))
+      GraphIO.deleteEdges(spark, name, rawEdges(Seq(("e", "a"))))
+      assert(rowSet(GraphIO.readComponents(spark, name)) ===
+        rowSet(GraphIO.componentsOf(Graph.index(rawVerts(v0), rawEdges(e2), directed = true))))
+      assert(!forestPairs().contains(canon(("e", "a"))), "the cut edge left the certificate")
+
+      // 4) vertex cascade with the forest maintained: no ghost edges
+      GraphIO.deleteVertices(spark, name, rawVerts(Seq("b")))
+      val v4 = v0.filterNot(_ == "b")
+      val e4 = e2.filterNot(e => e._1 == "b" || e._2 == "b")
+      assert(rowSet(GraphIO.readComponents(spark, name)) ===
+        rowSet(GraphIO.componentsOf(Graph.index(rawVerts(v4), rawEdges(e4), directed = true))))
+      assert(forestPairs().subsetOf(e4.map(canon).toSet),
+        "no certificate row may reference the erased subject or a removed edge")
+
+      // 5) the burst opt-out drops the certificate WITH the label table
+      GraphIO.deleteEdges(spark, name, rawEdges(Seq(e4.head)), repairComponents = false)
+      assert(!spark.catalog.tableExists(s"${name}_components"))
+      assert(!spark.catalog.tableExists(s"${name}_forest"),
+        "a forest kept past its component table would silently go stale")
+    } finally drop(name)
+  }
+
   test("property: component repair under random deletes ≡ rebuild-without, always") {
     // the bounded-repair contract stressed generatively: random base
     // graphs, then a random mix of edge deletes (splitting or not) and
@@ -429,6 +513,10 @@ class GraphAppendSpec extends SparkSpec {
         name, buckets = 4)
       try {
         GraphIO.buildComponents(spark, name)
+        // odd seeds also maintain the spanning-forest guard, so the
+        // random mutation mix exercises skip, cut-repair and cascade
+        // paths with the certificate live
+        if (seed % 2 == 1) GraphIO.buildForest(spark, name)
         for (_ <- 1 to 3) {
           if (rnd.nextBoolean() && edges.nonEmpty) {
             val del = rnd.shuffle(edges).take(1 + rnd.nextInt(2))
@@ -445,6 +533,22 @@ class GraphAppendSpec extends SparkSpec {
             rowSet(GraphIO.componentsOf(rebuilt)), s"seed $seed labels")
           assert(rowSet(GraphIO.readDegrees(spark, name)) ===
             rowSet(GraphIO.degreesOf(rebuilt.edges)), s"seed $seed degrees")
+          if (seed % 2 == 1) {
+            // certificate validity: F ⊆ canonical(E) and F spans the
+            // SAME partition as the graph (min-id labels equal exactly)
+            val f = GraphIO.readForest(spark, name)
+            val canonStored = rebuilt.edges.select(
+              least(col("src"), col("dst")).as("src"),
+              greatest(col("src"), col("dst")).as("dst")).distinct()
+            assert(f.join(canonStored, Seq("src", "dst"), "left_anti").isEmpty,
+              s"seed $seed: certificate rows must be stored edges")
+            val fGraph = Graph(rebuilt.vertices,
+              f.withColumn("edge_id", xxhash64(col("src"), col("dst"))),
+              directed = false)
+            assert(rowSet(GraphIO.componentsOf(fGraph)) ===
+              rowSet(GraphIO.componentsOf(rebuilt)),
+              s"seed $seed: certificate must span the graph's components")
+          }
         }
       } finally drop(name)
     }

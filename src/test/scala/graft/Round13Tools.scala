@@ -1,0 +1,108 @@
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-13 stress harnesses (test scope, run by hand like Round12Tools):
+  *
+  *   sbt 'Test/runMain ForestGuardStress /tmp/sfx100 1000'
+  *
+  * Results land in BASELINE.md per round.
+  */
+
+/** args: SF_DIR [BATCH_EDGES]. The spanning-forest delete guard at the
+  * WORST-CASE corpus shape (VERDICT r12 item 2): the orderkey->partkey
+  * bipartite graph is essentially ONE giant component, where any
+  * component repair ≈ a full CC (the documented 84.6 s at sfx100).
+  * With the forest maintained, a batch delete of NON-forest edges must
+  * skip repair outright (cost ≈ the table rewrites alone), while a
+  * forest CUT still pays the full bounded repair — measured side by
+  * side with a cold refreshComponents for scale.
+  */
+object ForestGuardStress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val batchN = if (args.length > 1) args(1).toInt else 1000
+    val spark = Round13Tools.session()
+    val raw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").cast("long").as("src"),
+        (col("l_partkey").cast("long") + 4000000000L).as("dst"))
+      .distinct()
+      .localCheckpoint()
+    val verts = raw.select(col("src").as("id"))
+      .union(raw.select(col("dst"))).distinct().localCheckpoint()
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"FORESTGUARD $label%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val g = graft.core.Graph.index(verts, raw, directed = true)
+    timed(s"build(${raw.count()})") {
+      graft.sources.GraphIO.writeBucketed(g, "stress_fg", buckets = 32)
+    }
+    timed("components-build") {
+      graft.sources.GraphIO.buildComponents(spark, "stress_fg")
+    }
+    val nComp = graft.sources.GraphIO.readComponents(spark, "stress_fg")
+      .select(col("component")).distinct().count()
+    println(s"FORESTGUARD components=$nComp (worst case wants ~1 giant)")
+    timed("forest-build") {
+      graft.sources.GraphIO.buildForest(spark, "stress_fg")
+    }
+    // classify raw edges by certificate membership via the same
+    // surrogate hash the index uses (public function, replayed here)
+    val keyed = raw.select(
+      col("src"), col("dst"),
+      xxhash64(col("src").cast("string")).as("ks"),
+      xxhash64(col("dst").cast("string")).as("kd"))
+      .select(col("src"), col("dst"),
+        least(col("ks"), col("kd")).as("fsrc"),
+        greatest(col("ks"), col("kd")).as("fdst"))
+    val forest = graft.sources.GraphIO.readForest(spark, "stress_fg")
+      .select(col("src").as("fsrc"), col("dst").as("fdst"))
+    val nonForestBatch = keyed.join(forest, Seq("fsrc", "fdst"), "left_anti")
+      .select(col("src"), col("dst"))
+      .orderBy(col("src"), col("dst")).limit(batchN).localCheckpoint()
+    val forestBatch = keyed.join(forest, Seq("fsrc", "fdst"), "left_semi")
+      .select(col("src"), col("dst"))
+      .orderBy(col("src"), col("dst")).limit(10).localCheckpoint()
+    println(s"FORESTGUARD non-forest batch=${nonForestBatch.count()} " +
+      s"forest-cut batch=${forestBatch.count()}")
+    // the headline row: repair SKIPPED, cost = rewrites alone
+    timed(s"delete-nonforest($batchN)") {
+      graft.sources.GraphIO.deleteEdges(spark, "stress_fg", nonForestBatch)
+    }
+    // the still-honest row: a real cut pays the bounded repair (≈ full
+    // CC here by construction — the guard's point is paying it only
+    // when an actual cut demands it)
+    timed("delete-forestcut(10)") {
+      graft.sources.GraphIO.deleteEdges(spark, "stress_fg", forestBatch)
+    }
+    val c1 = graft.sources.GraphIO.readComponents(spark, "stress_fg")
+      .select(col("component")).distinct().count()
+    timed("full-refresh") {
+      graft.sources.GraphIO.refreshComponents(spark, "stress_fg")
+    }
+    val c2 = graft.sources.GraphIO.readComponents(spark, "stress_fg")
+      .select(col("component")).distinct().count()
+    println(s"FORESTGUARD components repaired=$c1 refreshed=$c2 (equal=${c1 == c2})")
+    Seq("vertices", "edges", "degrees", "components", "forest").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS stress_fg_$t"))
+    spark.sql("DROP TABLE IF EXISTS stress_fg__epoch")
+    spark.stop()
+  }
+}
+
+private object Round13Tools {
+  def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
