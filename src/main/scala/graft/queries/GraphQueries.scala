@@ -306,6 +306,51 @@ object GraphQueries {
         .select(col("old_id"), col("out_degree"), col("in_degree"))
     }),
 
+    "g62_forest_guard" -> ((s, d) => {
+      // the spanning-forest delete guard END TO END under the value
+      // gate (VERDICT r12 item 2): a customer–nation–region graph with
+      // built-in redundancy (each customer is a cust–nation–region
+      // TRIANGLE with its nation's region), components + forest
+      // maintained, then two delete waves — customers ≡0 (mod 3) lose
+      // the nation edge, ≡0 (mod 5) the region edge. Most deletes hit
+      // redundant (often non-forest — repair SKIPPED) edges and change
+      // no label; a ≡0 (mod 15) customer loses both and must end up
+      // isolated, which forces the cut path. Output is hash-free: each
+      // member with its component's MIN ORIGINAL id — region groups
+      // keep their min nation key, stranded customers label themselves.
+      // Oracle = that closed form; delete ≡ rebuild-without is the
+      // contract (forest validity itself is GraphAppendSpec-pinned).
+      val cust = customer(s, d).select(
+        (col("c_custkey").cast("long") + 10000L).as("cid"),
+        col("c_nationkey").cast("long").as("nk"))
+      val nat = nation(s, d).select(
+        col("n_nationkey").cast("long").as("nk"),
+        (col("n_regionkey").cast("long") + 1000L).as("rk"))
+      val e1 = cust.select(col("cid").as("src"), col("nk").as("dst"))
+      val e2 = cust.join(nat, Seq("nk"))
+        .select(col("cid").as("src"), col("rk").as("dst"))
+      val e3 = nat.select(col("nk").as("src"), col("rk").as("dst"))
+      val rawE = e1.unionByName(e2).unionByName(e3)
+      val rawV = rawE.select(col("src").as("id"))
+        .union(rawE.select(col("dst"))).distinct()
+      val name = s"g62fg_${d.hashCode & 0x7fffffff}"
+      graft.sources.GraphIO.writeBucketed(
+        Graph.index(rawV, rawE, directed = false), name, buckets = 8)
+      graft.sources.GraphIO.buildComponents(s, name)
+      graft.sources.GraphIO.buildForest(s, name)
+      graft.sources.GraphIO.deleteEdges(s, name,
+        e1.filter(pmod(col("src") - 10000L, lit(3L)) === 0L))
+      graft.sources.GraphIO.deleteEdges(s, name,
+        e2.filter(pmod(col("src") - 10000L, lit(5L)) === 0L))
+      val v = s.table(s"${name}_vertices")
+      val m = graft.sources.GraphIO.readComponents(s, name)
+        .join(v.select(col("id"), col("old_id")), Seq("id"))
+      val reps = m.groupBy(col("component"))
+        .agg(min(col("old_id")).as("component_rep"))
+      m.join(reps, Seq("component"))
+        .select(col("old_id").as("member_id"), col("component_rep"))
+    }),
+
     "g53_bias_baseline" -> ((s, d) => {
       // the bias-baseline predictor (r-hat = mu + b_u + b_i), the
       // standard stage BEFORE factor models: two alternating shrunk-
@@ -1744,6 +1789,25 @@ object GraphQueries {
     "g54_hyperball_anf" -> hyperballOracleSql(5),
     "g56_harmonic_anf" -> hyperballHarmonicOracleSql(5),
     "g61_harmonic_anf_sum" -> hyperballHarmonicSumOracleSql(5),
+    // closed-form components after the two delete waves: deleting a
+    // customer's nation edge (≡0 mod 3) or region edge (≡0 mod 5) never
+    // splits while the OTHER triangle edge survives (and the nation
+    // always keeps its region edge), so the region groups persist with
+    // their min nation key as rep; only a ≡0 (mod 15) customer loses
+    // both edges and strands as its own component
+    "g62_forest_guard" ->
+      """WITH cust AS (SELECT CAST(c_custkey + 10000 AS BIGINT) AS cid,
+        |         CAST(c_nationkey AS BIGINT) AS nk FROM customer),
+        |n AS (SELECT CAST(n_nationkey AS BIGINT) AS nk,
+        |        CAST(n_regionkey + 1000 AS BIGINT) AS rk FROM nation),
+        |rep AS (SELECT rk, min(nk) AS rep FROM n GROUP BY rk)
+        |SELECT m.id AS member_id, m.rep AS component_rep FROM (
+        |  SELECT n.nk AS id, rep.rep FROM n JOIN rep ON n.rk = rep.rk
+        |  UNION ALL SELECT rep.rk, rep.rep FROM rep
+        |  UNION ALL SELECT c.cid,
+        |    CASE WHEN (c.cid - 10000) % 15 = 0 THEN c.cid ELSE rep.rep END
+        |  FROM cust c JOIN n ON c.nk = n.nk JOIN rep ON n.rk = rep.rk
+        |) m""".stripMargin,
     // append ≡ whole-rebuild, so the maintained degrees ARE the distinct
     // union's degree counts — exactly the lifecycle contract the Spark
     // side must earn through the bucketed store + append path

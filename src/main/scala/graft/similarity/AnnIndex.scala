@@ -45,7 +45,10 @@ import graft.core.CheckpointPolicy
   * `centroids` is deliberately unchanged (the standard IVF trade:
   * the quantizer drifts from the data as appends accumulate, and a
   * periodic [[build]] re-fits it; updating the sums incrementally
-  * would silently change historical probe rankings).
+  * would silently change historical probe rankings). [[driftStats]]
+  * MEASURES that drift (cell-size imbalance, growth skew) and
+  * [[rebuildIfDrifted]] / [[rebuildPartitionedIfDrifted]] turn
+  * "periodic" into an actual trigger.
   */
 object AnnIndex {
 
@@ -290,6 +293,100 @@ object AnnIndex {
   private def mutate[T](spark: SparkSession, name: String)(body: => T): T =
     crudLock.synchronized {
       graft.sources.CatalogTables.withFamilyEpochGuard(spark, name)(body)
+    }
+
+  /** Drift diagnostics of the FROZEN quantizer against the CURRENT
+    * corpus — the observability half of the documented periodic-rebuild
+    * contract (appends never move the centroids, so nothing else says
+    * when "periodic" is due). ONE diagnostics row:
+    *
+    *  - `n_build` / `n_now` / `growth`: corpus size at fit time (the
+    *    frozen per-cell counts sum to it) vs now.
+    *  - `imbalance_build` / `imbalance_now`: max cell size over the
+    *    mean cell size (mean over the quantizer's k cells; emptied
+    *    cells count as 0). IVF list imbalance is the classic drift
+    *    smell — fat lists make every probe over-scan.
+    *  - `growth_skew`: max per-cell growth ratio normalized by the
+    *    overall growth. Uniform ingest ≈ 1; a SHIFTED ingest
+    *    distribution crams its vectors into whichever old cells sit
+    *    nearest, sending this up — the recall killer, because probes
+    *    then rank within a region the quantizer never partitioned.
+    *
+    * Cost: one column-pruned pass over `cells` (the cell column only)
+    * aggregated against the k-row centroid table — safe to run per
+    * ingest batch at any scale. */
+  def driftStats(idx: Index): DataFrame = {
+    val perCell = idx.centroids.select(col("cell"), col("n"))
+      .join(idx.cells.groupBy(col("cell")).agg(count(lit(1)).as("cnt")),
+        Seq("cell"), "left")
+      .select(col("n"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    perCell
+      .agg(
+        sum(col("n")).as("_nb"), sum(col("cnt")).as("_nn"),
+        max(col("n")).as("_mb"), max(col("cnt")).as("_mn"),
+        count(lit(1)).as("_k"),
+        max(col("cnt").cast("double") / col("n").cast("double")).as("_mr"))
+      .select(
+        col("_nb").as("n_build"),
+        col("_nn").as("n_now"),
+        (col("_nn").cast("double") / col("_nb")).as("growth"),
+        (col("_mb") * col("_k") / col("_nb").cast("double")).as("imbalance_build"),
+        (col("_mn") * col("_k") / col("_nn").cast("double")).as("imbalance_now"),
+        (col("_mr") / (col("_nn").cast("double") / col("_nb"))).as("growth_skew"))
+  }
+
+  /** Re-fit the quantizer when the drift metrics cross their
+    * thresholds — the TRIGGER completing the periodic-rebuild contract.
+    * Drifted when `growth_skew > maxGrowthSkew` (shifted ingest) or
+    * `imbalance_now > imbalanceFactor · max(imbalance_build, 1)` (lists
+    * gone fat relative to how the fit left them). Returns
+    * (index, rebuilt): the same index untouched when healthy, else a
+    * fresh [[build]] over the CURRENT corpus at
+    * `k_frozen · ⌈√growth⌉` cells (override with `k`) — the standard
+    * IVF sizing k ∝ √N, because re-fitting a 4× corpus at the original
+    * k would re-center the fat lists without thinning them (a dominant
+    * ingest blob stays one oversized cell and probes keep over-scanning
+    * it). The thresholds are deliberately lazy — rebuilds re-rank
+    * historical probes, so they should fire on real distribution shift,
+    * not ingest noise. */
+  def rebuildIfDrifted(
+      idx: Index, maxGrowthSkew: Double = 4.0, imbalanceFactor: Double = 2.0,
+      k: Int = 0, maxIterations: Int = 5, fitSampleSize: Int = 0,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): (Index, Boolean) = {
+    val s = driftStats(idx).head() // bounded: one diagnostics row
+    val drifted =
+      s.getAs[Double]("growth_skew") > maxGrowthSkew ||
+        s.getAs[Double]("imbalance_now") >
+          imbalanceFactor * math.max(s.getAs[Double]("imbalance_build"), 1.0)
+    if (!drifted) (idx, false)
+    else {
+      val kk =
+        if (k > 0) k
+        else {
+          val k0 = idx.centroids.select(col("cell")).count().toInt
+          math.max(k0,
+            (k0 * math.sqrt(math.max(s.getAs[Double]("growth"), 1.0))).ceil.toInt)
+        }
+      (build(idx.cells.select(col("id"), col("v")), "id", "v", kk,
+        maxIterations, fitSampleSize, checkpoint), true)
+    }
+  }
+
+  /** [[rebuildIfDrifted]] against the PERSISTED tables: read, check,
+    * and when drifted re-fit over the stored corpus and overwrite the
+    * stored index. Returns whether it rebuilt. The re-fit frames are
+    * checkpoint-pinned by [[build]] before [[writePartitioned]] clears
+    * the tables they derive from. */
+  def rebuildPartitionedIfDrifted(
+      spark: SparkSession, name: String,
+      maxGrowthSkew: Double = 4.0, imbalanceFactor: Double = 2.0,
+      k: Int = 0, maxIterations: Int = 5, fitSampleSize: Int = 0): Boolean =
+    mutate(spark, name) {
+      val (next, rebuilt) = rebuildIfDrifted(
+        readPartitioned(spark, name), maxGrowthSkew, imbalanceFactor,
+        k, maxIterations, fitSampleSize, CheckpointPolicy.Local)
+      if (rebuilt) writePartitioned(next, name)
+      rebuilt
     }
 
   /** Persist as catalog tables `<name>_{centroids,cells}` with `cells`

@@ -86,6 +86,82 @@ class AnnIndexSpec extends SparkSpec {
     assert(back === 1003L, "the appended near-copy must rank first for 3")
   }
 
+  test("driftStats + rebuildIfDrifted: shifted append-heavy ingest drifts, re-fit restores recall") {
+    import spark.implicits._
+    val items = corpus(160)
+    val idx = AnnIndex.build(items, "vec_id", "embedding", k = 4,
+      maxIterations = 4, fitSampleSize = 80)
+    // fresh build: growth exactly 1, per-cell growth uniform -> healthy
+    val s0 = AnnIndex.driftStats(idx).head()
+    assert(s0.getAs[Double]("growth") === 1.0)
+    assert(s0.getAs[Double]("growth_skew") === 1.0)
+    assert(s0.getAs[Double]("imbalance_now") === s0.getAs[Double]("imbalance_build"))
+    assert(!AnnIndex.rebuildIfDrifted(idx, maxIterations = 4, fitSampleSize = 80)._2,
+      "a healthy index must not rebuild")
+    // SHIFTED ingest: a brand-new far-away cluster 3x the corpus — the
+    // frozen quantizer crams it all into whichever old cells sit
+    // nearest, so growth concentrates instead of spreading
+    val rnd = new scala.util.Random(99)
+    val far = (0 until 480).map { i =>
+      (5000L + i, Array.fill(8)(8.0f + (rnd.nextGaussian() * 0.15).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val drifted = AnnIndex.append(idx, far, "vec_id", "embedding")
+    val s1 = AnnIndex.driftStats(drifted).head()
+    assert(s1.getAs[Long]("n_now") === 640L)
+    assert(s1.getAs[Double]("growth_skew") > 4.0,
+      s"a one-cluster 3x ingest must concentrate growth, got ${s1.getAs[Double]("growth_skew")}")
+    // drift's probe cost is OVER-SCAN, not (here) recall: the whole
+    // blob crams into one frozen cell, so a blob query's first probe
+    // finds all its true neighbours — but scans 480+ of 640 vectors
+    // (IVF degenerating toward brute force). imbalance_now carries it:
+    assert(s1.getAs[Double]("imbalance_now") > 3.0,
+      s"the fat list must dominate: ${s1.getAs[Double]("imbalance_now")}")
+    def recallAt10(ix: AnnIndex.Index): Double = {
+      val qs = far.filter(col("vec_id") < 5020L)
+      val truth = Ann.bruteForceTopK(
+        ix.cells.select(col("id").as("vec_id"), col("v").as("embedding")),
+        qs, "vec_id", "embedding", k = 10)
+        .select(col("qid"), col("nid")).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val got = ix.topK(qs, "vec_id", "embedding", k = 10, nprobe = 2)
+        .select(col("qid"), col("nid")).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val hits = truth.map { case (q, t) => (got.getOrElse(q, Set.empty) & t).size }.sum
+      hits.toDouble / truth.map(_._2.size).sum
+    }
+    val (refit, rebuilt) = AnnIndex.rebuildIfDrifted(
+      drifted, maxIterations = 4, fitSampleSize = 320)
+    assert(rebuilt, "growth_skew over threshold must trigger the re-fit")
+    // k scaled by sqrt(growth): 4 cells over a 4x corpus -> 8, so the
+    // blob thins across sub-cells and probes stop over-scanning
+    assert(refit.centroids.count() === 8L)
+    val s2 = AnnIndex.driftStats(refit).head()
+    assert(s2.getAs[Double]("growth") === 1.0)
+    assert(s2.getAs[Double]("growth_skew") === 1.0)
+    assert(s2.getAs[Double]("imbalance_now") < s1.getAs[Double]("imbalance_now"),
+      s"the re-fit must thin the fat list: ${s2.getAs[Double]("imbalance_now")} " +
+        s"vs ${s1.getAs[Double]("imbalance_now")}")
+    // and ranking quality inside the (now partitioned) blob holds up
+    assert(recallAt10(refit) >= 0.85,
+      s"re-fit recall@10 (nprobe=2) in the shifted cluster: ${recallAt10(refit)}")
+    assert(!AnnIndex.rebuildIfDrifted(refit, maxIterations = 4, fitSampleSize = 320)._2)
+    // the persisted face: store the DRIFTED index, let the trigger
+    // re-fit and overwrite in place; a second call is a no-op
+    val name = "annidx_drift"
+    Seq("centroids", "cells").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+    try {
+      AnnIndex.writePartitioned(drifted, name)
+      assert(AnnIndex.rebuildPartitionedIfDrifted(spark, name,
+        maxIterations = 4, fitSampleSize = 160))
+      val stored = AnnIndex.readPartitioned(spark, name)
+      assert(AnnIndex.driftStats(stored).head().getAs[Double]("growth_skew") === 1.0)
+      assert(!AnnIndex.rebuildPartitionedIfDrifted(spark, name,
+        maxIterations = 4, fitSampleSize = 160))
+    } finally Seq("centroids", "cells").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+  }
+
   test("delete: frozen quantizer, erased vectors never probe back, idempotent") {
     import spark.implicits._
     val items = corpus(120)
