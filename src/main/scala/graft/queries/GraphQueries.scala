@@ -320,9 +320,13 @@ object GraphQueries {
       // keep their min nation key, stranded customers label themselves.
       // Oracle = that closed form; delete ≡ rebuild-without is the
       // contract (forest validity itself is GraphAppendSpec-pinned).
-      val cust = customer(s, d).select(
-        (col("c_custkey").cast("long") + 10000L).as("cid"),
-        col("c_nationkey").cast("long").as("nk"))
+      // odd customers only: halves every lifecycle phase while both
+      // delete waves (mod 3 / mod 5 on the key) stay non-empty
+      val cust = customer(s, d)
+        .filter(pmod(col("c_custkey"), lit(2L)) === 1L)
+        .select(
+          (col("c_custkey").cast("long") + 10000L).as("cid"),
+          col("c_nationkey").cast("long").as("nk"))
       val nat = nation(s, d).select(
         col("n_nationkey").cast("long").as("nk"),
         (col("n_regionkey").cast("long") + 1000L).as("rk"))
@@ -338,10 +342,14 @@ object GraphQueries {
         Graph.index(rawV, rawE, directed = false), name, buckets = 8)
       graft.sources.GraphIO.buildComponents(s, name)
       graft.sources.GraphIO.buildForest(s, name)
+      // one delete call for both waves: the batch mixes non-forest rows
+      // (skipped repair if none cut) with certain cuts (the mod-15
+      // stranding), and a single bounded repair + certificate re-span
+      // covers the union — two calls would pay the affected-mass repair
+      // twice for the same end state
       graft.sources.GraphIO.deleteEdges(s, name,
-        e1.filter(pmod(col("src") - 10000L, lit(3L)) === 0L))
-      graft.sources.GraphIO.deleteEdges(s, name,
-        e2.filter(pmod(col("src") - 10000L, lit(5L)) === 0L))
+        e1.filter(pmod(col("src") - 10000L, lit(3L)) === 0L)
+          .unionByName(e2.filter(pmod(col("src") - 10000L, lit(5L)) === 0L)))
       val v = s.table(s"${name}_vertices")
       val m = graft.sources.GraphIO.readComponents(s, name)
         .join(v.select(col("id"), col("old_id")), Seq("id"))
@@ -1797,7 +1805,8 @@ object GraphQueries {
     // both edges and strands as its own component
     "g62_forest_guard" ->
       """WITH cust AS (SELECT CAST(c_custkey + 10000 AS BIGINT) AS cid,
-        |         CAST(c_nationkey AS BIGINT) AS nk FROM customer),
+        |         CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |         WHERE c_custkey % 2 = 1),
         |n AS (SELECT CAST(n_nationkey AS BIGINT) AS nk,
         |        CAST(n_regionkey + 1000 AS BIGINT) AS rk FROM nation),
         |rep AS (SELECT rk, min(nk) AS rep FROM n GROUP BY rk)

@@ -124,29 +124,35 @@ object CatalogTables {
         val out = body
         // final check-and-bump before this mutation counts as committed
         assertFamilyEpoch(spark, family, base)
-        epochCtx.remove() // the bump itself must not self-check
+        // the generation lives in TABLE PROPERTIES of a zero-row marker
+        // table: reads and bumps are catalog-metadata operations — no
+        // Spark job, no file write — so the guard costs milliseconds
+        // per mutation instead of a table rewrite. Durability follows
+        // the catalog's (shared + persistent under a metastore, which
+        // is exactly the deployment where cross-process detection is
+        // meaningful in the first place).
         val t = s"${family}__epoch"
-        // drop-then-write is fine HERE, unlike for data tables: the
-        // epoch is one derivable row, and a crash between the steps
-        // resets the family to generation 0 — which can only cause a
-        // FALSE abort on a concurrent writer, never a silent overwrite
-        prepareOverwrite(spark, t)
-        spark.sql(s"SELECT CAST(${base + 1} AS BIGINT) AS epoch")
-          .coalesce(1).write.saveAsTable(t)
+        if (!spark.catalog.tableExists(t)) {
+          // a dead session's marker leaves an orphaned directory that
+          // CREATE TABLE refuses — the standard hygiene this object is for
+          prepareOverwrite(spark, t)
+          spark.sql(s"CREATE TABLE `$t` (epoch BIGINT) USING parquet")
+        }
+        spark.sql(
+          s"ALTER TABLE `$t` SET TBLPROPERTIES('graft.epoch' = '${base + 1}')")
         out
       } finally epochCtx.remove()
     }
 
-  /** The current generation of a table family (0 when never written).
-    * Refreshes the session's listing first so another PROCESS's bump is
-    * visible despite this session's file-listing cache. */
+  /** The current generation of a table family (0 when never written) —
+    * a pure catalog-metadata read. */
   def familyEpoch(spark: SparkSession, family: String): Long = {
     val t = s"${family}__epoch"
     if (!spark.catalog.tableExists(t)) 0L
-    else {
-      spark.catalog.refreshTable(t)
-      spark.table(t).head().getLong(0) // bounded: one generation row
-    }
+    else spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .properties.get("graft.epoch")
+      .flatMap(_.toLongOption).getOrElse(0L)
   }
 
   private def assertFamilyEpoch(

@@ -144,9 +144,8 @@ class GraphIOSpec extends SparkSpec {
       val before = rowSet(spark.table(s"${name}_degrees"))
       val ex = intercept[java.util.ConcurrentModificationException] {
         CatalogTables.withFamilyEpochGuard(spark, name) {
-          CatalogTables.prepareOverwrite(spark, s"${name}__epoch")
-          spark.sql("SELECT CAST(3 AS BIGINT) AS epoch")
-            .coalesce(1).write.saveAsTable(s"${name}__epoch")
+          spark.sql(
+            s"ALTER TABLE `${name}__epoch` SET TBLPROPERTIES('graft.epoch' = '3')")
           CatalogTables.stagedOverwrite(spark, s"${name}_degrees") { t =>
             spark.sql("SELECT CAST(1 AS BIGINT) AS id, CAST(99 AS BIGINT) AS out_degree, CAST(99 AS BIGINT) AS in_degree")
               .write.saveAsTable(t)
@@ -162,9 +161,8 @@ class GraphIOSpec extends SparkSpec {
       // by the final check-and-bump instead
       val ex2 = intercept[java.util.ConcurrentModificationException] {
         CatalogTables.withFamilyEpochGuard(spark, name) {
-          CatalogTables.prepareOverwrite(spark, s"${name}__epoch")
-          spark.sql("SELECT CAST(9 AS BIGINT) AS epoch")
-            .coalesce(1).write.saveAsTable(s"${name}__epoch")
+          spark.sql(
+            s"ALTER TABLE `${name}__epoch` SET TBLPROPERTIES('graft.epoch' = '9')")
         }
       }
       assert(ex2.getMessage.contains("another writer"))
