@@ -93,9 +93,16 @@ case class Boruvka(
           .union(sel.select(col("_cb").as(ID))).distinct()
         // requireConvergence: an unconverged contraction would mislabel
         // components and silently corrupt the forest (ADVICE r8).
-        val cc = AlternatingConnectedComponents(maxIterations = 20,
-            requireConvergence = true)
-          .run(Graph(mergeVerts, mergeEdges, directed = false))
+        // The merge graph shrinks with the component count — on small
+        // inputs (and on EVERY late round of a big one) the capped
+        // driver union-find replaces ~10 star rounds of pure job
+        // overhead with microseconds, identical min-labels
+        // (AlgorithmsSpec pins UnionFind ≡ AltCC); over the cap the
+        // distributed rounds remain the path.
+        val cc = UnionFind.minLabel(mergeEdges, SRC, DST)
+          .getOrElse(AlternatingConnectedComponents(maxIterations = 20,
+              requireConvergence = true)
+            .run(Graph(mergeVerts, mergeEdges, directed = false)))
           .select(col(ID).as("_oc"), col(COMPONENT).as("_nc"))
         comp = checkpoint.pin(
           comp.join(cc, col(COMPONENT) === col("_oc"), "left")
