@@ -98,7 +98,12 @@ case class Boruvka(
         // driver union-find replaces ~10 star rounds of pure job
         // overhead with microseconds, identical min-labels
         // (AlgorithmsSpec pins UnionFind ≡ AltCC); over the cap the
-        // distributed rounds remain the path.
+        // distributed rounds remain the path. The default 100k cap is
+        // deliberate: raising it to 1M was MEASURED a wash at sfx10 —
+        // an ~850k-edge round pays collect + a driver-built label frame
+        // shipped back out, rivaling the star rounds it replaces — so
+        // the driver serves only the genuinely small rounds, where the
+        // saving is the whole per-round job overhead (g45: 2.6→1.7 s).
         val cc = UnionFind.minLabel(mergeEdges, SRC, DST)
           .getOrElse(AlternatingConnectedComponents(maxIterations = 20,
               requireConvergence = true)
