@@ -30,6 +30,14 @@ object GraphIO {
     * library's. */
   private val crudLock = new Object
 
+  /** Observability hook for the fast-erase decision in
+    * [[deleteVertices]] (the [[graft.algorithms.PageRank]]
+    * `lastIterations` convention): true when the last vertex delete
+    * took the row-drop path, false when it ran the bounded repair.
+    * Test-facing; reads race benignly under concurrent mutations (which
+    * crudLock serializes anyway). */
+  @volatile private[graft] var lastVertexDeleteFastPath: Boolean = false
+
   /** Every graph-store mutation runs under BOTH guards: [[crudLock]]
     * serializes writers within this JVM, and the family epoch
     * ([[CatalogTables.withFamilyEpochGuard]]) detects a SECOND PROCESS
@@ -623,11 +631,43 @@ object GraphIO {
     // redelivery guard: nothing stored matches -> a true no-op (no
     // rewrites, no component repair)
     if (storedV.join(ids, Seq("id"), "left_semi").isEmpty) return
+    // an orphaned certificate is invalid state here too (see deleteEdges)
+    if (hasForest(spark, name) && !hasComponents(spark, name))
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_forest")
+    // FAST-ERASE GUARD (certificate maintained): when NO deleted id is
+    // a component label (no row's `component` names it — labels are
+    // component minima, so survivors' labels cannot move) and EVERY
+    // deleted id touches AT MOST ONE certificate edge (a forest LEAF —
+    // a spanning tree minus a set of its leaves still spans the rest;
+    // an interior vertex's removal could strand the subtrees it
+    // joined), erasing the set provably cannot split or relabel any
+    // survivor. The common right-to-be-forgotten shape — erase a leaf
+    // user — then costs two row-drop rewrites instead of an
+    // affected-component CC (≈ full CC on a giant component). The two
+    // probes are one column-pruned pass each over the narrow label and
+    // certificate tables, read BEFORE any rewrite.
+    val fastErase = repairComponents && hasForest(spark, name) && {
+      val comp = readComponents(spark, name)
+      val noDeletedLabel = comp
+        .join(ids.select(col("id").as("component")), Seq("component"), "left_semi")
+        .isEmpty
+      noDeletedLabel && {
+        val f = readForest(spark, name)
+        val touches = f.join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
+          .select(col("src").as("_vid"))
+          .unionAll(f.join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+            .select(col("dst").as("_vid")))
+        touches.groupBy(col("_vid")).agg(count(lit(1)).as("_deg"))
+          .filter(col("_deg") > 1L).isEmpty
+      }
+    }
+    lastVertexDeleteFastPath = fastErase
     // labels of the subjects' components — read BEFORE any rewrite;
     // covers isolated subjects (their self-label rows must not linger)
     // as well as every component their incident edges touched
     val affected =
-      if (repairComponents) affectedLabels(spark, name, ids) else None
+      if (repairComponents && !fastErase) affectedLabels(spark, name, ids)
+      else None
     val vcols = storedV.columns.map(col).toIndexedSeq
     // LAZY: written straight into the staged vertex table below
     val keptV = storedV.join(ids, Seq("id"), "left_anti")
@@ -664,9 +704,31 @@ object GraphIO {
         .bucketBy(buckets, "id").sortBy("id")
         .saveAsTable(t)
     }
-    if (repairComponents)
-      affected.foreach(repairComponentTable(spark, name, _, removedIds = Some(ids)))
-    else invalidateComponents(spark, name)
+    if (repairComponents) {
+      if (fastErase) {
+        // the erased rows just LEAVE both narrow tables: labels and
+        // connectivity of every survivor are provably unchanged (see
+        // the guard above), so no CC runs at all
+        val cb = tableBuckets(spark, s"${name}_components")
+        CatalogTables.stagedOverwrite(spark, s"${name}_components") { t =>
+          readComponents(spark, name).join(ids, Seq("id"), "left_anti")
+            .write.mode("overwrite").bucketBy(cb, "id").sortBy("id")
+            .saveAsTable(t)
+        }
+        val fb = tableBuckets(spark, s"${name}_forest")
+        CatalogTables.stagedOverwrite(spark, s"${name}_forest") { t =>
+          readForest(spark, name)
+            .join(ids.select(col("id").as("src")), Seq("src"), "left_anti")
+            .join(ids.select(col("id").as("dst")), Seq("dst"), "left_anti")
+            // USING joins FRONT their keys — restore the stored column
+            // order or the rewrite flips the table to (dst, src)
+            .select(col("src"), col("dst"))
+            .write.mode("overwrite").bucketBy(fb, "src").sortBy("src")
+            .saveAsTable(t)
+        }
+      } else
+        affected.foreach(repairComponentTable(spark, name, _, removedIds = Some(ids)))
+    } else invalidateComponents(spark, name)
     // the cascade takes DERIVED per-subject data too: a rank row about
     // an erased vertex is retained data about it (other vertices' rank
     // VALUES go stale until refreshRanks — documented — but the

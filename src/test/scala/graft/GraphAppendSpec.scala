@@ -435,7 +435,7 @@ class GraphAppendSpec extends SparkSpec {
       def canon(e: (String, String)) =
         (math.min(idOf(e._1), idOf(e._2)), math.max(idOf(e._1), idOf(e._2)))
       def forestPairs() = GraphIO.readForest(spark, name).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
 
       // certificate invariants: F ⊆ canonical(E), spanning the one component
       val f0 = forestPairs()
@@ -493,6 +493,49 @@ class GraphAppendSpec extends SparkSpec {
       assert(!spark.catalog.tableExists(s"${name}_components"))
       assert(!spark.catalog.tableExists(s"${name}_forest"),
         "a forest kept past its component table would silently go stale")
+    } finally drop(name)
+  }
+
+  test("fast-erase: a non-label forest-leaf vertex delete drops rows without CC; hub delete still repairs") {
+    // star around hub "a" (the smallest id -> the component label) plus
+    // a redundant leaf-leaf edge so the certificate is a strict subset
+    val v0 = Seq("a", "b", "c", "d", "e")
+    val e0 = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"), ("d", "e"))
+    val name = "ap_fasterase"
+    GraphIO.writeBucketed(
+      Graph.index(rawVerts(v0), rawEdges(e0), directed = true), name, buckets = 4)
+    try {
+      GraphIO.buildComponents(spark, name)
+      GraphIO.buildForest(spark, name)
+      // sanity: "a" is the label of the single component
+      val idOf = Graph.keyVertices(rawVerts(v0)).collect()
+        .map(r => r.getAs[String]("old_id") -> r.getAs[Long]("id")).toMap
+      val hubIsMin = idOf("a") == idOf.values.min
+      // pick a leaf whose certificate degree is 1: "b" and "c" qualify
+      // regardless of which d-e edge Borůvka chose (their only edge is
+      // to the hub)
+      GraphIO.deleteVertices(spark, name, rawVerts(Seq("b")))
+      if (hubIsMin) {
+        assert(GraphIO.lastVertexDeleteFastPath,
+          "a non-label certificate leaf must take the row-drop path")
+      }
+      val v1 = v0.filterNot(_ == "b")
+      val e1 = e0.filterNot(e => e._1 == "b" || e._2 == "b")
+      assert(rowSet(GraphIO.readComponents(spark, name)) ===
+        rowSet(GraphIO.componentsOf(Graph.index(rawVerts(v1), rawEdges(e1), directed = true))))
+      // certificate: no row references the erased subject, still spans
+      val f1 = GraphIO.readForest(spark, name).collect()
+        .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+      assert(!f1.exists(p => p._1 == idOf("b") || p._2 == idOf("b")))
+      // the HUB is the component label AND a certificate interior — the
+      // cascade must run the full bounded repair, not the fast path
+      GraphIO.deleteVertices(spark, name, rawVerts(Seq("a")))
+      assert(!GraphIO.lastVertexDeleteFastPath,
+        "a label / interior vertex must take the repair path")
+      val v2 = v1.filterNot(_ == "a")
+      val e2 = e1.filterNot(e => e._1 == "a" || e._2 == "a") // d-e survives
+      assert(rowSet(GraphIO.readComponents(spark, name)) ===
+        rowSet(GraphIO.componentsOf(Graph.index(rawVerts(v2), rawEdges(e2), directed = true))))
     } finally drop(name)
   }
 
