@@ -71,6 +71,43 @@ object ForestGuardStress {
     timed(s"delete-nonforest($batchN)") {
       graft.sources.GraphIO.deleteEdges(spark, "stress_fg", nonForestBatch)
     }
+    // FAST-ERASE row: vertices that are certificate leaves and not
+    // component labels — the right-to-be-forgotten shape. Candidates:
+    // exactly one forest edge touches them, and they label nothing.
+    val fNow = graft.sources.GraphIO.readForest(spark, "stress_fg")
+    val fdeg = fNow.select(col("src").as("_vid"))
+      .unionAll(fNow.select(col("dst").as("_vid")))
+      .groupBy(col("_vid")).agg(count(lit(1)).as("_d"))
+      .filter(col("_d") === 1L).select(col("_vid"))
+    val labels = graft.sources.GraphIO.readComponents(spark, "stress_fg")
+      .select(col("component").as("_vid")).distinct()
+    val candSid = fdeg.join(labels, Seq("_vid"), "left_anti")
+    val rawIds = verts.select(col("id"),
+      xxhash64(col("id").cast("string")).as("_vid"))
+    // HIGH id range, so the erase cannot consume the forest-cut batch's
+    // (low-id-biased) edges measured below
+    val eraseBatch = rawIds.join(candSid, Seq("_vid"), "left_semi")
+      .select(col("id")).orderBy(col("id").desc).limit(100).localCheckpoint()
+    println(s"FORESTGUARD fast-erase batch=${eraseBatch.count()}")
+    timed("delete-vertices-fast(100)") {
+      graft.sources.GraphIO.deleteVertices(spark, "stress_fg", eraseBatch)
+    }
+    // contrast: certificate-INTERIOR vertices (2+ forest edges) force
+    // the full bounded repair — ≈ CC + re-span here by construction.
+    // Read the forest FRESH: the erase above swapped the table files,
+    // and the pre-erase frame pins the old listing (and old rows)
+    val fAfter = graft.sources.GraphIO.readForest(spark, "stress_fg")
+    val interior = fAfter.select(col("src").as("_vid"))
+      .unionAll(fAfter.select(col("dst").as("_vid")))
+      .groupBy(col("_vid")).agg(count(lit(1)).as("_d"))
+      .filter(col("_d") >= 2L).select(col("_vid"))
+    val slowBatch = rawIds.join(interior, Seq("_vid"), "left_semi")
+      .join(eraseBatch, Seq("id"), "left_anti")
+      .select(col("id")).orderBy(col("id").desc).limit(10).localCheckpoint()
+    println(s"FORESTGUARD interior-erase batch=${slowBatch.count()}")
+    timed("delete-vertices-repair(10)") {
+      graft.sources.GraphIO.deleteVertices(spark, "stress_fg", slowBatch)
+    }
     // the still-honest row: a real cut pays the bounded repair (≈ full
     // CC here by construction — the guard's point is paying it only
     // when an actual cut demands it)
