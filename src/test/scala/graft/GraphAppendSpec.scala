@@ -496,6 +496,35 @@ class GraphAppendSpec extends SparkSpec {
     } finally drop(name)
   }
 
+  test("forest probe plan: the batch side broadcasts, the certificate never shuffles") {
+    import org.apache.spark.sql.functions.{least, greatest}
+    val v0 = ('a' to 'j').map(_.toString)
+    val e0 = v0.zip(v0.tail) ++ Seq(("a", "c"), ("b", "d"))
+    val name = "ap_fplan"
+    GraphIO.writeBucketed(
+      Graph.index(rawVerts(v0), rawEdges(e0), directed = true), name, buckets = 4)
+    try {
+      GraphIO.buildComponents(spark, name)
+      GraphIO.buildForest(spark, name)
+      // the deleteEdges forestSkip probe, verbatim: batch-sized
+      // canonical pairs semi-joined against the V-sized certificate
+      val removed = Graph.keyEdges(rawEdges(Seq(("a", "c"))))
+        .select(col("src"), col("dst")).localCheckpoint()
+      val probe = GraphIO.readForest(spark, name).join(
+        removed.select(
+          least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst")).distinct(),
+        Seq("src", "dst"), "left_semi")
+      probe.collect()
+      val p = probe.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("BroadcastHashJoin"),
+        s"the batch side must broadcast into the certificate scan:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"the V-sized certificate must never shuffle for a batch probe:\n$p")
+    } finally drop(name)
+  }
+
   test("fast-erase: a non-label forest-leaf vertex delete drops rows without CC; hub delete still repairs") {
     // star around hub "a" (the smallest id -> the component label) plus
     // a redundant leaf-leaf edge so the certificate is a strict subset
