@@ -131,14 +131,20 @@ object HyperBall {
   def harmonicCentrality(g: Graph, p: Int, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     // lcm(1..16) = 720720; at 17 it jumps to 12,252,240 and the
-    // weight×delta products leave the safe i64 envelope. 16 rounds
-    // covers real effective diameters (web/social graphs: single
-    // digits); DEEPER graphs fall back to the bucketed-rounds face —
-    // same integer pipeline, rounds grouped so each bucket's lcm
-    // weights stay small, one integral division per bucket. NOTE the
-    // fallback's output column is (id, h_micro) ≈ 1e6·H(v) — the
-    // single-bucket lcm scaling cannot extend past 16 rounds.
-    if (rounds > 16) return harmonicCentralityDeep(g, p, rounds)
+    // weight×delta products leave the exact face's weight envelope. 16
+    // rounds covers real effective diameters (web/social graphs: single
+    // digits); DEEPER graphs use [[harmonicCentralityDeep]] — same
+    // integer pipeline, rounds grouped so each bucket's lcm weights
+    // stay small, one integral division per bucket. The dispatch is
+    // EXPLICIT (no silent fallback): the deep face's output is a
+    // differently named and differently scaled column ((id, h_micro) ≈
+    // 1e6·H vs (id, h_lcm_micro) ≈ 1e6·L·H — the single-bucket lcm
+    // scaling cannot extend past 16 rounds), and a caller who raises
+    // `rounds` must opt into that contract change knowingly.
+    require(rounds <= 16,
+      s"harmonicCentrality supports rounds <= 16 (lcm weight envelope); got " +
+        s"$rounds — call harmonicCentralityDeep explicitly for deeper graphs. " +
+        "NOTE its output column is (id, h_micro) ~ 1e6*H(v), not h_lcm_micro.")
     val L = (1 to rounds).foldLeft(1L)((acc, r) =>
       acc / gcd(acc, r) * r)
     // the exact integer numerator as a digit-string DECIMAL literal;
@@ -150,16 +156,21 @@ object HyperBall {
         .select(col(ID), expr(s"$kLit div s_sum").as(s"_e$n"))
     }
     val joined = ests.reduce((a, b) => a.join(b, Seq(ID)))
-    // i64 deltas × i64 weights, summed in i64 — BIGINT end to end. The
-    // bound is comfortable: e_micro ≤ 1e6·α·m·|B| (real balls, not the
-    // register-saturation ceiling), so each term ≤ lcm(1..16)·e_max
-    // ≈ 7·10^5·e_max and the 16-term sum stays far inside 2^63 for any
-    // graph whose micro-estimates fit i64 in the first place. BIGINT
-    // (not DECIMAL) output on BOTH faces: the unique-to-this-query
-    // DECIMAL(38,0) column was one of two constructs separating the
-    // r10–r12 driver-red oracle from the 166 green ones.
+    // The delta×weight ACCUMULATION is DECIMAL(38,0): a term
+    // (e_r − e_{r−1})·(L/r) on a ≳1.3e7-vertex ball (e_micro ≈
+    // 1e6·|ball|) already passes 2^63 at round 1, so an i64 sum would
+    // throw under ANSI (or wrap silently off it) on exactly the
+    // web-scale graphs the face is documented for — the weighted sum
+    // overflows long before the per-round estimates do (ADVICE r13).
+    // Decimal integer arithmetic is exact and engine-portable (the
+    // oracle accumulates in HUGEINT, identically exact). Only the FINAL
+    // result casts to BIGINT — still loud under ANSI if the output
+    // itself cannot fit, and the output column stays BIGINT on both
+    // faces (the unique-to-this-query DECIMAL(38,0) OUTPUT column was
+    // one of two constructs separating the r10–r12 driver-red oracle
+    // from the 166 green ones; intermediates were never the issue).
     val h = (1 to rounds).map { r =>
-      (col(s"_e$r") - col(s"_e${r - 1}")) * lit(L / r)
+      (col(s"_e$r") - col(s"_e${r - 1}")).cast("decimal(38,0)") * lit(L / r)
     }.reduce(_ + _)
     joined.select(col(ID), h.cast("long").as("h_lcm_micro"))
   }
@@ -192,9 +203,12 @@ object HyperBall {
         .select(col(ID), expr(s"$kLit div s_sum").as(s"_e$n"))
     }
     val joined = ests.reduce((a, b) => a.join(b, Seq(ID)))
+    // same DECIMAL(38,0) accumulation as the exact face (ADVICE r13):
+    // a bucket's weighted sum overflows i64 on ≳1e7-vertex balls even
+    // though every per-round estimate fits comfortably
     val sums = buckets.zipWithIndex.map { case ((lo, hi, lb), i) =>
       (lo to hi).map { r =>
-        (col(s"_e$r") - col(s"_e${r - 1}")) * lit(lb / r)
+        (col(s"_e$r") - col(s"_e${r - 1}")).cast("decimal(38,0)") * lit(lb / r)
       }.reduce(_ + _).as(s"_s$i")
     }
     val hExpr = buckets.zipWithIndex

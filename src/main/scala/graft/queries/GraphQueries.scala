@@ -1431,6 +1431,9 @@ object GraphQueries {
     // UNION ALL the per-round estimates into (round, id, e), delta-join
     // with an explicit ON round = round - 1 (the convention every green
     // iterative oracle uses), weight via CASE, and sum per id as BIGINT.
+    // The delta×weight accumulation is HUGEINT — the exact twin of the
+    // Spark face's DECIMAL(38,0) intermediates (ADVICE r13: the weighted
+    // sum overflows i64 on web-scale balls); the OUTPUT stays BIGINT.
     val unions = (0 to rounds)
       .map(k => s"SELECT $k AS round, id, e FROM es$k")
       .mkString(" UNION ALL ")
@@ -1438,8 +1441,8 @@ object GraphQueries {
     (Seq(head) ++ iters ++ ests ++ Seq(
       s"""esall AS ($unions),
          |fin AS (SELECT a.id AS id,
-         |    CAST(sum((a.e - b.e) * (CASE a.round $cases END)) AS BIGINT)
-         |      AS h_lcm_micro
+         |    CAST(sum(CAST(a.e - b.e AS HUGEINT) * (CASE a.round $cases END))
+         |      AS BIGINT) AS h_lcm_micro
          |  FROM esall a JOIN esall b
          |    ON b.id = a.id AND b.round = a.round - 1
          |  GROUP BY a.id)

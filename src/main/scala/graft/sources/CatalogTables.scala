@@ -115,8 +115,14 @@ object CatalogTables {
     * multi-writer deployments put a lease or a lakehouse transaction
     * layer in front. A missing epoch table reads as generation 0.
     */
-  def withFamilyEpochGuard[T](spark: SparkSession, family: String)(body: => T): T =
-    if (epochCtx.get.isDefined) body // the OUTERMOST mutation owns the guard
+  def withFamilyEpochGuard[T](spark: SparkSession, family: String)(body: => T): T = {
+    val outer = epochCtx.get
+    // the OUTERMOST mutation of a family owns its guard — but only for
+    // the SAME family (ADVICE r13): a mutation of family A nesting a
+    // mutation of family B must not run B unguarded while the staged
+    // swaps assert A's epoch against B's tables. A cross-family nest
+    // gets its own fresh guard; the outer one is restored after.
+    if (outer.exists(_._1 == family)) body
     else {
       val base = familyEpoch(spark, family)
       epochCtx.set(Some((family, base)))
@@ -141,8 +147,9 @@ object CatalogTables {
         spark.sql(
           s"ALTER TABLE `$t` SET TBLPROPERTIES('graft.epoch' = '${base + 1}')")
         out
-      } finally epochCtx.remove()
+      } finally epochCtx.set(outer)
     }
+  }
 
   /** The current generation of a table family (0 when never written) —
     * a pure catalog-metadata read. */

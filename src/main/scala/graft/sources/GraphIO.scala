@@ -258,7 +258,13 @@ object GraphIO {
     * is a pure function of the edge set). */
   private def forestOf(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    graft.algorithms.Boruvka()
+    // maxRounds = 64: Borůvka only guarantees component-count HALVING
+    // per round, so the worst case is log2(V) — the default 8 would
+    // throw require(done) on deep merge patterns (> ~256 components
+    // merging pairwise), and inside repairComponentTable that throw
+    // lands mid-mutation after the edge rewrite committed (ADVICE r13).
+    // 64 covers any vertex count a long id can name.
+    graft.algorithms.Boruvka(maxRounds = 64)
       .run(edges.select(col("src"), col("dst")).withColumn("weight", lit(1L)))
       .select(col("src"), col("dst"))
   }
@@ -416,6 +422,21 @@ object GraphIO {
               .distinct()
               .localCheckpoint())
           else None
+        // the certificate append runs BEFORE the relabel commits (ADVICE
+        // r13): a crash between the two writes then only leaves an EXTRA
+        // certificate edge — a safe false repair — never merged labels
+        // whose bridge is unwitnessed (which would let a later delete of
+        // that bridge skip a repair it needs, silently and forever);
+        // already-present canonical pairs (a fresh parallel edge over a
+        // stored one) are anti-joined away
+        crossing.foreach { c =>
+          val add = c.join(
+            readForest(spark, name).select(col("src"), col("dst")),
+            Seq("src", "dst"), "left_anti")
+          add.write.mode("append")
+            .bucketBy(tableBuckets(spark, s"${name}_forest"), "src").sortBy("src")
+            .saveAsTable(s"${name}_forest")
+        }
         // the merge graph is batch-bounded by contract — a driver-side
         // union-find beats ~10 distributed star rounds of pure job
         // overhead; the distributed path remains the (never-expected)
@@ -461,17 +482,6 @@ object GraphIO {
               .saveAsTable(t)
           }
         } else refreshComponents(spark, name)
-        // the certificate append rides either relabel path (the edge set
-        // is the same); already-present canonical pairs (a fresh parallel
-        // edge over a stored one) are anti-joined away
-        crossing.foreach { c =>
-          val add = c.join(
-            readForest(spark, name).select(col("src"), col("dst")),
-            Seq("src", "dst"), "left_anti")
-          add.write.mode("append")
-            .bucketBy(tableBuckets(spark, s"${name}_forest"), "src").sortBy("src")
-            .saveAsTable(s"${name}_forest")
-        }
       }
     }
   }

@@ -905,15 +905,21 @@ class AlgorithmsSpec extends SparkSpec {
       assert(l / lo <= 720720L, s"bucket $lo..$hi weight ${l / lo} over envelope")
       (lo to hi).foreach(r => assert(l % r === 0L, s"lcm $l not divisible by $r"))
     }
-    // a 25-vertex path needs 20+ rounds to saturate — the require this
-    // replaces would have refused it
+    // a 25-vertex path needs 20+ rounds to saturate — past the exact
+    // face's envelope, so the deep face must be invoked EXPLICITLY
+    // (ADVICE r13: no silent dispatch to a differently named and
+    // differently scaled output column)
     val n = 24L
     val g = Graph(
       (0L to n).toDF(ID),
       (0L until n).map(i => (i, i + 1)).toDF(SRC, DST)
         .withColumn(EDGE_ID, xxhash64(col(SRC), col(DST))),
       directed = false)
-    val deep = graft.algorithms.HyperBall.harmonicCentrality(g, p = 4, rounds = 20)
+    val thrown = intercept[IllegalArgumentException] {
+      graft.algorithms.HyperBall.harmonicCentrality(g, p = 4, rounds = 20)
+    }
+    assert(thrown.getMessage.contains("harmonicCentralityDeep"))
+    val deep = graft.algorithms.HyperBall.harmonicCentralityDeep(g, p = 4, rounds = 20)
     assert(deep.schema.fieldNames.toSeq === Seq(ID, "h_micro"))
     val h = deep.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(h.size === 25)
