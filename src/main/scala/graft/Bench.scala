@@ -35,6 +35,11 @@ object Bench {
     // sorted order: deterministic attribution run-to-run
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.Map.empty[String, Double]
+    // every successful pass's wall, in pass order (VERDICT r13 item 7):
+    // the min is the headline, but a HOST-band adjudication needs the
+    // spread — a uniform slowdown inflates every query's repeats
+    // together, a per-query regression inflates one query's whole array
+    val passes = scala.collection.mutable.Map.empty[String, List[Double]]
     val errors = scala.collection.mutable.Map.empty[String, String]
     for (_ <- 0 until repeats; (name, fn) <- names) {
       val t0 = System.nanoTime()
@@ -42,6 +47,7 @@ object Bench {
         fn(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
         best.updateWith(name)(prev => Some(prev.fold(sec)(math.min(_, sec))))
+        passes.updateWith(name)(prev => Some(prev.getOrElse(Nil) :+ sec))
       } catch {
         case e: Throwable =>
           errors.update(name,
@@ -56,13 +62,17 @@ object Bench {
     }
     val qs = names.flatMap { case (k, _) => best.get(k).map(v => s""""${esc(k)}":$v""") }
       .mkString("{", ",", "}")
+    val reps = names.flatMap { case (k, _) =>
+      passes.get(k).map(vs => s""""${esc(k)}":[${vs.map(v =>
+        "%.3f".formatLocal(java.util.Locale.ROOT, v)).mkString(",")}]""") }
+      .mkString("{", ",", "}")
     // a query that succeeded in any pass is not an error
     val errs = names.flatMap { case (k, _) =>
       if (best.contains(k)) None
       else errors.get(k).map(m => s""""${esc(k)}":"${esc(m)}"""") }
       .mkString("{", ",", "}")
     val total = names.flatMap { case (k, _) => best.get(k) }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"queries":$qs,"repeats_s":$reps,"errors":$errs,"sf":"${esc(sfDir)}"}"""
     println(line)
     // the stdout tail has been truncated by log interleaving more than
     // once (r7/r8 artifacts had `parsed: null`); the file copy is the

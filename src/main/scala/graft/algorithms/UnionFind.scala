@@ -74,4 +74,51 @@ object UnionFind {
       Some(labels.toDF("id", "component"))
     }
   }
+
+  /** Driver-side SPANNING SUBSET of a batch-bounded edge list: the rows
+    * (in ascending (src, dst) order) whose edge merged two distinct
+    * sets — a spanning forest of the input graph, ≤ #vertices − 1 rows.
+    * The replacement-edge certificate splice of
+    * [[graft.sources.GraphIO]] uses it to re-witness reconnected forest
+    * pieces without adding every crossing pair (which could bloat the
+    * certificate quadratically). Same cap-and-decline contract as
+    * [[minLabel]]: None over `maxEdges` rows or on non-integral key
+    * columns — callers fall back to distributed Borůvka. Deterministic:
+    * the scan order is the sorted edge list. */
+  def spanningPairs(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxEdges: Int = 100000): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
+    val fields = edges.schema
+    if (!integral(fields(srcCol).dataType) || !integral(fields(dstCol).dataType))
+      return None
+    val rows = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+      .limit(maxEdges + 1).collect()
+    if (rows.length > maxEdges) None
+    else {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) {
+          val n = parent.getOrElse(c, c); parent(c) = r; c = n
+        }
+        r
+      }
+      val chosen = rows.map(r => (r.getLong(0), r.getLong(1))).sorted
+        .filter { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra == rb) false
+          else {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            true
+          }
+        }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      Some(chosen.toSeq.toDF(srcCol, dstCol))
+    }
+  }
 }

@@ -65,6 +65,18 @@ object GraphQueries {
     indexedGraph(n, e, directed = true)
   }
 
+  /** orders-derived 41-vertex path 0—1—…—40 (`o_orderkey % 40` chained to
+    * its successor): diameter 40, so the effective diameter sits far past
+    * the exact harmonic face's 16-round lcm envelope — the fixture the
+    * DEEP face (bucketed lcm weights) exists for. */
+  private def deepPathGraph(s: SparkSession, d: String): Graph = {
+    val e = orders(s, d).select(
+        pmod(col("o_orderkey"), lit(40)).cast("long").as(SRC),
+        (pmod(col("o_orderkey"), lit(40)).cast("long") + 1L).as(DST))
+      .distinct()
+    indexedGraph(vertsOf(e), e, directed = false)
+  }
+
   /** customer -> nation -> region two-level hierarchy, vertex attr `weight` = id */
   private def hierarchyGraph(s: SparkSession, d: String): Graph = {
     val e = customer(s, d).select(
@@ -211,6 +223,19 @@ object GraphQueries {
       HyperBall.harmonicCentrality(g, p = 4, rounds = 5)
         .agg(sum(col("h_lcm_micro")).cast("long").as("h_total"),
           count(lit(1)).as("n_vertices"))
+    }),
+
+    "g63_harmonic_deep" -> ((s, d) => {
+      // the DEEP harmonic face (VERDICT r13 item 2): rounds = 20 on a
+      // path of diameter 40, so the greedy bucket partition actually
+      // splits (buckets (1..16, L=720720) and (17..20, L=58140)) and
+      // the per-bucket floor divisions both execute — the one r13
+      // algorithm face that had a spec but no cross-engine hash gate.
+      // Same all-integer pipeline as g56; the oracle replays the bucket
+      // partition from the same bucketRounds function, so the two faces
+      // cannot silently desync.
+      val g = deepPathGraph(s, d)
+      HyperBall.harmonicCentralityDeep(g, p = 4, rounds = 20)
     }),
 
     "g54_hyperball_anf" -> ((s, d) => {
@@ -1449,6 +1474,72 @@ object GraphQueries {
          |SELECT id, h_lcm_micro FROM fin""".stripMargin)).mkString(",\n")
   }
 
+  /** DEEP harmonic oracle (g63): the [[hyperballHarmonicOracleSql]]
+    * integer pipeline on the 41-vertex orders path, with the lcm
+    * weighting REPLAYED PER BUCKET exactly as
+    * [[graft.algorithms.HyperBall.harmonicCentralityDeep]] computes it —
+    * the bucket partition comes from the SAME
+    * [[graft.algorithms.HyperBall.bucketRounds]] call both faces share,
+    * so the greedy spans and the per-bucket L_b/r weights cannot
+    * desync. Per bucket: a HUGEINT delta×weight sum (the overflow-safe
+    * accumulation, ADVICE r13) and ONE floor division by L_b (`//` ≡
+    * Spark `div` on positives); buckets then add. Long-format tail,
+    * BIGINT output — only constructs already driver-green in g56. */
+  private def hyperballDeepOracleSql(rounds: Int): String = {
+    def sha48(x: String) =
+      s"""CAST(list_sum([(strpos('0123456789abcdef',
+         |  substr(substr(sha256($x), 1, 12), j, 1)) - 1)
+         |  * CAST(power(16, 12 - j) AS BIGINT)
+         |  FOR j IN range(1, 13)]) AS BIGINT)""".stripMargin
+    val head =
+      s"""WITH ce AS (SELECT DISTINCT CAST(o_orderkey % 40 AS BIGINT) AS src,
+         |  CAST(o_orderkey % 40 + 1 AS BIGINT) AS dst FROM orders),
+         |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce)),
+         |v AS (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM ce UNION ALL SELECT dst FROM ce)),
+         |st0 AS MATERIALIZED (SELECT id, h // 17592186044416 AS bucket,
+         |  CASE WHEN h % 17592186044416 = 0 THEN 45
+         |       ELSE 45 - length(bin(h % 17592186044416)) END AS r
+         |  FROM (SELECT id, ${sha48("CAST(id AS VARCHAR)")} AS h FROM v))""".stripMargin
+    val iters = (1 to rounds).map { k =>
+      val pk = k - 1
+      s"""st$k AS MATERIALIZED (SELECT id, bucket, max(r) AS r FROM (
+         |  SELECT id, bucket, r FROM st$pk
+         |  UNION ALL
+         |  SELECT e.src AS id, s.bucket, s.r FROM sym e
+         |  JOIN st$pk s ON s.id = e.dst) GROUP BY id, bucket)""".stripMargin
+    }
+    val knum = graft.algorithms.HyperBall.harmonicNumeratorMicro(4)
+    val ests = (0 to rounds).map { k =>
+      s"""es$k AS (SELECT id, CAST(CAST('$knum' AS HUGEINT)
+         |      // CAST(sp + (16 - nb) * 35184372088832 AS HUGEINT)
+         |      AS BIGINT) AS e
+         |  FROM (SELECT id, sum(CAST(power(2, 45 - r) AS BIGINT)) AS sp,
+         |        count(*) AS nb FROM st$k GROUP BY id))""".stripMargin
+    }
+    val unions = (0 to rounds)
+      .map(k => s"SELECT $k AS round, id, e FROM es$k")
+      .mkString(" UNION ALL ")
+    // one HUGEINT sum + one floor division PER BUCKET, buckets added —
+    // the exact twin of the Spark face's Σ_b (S_b div L_b)
+    val bucketTerms = graft.algorithms.HyperBall.bucketRounds(rounds)
+      .map { case (lo, hi, lb) =>
+        val cases = (lo to hi).map(r => s"WHEN $r THEN ${lb / r}").mkString(" ")
+        s"""(sum(CAST(a.e - b.e AS HUGEINT)
+           |      * (CASE a.round $cases ELSE 0 END)) // $lb)""".stripMargin
+      }
+      .mkString("\n    + ")
+    (Seq(head) ++ iters ++ ests ++ Seq(
+      s"""esall AS ($unions),
+         |fin AS (SELECT a.id AS id,
+         |    CAST($bucketTerms AS BIGINT) AS h_micro
+         |  FROM esall a JOIN esall b
+         |    ON b.id = a.id AND b.round = a.round - 1
+         |  GROUP BY a.id)
+         |SELECT id, h_micro FROM fin""".stripMargin)).mkString(",\n")
+  }
+
   /** g61 diagnostic twin of [[hyperballHarmonicOracleSql]]: the SAME
     * integer pipeline collapsed to ONE total row (the g54 single-
     * aggregate shape). If g61 is driver-green while g56 stays red, the
@@ -1800,6 +1891,7 @@ object GraphQueries {
     "g54_hyperball_anf" -> hyperballOracleSql(5),
     "g56_harmonic_anf" -> hyperballHarmonicOracleSql(5),
     "g61_harmonic_anf_sum" -> hyperballHarmonicSumOracleSql(5),
+    "g63_harmonic_deep" -> hyperballDeepOracleSql(20),
     // closed-form components after the two delete waves: deleting a
     // customer's nation edge (≡0 mod 3) or region edge (≡0 mod 5) never
     // splits while the OTHER triangle edge survives (and the nation

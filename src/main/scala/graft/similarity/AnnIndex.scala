@@ -162,16 +162,35 @@ object AnnIndex {
     * O(batch) too, at the price of a second artifact to maintain.
     *
     * Returns the configured writer; callers add
-    * `.option("checkpointLocation", ...)` and `.start()`. */
+    * `.option("checkpointLocation", ...)` and `.start()`.
+    *
+    * DRIFT HOOK (opt-in, VERDICT r13 item 5): a stream can shift its
+    * ingest distribution indefinitely while the frozen quantizer keeps
+    * cramming the new region into whichever old cells sit nearest —
+    * [[driftStats]] / [[rebuildPartitionedIfDrifted]] exist, but left
+    * to an operator's memory nothing on the INGEST path ever calls
+    * them. `driftCheckEvery = N` runs the one-row [[driftStats]] pass
+    * after every Nth micro-batch (the Pregel `superstepListener`
+    * convention: surface, don't decide), hands the row to
+    * `driftListener`, and — when `rebuildOnDrift` — fires
+    * [[rebuildPartitionedIfDrifted]] with the given thresholds, so a
+    * drifting stream re-fits itself and a healthy one never rebuilds
+    * (StreamingSpec pins both). The check keys on the streaming
+    * engine's batchId, so a recovery replay does not reset the cadence.
+    */
   def appendStream(
-      vecs: DataFrame, idCol: String, vecCol: String, name: String)
+      vecs: DataFrame, idCol: String, vecCol: String, name: String,
+      driftCheckEvery: Int = 0,
+      driftListener: Option[org.apache.spark.sql.Row => Unit] = None,
+      rebuildOnDrift: Boolean = false,
+      maxGrowthSkew: Double = 4.0, imbalanceFactor: Double = 2.0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // foreachBatch runs on a CLONED session: an insert adds files the
     // origin session's cached listing would silently MISS — refresh it
     // after each batch (CatalogTables.refreshTables)
     val origin = vecs.sparkSession
     vecs.writeStream.outputMode("update").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val idx = readPartitioned(spark, name)
         val known = idx.cells.select(col("id").as(idCol))
@@ -192,6 +211,15 @@ object AnnIndex {
             .write.mode("append").insertInto(s"${name}_cells")
           graft.sources.CatalogTables.refreshTables(
             origin, Seq(s"${name}_cells"))
+        }
+        if (driftCheckEvery > 0 && (batchId + 1) % driftCheckEvery == 0) {
+          driftListener.foreach(f =>
+            f(driftStats(readPartitioned(spark, name)).head()))
+          if (rebuildOnDrift &&
+              rebuildPartitionedIfDrifted(spark, name,
+                maxGrowthSkew, imbalanceFactor))
+            graft.sources.CatalogTables.refreshTables(
+              origin, Seq(s"${name}_cells", s"${name}_centroids"))
         }
     }
   }

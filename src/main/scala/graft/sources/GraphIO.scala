@@ -203,9 +203,17 @@ object GraphIO {
     spark.table(s"${name}_components")
 
   /** Recovery / drift repair: rebuild the component table from the
-    * stored graph (the [[refreshDegrees]] twin for the third write). */
-  def refreshComponents(spark: SparkSession, name: String, maxIterations: Int = 20): Unit =
+    * stored graph (the [[refreshDegrees]] twin for the third write).
+    * A maintained certificate is rebuilt WITH it: the refresh is the
+    * documented remedy for a crash mid-mutation, and after such a crash
+    * the forest can hold rows no live edge backs — phantom witnesses the
+    * replacement-edge repair would trust ([[replacementEdgeRepair]]
+    * relabels from what the certificate says survives). Labels and
+    * certificate are a coupled pair; recovery restores both or neither. */
+  def refreshComponents(spark: SparkSession, name: String, maxIterations: Int = 20): Unit = {
     buildComponents(spark, name, maxIterations)
+    if (hasForest(spark, name)) buildForest(spark, name)
+  }
 
   private def hasComponents(spark: SparkSession, name: String): Boolean =
     spark.catalog.tableExists(s"${name}_components")
@@ -222,27 +230,84 @@ object GraphIO {
     *
     * Contents: canonical `(src, dst)` pairs (src < dst), a subset of
     * the stored edges ignoring direction, spanning every component
-    * ([[graft.algorithms.Boruvka]] over unit weights — deterministic
-    * pick order, so rebuilds replay). Maintained as a CONNECTIVITY
-    * CERTIFICATE rather than a strictly minimal forest: appends add
-    * every batch edge that crosses two current components (cheap,
-    * batch-sized; possible extra cycle edges only cause FALSE repairs,
-    * never missed ones), and a forest-hit delete re-runs Borůvka over
-    * just the affected components' surviving subgraph inside
-    * [[repairComponentTable]] — re-tightening locally. Requires the
-    * component table (the guard exists to protect its repair); the
-    * burst opt-out (`repairComponents = false`) drops BOTH tables
-    * loudly. */
+    * (BFS parent tree from each component's label vertex — deterministic
+    * min-parent picks, so rebuilds replay; Borůvka fallback past the
+    * diameter cap). Maintained as a CONNECTIVITY CERTIFICATE rather
+    * than a strictly minimal forest: appends add every batch edge that
+    * crosses two current components (cheap, batch-sized; possible extra
+    * cycle edges only cause FALSE repairs, never missed ones —
+    * [[forestStats]] / [[retightenForestIfBloated]] meter and compact
+    * the accumulation), and a forest-hit delete SPLICES a replacement
+    * edge per reconnected piece pair inside [[replacementEdgeRepair]] —
+    * tree-bounded work, never a re-span. Requires the component table
+    * (the guard exists to protect its repair); the burst opt-out
+    * (`repairComponents = false`) drops BOTH tables loudly. */
   def buildForest(spark: SparkSession, name: String): Unit = mutate(spark, name) {
+    import org.apache.spark.sql.functions._
     require(hasComponents(spark, name),
       s"buildForest requires the maintained component table — run buildComponents('$name') first")
-    val forest = forestOf(spark.table(s"${name}_edges")).localCheckpoint()
+    // BFS parent tree from each component's LABEL vertex (VERDICT r13
+    // item 4): a unit-weight certificate needs no minimum-ness, so
+    // Borůvka's contraction rounds are overkill — the multi-source BFS
+    // spans the same components in diameter-many one-join rounds
+    // (measured 41.3 s vs 139.8 s Borůvka at the 100× corpus,
+    // BASELINE.md). Graphs whose effective diameter outruns the round
+    // cap fall back to Borůvka, whose log₂(V) bound is
+    // diameter-independent.
+    val edges = spark.table(s"${name}_edges")
+    val roots = readComponents(spark, name)
+      .select(col("component").as("id")).distinct()
+    val forest = graft.algorithms.BreadthFirstSearch
+      .parentForest(roots, edges.select(col("src"), col("dst")))
+      .getOrElse(forestOf(edges))
     val buckets = tableBuckets(spark, s"${name}_edges")
     CatalogTables.stagedOverwrite(spark, s"${name}_forest") { t =>
       forest.write.mode("overwrite")
         .bucketBy(buckets, "src").sortBy("src")
         .saveAsTable(t)
     }
+  }
+
+  /** Certificate health: ONE aggregated diagnostics row (the
+    * [[graft.similarity.AnnIndex.driftStats]] convention) —
+    * `(forest_rows, vertex_rows, component_count, spanning_bound,
+    * bloat_ratio)`. A true forest has at most `spanning_bound` =
+    * V − #components rows; [[appendEdges]] is deliberately conservative
+    * (every component-crossing batch edge joins the certificate), so a
+    * long append stream can push `forest_rows` past the bound — extra
+    * rows are never WRONG (they only cause false repairs), but the
+    * false-repair rate creeps up with the bloat. `bloat_ratio` =
+    * forest_rows / max(spanning_bound, 1); 1.0 is tight. One
+    * column-pruned pass over the two narrow tables. */
+  def forestStats(spark: SparkSession, name: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(hasForest(spark, name),
+      s"forestStats needs the certificate — run buildForest('$name') first")
+    val cstats = readComponents(spark, name).agg(
+      count(lit(1)).as("vertex_rows"),
+      countDistinct(col("component")).as("component_count"))
+    readForest(spark, name).agg(count(lit(1)).as("forest_rows"))
+      .crossJoin(cstats) // singleton aggregates — one row each side
+      .select(
+        col("forest_rows"), col("vertex_rows"), col("component_count"),
+        (col("vertex_rows") - col("component_count")).as("spanning_bound"),
+        (col("forest_rows").cast("double") /
+          greatest(col("vertex_rows") - col("component_count"), lit(1L))
+            .cast("double")).as("bloat_ratio"))
+  }
+
+  /** Compaction trigger for certificate bloat (VERDICT r13 item 3,
+    * the [[graft.similarity.AnnIndex.rebuildIfDrifted]] pattern): when
+    * [[forestStats]] reports more than `maxRatio`× the spanning bound,
+    * rebuild the certificate outright — |F| returns to ≤ V − C and the
+    * false-repair rate resets. Returns whether a rebuild ran. Call it
+    * on a maintenance cadence after long append streams. */
+  def retightenForestIfBloated(
+      spark: SparkSession, name: String, maxRatio: Double = 1.5): Boolean = {
+    val s = forestStats(spark, name).head()
+    if (s.getAs[Double]("bloat_ratio") > maxRatio) {
+      buildForest(spark, name); true
+    } else false
   }
 
   /** The maintained connectivity certificate: canonical (src, dst)
@@ -618,9 +683,19 @@ object GraphIO {
         if (repairComponents && !forestSkip)
           affectedLabels(spark, name, removed.select(col("src").as("id")))
         else None
+      // the removed rows' canonical pairs, pinned BEFORE the rewrite —
+      // the replacement-edge repair subtracts them from the certificate
+      val removedCanon =
+        if (repairComponents && !forestSkip && hasForest(spark, name))
+          Some(removed.select(
+            least(col("src"), col("dst")).as("src"),
+            greatest(col("src"), col("dst")).as("dst")).distinct()
+            .localCheckpoint())
+        else None
       applyEdgeRemoval(spark, name, removed, kept)
       if (repairComponents)
-        affected.foreach(repairComponentTable(spark, name, _, removedIds = None))
+        affected.foreach(repairComponentTable(spark, name, _,
+          removedIds = None, removedPairs = removedCanon))
       else invalidateComponents(spark, name)
     }
   }
@@ -737,7 +812,8 @@ object GraphIO {
             .saveAsTable(t)
         }
       } else
-        affected.foreach(repairComponentTable(spark, name, _, removedIds = Some(ids)))
+        affected.foreach(repairComponentTable(spark, name, _,
+          removedIds = Some(ids), removedPairs = None))
     } else invalidateComponents(spark, name)
     // the cascade takes DERIVED per-subject data too: a rank row about
     // an erased vertex is retained data about it (other vertices' rank
@@ -826,21 +902,28 @@ object GraphIO {
 
   /** Bounded component repair after a delete (VERDICT r11 item 5 — the
     * pre-r12 behaviour dropped the whole label table). Deletion can
-    * only SPLIT the components the removed rows touched: re-run CC over
-    * just those components' SURVIVING vertices against the
-    * already-rewritten edge table and splice the result over the
-    * affected rows. Unaffected components are byte-identical to what a
-    * rebuild would say (their vertex sets, edges, and min-id labels are
-    * untouched), and the affected recompute IS the rebuild restricted
-    * to its subgraph — so repair ≡ [[refreshComponents]] row for row
-    * (GraphAppendSpec pins it) at a cost ∝ affected component mass plus
-    * the O(V) narrow rewrite every component write pays, never CC over
-    * the corpus. The src-probe of the edge table is complete because an
-    * edge never crosses a component boundary, and it rides the src
+    * only SPLIT the components the removed rows touched. Two engines:
+    *
+    *  - certificate maintained → [[replacementEdgeRepair]], the
+    *    dynamic-connectivity move: CC over the TREE-sized surviving
+    *    forest (V−1 rows, never the component's E edges), then one
+    *    crossing-edge probe bounded by the detached pieces re-witnesses
+    *    reconnections — only a true split relabels;
+    *  - no certificate → CC over the affected components' surviving
+    *    subgraph of the edge table (the r11 design).
+    *
+    * Either way, repair ≡ [[refreshComponents]] row for row
+    * (GraphAppendSpec pins it): unaffected components are untouched and
+    * the affected recompute IS the rebuild restricted to its subgraph.
+    * `removedPairs` (edge cuts) / `removedIds` (vertex erases) name
+    * what the delete took, pinned by the caller BEFORE the rewrite.
+    * The src-probes of the edge table are complete because an edge
+    * never crosses a component boundary, and they ride the src
     * bucketing. */
   private def repairComponentTable(
       spark: SparkSession, name: String,
-      labels: DataFrame, removedIds: Option[DataFrame]): Unit = {
+      labels: DataFrame, removedIds: Option[DataFrame],
+      removedPairs: Option[DataFrame]): Unit = {
     import org.apache.spark.sql.functions._
     val comp = readComponents(spark, name)
     val lbl = broadcastIfSmall(labels)
@@ -851,38 +934,21 @@ object GraphIO {
       // bounded by the affected component mass; feeds the CC rounds AND
       // the splice below
       .localCheckpoint()
-    val subEdges = spark.table(s"${name}_edges")
-      .join(survivors.select(col("id").as("src")), Seq("src"), "left_semi")
-    // small affected mass (the common case): driver union-find instead
-    // of ~10 star rounds of job overhead; big mass: distributed CC
-    val cc = graft.algorithms.UnionFind.minLabel(subEdges, "src", "dst")
-      .getOrElse(graft.algorithms.AlternatingConnectedComponents(
-        maxIterations = 20, requireConvergence = true)
-        .run(Graph(survivors, subEdges, directed = true)))
-    val repaired = survivors
-      .join(cc, Seq("id"), "left")
-      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
-    // certificate upkeep on the CUT path: drop the affected components'
-    // forest rows (canonical src membership is complete — a forest edge
-    // never crosses a component) and splice in a fresh Borůvka over the
-    // affected SURVIVING subgraph — the same mass bound as the label
-    // recompute, re-tightening the certificate back to a true forest
-    // locally. Runs BEFORE the component swap so `inAffected` (old
-    // labels, including removed ids whose rows must go) is still what
-    // the live table says.
-    if (hasForest(spark, name)) {
-      val affectedIds = inAffected.localCheckpoint()
-      // LAZY: reads the live forest table inside its own staged write
-      val keptF = readForest(spark, name)
-        .join(affectedIds.select(col("id").as("src")), Seq("src"), "left_anti")
-      val freshF = forestOf(subEdges)
-      val fb = tableBuckets(spark, s"${name}_forest")
-      CatalogTables.stagedOverwrite(spark, s"${name}_forest") { t =>
-        keptF.unionByName(freshF).write.mode("overwrite")
-          .bucketBy(fb, "src").sortBy("src")
-          .saveAsTable(t)
+    val repaired =
+      if (hasForest(spark, name))
+        replacementEdgeRepair(spark, name, survivors, removedIds, removedPairs)
+      else {
+        val subEdges = spark.table(s"${name}_edges")
+          .join(survivors.select(col("id").as("src")), Seq("src"), "left_semi")
+        // small affected mass (the common case): driver union-find
+        // instead of ~10 star rounds of job overhead; big: distributed
+        val cc = graft.algorithms.UnionFind.minLabel(subEdges, "src", "dst")
+          .getOrElse(graft.algorithms.AlternatingConnectedComponents(
+            maxIterations = 20, requireConvergence = true)
+            .run(Graph(survivors, subEdges, directed = true)))
+        survivors.join(cc, Seq("id"), "left")
+          .select(col("id"), coalesce(col("component"), col("id")).as("component"))
       }
-    }
     // LAZY: the staged write reads the live component table
     val next = comp.join(lbl, comp("component") === lbl("_lbl"), "left_anti")
       .unionByName(repaired)
@@ -892,6 +958,128 @@ object GraphIO {
         .bucketBy(buckets, "id").sortBy("id")
         .saveAsTable(t)
     }
+  }
+
+  /** REPLACEMENT-EDGE repair (VERDICT r13 item 1) — the classic
+    * dynamic-connectivity step, replacing the r12 design's
+    * component-mass CC + Borůvka re-span (230–425 s per cut at the
+    * 100× corpus) with tree-bounded work:
+    *
+    *  1. PIECES: drop the deleted rows from the certificate and run CC
+    *     over the surviving forest restricted to the affected
+    *     components — V−1 tree rows, never the component's E edges.
+    *     Each piece is labeled by its min id.
+    *  2. MOVED: pieces whose label differs from the stored component
+    *     label — exactly the detached pieces (the piece holding the
+    *     component's min keeps its label). Every surviving edge that
+    *     re-crosses pieces touches a moved vertex, so the crossing
+    *     probe scans only the edges INCIDENT to the detached side(s) —
+    *     the "smaller side" bound of dynamic connectivity — not the
+    *     component.
+    *  3. SPLICE: contract pieces over the crossing edges (batch-sized
+    *     merge graph): merged pieces re-witness through ONE
+    *     representative edge each ([[graft.algorithms.UnionFind.spanningPairs]],
+    *     so the certificate stays a forest); pieces that stay apart are
+    *     a TRUE split and take their piece label — which is the min id
+    *     of the final component, exactly what a rebuild would say.
+    *
+    * Writes the forest table (kept rows + replacement splices — the
+    * certificate is re-tightened locally, never re-spanned) and returns
+    * the repaired (id, component) rows for the caller's label splice.
+    */
+  private def replacementEdgeRepair(
+      spark: SparkSession, name: String, survivors: DataFrame,
+      removedIds: Option[DataFrame], removedPairs: Option[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val comp = readComponents(spark, name)
+    val f = readForest(spark, name)
+    // certificate rows the delete took: named pairs (edge cut) and any
+    // row touching an erased vertex (which must also physically leave —
+    // a certificate edge naming an erased subject is retained data).
+    // LAZY: read inside the staged forest write below.
+    val fMinusPairs = removedPairs.fold(f)(p =>
+      f.join(p, Seq("src", "dst"), "left_anti").select(col("src"), col("dst")))
+    val keptForest = removedIds.fold(fMinusPairs)(ids =>
+      fMinusPairs
+        .join(ids.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(ids.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst")))
+    // 1. pieces of the affected components under the surviving forest —
+    // the src semi-join is complete (a forest edge never crosses a
+    // component, and rows touching erased vertices are already gone)
+    val forestAff = keptForest
+      .join(survivors.select(col("id").as("src")), Seq("src"), "left_semi")
+      .select(col("src"), col("dst"))
+      .localCheckpoint()
+    val pieceCc = graft.algorithms.UnionFind.minLabel(forestAff, "src", "dst")
+      .getOrElse(graft.algorithms.AlternatingConnectedComponents(
+        maxIterations = 20, requireConvergence = true)
+        .run(Graph(survivors, forestAff
+          .withColumn("edge_id", xxhash64(col("src"), col("dst"))),
+          directed = true)))
+    val pieces = survivors.join(pieceCc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("_piece"))
+      .localCheckpoint()
+    // 2. detached pieces and the surviving edges incident to them
+    val moved = pieces.join(comp, Seq("id"))
+      .filter(col("_piece") =!= col("component"))
+      .select(col("id"), col("_piece"))
+      .localCheckpoint()
+    val edges = spark.table(s"${name}_edges")
+    val mv = broadcastIfSmall(moved.select(col("id")))
+    val cand = edges
+      .join(mv.select(col("id").as("src")), Seq("src"), "left_semi")
+      .select(col("src"), col("dst"))
+      .unionByName(edges
+        .join(mv.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(mv.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
+    val crossing = cand
+      .join(pieces.select(col("id").as("src"), col("_piece").as("_pa")), Seq("src"))
+      .join(pieces.select(col("id").as("dst"), col("_piece").as("_pb")), Seq("dst"))
+      .filter(col("_pa") =!= col("_pb"))
+    // one representative (min canonical) edge per unordered piece pair —
+    // piece-pair-sized from here on, bounded by the cut's fragment count
+    val rep = crossing
+      .select(least(col("_pa"), col("_pb")).as("_pa"),
+        greatest(col("_pa"), col("_pb")).as("_pb"),
+        struct(col("src"), col("dst")).as("_e"))
+      .groupBy(col("_pa"), col("_pb")).agg(min(col("_e")).as("_e"))
+      .localCheckpoint()
+    // 3a. merged labels over the piece graph (min-label = final min id)
+    val pieceMerge = graft.algorithms.UnionFind.minLabel(rep, "_pa", "_pb")
+      .getOrElse {
+        val mEdges = rep.select(col("_pa").as("src"), col("_pb").as("dst"))
+          .withColumn("edge_id", xxhash64(col("src"), col("dst")))
+        val mVerts = mEdges.select(col("src").as("id"))
+          .union(mEdges.select(col("dst"))).distinct()
+        graft.algorithms.AlternatingConnectedComponents(
+          maxIterations = 20, requireConvergence = true)
+          .run(Graph(mVerts, mEdges, directed = false))
+      }
+    // 3b. the spanning subset of piece pairs → their representative
+    // edges splice into the certificate (adding EVERY crossing pair
+    // would bloat it toward pieces² rows; the spanning subset keeps it
+    // a forest)
+    val spanPieces = graft.algorithms.UnionFind.spanningPairs(rep, "_pa", "_pb")
+      .getOrElse(forestOf(rep.select(col("_pa").as("src"), col("_pb").as("dst")))
+        .select(col("src").as("_pa"), col("dst").as("_pb")))
+    val splice = spanPieces.join(rep, Seq("_pa", "_pb"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
+    val fb = tableBuckets(spark, s"${name}_forest")
+    CatalogTables.stagedOverwrite(spark, s"${name}_forest") { t =>
+      keptForest.unionByName(splice).write.mode("overwrite")
+        .bucketBy(fb, "src").sortBy("src")
+        .saveAsTable(t)
+    }
+    val grp = broadcastIfSmall(pieceMerge
+      .select(col("id").as("_piece"), col("component").as("_grp"))
+      .localCheckpoint())
+    pieces.join(grp, Seq("_piece"), "left")
+      .select(col("id"), coalesce(col("_grp"), col("_piece")).as("component"))
   }
 
   /** Broadcast a frame only when it is ACTUALLY small. `broadcast()` is

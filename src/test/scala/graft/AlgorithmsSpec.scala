@@ -991,6 +991,66 @@ class AlgorithmsSpec extends SparkSpec {
       === Map(9L -> 9L, 10L -> 9L, 100L -> 9L))
   }
 
+  test("UnionFind.spanningPairs: a true spanning forest of random edge lists; caps decline") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(500 + seed)
+      val edges = Seq.fill(8 + rnd.nextInt(25))(
+        (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+        .filter(e => e._1 != e._2).distinct.toDF(SRC, DST)
+      val span = graft.algorithms.UnionFind.spanningPairs(edges, SRC, DST).get
+      // every chosen row is an input edge
+      assert(span.join(edges, Seq(SRC, DST), "left_anti").isEmpty,
+        s"seed $seed: spanning rows must be a subset of the input")
+      // acyclic and spanning: |rows| = |V| − #components, and CC over
+      // the subset equals CC over the full edge list
+      val full = graft.algorithms.UnionFind.minLabel(edges, SRC, DST).get
+      val nV = full.count()
+      val nC = full.select(col("component")).distinct().count()
+      assert(span.count() === nV - nC, s"seed $seed: |F| = V − C")
+      val sub = graft.algorithms.UnionFind.minLabel(span, SRC, DST).get
+      val verts = edges.select(col(SRC).as(ID)).union(edges.select(col(DST))).distinct()
+      val subFull = verts.join(sub.withColumnRenamed("id", ID), Seq(ID), "left")
+        .select(col(ID).as("id"), coalesce(col("component"), col(ID)).as("component"))
+      assert(rowSet(subFull) === rowSet(full),
+        s"seed $seed: the subset spans the same components")
+    }
+    // over-cap and non-integral inputs decline (distributed fallback)
+    val big = spark.range(0, 50).select(col("id").as(SRC), (col("id") + 1).as(DST))
+    assert(graft.algorithms.UnionFind.spanningPairs(big, SRC, DST, maxEdges = 10).isEmpty)
+    val strs = Seq(("a", "b")).toDF(SRC, DST)
+    assert(graft.algorithms.UnionFind.spanningPairs(strs, SRC, DST).isEmpty)
+  }
+
+  test("BFS parentForest: spans components with input edges; diameter cap declines") {
+    import spark.implicits._
+    // two components + an isolated root: a 5-path with a chord and a triangle
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF(SRC, DST)
+    val verts = edges.select(col(SRC).as(ID)).union(edges.select(col(DST)))
+      .union(Seq(99L).toDF(ID)).distinct()
+    // roots = each component's min id (the buildForest call shape) + the isolate
+    val roots = Seq(0L, 10L, 99L).toDF(ID)
+    val forest = graft.algorithms.BreadthFirstSearch.parentForest(roots, edges).get
+    val canon = edges.select(least(col(SRC), col(DST)).as(SRC),
+      greatest(col(SRC), col(DST)).as(DST))
+    assert(forest.join(canon, Seq(SRC, DST), "left_anti").isEmpty,
+      "every forest row must be an input edge (canonical form)")
+    // |F| = reached − roots = (8 vertices reached) − (2 rooted components)
+    assert(forest.count() === 6)
+    // certificate property: CC over the forest ≡ CC over the graph
+    val fullCc = graft.algorithms.UnionFind.minLabel(edges, SRC, DST).get
+    val forestCc = graft.algorithms.UnionFind.minLabel(forest, SRC, DST).get
+    assert(rowSet(forestCc) === rowSet(fullCc))
+    // deterministic: a pure function of (edges, roots)
+    val again = graft.algorithms.BreadthFirstSearch.parentForest(roots, edges).get
+    assert(rowSet(again) === rowSet(forest))
+    // a diameter past the round cap declines — callers fall back to Borůvka
+    val path = (0L until 12L).map(i => (i, i + 1)).toDF(SRC, DST)
+    assert(graft.algorithms.BreadthFirstSearch
+      .parentForest(Seq(0L).toDF(ID), path, maxIterations = 5).isEmpty)
+  }
+
   test("HyperBall harmonic numerator: exact digit string pinned at p=4") {
     // BOTH faces (Spark plan and DuckDB oracle) embed this literal;
     // the pin guards the formula against edits that would silently

@@ -496,6 +496,96 @@ class GraphAppendSpec extends SparkSpec {
     } finally drop(name)
   }
 
+  test("replacement-edge repair: a cut with a surviving re-cross splices one edge, never relabels") {
+    // 4-cycle: the certificate holds 3 of the 4 edges; cutting a
+    // certificate edge leaves the 4th as the replacement — the repair
+    // must splice it in (|F| back to V−1), keep ONE component, and say
+    // exactly what a rebuild-without would
+    val v0 = Seq("a", "b", "c", "d")
+    val e0 = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+    val name = "ap_replace"
+    GraphIO.writeBucketed(
+      Graph.index(rawVerts(v0), rawEdges(e0), directed = true), name, buckets = 4)
+    try {
+      GraphIO.buildComponents(spark, name)
+      GraphIO.buildForest(spark, name)
+      val idOf = Graph.keyVertices(rawVerts(v0)).collect()
+        .map(r => r.getAs[String]("old_id") -> r.getAs[Long]("id")).toMap
+      def canon(e: (String, String)) =
+        (math.min(idOf(e._1), idOf(e._2)), math.max(idOf(e._1), idOf(e._2)))
+      def forestPairs() = GraphIO.readForest(spark, name).collect()
+        .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+      val f0 = forestPairs()
+      assert(f0.size === 3, "4-cycle spans with 3 certificate edges")
+      val cut = e0.find(e => f0.contains(canon(e))).get
+      val spare = e0.find(e => !f0.contains(canon(e))).get
+      GraphIO.deleteEdges(spark, name, rawEdges(Seq(cut)))
+      val e1 = e0.filterNot(_ == cut)
+      // labels ≡ rebuild-without: still one component (the spare edge
+      // re-crosses the cut), so no vertex moved
+      assert(rowSet(GraphIO.readComponents(spark, name)) ===
+        rowSet(GraphIO.componentsOf(Graph.index(rawVerts(v0), rawEdges(e1), directed = true))))
+      assert(GraphIO.readComponents(spark, name)
+        .select(col("component")).distinct().count() === 1)
+      // the certificate spliced the replacement: the cut pair left, the
+      // spare pair entered, |F| is back to V−1 = 3 (a forest, not a bag)
+      val f1 = forestPairs()
+      assert(!f1.contains(canon(cut)), "the cut pair must leave the certificate")
+      assert(f1.contains(canon(spare)), "the surviving re-cross is the spliced witness")
+      assert(f1.size === 3, "replacement splice keeps |F| = V − C")
+      assert(f1.subsetOf(e1.map(canon).toSet), "certificate rows are live edges")
+    } finally drop(name)
+  }
+
+  test("forestStats + retightenForestIfBloated: appends bloat the certificate, compaction re-tightens") {
+    // three singleton components bridged pairwise in ONE batch: all
+    // three crossing pairs join the certificate (conservative append),
+    // but a spanning forest needs only two — bloat_ratio = 3/2
+    val v0 = Seq("a", "b", "c")
+    val e0 = Seq.empty[(String, String)]
+    val name = "ap_bloat"
+    GraphIO.writeBucketed(
+      Graph.index(rawVerts(v0), rawEdges(e0), directed = true), name, buckets = 4)
+    try {
+      GraphIO.buildComponents(spark, name)
+      GraphIO.buildForest(spark, name)
+      val s0 = GraphIO.forestStats(spark, name).head()
+      assert(s0.getAs[Long]("forest_rows") === 0L)
+      assert(s0.getAs[Long]("spanning_bound") === 0L)
+      GraphIO.appendEdges(spark, name,
+        rawEdges(Seq(("a", "b"), ("b", "c"), ("a", "c"))))
+      val s1 = GraphIO.forestStats(spark, name).head()
+      assert(s1.getAs[Long]("forest_rows") === 3L,
+        "every component-crossing batch edge joins the certificate")
+      assert(s1.getAs[Long]("component_count") === 1L)
+      assert(s1.getAs[Long]("spanning_bound") === 2L)
+      assert(s1.getAs[Double]("bloat_ratio") === 1.5)
+      // under the threshold: no rebuild ran
+      assert(!GraphIO.retightenForestIfBloated(spark, name, maxRatio = 2.0))
+      assert(GraphIO.forestStats(spark, name).head()
+        .getAs[Long]("forest_rows") === 3L)
+      // over the threshold: compaction restores |F| ≤ V − C, and the
+      // certificate still guards — a cut of a (fresh) forest edge
+      // repairs to exactly rebuild-without semantics
+      assert(GraphIO.retightenForestIfBloated(spark, name, maxRatio = 1.2))
+      val s2 = GraphIO.forestStats(spark, name).head()
+      assert(s2.getAs[Long]("forest_rows") === 2L)
+      assert(s2.getAs[Double]("bloat_ratio") === 1.0)
+      val f2 = GraphIO.readForest(spark, name).collect()
+        .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+      val idOf = Graph.keyVertices(rawVerts(v0)).collect()
+        .map(r => r.getAs[String]("old_id") -> r.getAs[Long]("id")).toMap
+      def canon(e: (String, String)) =
+        (math.min(idOf(e._1), idOf(e._2)), math.max(idOf(e._1), idOf(e._2)))
+      val cut = Seq(("a", "b"), ("b", "c"), ("a", "c"))
+        .find(e => f2.contains(canon(e))).get
+      GraphIO.deleteEdges(spark, name, rawEdges(Seq(cut)))
+      val e1 = Seq(("a", "b"), ("b", "c"), ("a", "c")).filterNot(_ == cut)
+      assert(rowSet(GraphIO.readComponents(spark, name)) ===
+        rowSet(GraphIO.componentsOf(Graph.index(rawVerts(v0), rawEdges(e1), directed = true))))
+    } finally drop(name)
+  }
+
   test("forest probe plan: the batch side broadcasts, the certificate never shuffles") {
     import org.apache.spark.sql.functions.{least, greatest}
     val v0 = ('a' to 'j').map(_.toString)

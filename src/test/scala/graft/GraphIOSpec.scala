@@ -172,6 +172,61 @@ class GraphIOSpec extends SparkSpec {
     } finally dropAll()
   }
 
+  test("epoch-conflict retry: the aborted mutation re-invokes cleanly; end state ≡ sequential A-then-B") {
+    import graft.sources.CatalogTables
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val name = "epoch_retry"
+    def dropAll(): Unit =
+      Seq("_left", "_right", "_right__staged", "__epoch")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$name$t`"))
+    dropAll()
+    try {
+      Seq(1L).toDF("x").write.saveAsTable(s"${name}_left")
+      Seq(1L).toDF("x").write.saveAsTable(s"${name}_right")
+      // writer A's full commit, emulated as the other process would
+      // interleave it: write its table, bump the generation
+      def writerACommits(): Unit = {
+        Seq(100L).toDF("x").write.mode("overwrite").saveAsTable(s"${name}_left")
+        val e = CatalogTables.familyEpoch(spark, name)
+        if (!spark.catalog.tableExists(s"${name}__epoch"))
+          spark.sql(s"CREATE TABLE `${name}__epoch` (epoch BIGINT) USING parquet")
+        spark.sql(
+          s"ALTER TABLE `${name}__epoch` SET TBLPROPERTIES('graft.epoch' = '${e + 1}')")
+      }
+      // writer B's mutation — the SAME body both times, exactly what a
+      // caller re-invokes after catching the abort
+      def writerB(): Unit = CatalogTables.withFamilyEpochGuard(spark, name) {
+        CatalogTables.stagedOverwrite(spark, s"${name}_right") { t =>
+          spark.table(s"${name}_right").select((col("x") + 10L).as("x"))
+            .localCheckpoint().write.saveAsTable(t)
+        }
+      }
+      // first invocation: A commits mid-B → B aborts, its swap unpublished
+      intercept[java.util.ConcurrentModificationException] {
+        CatalogTables.withFamilyEpochGuard(spark, name) {
+          writerACommits()
+          CatalogTables.stagedOverwrite(spark, s"${name}_right") { t =>
+            spark.table(s"${name}_right").select((col("x") + 10L).as("x"))
+              .localCheckpoint().write.saveAsTable(t)
+          }
+        }
+      }
+      assert(spark.table(s"${name}_right").collect().map(_.getLong(0)).toSeq === Seq(1L),
+        "the aborted swap must not have published")
+      assert(spark.table(s"${name}_left").collect().map(_.getLong(0)).toSeq === Seq(100L),
+        "the survivor's commit stands")
+      // the RETRY CONTRACT: the same mutation, re-invoked against the
+      // advanced generation, simply succeeds — no manual cleanup needed
+      writerB()
+      assert(spark.table(s"${name}_right").collect().map(_.getLong(0)).toSeq === Seq(11L),
+        "the retried mutation commits over the advanced generation")
+      assert(spark.table(s"${name}_left").collect().map(_.getLong(0)).toSeq === Seq(100L))
+      assert(!spark.catalog.tableExists(s"${name}_right__staged"),
+        "no staged debris survives the abort-then-retry cycle")
+    } finally dropAll()
+  }
+
   test("edge-list text ingestion: comments skipped, ids indexed, dups collapse") {
     val dir = java.nio.file.Files.createTempDirectory("graft-edgelist")
     java.nio.file.Files.writeString(dir.resolve("g.tsv"),

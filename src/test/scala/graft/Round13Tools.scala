@@ -48,6 +48,14 @@ object ForestGuardStress {
     timed("forest-build") {
       graft.sources.GraphIO.buildForest(spark, "stress_fg")
     }
+    // (r14) the certificate-health pass at full scale: one column-pruned
+    // aggregation over the two narrow tables
+    val fs = timed("forestStats") {
+      graft.sources.GraphIO.forestStats(spark, "stress_fg").head()
+    }
+    println(s"FORESTGUARD stats rows=${fs.getAs[Long]("forest_rows")} " +
+      s"bound=${fs.getAs[Long]("spanning_bound")} " +
+      f"ratio=${fs.getAs[Double]("bloat_ratio")}%.4f")
     // classify raw edges by certificate membership via the same
     // surrogate hash the index uses (public function, replayed here)
     val keyed = raw.select(

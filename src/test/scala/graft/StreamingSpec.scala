@@ -612,6 +612,67 @@ class StreamingSpec extends SparkSpec {
       s"appended vector must be probe-visible in its own cell, got $hit")
   }
 
+  test("appendStream drift hook: drifting ingest trips the rebuild, healthy ingest never does") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.similarity.AnnIndex
+    val rnd = new scala.util.Random(177)
+    val centers = Array.fill(3)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    def near(c: Int): Seq[Float] =
+      centers(c).map(x => x + (rnd.nextGaussian() * 0.05).toFloat).toSeq
+    val base = (0L until 60L).map(i => (i, near((i % 3).toInt)))
+      .toDF("vec_id", "embedding")
+    def build(name: String): graft.similarity.AnnIndex.Index = {
+      val idx = AnnIndex.build(base, "vec_id", "embedding", k = 3,
+        maxIterations = 3, fitSampleSize = 30,
+        checkpoint = graft.core.CheckpointPolicy.Passthrough)
+      AnnIndex.writePartitioned(idx, name)
+      idx
+    }
+    def run(name: String, rows: Seq[(Long, Seq[Float])],
+        seen: scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]): Unit = {
+      val stream = MemoryStream[(Long, Seq[Float])]
+      val ckpt = java.nio.file.Files.createTempDirectory(s"${name}_ckpt").toString
+      val q = AnnIndex.appendStream(
+          stream.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", name,
+          driftCheckEvery = 1, driftListener = Some(r => seen.synchronized { seen += r }),
+          rebuildOnDrift = true, maxGrowthSkew = 1.5)
+        .option("checkpointLocation", ckpt).start()
+      try {
+        rows.grouped(math.max(1, rows.size / 2)).foreach { g =>
+          stream.addData(g: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    // HEALTHY: same-distribution ingest — the hook surfaces stats every
+    // batch and never rebuilds (the frozen quantizer stays byte-equal)
+    val idxH = build("annidx_dh")
+    val seenH = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    run("annidx_dh", (1001L until 1031L).map(i => (i, near((i % 3).toInt))), seenH)
+    assert(seenH.nonEmpty, "the cadence must surface at least one stats row")
+    assert(seenH.forall(_.getAs[Double]("growth_skew") <= 1.5),
+      s"uniform ingest must not read as drift: ${seenH.map(_.getAs[Double]("growth_skew"))}")
+    assert(rowSet(AnnIndex.readPartitioned(spark, "annidx_dh").centroids)
+      === rowSet(idxH.centroids), "healthy ingest must never re-fit the quantizer")
+    // DRIFTING: norm-preserving transforms the quantizer never
+    // partitioned, 4x the corpus — growth_skew trips, the hook re-fits,
+    // and the re-fit scales k by ceil(sqrt(growth))
+    build("annidx_dd")
+    val seenD = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    // ONE tight blob (norm-preserving transform of a single cluster):
+    // it all lands in whichever frozen cell sits nearest, so that
+    // cell's growth outruns the overall growth — the skew signature
+    val drifting = (0 until 240).map { i =>
+      (3000L + i, near(0).reverse.map(x => -x))
+    }
+    run("annidx_dd", drifting, seenD)
+    val kAfter = AnnIndex.readPartitioned(spark, "annidx_dd").centroids.count()
+    assert(kAfter > 3, s"drifting ingest must trigger the re-fit (k stayed $kAfter)")
+    // the re-fit index still serves: every stored id remains probe-reachable
+    val stored = AnnIndex.readPartitioned(spark, "annidx_dd")
+    assert(stored.cells.count() === 300L, "re-fit preserves the corpus")
+  }
+
   test("BudgetGate: straddler admitted, budget state survives batches, no-budget stratum rejects") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
