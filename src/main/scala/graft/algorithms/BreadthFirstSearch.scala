@@ -166,7 +166,16 @@ object BreadthFirstSearch {
       frontier = reached.select(col(ID))
       visited = checkpoint.pin(visited.unionByName(frontier))
     }
-    if (depth >= maxIterations && !frontier.isEmpty) None
+    // at the cap with a live frontier, the span may STILL be complete
+    // (the farthest vertex sat at depth exactly maxIterations): one
+    // probe round distinguishes "just finished" from "still growing"
+    val incomplete = depth >= maxIterations && !frontier.isEmpty && {
+      !sym.join(frontier.select(col(ID).as(SRC)), SRC)
+        .select(col(DST).as(ID))
+        .join(visited, Seq(ID), "left_anti")
+        .isEmpty
+    }
+    if (incomplete) None
     else Some(checkpoint.pin(forest))
   }
 

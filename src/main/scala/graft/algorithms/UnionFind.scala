@@ -30,50 +30,15 @@ object UnionFind {
 
   def minLabel(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxEdges: Int = 100000): Option[DataFrame] = {
-    import org.apache.spark.sql.types._
-    // integral key columns only: the callers' id columns are
-    // caller-typed. A string id would cast to null here (NPE at
-    // getLong), and a numeric STRING would get numeric min-label
-    // ordering while the distributed path this short-circuits orders
-    // labels by the column's OWN type — decline and let the caller
-    // fall back to the distributed CC, which is type-generic.
-    val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
-    val fields = edges.schema
-    if (!integral(fields(srcCol).dataType) || !integral(fields(dstCol).dataType))
-      return None
-    val rows = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
-      .limit(maxEdges + 1).collect()
-    if (rows.length > maxEdges) None
-    else {
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        // path compression
-        var c = x
-        while (parent.getOrElse(c, c) != r) {
-          val n = parent.getOrElse(c, c); parent(c) = r; c = n
-        }
-        r
-      }
-      rows.foreach { r =>
-        val (a, b) = (r.getLong(0), r.getLong(1))
-        parent.getOrElseUpdate(a, a)
-        parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        // union by MIN root: the representative is always the set's
-        // minimum id, so labels match the distributed min-label CC
-        if (ra != rb) {
-          if (ra < rb) parent(rb) = ra else parent(ra) = rb
-        }
-      }
-      val labels = parent.keys.toSeq.sorted.map(v => (v, find(v)))
+      maxEdges: Int = 100000): Option[DataFrame] =
+    collectIntegral(edges, srcCol, dstCol, maxEdges).map { rows =>
+      val uf = new Forest
+      rows.foreach { case (a, b) => uf.union(a, b) }
+      val labels = uf.parent.keys.toSeq.sorted.map(v => (v, uf.find(v)))
       val spark = edges.sparkSession
       import spark.implicits._
-      Some(labels.toDF("id", "component"))
+      labels.toDF("id", "component")
     }
-  }
 
   /** Driver-side SPANNING SUBSET of a batch-bounded edge list: the rows
     * (in ascending (src, dst) order) whose edge merged two distinct
@@ -82,12 +47,30 @@ object UnionFind {
     * [[graft.sources.GraphIO]] uses it to re-witness reconnected forest
     * pieces without adding every crossing pair (which could bloat the
     * certificate quadratically). Same cap-and-decline contract as
-    * [[minLabel]]: None over `maxEdges` rows or on non-integral key
+    * [[minLabel]] (the scaffolding is shared, so the two faces cannot
+    * diverge): None over `maxEdges` rows or on non-integral key
     * columns — callers fall back to distributed Borůvka. Deterministic:
     * the scan order is the sorted edge list. */
   def spanningPairs(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxEdges: Int = 100000): Option[DataFrame] = {
+      maxEdges: Int = 100000): Option[DataFrame] =
+    collectIntegral(edges, srcCol, dstCol, maxEdges).map { rows =>
+      val uf = new Forest
+      val chosen = rows.sorted.filter { case (a, b) => uf.union(a, b) }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      chosen.toSeq.toDF(srcCol, dstCol)
+    }
+
+  /** The shared cap-and-decline collect: Some(edge pairs) only when both
+    * key columns are integral (a string id would cast to null — NPE at
+    * getLong — and a NUMERIC string would get numeric min-label ordering
+    * while the distributed path orders by the column's own type) AND the
+    * row count fits the cap; None sends the caller to the distributed
+    * fallback. */
+  private def collectIntegral(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxEdges: Int): Option[Array[(Long, Long)]] = {
     import org.apache.spark.sql.types._
     val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
     val fields = edges.schema
@@ -96,29 +79,34 @@ object UnionFind {
     val rows = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
       .limit(maxEdges + 1).collect()
     if (rows.length > maxEdges) None
-    else {
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != r) {
-          val n = parent.getOrElse(c, c); parent(c) = r; c = n
-        }
-        r
+    else Some(rows.map(r => (r.getLong(0), r.getLong(1))))
+  }
+
+  /** Min-root union-find with path compression — the representative is
+    * always the set's minimum id, so labels match the distributed
+    * min-label CC. */
+  private final class Forest {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      // path compression
+      var c = x
+      while (parent.getOrElse(c, c) != r) {
+        val n = parent.getOrElse(c, c); parent(c) = r; c = n
       }
-      val chosen = rows.map(r => (r.getLong(0), r.getLong(1))).sorted
-        .filter { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
-          if (ra == rb) false
-          else {
-            if (ra < rb) parent(rb) = ra else parent(ra) = rb
-            true
-          }
-        }
-      val spark = edges.sparkSession
-      import spark.implicits._
-      Some(chosen.toSeq.toDF(srcCol, dstCol))
+      r
+    }
+    /** true iff the edge merged two distinct sets */
+    def union(a: Long, b: Long): Boolean = {
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra == rb) false
+      else {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        true
+      }
     }
   }
 }

@@ -1436,19 +1436,12 @@ object GraphQueries {
     * no rounding rule ever consulted. */
   private def hyperballHarmonicOracleSql(rounds: Int): String = {
     val (head, iters) = hyperballCommonSql(rounds)
-    val knum = graft.algorithms.HyperBall.harmonicNumeratorMicro(4)
     val lcm = (1 to rounds).foldLeft(1L) { (acc, r) =>
       @annotation.tailrec
       def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
       acc / gcd(acc, r) * r
     }
-    val ests = (0 to rounds).map { k =>
-      s"""es$k AS (SELECT id, CAST(CAST('$knum' AS HUGEINT)
-         |      // CAST(sp + (16 - nb) * 35184372088832 AS HUGEINT)
-         |      AS BIGINT) AS e
-         |  FROM (SELECT id, sum(CAST(power(2, 45 - r) AS BIGINT)) AS sp,
-         |        count(*) AS nb FROM st$k GROUP BY id))""".stripMargin
-    }
+    val ests = hyperballEstCtes(rounds)
     // Long-format tail — ONLY constructs already driver-green elsewhere
     // (r10–r12 lesson: the red rows' residual was construct sensitivity,
     // not values; the old tail's chained `JOIN esK USING (id)` pivot and
@@ -1486,38 +1479,9 @@ object GraphQueries {
     * Spark `div` on positives); buckets then add. Long-format tail,
     * BIGINT output — only constructs already driver-green in g56. */
   private def hyperballDeepOracleSql(rounds: Int): String = {
-    def sha48(x: String) =
-      s"""CAST(list_sum([(strpos('0123456789abcdef',
-         |  substr(substr(sha256($x), 1, 12), j, 1)) - 1)
-         |  * CAST(power(16, 12 - j) AS BIGINT)
-         |  FOR j IN range(1, 13)]) AS BIGINT)""".stripMargin
-    val head =
-      s"""WITH ce AS (SELECT DISTINCT CAST(o_orderkey % 40 AS BIGINT) AS src,
-         |  CAST(o_orderkey % 40 + 1 AS BIGINT) AS dst FROM orders),
-         |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-         |  SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce)),
-         |v AS (SELECT DISTINCT id FROM (
-         |  SELECT src AS id FROM ce UNION ALL SELECT dst FROM ce)),
-         |st0 AS MATERIALIZED (SELECT id, h // 17592186044416 AS bucket,
-         |  CASE WHEN h % 17592186044416 = 0 THEN 45
-         |       ELSE 45 - length(bin(h % 17592186044416)) END AS r
-         |  FROM (SELECT id, ${sha48("CAST(id AS VARCHAR)")} AS h FROM v))""".stripMargin
-    val iters = (1 to rounds).map { k =>
-      val pk = k - 1
-      s"""st$k AS MATERIALIZED (SELECT id, bucket, max(r) AS r FROM (
-         |  SELECT id, bucket, r FROM st$pk
-         |  UNION ALL
-         |  SELECT e.src AS id, s.bucket, s.r FROM sym e
-         |  JOIN st$pk s ON s.id = e.dst) GROUP BY id, bucket)""".stripMargin
-    }
-    val knum = graft.algorithms.HyperBall.harmonicNumeratorMicro(4)
-    val ests = (0 to rounds).map { k =>
-      s"""es$k AS (SELECT id, CAST(CAST('$knum' AS HUGEINT)
-         |      // CAST(sp + (16 - nb) * 35184372088832 AS HUGEINT)
-         |      AS BIGINT) AS e
-         |  FROM (SELECT id, sum(CAST(power(2, 45 - r) AS BIGINT)) AS sp,
-         |        count(*) AS nb FROM st$k GROUP BY id))""".stripMargin
-    }
+    val (head, iters) = hyperballCommonSql(rounds,
+      """SELECT DISTINCT CAST(o_orderkey % 40 AS BIGINT) AS src,
+        |  CAST(o_orderkey % 40 + 1 AS BIGINT) AS dst FROM orders""".stripMargin)
     val unions = (0 to rounds)
       .map(k => s"SELECT $k AS round, id, e FROM es$k")
       .mkString(" UNION ALL ")
@@ -1530,7 +1494,7 @@ object GraphQueries {
            |      * (CASE a.round $cases ELSE 0 END)) // $lb)""".stripMargin
       }
       .mkString("\n    + ")
-    (Seq(head) ++ iters ++ ests ++ Seq(
+    (Seq(head) ++ iters ++ hyperballEstCtes(rounds) ++ Seq(
       s"""esall AS ($unions),
          |fin AS (SELECT a.id AS id,
          |    CAST($bucketTerms AS BIGINT) AS h_micro
@@ -1538,6 +1502,21 @@ object GraphQueries {
          |    ON b.id = a.id AND b.round = a.round - 1
          |  GROUP BY a.id)
          |SELECT id, h_micro FROM fin""".stripMargin)).mkString(",\n")
+  }
+
+  /** The per-round integer micro-unit estimate CTEs shared by every
+    * harmonic oracle: e_k = K // s_sum in HUGEINT over the round-k
+    * registers (see [[hyperballHarmonicOracleSql]] for the exactness
+    * argument). */
+  private def hyperballEstCtes(rounds: Int): Seq[String] = {
+    val knum = graft.algorithms.HyperBall.harmonicNumeratorMicro(4)
+    (0 to rounds).map { k =>
+      s"""es$k AS (SELECT id, CAST(CAST('$knum' AS HUGEINT)
+         |      // CAST(sp + (16 - nb) * 35184372088832 AS HUGEINT)
+         |      AS BIGINT) AS e
+         |  FROM (SELECT id, sum(CAST(power(2, 45 - r) AS BIGINT)) AS sp,
+         |        count(*) AS nb FROM st$k GROUP BY id))""".stripMargin
+    }
   }
 
   /** g61 diagnostic twin of [[hyperballHarmonicOracleSql]]: the SAME
@@ -1556,18 +1535,21 @@ object GraphQueries {
 
   /** Shared prefix of the HyperBall oracles: graph, symmetrized edges,
     * p=4 initial registers, `rounds` register-max propagation rounds. */
-  private def hyperballCommonSql(rounds: Int): (String, Seq[String]) = {
+  private def hyperballCommonSql(
+      rounds: Int,
+      ceSql: String = """SELECT DISTINCT * FROM (
+        |  SELECT CAST(c_custkey + 10000 AS BIGINT) AS src,
+        |         CAST(c_nationkey AS BIGINT) AS dst FROM customer
+        |  UNION ALL SELECT CAST(n_nationkey AS BIGINT),
+        |         CAST(n_regionkey + 1000 AS BIGINT) FROM nation)""".stripMargin)
+      : (String, Seq[String]) = {
     def sha48(x: String) =
       s"""CAST(list_sum([(strpos('0123456789abcdef',
          |  substr(substr(sha256($x), 1, 12), j, 1)) - 1)
          |  * CAST(power(16, 12 - j) AS BIGINT)
          |  FOR j IN range(1, 13)]) AS BIGINT)""".stripMargin
     val head =
-      s"""WITH ce AS (SELECT DISTINCT * FROM (
-         |  SELECT CAST(c_custkey + 10000 AS BIGINT) AS src,
-         |         CAST(c_nationkey AS BIGINT) AS dst FROM customer
-         |  UNION ALL SELECT CAST(n_nationkey AS BIGINT),
-         |         CAST(n_regionkey + 1000 AS BIGINT) FROM nation)),
+      s"""WITH ce AS ($ceSql),
          |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
          |  SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce)),
          |v AS (SELECT DISTINCT id FROM (

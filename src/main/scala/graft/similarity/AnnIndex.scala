@@ -212,10 +212,14 @@ object AnnIndex {
           graft.sources.CatalogTables.refreshTables(
             origin, Seq(s"${name}_cells"))
         }
-        if (driftCheckEvery > 0 && (batchId + 1) % driftCheckEvery == 0) {
-          driftListener.foreach(f =>
-            f(driftStats(readPartitioned(spark, name)).head()))
-          if (rebuildOnDrift &&
+        if (driftCheckEvery > 0 && (batchId + 1) % driftCheckEvery == 0 &&
+            (driftListener.nonEmpty || rebuildOnDrift)) {
+          // ONE stats pass serves both the listener and the rebuild
+          // decision; only an actual rebuild (rare by design) pays the
+          // guarded re-read inside rebuildPartitionedIfDrifted
+          val s = driftStats(readPartitioned(spark, name)).head()
+          driftListener.foreach(_(s))
+          if (rebuildOnDrift && isDrifted(s, maxGrowthSkew, imbalanceFactor) &&
               rebuildPartitionedIfDrifted(spark, name,
                 maxGrowthSkew, imbalanceFactor))
             graft.sources.CatalogTables.refreshTables(
@@ -382,11 +386,7 @@ object AnnIndex {
       k: Int = 0, maxIterations: Int = 5, fitSampleSize: Int = 0,
       checkpoint: CheckpointPolicy = CheckpointPolicy.Local): (Index, Boolean) = {
     val s = driftStats(idx).head() // bounded: one diagnostics row
-    val drifted =
-      s.getAs[Double]("growth_skew") > maxGrowthSkew ||
-        s.getAs[Double]("imbalance_now") >
-          imbalanceFactor * math.max(s.getAs[Double]("imbalance_build"), 1.0)
-    if (!drifted) (idx, false)
+    if (!isDrifted(s, maxGrowthSkew, imbalanceFactor)) (idx, false)
     else {
       val kk =
         if (k > 0) k
@@ -399,6 +399,16 @@ object AnnIndex {
         maxIterations, fitSampleSize, checkpoint), true)
     }
   }
+
+  /** The drift-threshold predicate over a [[driftStats]] row — shared
+    * by the batch trigger and the streaming hook so the two faces
+    * cannot diverge on what "drifted" means. */
+  private def isDrifted(
+      s: org.apache.spark.sql.Row,
+      maxGrowthSkew: Double, imbalanceFactor: Double): Boolean =
+    s.getAs[Double]("growth_skew") > maxGrowthSkew ||
+      s.getAs[Double]("imbalance_now") >
+        imbalanceFactor * math.max(s.getAs[Double]("imbalance_build"), 1.0)
 
   /** [[rebuildIfDrifted]] against the PERSISTED tables: read, check,
     * and when drifted re-fit over the stored corpus and overwrite the

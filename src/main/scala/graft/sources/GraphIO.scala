@@ -669,28 +669,25 @@ object GraphIO {
       // forest table, evaluated BEFORE any rewrite. Non-forest deletes
       // (the vast majority on graphs denser than a tree: |F| ≤ V−1 of E
       // edges) therefore pay the table rewrites and nothing else.
-      val forestSkip = repairComponents && hasForest(spark, name) && {
-        readForest(spark, name).join(
-          removed.select(
+      // the batch's canonical pairs, pinned once BEFORE any rewrite: the
+      // forestSkip probe semi-joins them, and on a forest hit the
+      // replacement-edge repair subtracts the same frame from the
+      // certificate — one aggregation serves both
+      val removedCanon =
+        if (repairComponents && hasForest(spark, name))
+          Some(removed.select(
             least(col("src"), col("dst")).as("src"),
-            greatest(col("src"), col("dst")).as("dst")).distinct(),
-          Seq("src", "dst"), "left_semi").isEmpty
-      }
+            greatest(col("src"), col("dst")).as("dst")).distinct()
+            .localCheckpoint())
+        else None
+      val forestSkip = removedCanon.exists(rc =>
+        readForest(spark, name).join(rc, Seq("src", "dst"), "left_semi").isEmpty)
       // component labels the batch touches — read BEFORE any rewrite
       // (bounded by the batch: each removed edge's endpoints shared one
       // label while the edge existed, so probing src alone is complete)
       val affected =
         if (repairComponents && !forestSkip)
           affectedLabels(spark, name, removed.select(col("src").as("id")))
-        else None
-      // the removed rows' canonical pairs, pinned BEFORE the rewrite —
-      // the replacement-edge repair subtracts them from the certificate
-      val removedCanon =
-        if (repairComponents && !forestSkip && hasForest(spark, name))
-          Some(removed.select(
-            least(col("src"), col("dst")).as("src"),
-            greatest(col("src"), col("dst")).as("dst")).distinct()
-            .localCheckpoint())
         else None
       applyEdgeRemoval(spark, name, removed, kept)
       if (repairComponents)
@@ -969,13 +966,15 @@ object GraphIO {
     *     over the surviving forest restricted to the affected
     *     components — V−1 tree rows, never the component's E edges.
     *     Each piece is labeled by its min id.
-    *  2. MOVED: pieces whose label differs from the stored component
-    *     label — exactly the detached pieces (the piece holding the
-    *     component's min keeps its label). Every surviving edge that
-    *     re-crosses pieces touches a moved vertex, so the crossing
-    *     probe scans only the edges INCIDENT to the detached side(s) —
-    *     the "smaller side" bound of dynamic connectivity — not the
-    *     component.
+    *  2. PROBE SIDE: every component's LARGEST piece is exempted; a
+    *     crossing edge connects two different pieces of one component,
+    *     so at most one endpoint sits in the exempt piece and probing
+    *     edges incident to the non-largest pieces is complete. Chosen
+    *     by SIZE (not by which piece kept the old label), this is the
+    *     true smaller-side bound of dynamic connectivity: cutting a
+    *     2-vertex fragment off the min-id side probes 2 vertices'
+    *     edges, not the component's, and erasing a component's label
+    *     vertex does not degrade the probe to component mass.
     *  3. SPLICE: contract pieces over the crossing edges (batch-sized
     *     merge graph): merged pieces re-witness through ONE
     *     representative edge each ([[graft.algorithms.UnionFind.spanningPairs]],
@@ -1014,19 +1013,28 @@ object GraphIO {
     val pieceCc = graft.algorithms.UnionFind.minLabel(forestAff, "src", "dst")
       .getOrElse(graft.algorithms.AlternatingConnectedComponents(
         maxIterations = 20, requireConvergence = true)
-        .run(Graph(survivors, forestAff
-          .withColumn("edge_id", xxhash64(col("src"), col("dst"))),
-          directed = true)))
+        .run(Graph(survivors, forestAff, directed = true)))
     val pieces = survivors.join(pieceCc, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("_piece"))
       .localCheckpoint()
-    // 2. detached pieces and the surviving edges incident to them
-    val moved = pieces.join(comp, Seq("id"))
-      .filter(col("_piece") =!= col("component"))
-      .select(col("id"), col("_piece"))
+    // 2. the probe side: all pieces EXCEPT each component's largest
+    // (ties broken by piece label — exactly one exempt piece per
+    // component, so the incidence probe below stays complete)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("_n").desc, col("_piece"))
+    val probePieces = pieces.join(comp, Seq("id"))
+      .groupBy(col("component"), col("_piece"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_rk", row_number().over(win))
+      .filter(col("_rk") > 1)
+      .select(col("_piece"))
+    val moved = pieces
+      .join(probePieces, Seq("_piece"), "left_semi")
+      .select(col("id"))
       .localCheckpoint()
     val edges = spark.table(s"${name}_edges")
-    val mv = broadcastIfSmall(moved.select(col("id")))
+    val mv = broadcastIfSmall(moved)
     val cand = edges
       .join(mv.select(col("id").as("src")), Seq("src"), "left_semi")
       .select(col("src"), col("dst"))
@@ -1053,7 +1061,6 @@ object GraphIO {
     val pieceMerge = graft.algorithms.UnionFind.minLabel(rep, "_pa", "_pb")
       .getOrElse {
         val mEdges = rep.select(col("_pa").as("src"), col("_pb").as("dst"))
-          .withColumn("edge_id", xxhash64(col("src"), col("dst")))
         val mVerts = mEdges.select(col("src").as("id"))
           .union(mEdges.select(col("dst"))).distinct()
         graft.algorithms.AlternatingConnectedComponents(
