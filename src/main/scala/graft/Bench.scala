@@ -10,8 +10,49 @@ import org.apache.spark.sql.SparkSession
   * best available estimate of the uncontended cost. A query that throws
   * is reported under "errors" (never as a fast timing); its time only
   * counts from passes where it succeeded.
+  *
+  * CALIBRATION (VERDICT r14 item 1): the record carries `calibration_s`
+  * — a fixed pure-JVM CPU probe and a fixed small Spark shuffle probe,
+  * each run BEFORE and AFTER the query sweep. Their code never changes
+  * round to round, so their walls measure the HOST band alone: a round
+  * whose query times rose together with its calibration times is a slow
+  * host, not a regression (r14 consumed 1.44× of the 2× contract margin
+  * on frozen code with no way to prove it from the record). Cross-round
+  * comparisons quote both the raw ratio and the calibration-normalized
+  * one (BASELINE.md, bench-provenance note).
   */
 object Bench {
+
+  /** Pure-CPU host probe: a fixed xorshift64* mix, single-threaded on
+    * the driver JVM — no Spark, no I/O, no allocation. Returns seconds;
+    * the fold result is printed into the JSON (as `cpu_probe_check`) so
+    * the JIT cannot dead-code the loop. */
+  private def cpuProbe(): (Double, Long) = {
+    val t0 = System.nanoTime()
+    var x = 0x9e3779b97f4a7c15L
+    var acc = 0L
+    var i = 0
+    while (i < (1 << 26)) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      acc += x * 0x2545f4914f6cdd1dL
+      i += 1
+    }
+    ((System.nanoTime() - t0) / 1e9, acc)
+  }
+
+  /** Fixed small-shuffle probe: 2M rows through one hash exchange into
+    * 1000 groups — exercises codegen, the shuffle write/read path and
+    * task scheduling at a size whose wall is dominated by the framework,
+    * not the data. Deterministic plan, never changes round to round. */
+  private def shuffleProbe(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.range(0L, 2000000L, 1L, 8)
+      .select(pmod(hash(col("id")), lit(1000)).as("k"))
+      .groupBy(col("k")).count()
+      .agg(sum(col("count"))).collect()
+    (System.nanoTime() - t0) / 1e9
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -32,6 +73,14 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
+    // HOST-band calibration, pre-sweep (the post-sweep pair runs after
+    // the loop): fixed probes whose code never changes — see the
+    // Scaladoc above. One UNTIMED shuffle first: the session's first
+    // exchange pays one-off init (measured 1.0 s of pure warmup at
+    // sf0.001) that would make pre/post asymmetric by construction.
+    shuffleProbe(spark)
+    val (cpuPre, cpuCheck) = cpuProbe()
+    val shufPre = shuffleProbe(spark)
     // sorted order: deterministic attribution run-to-run
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.Map.empty[String, Double]
@@ -54,25 +103,39 @@ object Bench {
             (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)).take(200))
       }
     }
+    // post-sweep calibration pair: the band can move WITHIN a run (the
+    // r14 stress session measured 2–4.5× swings on frozen code) — two
+    // samples bracket the sweep instead of stamping one instant
+    val (cpuPost, _) = cpuProbe()
+    val shufPost = shuffleProbe(spark)
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val qs = names.flatMap { case (k, _) => best.get(k).map(v => s""""${esc(k)}":$v""") }
+    def s3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // one precision everywhere (ADVICE r14): repeats_s is rounded to ms
+    // for the record, so the headline per-query value is the min of the
+    // ROUNDED array — min(repeats_s[q]) == queries[q] holds exactly for
+    // any consumer of both fields
+    val roundedPasses = names.flatMap { case (k, _) =>
+      passes.get(k).map(vs => k -> vs.map(v => s3(v).toDouble)) }.toMap
+    val qs = names.flatMap { case (k, _) =>
+      roundedPasses.get(k).map(vs => s""""${esc(k)}":${s3(vs.min)}""") }
       .mkString("{", ",", "}")
     val reps = names.flatMap { case (k, _) =>
-      passes.get(k).map(vs => s""""${esc(k)}":[${vs.map(v =>
-        "%.3f".formatLocal(java.util.Locale.ROOT, v)).mkString(",")}]""") }
+      roundedPasses.get(k).map(vs => s""""${esc(k)}":[${vs.map(s3).mkString(",")}]""") }
       .mkString("{", ",", "}")
     // a query that succeeded in any pass is not an error
     val errs = names.flatMap { case (k, _) =>
       if (best.contains(k)) None
       else errors.get(k).map(m => s""""${esc(k)}":"${esc(m)}"""") }
       .mkString("{", ",", "}")
-    val total = names.flatMap { case (k, _) => best.get(k) }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"queries":$qs,"repeats_s":$reps,"errors":$errs,"sf":"${esc(sfDir)}"}"""
+    val total = names.flatMap { case (k, _) => roundedPasses.get(k).map(_.min) }.sum
+    val calib = s"""{"cpu_pre":${s3(cpuPre)},"cpu_post":${s3(cpuPost)},""" +
+      s""""shuffle_pre":${s3(shufPre)},"shuffle_post":${s3(shufPost)}}"""
+    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","repeats":$repeats,"queries":$qs,"repeats_s":$reps,"calibration_s":$calib,"cpu_probe_check":$cpuCheck,"errors":$errs,"sf":"${esc(sfDir)}"}"""
     println(line)
     // the stdout tail has been truncated by log interleaving more than
     // once (r7/r8 artifacts had `parsed: null`); the file copy is the

@@ -39,6 +39,26 @@ object GraphQueries {
   private def vertsOf(edges: DataFrame): DataFrame =
     edges.select(col(SRC).as(ID)).union(edges.select(col(DST).as(ID))).distinct()
 
+  /** Lifecycle-store isolation (VERDICT r14): the lifecycle queries
+    * (g58/g59/g60/g62) persist catalog tables mid-query. With ONE fixed
+    * store name, bench repeat N>1 additionally measured
+    * overwrite-over-existing-tables, so a host burst on a repeat was
+    * uninterpretable against the other repeats. Every invocation now
+    * gets a FRESH name, and [[dropStore]] pins the (small) result and
+    * drops the family's tables before returning — each repeat measures
+    * exactly what the first pass measured, and no warehouse debris
+    * outlives the query. */
+  private val storeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def freshStoreName(prefix: String, d: String): String =
+    s"${prefix}_${d.hashCode & 0x7fffffff}_${storeSeq.incrementAndGet()}"
+  private def dropStore(s: SparkSession, name: String, result: DataFrame): DataFrame = {
+    val pinned = result.localCheckpoint() // eager: materialize before the drop
+    Seq("vertices", "edges", "degrees", "components", "forest", "ranks")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+    s.sql(s"DROP TABLE IF EXISTS ${name}__epoch")
+    pinned
+  }
+
   // ---- graph builders -----------------------------------------------------
 
   private def suppPartEdges(s: SparkSession, d: String): DataFrame =
@@ -284,16 +304,16 @@ object GraphQueries {
         e.select(col("src").as("id")).union(e.select(col("dst"))).distinct()
       val e90 = all.filter(col("_slice") =!= 0L).drop("_slice")
       val e10 = all.filter(col("_slice") === 0L).drop("_slice")
-      val name = s"g58ap_${d.hashCode & 0x7fffffff}"
+      val name = freshStoreName("g58ap", d)
       graft.sources.GraphIO.writeBucketed(
         Graph.index(vertsOfE(e90), e90, directed = true), name, buckets = 8)
       graft.sources.GraphIO.buildComponents(s, name)
       graft.sources.GraphIO.appendVertices(s, name, vertsOfE(e10))
       graft.sources.GraphIO.appendEdges(s, name, e10)
       val v = s.table(s"${name}_vertices")
-      graft.sources.GraphIO.readDegrees(s, name)
+      dropStore(s, name, graft.sources.GraphIO.readDegrees(s, name)
         .join(v.select(col("id"), col("old_id")), Seq("id"))
-        .select(col("old_id"), col("out_degree"), col("in_degree"))
+        .select(col("old_id"), col("out_degree"), col("in_degree")))
     }),
 
     "g59_graph_delete" -> ((s, d) => {
@@ -321,14 +341,14 @@ object GraphQueries {
         // custkeys reach the dst range at large SF)
         .unionByName(s.range(1, 6)
           .select(col("id").as("src"), (col("id") + lit(2000000000L)).as("dst")))
-      val name = s"g59del_${d.hashCode & 0x7fffffff}"
+      val name = freshStoreName("g59del", d)
       graft.sources.GraphIO.writeBucketed(
         Graph.index(vertsOfE(eAll), eAll, directed = true), name, buckets = 8)
       graft.sources.GraphIO.deleteEdges(s, name, e10)
       val v = s.table(s"${name}_vertices")
-      graft.sources.GraphIO.readDegrees(s, name)
+      dropStore(s, name, graft.sources.GraphIO.readDegrees(s, name)
         .join(v.select(col("id"), col("old_id")), Seq("id"))
-        .select(col("old_id"), col("out_degree"), col("in_degree"))
+        .select(col("old_id"), col("out_degree"), col("in_degree")))
     }),
 
     "g62_forest_guard" -> ((s, d) => {
@@ -362,7 +382,7 @@ object GraphQueries {
       val rawE = e1.unionByName(e2).unionByName(e3)
       val rawV = rawE.select(col("src").as("id"))
         .union(rawE.select(col("dst"))).distinct()
-      val name = s"g62fg_${d.hashCode & 0x7fffffff}"
+      val name = freshStoreName("g62fg", d)
       graft.sources.GraphIO.writeBucketed(
         Graph.index(rawV, rawE, directed = false), name, buckets = 8)
       graft.sources.GraphIO.buildComponents(s, name)
@@ -380,8 +400,8 @@ object GraphQueries {
         .join(v.select(col("id"), col("old_id")), Seq("id"))
       val reps = m.groupBy(col("component"))
         .agg(min(col("old_id")).as("component_rep"))
-      m.join(reps, Seq("component"))
-        .select(col("old_id").as("member_id"), col("component_rep"))
+      dropStore(s, name, m.join(reps, Seq("component"))
+        .select(col("old_id").as("member_id"), col("component_rep")))
     }),
 
     "g53_bias_baseline" -> ((s, d) => {
@@ -767,12 +787,12 @@ object GraphQueries {
       // append — is spec-pinned instead: its mass renormalization has
       // no bit-exact SQL twin.)
       val e = ordersEdges(s, d)
-      val name = s"g60rk_${d.hashCode & 0x7fffffff}"
+      val name = freshStoreName("g60rk", d)
       graft.sources.GraphIO.writeBucketed(
         indexedGraph(vertsOf(e), e, directed = true), name, buckets = 8)
       graft.sources.GraphIO.buildRanks(s, name, maxIterations = 5)
-      graft.sources.GraphIO.readRanks(s, name)
-        .select(col(ID), round(col("rank"), 9).as("rank"))
+      dropStore(s, name, graft.sources.GraphIO.readRanks(s, name)
+        .select(col(ID), round(col("rank"), 9).as("rank")))
     }),
 
     "g27_ppr" -> ((s, d) => {
