@@ -137,6 +137,53 @@ object DedupIndex {
         .select(explode(col("ids")).as(idColOut), col("cluster_id"))
   }
 
+  /** Index health: ONE aggregated diagnostics row over the LSH bucket
+    * table (VERDICT r14 item 7 — the
+    * [[graft.similarity.AnnIndex.driftStats]] /
+    * [[graft.sources.GraphIO.forestStats]] convention, third face).
+    * The capped-LSH recall contract is verified at SPEC time, but a
+    * long-lived index drifts silently: boilerplate (shared headers,
+    * templated pages) concentrates representatives into a few hot
+    * (band, bucket) keys, and once `maxBucketSize` starts biting there,
+    * every pair whose only collision sat in a dropped bucket is recall
+    * silently lost. This pass makes that observable:
+    *
+    *  - `bucket_rows` / `distinct_buckets` / `max_occupancy` — raw shape;
+    *  - `occupancy_p99` — the tail the cap interacts with (approx
+    *    percentile, exact enough for a health signal);
+    *  - `hot_bucket_count` — buckets past `maxBucketSize`;
+    *  - `capped_row_fraction` — the fraction of bucket rows sitting in
+    *    dropped buckets: the direct upper bound on how much candidate
+    *    mass the cap is discarding (0.0 = the cap never bites).
+    *
+    * One column-pruned aggregation over the narrow buckets table — at
+    * any corpus size this is a map-side-combinable count per key plus a
+    * singleton rollup. Remediation is content-level (drop boilerplate
+    * before indexing, raise `shingleSize`) or a re-[[build]]; there is
+    * deliberately no auto-action — the cap exists to bound cost, so the
+    * hook surfaces, the operator decides ([[mergeStream]]'s
+    * `bucketCheckEvery` puts this on the ingest cadence). */
+  def bucketStats(idx: Index, maxBucketSize: Int): DataFrame = {
+    require(maxBucketSize > 0, "bucketStats meters a positive hot-bucket cap")
+    val occ = idx.buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n"))
+    occ.agg(
+      sum(col("_n")).as("bucket_rows"),
+      count(lit(1)).as("distinct_buckets"),
+      max(col("_n")).as("max_occupancy"),
+      percentile_approx(col("_n"), lit(0.99), lit(10000))
+        .cast("long").as("occupancy_p99"),
+      sum(when(col("_n") > maxBucketSize, lit(1L)).otherwise(lit(0L)))
+        .as("hot_bucket_count"),
+      (sum(when(col("_n") > maxBucketSize, col("_n")).otherwise(lit(0L)))
+        .cast("double") / sum(col("_n"))).as("capped_row_fraction"))
+  }
+
+  /** [[bucketStats]] over the PERSISTED index — the face the ingest
+    * cadence and an operator's dashboard read. */
+  def bucketStats(spark: SparkSession, name: String, maxBucketSize: Int): DataFrame =
+    bucketStats(readBucketed(spark, name), maxBucketSize)
+
   /** The hot-bucket cap, the [[Dedup.minhashDuplicates]] device: drop
     * buckets whose candidate contribution would be quadratic. */
   private def cappedBuckets(buckets: DataFrame, maxBucketSize: Int): DataFrame =
@@ -438,15 +485,27 @@ object DedupIndex {
     * Returns the configured writer; callers add `.option(
     * "checkpointLocation", ...)` and `.start()`.
     */
+  /** BUCKET-HEALTH HOOK (opt-in, VERDICT r14 item 7 — the
+    * [[graft.similarity.AnnIndex.appendStream]] drift pattern):
+    * `bucketCheckEvery = N` runs the one-row [[bucketStats]] pass after
+    * every Nth micro-batch and hands the row to `bucketListener` —
+    * surface, don't decide (see [[bucketStats]] for why there is no
+    * auto-action). `statsBucketCap` is the hot-bucket cap the stats
+    * meter against — pass the `maxBucketSize` your probes use. The
+    * check keys on the engine's batchId, so a recovery replay keeps
+    * the cadence. */
   def mergeStream(
       docs: DataFrame, idCol: String, textCol: String,
-      name: String, numBuckets: Int = 32)
+      name: String, numBuckets: Int = 32,
+      bucketCheckEvery: Int = 0,
+      bucketListener: Option[org.apache.spark.sql.Row => Unit] = None,
+      statsBucketCap: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // foreachBatch runs on a CLONED session; refresh the origin's
     // cached listings after each rewrite (CatalogTables.refreshTables)
     val origin = docs.sparkSession
     docs.writeStream.outputMode("update").foreachBatch {
-      (batch: DataFrame, _: Long) => crudLock.synchronized {
+      (batch: DataFrame, batchId: Long) => crudLock.synchronized {
         val spark = batch.sparkSession
         val idx = readBucketed(spark, name)
         val known = idx.clusters.select(explode(col("ids")).as(idCol))
@@ -464,6 +523,10 @@ object DedupIndex {
           mergeBucketed(spark, name, fresh, idCol, textCol, numBuckets)
           refreshFamily(origin, name)
         }
+        if (bucketCheckEvery > 0 && (batchId + 1) % bucketCheckEvery == 0 &&
+            bucketListener.nonEmpty)
+          bucketListener.foreach(_(
+            bucketStats(spark, name, statsBucketCap).head()))
       }
     }
   }

@@ -177,6 +177,16 @@ object AnnIndex {
     * drifting stream re-fits itself and a healthy one never rebuilds
     * (StreamingSpec pins both). The check keys on the streaming
     * engine's batchId, so a recovery replay does not reset the cadence.
+    *
+    * Latency honesty (ADVICE r14): a tripped `rebuildOnDrift` re-fit
+    * runs SYNCHRONOUSLY inside `foreachBatch` — that micro-batch stalls
+    * for the full [[build]]-over-the-corpus wall (the price of the
+    * exactly-once guarantee: deferring it to a side thread would race
+    * the next batch's append against the table swap). Deployments that
+    * cannot absorb the spike leave `rebuildOnDrift` off and schedule
+    * [[rebuildPartitionedIfDrifted]] from a maintenance window instead;
+    * the already-computed stats row is passed into the rebuild either
+    * way, so the decision pass is never paid twice.
     */
   def appendStream(
       vecs: DataFrame, idCol: String, vecCol: String, name: String,
@@ -214,14 +224,15 @@ object AnnIndex {
         }
         if (driftCheckEvery > 0 && (batchId + 1) % driftCheckEvery == 0 &&
             (driftListener.nonEmpty || rebuildOnDrift)) {
-          // ONE stats pass serves both the listener and the rebuild
-          // decision; only an actual rebuild (rare by design) pays the
-          // guarded re-read inside rebuildPartitionedIfDrifted
+          // ONE stats pass serves the listener, the rebuild decision
+          // AND (passed through below) the rebuild's own threshold
+          // check — the pass is never paid twice (ADVICE r14)
           val s = driftStats(readPartitioned(spark, name)).head()
           driftListener.foreach(_(s))
           if (rebuildOnDrift && isDrifted(s, maxGrowthSkew, imbalanceFactor) &&
               rebuildPartitionedIfDrifted(spark, name,
-                maxGrowthSkew, imbalanceFactor))
+                maxGrowthSkew, imbalanceFactor,
+                precomputedStats = Some(s)))
             graft.sources.CatalogTables.refreshTables(
               origin, Seq(s"${name}_cells", s"${name}_centroids"))
         }
@@ -380,12 +391,20 @@ object AnnIndex {
     * ingest blob stays one oversized cell and probes keep over-scanning
     * it). The thresholds are deliberately lazy — rebuilds re-rank
     * historical probes, so they should fire on real distribution shift,
-    * not ingest noise. */
+    * not ingest noise.
+    *
+    * `precomputedStats` (ADVICE r14): a caller that just ran
+    * [[driftStats]] for its own decision (the [[appendStream]] hook)
+    * passes the row in and the duplicate pass is skipped — the row must
+    * describe the index as passed (the hook's batches are serialized,
+    * so there it does). */
   def rebuildIfDrifted(
       idx: Index, maxGrowthSkew: Double = 4.0, imbalanceFactor: Double = 2.0,
       k: Int = 0, maxIterations: Int = 5, fitSampleSize: Int = 0,
-      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): (Index, Boolean) = {
-    val s = driftStats(idx).head() // bounded: one diagnostics row
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local,
+      precomputedStats: Option[org.apache.spark.sql.Row] = None): (Index, Boolean) = {
+    // bounded: one diagnostics row
+    val s = precomputedStats.getOrElse(driftStats(idx).head())
     if (!isDrifted(s, maxGrowthSkew, imbalanceFactor)) (idx, false)
     else {
       val kk =
@@ -418,11 +437,13 @@ object AnnIndex {
   def rebuildPartitionedIfDrifted(
       spark: SparkSession, name: String,
       maxGrowthSkew: Double = 4.0, imbalanceFactor: Double = 2.0,
-      k: Int = 0, maxIterations: Int = 5, fitSampleSize: Int = 0): Boolean =
+      k: Int = 0, maxIterations: Int = 5, fitSampleSize: Int = 0,
+      precomputedStats: Option[org.apache.spark.sql.Row] = None): Boolean =
     mutate(spark, name) {
       val (next, rebuilt) = rebuildIfDrifted(
         readPartitioned(spark, name), maxGrowthSkew, imbalanceFactor,
-        k, maxIterations, fitSampleSize, CheckpointPolicy.Local)
+        k, maxIterations, fitSampleSize, CheckpointPolicy.Local,
+        precomputedStats)
       if (rebuilt) writePartitioned(next, name)
       rebuilt
     }

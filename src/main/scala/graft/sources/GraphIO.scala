@@ -209,11 +209,79 @@ object GraphIO {
     * the forest can hold rows no live edge backs — phantom witnesses the
     * replacement-edge repair would trust ([[replacementEdgeRepair]]
     * relabels from what the certificate says survives). Labels and
-    * certificate are a coupled pair; recovery restores both or neither. */
-  def refreshComponents(spark: SparkSession, name: String, maxIterations: Int = 20): Unit = {
+    * certificate are a coupled pair; recovery restores both or neither.
+    *
+    * CRASH DETECTABILITY (ADVICE r14): the two rebuilds are staged
+    * swaps, so a crash BETWEEN them would leave fresh labels paired
+    * with the stale certificate — exactly the state the refresh is
+    * documented to cure, previously undetectable. The whole pair now
+    * runs as ONE guarded mutation bracketed by a pending marker
+    * ([[refreshPending]]): the marker is written before the first
+    * rebuild and dropped after the last, so an interrupted refresh is
+    * observable, and every lifecycle mutation that would TRUST the
+    * certificate drops it loudly first (see [[dropUntrustedForest]]).
+    * Want fresh labels without paying the certificate rebuild? That is
+    * [[refreshLabels]]. */
+  def refreshComponents(spark: SparkSession, name: String, maxIterations: Int = 20): Unit =
+    mutate(spark, name) {
+      val rebuildForest = hasForest(spark, name)
+      if (rebuildForest) setRefreshPending(spark, name)
+      buildComponents(spark, name, maxIterations)
+      if (rebuildForest) buildForest(spark, name)
+      clearRefreshPending(spark, name)
+    }
+
+  /** Scoped refresh (VERDICT r14 item 2): rebuild ONLY the label table.
+    * [[refreshComponents]] pays BOTH narrow-table rebuilds (440.6 s vs
+    * 57.5 s labels-only at the 100× corpus) because after a crash the
+    * certificate may hold phantom witnesses — but the non-crash caller
+    * who just wants labels re-derived (after a repair burst, before an
+    * audit) needs none of that: relabeling from the live edge table
+    * cannot invalidate a TRUSTED certificate, whose contract (a subset
+    * of the stored edges spanning the same components) relates the
+    * forest to the EDGES only, not to the label values. Refuses loudly
+    * when an interrupted refresh left the certificate untrusted —
+    * labels-only would bless exactly the phantom-witness state the
+    * marker exists to flag; re-run [[refreshComponents]] there. */
+  def refreshLabels(spark: SparkSession, name: String, maxIterations: Int = 20): Unit = {
+    require(!refreshPending(spark, name),
+      s"an interrupted refreshComponents left '$name''s certificate untrusted — " +
+        s"labels-only refresh would pair fresh labels with phantom witnesses; " +
+        s"re-run refreshComponents('$name')")
     buildComponents(spark, name, maxIterations)
-    if (hasForest(spark, name)) buildForest(spark, name)
   }
+
+  /** True while a [[refreshComponents]] pair is incomplete: set before
+    * its first staged swap, cleared after its last, so a crash between
+    * the label rebuild and the certificate rebuild is DETECTABLE. While
+    * pending, the certificate (if any) is untrusted. */
+  def refreshPending(spark: SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(s"${name}_refresh_pending")
+
+  private[graft] def setRefreshPending(spark: SparkSession, name: String): Unit = {
+    val t = s"${name}_refresh_pending"
+    if (!spark.catalog.tableExists(t)) {
+      // a dead session's marker leaves an orphaned directory that
+      // CREATE TABLE refuses — the standard CatalogTables hygiene
+      CatalogTables.prepareOverwrite(spark, t)
+      spark.sql(s"CREATE TABLE `$t` (pending BOOLEAN) USING parquet")
+    }
+  }
+
+  private def clearRefreshPending(spark: SparkSession, name: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS `${name}_refresh_pending`")
+
+  /** The untrusted-certificate gate: a mutation that would TRUST or
+    * MAINTAIN the certificate while a refresh is pending drops it
+    * loudly instead (the orphaned-certificate precedent in
+    * [[deleteEdges]]) and proceeds certificate-less — a phantom witness
+    * could make [[deleteEdges]] SKIP a repair the graph needs, silently
+    * and forever. The marker itself stays: the labels half may equally
+    * be the stale one, and only a completed [[refreshComponents]] (which
+    * rebuilds the certificate and clears the marker) restores trust. */
+  private def dropUntrustedForest(spark: SparkSession, name: String): Unit =
+    if (refreshPending(spark, name) && hasForest(spark, name))
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_forest")
 
   private def hasComponents(spark: SparkSession, name: String): Boolean =
     spark.catalog.tableExists(s"${name}_components")
@@ -255,10 +323,15 @@ object GraphIO {
     // cap fall back to Borůvka, whose log₂(V) bound is
     // diameter-independent.
     val edges = spark.table(s"${name}_edges")
-    val roots = readComponents(spark, name)
-      .select(col("component").as("id")).distinct()
+    val comps = readComponents(spark, name)
+    val roots = comps.select(col("component").as("id")).distinct()
+    // the reachable-vertex total (one count of the narrow label table)
+    // arms parentForest's early decline: a diameter-past-the-cap graph
+    // then stops paying BFS rounds as soon as the cap is provably
+    // unreachable instead of burning all 64 before the fallback
     val forest = graft.algorithms.BreadthFirstSearch
-      .parentForest(roots, edges.select(col("src"), col("dst")))
+      .parentForest(roots, edges.select(col("src"), col("dst")),
+        totalVertices = Some(comps.count()))
       .getOrElse(forestOf(edges))
     val buckets = tableBuckets(spark, s"${name}_edges")
     CatalogTables.stagedOverwrite(spark, s"${name}_forest") { t =>
@@ -301,14 +374,20 @@ object GraphIO {
     * [[forestStats]] reports more than `maxRatio`× the spanning bound,
     * rebuild the certificate outright — |F| returns to ≤ V − C and the
     * false-repair rate resets. Returns whether a rebuild ran. Call it
-    * on a maintenance cadence after long append streams. */
+    * on a maintenance cadence after long append streams (or let
+    * [[appendEdgesStream]]'s `bloatCheckEvery` hook call it for you).
+    * The stats read and the conditional rebuild run under ONE guarded
+    * mutation (ADVICE r14): a concurrent append between the two would
+    * otherwise make the threshold decision stale — now it aborts loudly
+    * like any other lost-update race. */
   def retightenForestIfBloated(
-      spark: SparkSession, name: String, maxRatio: Double = 1.5): Boolean = {
-    val s = forestStats(spark, name).head()
-    if (s.getAs[Double]("bloat_ratio") > maxRatio) {
-      buildForest(spark, name); true
-    } else false
-  }
+      spark: SparkSession, name: String, maxRatio: Double = 1.5): Boolean =
+    mutate(spark, name) {
+      val s = forestStats(spark, name).head()
+      if (s.getAs[Double]("bloat_ratio") > maxRatio) {
+        buildForest(spark, name); true
+      } else false
+    }
 
   /** The maintained connectivity certificate: canonical (src, dst)
     * pairs, subset of the stored edges, same components as the graph. */
@@ -407,6 +486,7 @@ object GraphIO {
     */
   def appendEdges(spark: SparkSession, name: String, rawEdges: DataFrame): Unit = mutate(spark, name) {
     import org.apache.spark.sql.functions._
+    dropUntrustedForest(spark, name)
     val stored = spark.table(s"${name}_edges")
     val v = spark.table(s"${name}_vertices")
     // the anti-join keys on (src, edge_id) while the table is bucketed
@@ -636,6 +716,7 @@ object GraphIO {
       spark: SparkSession, name: String, rawEdges: DataFrame,
       repairComponents: Boolean = true): Unit = mutate(spark, name) {
     import org.apache.spark.sql.functions._
+    dropUntrustedForest(spark, name)
     val stored = spark.table(s"${name}_edges")
     // the USING join fronts its keys — restore the stored column order
     // so the rewrite round-trips the table schema exactly
@@ -708,6 +789,7 @@ object GraphIO {
       spark: SparkSession, name: String, rawVertices: DataFrame,
       repairComponents: Boolean = true): Unit = mutate(spark, name) {
     import org.apache.spark.sql.functions._
+    dropUntrustedForest(spark, name)
     val ids = Graph.keyVertices(rawVertices).select(col("id")).localCheckpoint()
     val storedV = spark.table(s"${name}_vertices")
     // redelivery guard: nothing stored matches -> a true no-op (no
@@ -880,6 +962,9 @@ object GraphIO {
     // with buildComponents + buildForest after the burst
     if (hasForest(spark, name))
       spark.sql(s"DROP TABLE IF EXISTS ${name}_forest")
+    // with BOTH tables gone there is no pair left to distrust — a
+    // pending-refresh marker would only poison the post-burst rebuild
+    clearRefreshPending(spark, name)
   }
 
   /** The component labels a delete batch touches, or None when no
@@ -1183,18 +1268,51 @@ object GraphIO {
     * advances no degree), so the stored graph holds exactly-once edge
     * contents. Returns the configured writer; callers add
     * `.option("checkpointLocation", ...)` and `.start()`.
-    */
-  def appendEdgesStream(rawEdges: DataFrame, name: String)
+    *
+    * BLOAT HOOK (opt-in, VERDICT r14 item 4 — the
+    * [[graft.similarity.AnnIndex.appendStream]] drift pattern, third
+    * instantiation): every component-crossing batch edge joins the
+    * certificate, so a long bridge-heavy stream bloats it without bound
+    * while [[forestStats]] / [[retightenForestIfBloated]] wait on an
+    * operator's memory. `bloatCheckEvery = N` runs the one-row
+    * [[forestStats]] pass after every Nth micro-batch (surface, don't
+    * decide), hands the row to `bloatListener`, and — when
+    * `retightenOnBloat` — compacts through
+    * [[retightenForestIfBloated]], so a bridging stream re-tightens
+    * itself and a healthy one never rebuilds (GraphAppendSpec pins
+    * both). The check keys on the engine's batchId, so a recovery
+    * replay keeps the cadence. Retention honesty mirrors the AnnIndex
+    * hook: a tripped compaction runs synchronously inside the batch —
+    * that micro-batch pays the full [[buildForest]] wall. */
+  def appendEdgesStream(
+      rawEdges: DataFrame, name: String,
+      bloatCheckEvery: Int = 0,
+      bloatListener: Option[org.apache.spark.sql.Row => Unit] = None,
+      retightenOnBloat: Boolean = false,
+      maxRatio: Double = 1.5)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // foreachBatch runs on a CLONED session; the origin session that
     // built the stream keeps reading these tables — refresh its cached
     // listings after each mutating batch (CatalogTables.refreshTables)
     val origin = rawEdges.sparkSession
     rawEdges.writeStream.outputMode("update").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
         if (!batch.isEmpty) {
-          appendEdges(batch.sparkSession, name, batch)
+          appendEdges(spark, name, batch)
           refreshFamily(origin, name)
+        }
+        if (bloatCheckEvery > 0 && (batchId + 1) % bloatCheckEvery == 0 &&
+            (bloatListener.nonEmpty || retightenOnBloat) &&
+            spark.catalog.tableExists(s"${name}_forest")) {
+          // ONE stats pass serves both the listener and the compaction
+          // decision; only an actual rebuild (rare by design) pays the
+          // guarded re-read inside retightenForestIfBloated
+          val s = forestStats(spark, name).head()
+          bloatListener.foreach(_(s))
+          if (retightenOnBloat && s.getAs[Double]("bloat_ratio") > maxRatio &&
+              retightenForestIfBloated(spark, name, maxRatio))
+            refreshFamily(origin, name)
         }
     }
   }
@@ -1220,7 +1338,7 @@ object GraphIO {
   /** All catalog tables a persisted graph family can own. */
   private def refreshFamily(spark: SparkSession, name: String): Unit =
     CatalogTables.refreshTables(spark,
-      Seq("vertices", "edges", "degrees", "components", "ranks")
+      Seq("vertices", "edges", "degrees", "components", "forest", "ranks")
         .map(t => s"${name}_$t"))
 
   /** Bucket count of an existing catalog table (so appends never have to

@@ -1049,6 +1049,24 @@ class AlgorithmsSpec extends SparkSpec {
     val path = (0L until 12L).map(i => (i, i + 1)).toDF(SRC, DST)
     assert(graft.algorithms.BreadthFirstSearch
       .parentForest(Seq(0L).toDF(ID), path, maxIterations = 5).isEmpty)
+    // EARLY DECLINE (ADVICE r14): armed with the reachable total, a
+    // doomed sweep (301-vertex path, frontier pinned at 1) declines as
+    // soon as frontier × remaining-rounds cannot cover the unvisited
+    // remainder — without burning all 64 rounds first
+    val longPath = (0L until 300L).map(i => (i, i + 1)).toDF(SRC, DST)
+    assert(graft.algorithms.BreadthFirstSearch
+      .parentForest(Seq(0L).toDF(ID), longPath,
+        totalVertices = Some(301L)).isEmpty)
+    // ...and never false-positives on a completable sweep whose frontier
+    // merely STALLS: a 10-hop path into a 50-leaf star stalls at
+    // frontier=1 for ten rounds, then explodes and finishes — the
+    // optimistic bound stays satisfiable throughout, so the forest
+    // completes with exactly |V|−1 rows
+    val stalled = ((0L until 10L).map(i => (i, i + 1)) ++
+      (100L until 150L).map(l => (9L, l))).toDF(SRC, DST)
+    val f2 = graft.algorithms.BreadthFirstSearch
+      .parentForest(Seq(0L).toDF(ID), stalled, totalVertices = Some(61L)).get
+    assert(f2.count() === 60L)
   }
 
   test("HyperBall harmonic numerator: exact digit string pinned at p=4") {

@@ -17,9 +17,12 @@ import graft.sources.GraphIO
   */
 class GraphAppendSpec extends SparkSpec {
 
-  private def drop(name: String): Unit =
-    Seq("vertices", "edges", "degrees", "components", "ranks", "forest")
+  private def drop(name: String): Unit = {
+    Seq("vertices", "edges", "degrees", "components", "ranks", "forest",
+      "refresh_pending")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+    spark.sql(s"DROP TABLE IF EXISTS ${name}__epoch")
+  }
 
   /** (file name -> mtime) of a managed table's directory — the
     * "this table was not rewritten" pin. */
@@ -856,5 +859,141 @@ class GraphAppendSpec extends SparkSpec {
       assert(rowSet(GraphIO.readDegrees(spark, "ap_s")) ===
         rowSet(GraphIO.degreesOf(rebuilt.edges)))
     } finally drop("ap_s")
+  }
+
+  test("refreshLabels: labels-only rebuild leaves a trusted certificate untouched and valid") {
+    // 4-cycle: certificate = 3 of the 4 edges; the scoped refresh must
+    // rebuild labels without paying (or touching) the certificate, and
+    // the untouched certificate must still guard a subsequent cut
+    val v0 = Seq("a", "b", "c", "d")
+    val e0 = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+    val name = "ap_rlab"
+    GraphIO.writeBucketed(
+      Graph.index(rawVerts(v0), rawEdges(e0), directed = true), name, buckets = 4)
+    try {
+      GraphIO.buildComponents(spark, name)
+      GraphIO.buildForest(spark, name)
+      val fBefore = tableFiles(s"${name}_forest")
+      GraphIO.refreshLabels(spark, name)
+      assert(rowSet(GraphIO.readComponents(spark, name)) ===
+        rowSet(GraphIO.componentsOf(
+          Graph.index(rawVerts(v0), rawEdges(e0), directed = true))))
+      assert(tableFiles(s"${name}_forest") === fBefore,
+        "a labels-only refresh must not rebuild the certificate")
+      assert(!GraphIO.refreshPending(spark, name),
+        "the scoped face never opens the pending window")
+      // the untouched certificate still guards: cut one of its edges,
+      // the repair must say exactly what a rebuild-without would
+      val idOf = Graph.keyVertices(rawVerts(v0)).collect()
+        .map(r => r.getAs[String]("old_id") -> r.getAs[Long]("id")).toMap
+      def canon(e: (String, String)) =
+        (math.min(idOf(e._1), idOf(e._2)), math.max(idOf(e._1), idOf(e._2)))
+      val f0 = GraphIO.readForest(spark, name).collect()
+        .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+      val cut = e0.find(e => f0.contains(canon(e))).get
+      GraphIO.deleteEdges(spark, name, rawEdges(Seq(cut)))
+      assert(rowSet(GraphIO.readComponents(spark, name)) ===
+        rowSet(GraphIO.componentsOf(Graph.index(
+          rawVerts(v0), rawEdges(e0.filterNot(_ == cut)), directed = true))))
+    } finally drop(name)
+  }
+
+  test("interrupted refresh: the pending marker distrusts the certificate until refreshComponents completes") {
+    val v0 = Seq("a", "b", "c", "d")
+    val e0 = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+    val name = "ap_rpend"
+    GraphIO.writeBucketed(
+      Graph.index(rawVerts(v0), rawEdges(e0), directed = true), name, buckets = 4)
+    try {
+      GraphIO.buildComponents(spark, name)
+      GraphIO.buildForest(spark, name)
+      // simulate the crash window: a refreshComponents that died between
+      // the label rebuild and the certificate rebuild leaves the marker
+      GraphIO.setRefreshPending(spark, name)
+      assert(GraphIO.refreshPending(spark, name))
+      // the labels-only face refuses — it would bless a possibly-phantom
+      // certificate
+      intercept[IllegalArgumentException] {
+        GraphIO.refreshLabels(spark, name)
+      }
+      // a delete drops the untrusted certificate loudly and repairs
+      // certificate-less — labels still ≡ rebuild-without
+      val idOf = Graph.keyVertices(rawVerts(v0)).collect()
+        .map(r => r.getAs[String]("old_id") -> r.getAs[Long]("id")).toMap
+      def canon(e: (String, String)) =
+        (math.min(idOf(e._1), idOf(e._2)), math.max(idOf(e._1), idOf(e._2)))
+      val f0 = GraphIO.readForest(spark, name).collect()
+        .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+      val cut = e0.find(e => f0.contains(canon(e))).get
+      GraphIO.deleteEdges(spark, name, rawEdges(Seq(cut)))
+      assert(!spark.catalog.tableExists(s"${name}_forest"),
+        "a mutation must drop an untrusted certificate, not consult it")
+      val e1 = e0.filterNot(_ == cut)
+      assert(rowSet(GraphIO.readComponents(spark, name)) ===
+        rowSet(GraphIO.componentsOf(
+          Graph.index(rawVerts(v0), rawEdges(e1), directed = true))))
+      assert(GraphIO.refreshPending(spark, name),
+        "dropping the certificate does not restore trust in the labels half")
+      // the documented cure clears the marker (the certificate itself is
+      // rebuilt separately once wanted — it was dropped above)
+      GraphIO.refreshComponents(spark, name)
+      assert(!GraphIO.refreshPending(spark, name))
+      GraphIO.buildForest(spark, name)
+      val s = GraphIO.forestStats(spark, name).head()
+      assert(s.getAs[Double]("bloat_ratio") === 1.0)
+      assert(rowSet(GraphIO.readComponents(spark, name)) ===
+        rowSet(GraphIO.componentsOf(
+          Graph.index(rawVerts(v0), rawEdges(e1), directed = true))))
+    } finally drop(name)
+  }
+
+  test("appendEdgesStream bloat hook: a bridging stream trips compaction; a healthy stream never does") {
+    import spark.implicits._
+    // three singleton components; one bridging batch adds all three
+    // crossing pairs to the certificate (bound 2 -> ratio 1.5)
+    val v0 = Seq("a", "b", "c")
+    val name = "ap_bshook"
+    GraphIO.writeBucketed(
+      Graph.index(rawVerts(v0), rawEdges(Seq.empty), directed = true), name, buckets = 4)
+    val ckpt = java.nio.file.Files.createTempDirectory("ap_bs_ck").toString
+    try {
+      GraphIO.buildComponents(spark, name)
+      GraphIO.buildForest(spark, name)
+      implicit val sqlCtx = spark.sqlContext
+      val stream = MemoryStream[(String, String)]
+      val seen = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      val q = GraphIO.appendEdgesStream(
+        stream.toDF().toDF("src", "dst"), name,
+        bloatCheckEvery = 1,
+        bloatListener = Some(r => seen.synchronized { seen += r }),
+        retightenOnBloat = true, maxRatio = 1.2)
+        .option("checkpointLocation", ckpt).start()
+      try {
+        stream.addData(("a", "b"), ("b", "c"), ("a", "c"))
+        q.processAllAvailable()
+        // the hook saw the PRE-compaction bloat and compacted in-batch
+        assert(seen.synchronized(seen.nonEmpty))
+        assert(seen.synchronized(seen.head).getAs[Double]("bloat_ratio") === 1.5)
+        val s1 = GraphIO.forestStats(spark, name).head()
+        assert(s1.getAs[Long]("forest_rows") === 2L)
+        assert(s1.getAs[Double]("bloat_ratio") === 1.0)
+        // healthy batch: a NEW intra-component edge adds no certificate
+        // row — the hook reports 1.0 and must NOT rebuild
+        val fFiles = tableFiles(s"${name}_forest")
+        val nSeen = seen.synchronized(seen.size)
+        stream.addData(("b", "a"))
+        q.processAllAvailable()
+        assert(seen.synchronized(seen.size) > nSeen)
+        assert(seen.synchronized(seen.last).getAs[Double]("bloat_ratio") === 1.0)
+        assert(tableFiles(s"${name}_forest") === fFiles,
+          "a healthy stream must never pay the compaction rebuild")
+      } finally q.stop()
+      // the stream's maintained state is still ≡ whole-rebuild
+      val rebuilt = Graph.index(rawVerts(v0),
+        rawEdges(Seq(("a", "b"), ("b", "c"), ("a", "c"), ("b", "a"))), directed = true)
+      assert(rowSet(GraphIO.readBucketed(spark, name).edges) === rowSet(rebuilt.edges))
+      assert(rowSet(GraphIO.readComponents(spark, name)) ===
+        rowSet(GraphIO.componentsOf(rebuilt)))
+    } finally drop(name)
   }
 }

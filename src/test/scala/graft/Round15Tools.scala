@@ -1,0 +1,156 @@
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-15 stress harness (test scope, run by hand like Round13Tools):
+  *
+  *   sbt 'Test/runMain ForestScaleStress /tmp/sfx100 1000'
+  *
+  * One store build serves three VERDICT r14 measurements:
+  *  - item 2: `refreshLabels` (labels only) vs `refreshComponents`
+  *    (both tables) — the scoped face must sit materially below the
+  *    both-tables wall, band-adjusted against the same-run CC build;
+  *  - item 3: the `parentForest` certificate build vs the same-run CC
+  *    wall (the ≤1× goal, re-measured after the persist/repartition
+  *    rework), certificate rows still exactly the spanning bound;
+  *  - item 5: the replacement-edge repair at BATCH scale — cut(N) in
+  *    ONE delete (the bulk-retirement shape; most cuts re-witness on
+  *    this dense bipartite corpus) and a leaf-cut wave built from
+  *    forest-degree-1 vertices (true splits, N new singletons), each
+  *    verified `repaired ≡ refreshed` by row count, component count
+  *    AND a bit_xor row fingerprint.
+  *
+  * Results land in BASELINE.md per round.
+  */
+object ForestScaleStress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val batchN = if (args.length > 1) args(1).toInt else 1000
+    val spark = Round15Tools.session()
+    val raw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").cast("long").as("src"),
+        (col("l_partkey").cast("long") + 4000000000L).as("dst"))
+      .distinct()
+      .localCheckpoint()
+    val verts = raw.select(col("src").as("id"))
+      .union(raw.select(col("dst"))).distinct().localCheckpoint()
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"FORESTSCALE $label%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val name = "stress_fs"
+    val g = graft.core.Graph.index(verts, raw, directed = true)
+    timed(s"build(${raw.count()})") {
+      graft.sources.GraphIO.writeBucketed(g, name, buckets = 32)
+    }
+    // the band ruler every other row is quoted against
+    timed("components-build") {
+      graft.sources.GraphIO.buildComponents(spark, name)
+    }
+    // item 3: the BFS certificate build after the sym persist/
+    // repartition rework — target ≤ 1× the components-build wall
+    timed("forest-build") {
+      graft.sources.GraphIO.buildForest(spark, name)
+    }
+    val fs = graft.sources.GraphIO.forestStats(spark, name).head()
+    println(s"FORESTSCALE stats rows=${fs.getAs[Long]("forest_rows")} " +
+      s"bound=${fs.getAs[Long]("spanning_bound")} " +
+      f"ratio=${fs.getAs[Double]("bloat_ratio")}%.4f")
+    // item 2: the scoped face vs the both-tables wall
+    timed("refresh-labels") {
+      graft.sources.GraphIO.refreshLabels(spark, name)
+    }
+    timed("refresh-both") {
+      graft.sources.GraphIO.refreshComponents(spark, name)
+    }
+
+    def compFingerprint(): (Long, Long, Long) = {
+      val c = graft.sources.GraphIO.readComponents(spark, name)
+      val r = c.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("component")).as("k"),
+        expr("bit_xor(xxhash64(id, component))").as("fp")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // raw edges keyed by the same surrogate hash the index uses, for
+    // classifying batches by certificate membership (public function,
+    // replayed here — the ForestGuardStress device)
+    def keyed(): DataFrame = raw.select(
+      col("src"), col("dst"),
+      xxhash64(col("src").cast("string")).as("ks"),
+      xxhash64(col("dst").cast("string")).as("kd"))
+      .select(col("src"), col("dst"),
+        least(col("ks"), col("kd")).as("fsrc"),
+        greatest(col("ks"), col("kd")).as("fdst"))
+
+    // item 5a: cut(N) in ONE batch — arbitrary certificate edges (most
+    // re-witness through the dense non-forest mass)
+    val forest1 = graft.sources.GraphIO.readForest(spark, name)
+      .select(col("src").as("fsrc"), col("dst").as("fdst"))
+    val cutBatch = keyed().join(forest1, Seq("fsrc", "fdst"), "left_semi")
+      .select(col("src"), col("dst"))
+      .orderBy(col("src"), col("dst")).limit(batchN).localCheckpoint()
+    println(s"FORESTSCALE cut-batch=${cutBatch.count()}")
+    timed(s"delete-cutbatch($batchN)") {
+      graft.sources.GraphIO.deleteEdges(spark, name, cutBatch)
+    }
+    val (n1, k1, f1) = compFingerprint()
+    timed("refresh-after-cutbatch") {
+      graft.sources.GraphIO.refreshComponents(spark, name)
+    }
+    val (n1r, k1r, f1r) = compFingerprint()
+    println(s"FORESTSCALE cutbatch repaired=(n=$n1,k=$k1,fp=$f1) " +
+      s"refreshed=(n=$n1r,k=$k1r,fp=$f1r) " +
+      s"exact=${(n1, k1, f1) == ((n1r, k1r, f1r))}")
+
+    // item 5b: leaf-cut(N) — certificate edges whose canonical SRC side
+    // is a forest-degree-1 vertex: cutting them strands true singletons,
+    // the maximal-split shape of a batch retirement. Read the forest
+    // FRESH (the refresh above rebuilt it).
+    val forest2 = graft.sources.GraphIO.readForest(spark, name)
+      .select(col("src"), col("dst")).localCheckpoint()
+    val fdeg = forest2.select(col("src").as("_vid"))
+      .unionAll(forest2.select(col("dst").as("_vid")))
+      .groupBy(col("_vid")).agg(count(lit(1)).as("_d"))
+      .filter(col("_d") === 1L).select(col("_vid"))
+    val leafPairs = forest2
+      .join(fdeg.select(col("_vid").as("src")), Seq("src"), "left_semi")
+      .select(col("src").as("fsrc"), col("dst").as("fdst"))
+    val leafBatch = keyed().join(leafPairs, Seq("fsrc", "fdst"), "left_semi")
+      .select(col("src"), col("dst"))
+      .orderBy(col("src"), col("dst")).limit(batchN).localCheckpoint()
+    println(s"FORESTSCALE leaf-batch=${leafBatch.count()}")
+    timed(s"delete-leafbatch($batchN)") {
+      graft.sources.GraphIO.deleteEdges(spark, name, leafBatch)
+    }
+    val (n2, k2, f2) = compFingerprint()
+    timed("refresh-after-leafbatch") {
+      graft.sources.GraphIO.refreshComponents(spark, name)
+    }
+    val (n2r, k2r, f2r) = compFingerprint()
+    println(s"FORESTSCALE leafbatch repaired=(n=$n2,k=$k2,fp=$f2) " +
+      s"refreshed=(n=$n2r,k=$k2r,fp=$f2r) " +
+      s"exact=${(n2, k2, f2) == ((n2r, k2r, f2r))}")
+    Seq("vertices", "edges", "degrees", "components", "forest",
+      "refresh_pending").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+    spark.sql(s"DROP TABLE IF EXISTS ${name}__epoch")
+    spark.stop()
+  }
+}
+
+private object Round15Tools {
+  def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -325,6 +325,51 @@ class StreamingSpec extends SparkSpec {
     assert(rowSet(got.pairs(0.4)).nonEmpty)
   }
 
+  test("mergeStream bucket-health hook: a boilerplate flood trips the metric; clean ingest reads clean") {
+    import spark.implicits._
+    import graft.dedup.DedupIndex
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    def dropAll(): Unit =
+      Seq("clusters", "shingles", "buckets", "meta", "nearclusters", "nclmeta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS bhidx_$t"))
+    val base = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "completely different text about spark catalyst optimizer plans")
+    DedupIndex.writeBucketed(
+      DedupIndex.build(base, "doc_id", "text"), "bhidx", numBuckets = 4)
+    try {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      val stream = MemoryStream[(Long, String)]
+      val ckpt = java.nio.file.Files.createTempDirectory("bhidx_ckpt").toString
+      val q = DedupIndex.mergeStream(
+          stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          "bhidx", numBuckets = 4,
+          bucketCheckEvery = 1,
+          bucketListener = Some(r => seen.synchronized { seen += r }),
+          statsBucketCap = 4)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        // clean batch: distinct vocabularies — the cap never bites
+        stream.addData((10L to 14L).map(i =>
+          i -> (1 to 12).map(j => s"v${i}_$j").mkString(" ")))
+        q.processAllAvailable()
+        assert(seen.synchronized(seen.nonEmpty))
+        assert(seen.synchronized(seen.last).getAs[Double]("capped_row_fraction") === 0.0)
+        // boilerplate flood: 25 near-identical docs — the same cadence
+        // pass now reports hot buckets and discarded candidate mass
+        val prefix = (1 to 60).map(i => s"tok$i").mkString(" ")
+        stream.addData((100L to 124L).map(i => i -> s"$prefix suffix$i"))
+        q.processAllAvailable()
+        val last = seen.synchronized(seen.last)
+        assert(last.getAs[Long]("hot_bucket_count") >= 8L,
+          "the flood must trip the hot-bucket metric on the ingest cadence")
+        assert(last.getAs[Double]("capped_row_fraction") > 0.3)
+      } finally q.stop()
+    } finally dropAll()
+  }
+
   test("DedupIndex.deleteStream: CDC deletes erase per micro-batch; redelivery removes nothing") {
     import spark.implicits._
     import graft.dedup.DedupIndex

@@ -500,6 +500,39 @@ class TextDedupSpec extends SparkSpec {
       s"bucket-keyed agg should reuse write-time bucketing:\n$aggPlan")
   }
 
+  test("bucketStats: boilerplate-heavy corpus trips the hot-bucket metric; diverse corpus stays clean") {
+    import graft.dedup.DedupIndex
+    // 30 near-identical docs: a 60-token shared template + one distinct
+    // suffix token each. Distinct sha256 -> 30 representatives, but ~58
+    // of each doc's 59 shingles are shared, so most bands hash all 30
+    // reps into ONE (band, bucket) key — the recall-eroding shape the
+    // metric exists to surface
+    val prefix = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val boiler = docs((1L to 30L).map(i => i -> s"$prefix suffix$i"): _*)
+    val hotIdx = DedupIndex.build(boiler, "doc_id", "text",
+      shingleSize = 3, numHashes = 128, bands = 32)
+    val hot = DedupIndex.bucketStats(hotIdx, maxBucketSize = 4).head()
+    assert(hot.getAs[Long]("bucket_rows") === 30L * 32L,
+      "one bucket row per representative per band")
+    assert(hot.getAs[Long]("hot_bucket_count") >= 8L,
+      "the shared template must concentrate most bands past the cap")
+    assert(hot.getAs[Double]("capped_row_fraction") > 0.3,
+      "a large fraction of candidate mass sits in dropped buckets")
+    assert(hot.getAs[Long]("max_occupancy") >= 10L)
+
+    // 30 docs over DISJOINT vocabularies: every bucket holds one rep
+    // (xxhash64 collisions aside) — the cap never bites
+    val clean = docs((1L to 30L).map(i =>
+      i -> (1 to 12).map(j => s"w${i}_$j").mkString(" ")): _*)
+    val cleanIdx = DedupIndex.build(clean, "doc_id", "text",
+      shingleSize = 3, numHashes = 128, bands = 32)
+    val ok = DedupIndex.bucketStats(cleanIdx, maxBucketSize = 4).head()
+    assert(ok.getAs[Long]("bucket_rows") === 30L * 32L)
+    assert(ok.getAs[Long]("hot_bucket_count") === 0L)
+    assert(ok.getAs[Double]("capped_row_fraction") === 0.0)
+    assert(ok.getAs[Long]("occupancy_p99") <= 2L)
+  }
+
   test("DedupIndex.merge: incremental append equals whole-corpus rebuild") {
     import graft.dedup.DedupIndex
     val base = docs(
