@@ -39,20 +39,37 @@ object ForestScaleStress {
       println(f"FORESTSCALE $label%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
+    // the Bench calibration convention carried into the stress record:
+    // a fixed 2M-row/1000-group shuffle probe between phases, so each
+    // row's HOST band is written next to it (this host swings 2–4.5×
+    // WITHIN a run — round-14/15 notes in BASELINE.md)
+    def calib(at: String): Unit = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 2000000L, 1L, 8)
+        .select(pmod(hash(col("id")), lit(1000)).as("k"))
+        .groupBy(col("k")).count()
+        .agg(sum(col("count"))).collect()
+      val label = s"calib[$at]"
+      println(f"FORESTSCALE $label%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    calib("warmup"); calib("start")
     val name = "stress_fs"
     val g = graft.core.Graph.index(verts, raw, directed = true)
     timed(s"build(${raw.count()})") {
       graft.sources.GraphIO.writeBucketed(g, name, buckets = 32)
     }
+    calib("pre-cc")
     // the band ruler every other row is quoted against
     timed("components-build") {
       graft.sources.GraphIO.buildComponents(spark, name)
     }
+    calib("pre-forest")
     // item 3: the BFS certificate build after the sym persist/
     // repartition rework — target ≤ 1× the components-build wall
     timed("forest-build") {
       graft.sources.GraphIO.buildForest(spark, name)
     }
+    calib("post-forest")
     val fs = graft.sources.GraphIO.forestStats(spark, name).head()
     println(s"FORESTSCALE stats rows=${fs.getAs[Long]("forest_rows")} " +
       s"bound=${fs.getAs[Long]("spanning_bound")} " +
@@ -61,9 +78,11 @@ object ForestScaleStress {
     timed("refresh-labels") {
       graft.sources.GraphIO.refreshLabels(spark, name)
     }
+    calib("post-rlabels")
     timed("refresh-both") {
       graft.sources.GraphIO.refreshComponents(spark, name)
     }
+    calib("post-rboth")
 
     def compFingerprint(): (Long, Long, Long) = {
       val c = graft.sources.GraphIO.readComponents(spark, name)
@@ -95,6 +114,7 @@ object ForestScaleStress {
     timed(s"delete-cutbatch($batchN)") {
       graft.sources.GraphIO.deleteEdges(spark, name, cutBatch)
     }
+    calib("post-cutbatch")
     val (n1, k1, f1) = compFingerprint()
     timed("refresh-after-cutbatch") {
       graft.sources.GraphIO.refreshComponents(spark, name)
@@ -124,6 +144,7 @@ object ForestScaleStress {
     timed(s"delete-leafbatch($batchN)") {
       graft.sources.GraphIO.deleteEdges(spark, name, leafBatch)
     }
+    calib("post-leafbatch")
     val (n2, k2, f2) = compFingerprint()
     timed("refresh-after-leafbatch") {
       graft.sources.GraphIO.refreshComponents(spark, name)
