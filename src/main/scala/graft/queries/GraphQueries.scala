@@ -405,6 +405,54 @@ object GraphQueries {
         .select(col("old_id").as("member_id"), col("component_rep")))
     }),
 
+    "g64_refresh_labels" -> ((s, d) => {
+      // the r15 SCOPED-refresh face under the value gate: g62's
+      // lifecycle (cust–nation–region triangles, components + forest
+      // maintained, two delete waves) EXTENDED by a re-bridging append
+      // — the mod-15 customers the waves stranded get their nation edge
+      // back, a component-crossing append that merges their singletons
+      // into the region group and witnesses itself in the certificate —
+      // and closed by refreshLabels: the labels-only rebuild must agree
+      // with both the maintained labels it replaces (repair/merge ≡
+      // rebuild, spec-pinned) and the closed form, while leaving the
+      // maintained certificate untouched. With everyone re-attached the
+      // closed form loses g62's stranded CASE: every member labels at
+      // its region group's min nation key.
+      val cust = customer(s, d)
+        .filter(pmod(col("c_custkey"), lit(2L)) === 1L)
+        .select(
+          (col("c_custkey").cast("long") + 10000L).as("cid"),
+          col("c_nationkey").cast("long").as("nk"))
+      val nat = nation(s, d).select(
+        col("n_nationkey").cast("long").as("nk"),
+        (col("n_regionkey").cast("long") + 1000L).as("rk"))
+      val e1 = cust.select(col("cid").as("src"), col("nk").as("dst"))
+      val e2 = cust.join(nat, Seq("nk"))
+        .select(col("cid").as("src"), col("rk").as("dst"))
+      val e3 = nat.select(col("nk").as("src"), col("rk").as("dst"))
+      val rawE = e1.unionByName(e2).unionByName(e3)
+      val rawV = rawE.select(col("src").as("id"))
+        .union(rawE.select(col("dst"))).distinct()
+      val name = freshStoreName("g64rl", d)
+      graft.sources.GraphIO.writeBucketed(
+        Graph.index(rawV, rawE, directed = false), name, buckets = 8)
+      graft.sources.GraphIO.buildComponents(s, name)
+      graft.sources.GraphIO.buildForest(s, name)
+      graft.sources.GraphIO.deleteEdges(s, name,
+        e1.filter(pmod(col("src") - 10000L, lit(3L)) === 0L)
+          .unionByName(e2.filter(pmod(col("src") - 10000L, lit(5L)) === 0L)))
+      graft.sources.GraphIO.appendEdges(s, name,
+        e1.filter(pmod(col("src") - 10000L, lit(15L)) === 0L))
+      graft.sources.GraphIO.refreshLabels(s, name)
+      val v = s.table(s"${name}_vertices")
+      val m = graft.sources.GraphIO.readComponents(s, name)
+        .join(v.select(col("id"), col("old_id")), Seq("id"))
+      val reps = m.groupBy(col("component"))
+        .agg(min(col("old_id")).as("component_rep"))
+      dropStore(s, name, m.join(reps, Seq("component"))
+        .select(col("old_id").as("member_id"), col("component_rep")))
+    }),
+
     "g53_bias_baseline" -> ((s, d) => {
       // the bias-baseline predictor (r-hat = mu + b_u + b_i), the
       // standard stage BEFORE factor models: two alternating shrunk-
@@ -1913,6 +1961,24 @@ object GraphQueries {
         |  UNION ALL SELECT rep.rk, rep.rep FROM rep
         |  UNION ALL SELECT c.cid,
         |    CASE WHEN (c.cid - 10000) % 15 = 0 THEN c.cid ELSE rep.rep END
+        |  FROM cust c JOIN n ON c.nk = n.nk JOIN rep ON n.rk = rep.rk
+        |) m""".stripMargin,
+    // g64 = g62's lifecycle + a re-bridging append of the stranded
+    // mod-15 customers + a labels-only refreshLabels: with everyone
+    // re-attached the closed form is simply "every member labels at its
+    // region group's min nation key" (nation keys are the smallest
+    // original ids in each group: nk < 1000+rk < 10000+ck)
+    "g64_refresh_labels" ->
+      """WITH cust AS (SELECT CAST(c_custkey + 10000 AS BIGINT) AS cid,
+        |         CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |         WHERE c_custkey % 2 = 1),
+        |n AS (SELECT CAST(n_nationkey AS BIGINT) AS nk,
+        |        CAST(n_regionkey + 1000 AS BIGINT) AS rk FROM nation),
+        |rep AS (SELECT rk, min(nk) AS rep FROM n GROUP BY rk)
+        |SELECT m.id AS member_id, m.rep AS component_rep FROM (
+        |  SELECT n.nk AS id, rep.rep FROM n JOIN rep ON n.rk = rep.rk
+        |  UNION ALL SELECT rep.rk, rep.rep FROM rep
+        |  UNION ALL SELECT c.cid, rep.rep
         |  FROM cust c JOIN n ON c.nk = n.nk JOIN rep ON n.rk = rep.rk
         |) m""".stripMargin,
     // append ≡ whole-rebuild, so the maintained degrees ARE the distinct
