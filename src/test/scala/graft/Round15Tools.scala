@@ -161,6 +161,45 @@ object ForestScaleStress {
   }
 }
 
+/** args: SF_DIR [CAP]. The DedupIndex bucket-health pass at corpus
+  * scale (VERDICT r14 item 7's stress row): build the MinHash index
+  * over the documents table, time the ONE-PASS [[bucketStats]]
+  * aggregation against the index build it meters, and print the
+  * health row at the given hot-bucket cap — the cost an ingest
+  * cadence pays per tick.
+  */
+object BucketStatsStress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cap = if (args.length > 1) args(1).toInt else 64
+    val spark = Round15Tools.session()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val n = docs.count()
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"BUCKETSTATS $label%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val idx = timed(s"build(n=$n)") {
+      val b = graft.dedup.DedupIndex.build(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 128, bands = 32)
+      b.buckets.count(); b
+    }
+    val s = timed(s"bucketStats(cap=$cap)") {
+      graft.dedup.DedupIndex.bucketStats(idx, cap).head()
+    }
+    println(s"BUCKETSTATS rows=${s.getAs[Long]("bucket_rows")} " +
+      s"buckets=${s.getAs[Long]("distinct_buckets")} " +
+      s"max=${s.getAs[Long]("max_occupancy")} " +
+      s"p99=${s.getAs[Long]("occupancy_p99")} " +
+      s"hot=${s.getAs[Long]("hot_bucket_count")} " +
+      f"capped_frac=${s.getAs[Double]("capped_row_fraction")}%.6f")
+    spark.stop()
+  }
+}
+
 private object Round15Tools {
   def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
