@@ -20,6 +20,13 @@ import org.apache.spark.sql.SparkSession
   * on frozen code with no way to prove it from the record). Cross-round
   * comparisons quote both the raw ratio and the calibration-normalized
   * one (BASELINE.md, bench-provenance note).
+  *
+  * VERDICT r15 item 1 densified the probes: besides the pre/post
+  * bracket, one shuffle probe runs every `SPARK_GRAFT_PROBE_EVERY`
+  * (default 30) query executions and lands in
+  * `calibration_s.shuffle_probes` — the r15 bracket pair alone moved
+  * 1.7× within one sweep, so the normalization denominator needs a
+  * distribution (median of the probe array), not two samples.
   */
 object Bench {
 
@@ -90,6 +97,16 @@ object Bench {
     // together, a per-query regression inflates one query's whole array
     val passes = scala.collection.mutable.Map.empty[String, List[Double]]
     val errors = scala.collection.mutable.Map.empty[String, String]
+    // INTERLEAVED probes (VERDICT r15 item 1): the pre/post bracket pair
+    // moved 1.7× within ONE r15 sweep, so two samples cannot resolve a
+    // band that swings 4–6.5× inside a run. One fixed shuffle probe
+    // every `probeEvery` query executions stamps the band as the sweep
+    // crosses it — ~17 samples over a 3-repeat 171-query sweep at ~0.3 s
+    // each, so the denominator for the cross-round normalized ratio is a
+    // distribution, not a guess. Probe walls never enter query timings.
+    val probeEvery = sys.env.getOrElse("SPARK_GRAFT_PROBE_EVERY", "30").toInt
+    val probes = scala.collection.mutable.ListBuffer.empty[Double]
+    var executed = 0
     for (_ <- 0 until repeats; (name, fn) <- names) {
       val t0 = System.nanoTime()
       try {
@@ -102,6 +119,9 @@ object Bench {
           errors.update(name,
             (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)).take(200))
       }
+      executed += 1
+      if (probeEvery > 0 && executed % probeEvery == 0)
+        probes += shuffleProbe(spark)
     }
     // post-sweep calibration pair: the band can move WITHIN a run (the
     // r14 stress session measured 2–4.5× swings on frozen code) — two
@@ -134,7 +154,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = names.flatMap { case (k, _) => roundedPasses.get(k).map(_.min) }.sum
     val calib = s"""{"cpu_pre":${s3(cpuPre)},"cpu_post":${s3(cpuPost)},""" +
-      s""""shuffle_pre":${s3(shufPre)},"shuffle_post":${s3(shufPost)}}"""
+      s""""shuffle_pre":${s3(shufPre)},"shuffle_post":${s3(shufPost)},""" +
+      s""""probe_every":$probeEvery,""" +
+      s""""shuffle_probes":[${probes.map(s3).mkString(",")}]}"""
     val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","repeats":$repeats,"queries":$qs,"repeats_s":$reps,"calibration_s":$calib,"cpu_probe_check":$cpuCheck,"errors":$errs,"sf":"${esc(sfDir)}"}"""
     println(line)
     // the stdout tail has been truncated by log interleaving more than

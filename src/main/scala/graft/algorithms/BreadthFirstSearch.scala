@@ -156,11 +156,14 @@ object BreadthFirstSearch {
     * caller knows the reachable vertex count (`totalVertices` —
     * [[graft.sources.GraphIO.buildForest]] reads it off the narrow
     * component table), the loop declines as soon as the frontier has
-    * not grown for 4 consecutive rounds AND even `frontier ×
-    * remaining-rounds` new vertices per round cannot cover the
-    * unvisited remainder — at that point completing within the cap is
-    * impossible unless the frontier re-grows, and a wrong guess costs
-    * only the (always-correct) fallback.
+    * not grown for 4 consecutive rounds AND the round budget is mostly
+    * spent (≤ a quarter of `maxIterations` remains — ADVICE r15: an
+    * early stall on a stalk-then-hub topology says nothing about
+    * regrowth, so the bound only fires once regrowth has provably
+    * little room) AND even `frontier × remaining-rounds` new vertices
+    * per round cannot cover the unvisited remainder — at that point
+    * completing within the cap is all but impossible, and a wrong
+    * guess costs only the (always-correct) fallback.
     */
   def parentForest(
       roots: DataFrame,
@@ -197,9 +200,17 @@ object BreadthFirstSearch {
         frontierN = n
         visitedN += n
         visited = checkpoint.pin(visited.unionByName(frontier))
+        // TIGHTENED (ADVICE r15): the coverage bound assumes the
+        // frontier never regrows, which a stalk-then-hub topology (a
+        // long path into a huge star) violates — a brief stall early in
+        // a long round budget must not decline a BFS that would finish
+        // comfortably inside the cap. Require the budget to be mostly
+        // spent (last quarter) so regrowth has provably little room;
+        // a wrong guess still only defers to the correct fallback.
         declined = totalVertices.exists { total =>
           val remaining = total - visitedN
           remaining > 0L && frontierN > 0L && stall >= 4 &&
+            (maxIterations - depth) * 4 <= maxIterations &&
             frontierN * (maxIterations - depth).toLong < remaining
         }
       }

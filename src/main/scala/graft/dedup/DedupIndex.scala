@@ -167,16 +167,22 @@ object DedupIndex {
     require(maxBucketSize > 0, "bucketStats meters a positive hot-bucket cap")
     val occ = idx.buckets.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("_n"))
+    // total on empty input (ADVICE r15): a just-built or fully-deleted
+    // index has zero buckets, and the singleton agg's sum/max/percentile
+    // come back NULL there — a listener's getAs[Long] would NPE on the
+    // health row. coalesce to the zeros an empty index honestly reports.
     occ.agg(
-      sum(col("_n")).as("bucket_rows"),
+      coalesce(sum(col("_n")), lit(0L)).as("bucket_rows"),
       count(lit(1)).as("distinct_buckets"),
-      max(col("_n")).as("max_occupancy"),
-      percentile_approx(col("_n"), lit(0.99), lit(10000))
-        .cast("long").as("occupancy_p99"),
-      sum(when(col("_n") > maxBucketSize, lit(1L)).otherwise(lit(0L)))
-        .as("hot_bucket_count"),
-      (sum(when(col("_n") > maxBucketSize, col("_n")).otherwise(lit(0L)))
-        .cast("double") / sum(col("_n"))).as("capped_row_fraction"))
+      coalesce(max(col("_n")), lit(0L)).as("max_occupancy"),
+      coalesce(percentile_approx(col("_n"), lit(0.99), lit(10000))
+        .cast("long"), lit(0L)).as("occupancy_p99"),
+      coalesce(sum(when(col("_n") > maxBucketSize, lit(1L)).otherwise(lit(0L))),
+        lit(0L)).as("hot_bucket_count"),
+      coalesce(
+        sum(when(col("_n") > maxBucketSize, col("_n")).otherwise(lit(0L)))
+          .cast("double") / sum(col("_n")),
+        lit(0.0)).as("capped_row_fraction"))
   }
 
   /** [[bucketStats]] over the PERSISTED index — the face the ingest

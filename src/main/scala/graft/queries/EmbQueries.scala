@@ -8,10 +8,12 @@ import graft.similarity.{Ann, KMeans}
 /** Similarity-search queries over the `embeddings` table (64-dim float
   * vectors with a cluster `label`), plus embedding-space near-dup.
   *
-  * The oracle-checked query (e01) uses the quantized integer dot product —
-  * exact in both engines in any summation order. The approximate variants
-  * (LSH, IVF) are rows-only: their contract is recall vs e01, checked in
-  * the ScalaTest spec, not equality to an oracle.
+  * Every query here — exact (e01) AND the approximate variants (LSH,
+  * IVF, PQ, …) — is a full-hash oracle row in CORRECTNESS: since the
+  * portable-arithmetic work (r9–r11) the bucket/centroid/codebook math
+  * is bit-reproducible in DuckDB, so the oracle replays the SAME
+  * candidate generation, not just the exact baseline. Recall contracts
+  * vs e01 are additionally pinned in AnnSpec.
   */
 object EmbQueries {
   import Tables._

@@ -242,14 +242,21 @@ object GraphIO {
     * forest to the EDGES only, not to the label values. Refuses loudly
     * when an interrupted refresh left the certificate untrusted —
     * labels-only would bless exactly the phantom-witness state the
-    * marker exists to flag; re-run [[refreshComponents]] there. */
-  def refreshLabels(spark: SparkSession, name: String, maxIterations: Int = 20): Unit = {
-    require(!refreshPending(spark, name),
-      s"an interrupted refreshComponents left '$name''s certificate untrusted — " +
-        s"labels-only refresh would pair fresh labels with phantom witnesses; " +
-        s"re-run refreshComponents('$name')")
-    buildComponents(spark, name, maxIterations)
-  }
+    * marker exists to flag; re-run [[refreshComponents]] there.
+    *
+    * The pending check runs INSIDE the mutation guard (ADVICE r15): a
+    * concurrent [[refreshComponents]] that sets the marker after an
+    * unguarded check could otherwise slide this rebuild into the
+    * pending window — the epoch guard made that race benign, but the
+    * contract should not lean on that reasoning chain. */
+  def refreshLabels(spark: SparkSession, name: String, maxIterations: Int = 20): Unit =
+    mutate(spark, name) {
+      require(!refreshPending(spark, name),
+        s"an interrupted refreshComponents left '$name''s certificate untrusted — " +
+          s"labels-only refresh would pair fresh labels with phantom witnesses; " +
+          s"re-run refreshComponents('$name')")
+      buildComponents(spark, name, maxIterations)
+    }
 
   /** True while a [[refreshComponents]] pair is incomplete: set before
     * its first staged swap, cleared after its last, so a crash between
@@ -379,14 +386,24 @@ object GraphIO {
     * The stats read and the conditional rebuild run under ONE guarded
     * mutation (ADVICE r14): a concurrent append between the two would
     * otherwise make the threshold decision stale — now it aborts loudly
-    * like any other lost-update race. */
+    * like any other lost-update race.
+    *
+    * While a refresh is PENDING the pass short-circuits to false
+    * (ADVICE r15): the certificate is untrusted there, so the stats row
+    * would meter phantom witnesses, and a tripped rebuild would derive
+    * the new forest from possibly-stale labels — and the still-set
+    * marker makes the next trusting mutation drop it anyway. Only a
+    * completed [[refreshComponents]] restores a meterable state. */
   def retightenForestIfBloated(
       spark: SparkSession, name: String, maxRatio: Double = 1.5): Boolean =
     mutate(spark, name) {
-      val s = forestStats(spark, name).head()
-      if (s.getAs[Double]("bloat_ratio") > maxRatio) {
-        buildForest(spark, name); true
-      } else false
+      if (refreshPending(spark, name) || !hasForest(spark, name)) false
+      else {
+        val s = forestStats(spark, name).head()
+        if (s.getAs[Double]("bloat_ratio") > maxRatio) {
+          buildForest(spark, name); true
+        } else false
+      }
     }
 
   /** The maintained connectivity certificate: canonical (src, dst)
@@ -1302,9 +1319,16 @@ object GraphIO {
           appendEdges(spark, name, batch)
           refreshFamily(origin, name)
         }
+        // refreshPending gate (ADVICE r15): while an interrupted refresh
+        // holds the marker, the certificate is untrusted — a stats row
+        // over it would hand the listener phantom-witness "health" data,
+        // and a tripped rebuild would be dropped by the next trusting
+        // mutation anyway. Skip the cadence tick; resume once a completed
+        // refreshComponents clears the marker.
         if (bloatCheckEvery > 0 && (batchId + 1) % bloatCheckEvery == 0 &&
             (bloatListener.nonEmpty || retightenOnBloat) &&
-            spark.catalog.tableExists(s"${name}_forest")) {
+            spark.catalog.tableExists(s"${name}_forest") &&
+            !refreshPending(spark, name)) {
           // ONE stats pass serves both the listener and the compaction
           // decision; only an actual rebuild (rare by design) pays the
           // guarded re-read inside retightenForestIfBloated

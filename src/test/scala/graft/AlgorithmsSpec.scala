@@ -1067,6 +1067,16 @@ class AlgorithmsSpec extends SparkSpec {
     val f2 = graft.algorithms.BreadthFirstSearch
       .parentForest(Seq(0L).toDF(ID), stalled, totalVertices = Some(61L)).get
     assert(f2.count() === 60L)
+    // ...even when the hub OUTWEIGHS the remaining round budget (ADVICE
+    // r15): a 10-hop stalk into a 200-leaf star makes the optimistic
+    // bound UNSATISFIABLE during the stall (1 × 59 rounds < 205 left),
+    // yet BFS finishes at depth 11 — the tightened guard (decline only
+    // in the budget's last quarter) must not fire here
+    val stalkHub = ((0L until 10L).map(i => (i, i + 1)) ++
+      (100L until 300L).map(l => (9L, l))).toDF(SRC, DST)
+    val f3 = graft.algorithms.BreadthFirstSearch
+      .parentForest(Seq(0L).toDF(ID), stalkHub, totalVertices = Some(211L)).get
+    assert(f3.count() === 210L)
   }
 
   test("HyperBall harmonic numerator: exact digit string pinned at p=4") {

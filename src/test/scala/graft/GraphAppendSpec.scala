@@ -916,6 +916,15 @@ class GraphAppendSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         GraphIO.refreshLabels(spark, name)
       }
+      // the bloat meter short-circuits too (ADVICE r15): while pending,
+      // the certificate's stats would count phantom witnesses, and a
+      // tripped rebuild would be dropped by the next trusting mutation —
+      // no rebuild must run, and the table must be left untouched
+      val fFiles = tableFiles(s"${name}_forest")
+      assert(!GraphIO.retightenForestIfBloated(spark, name, maxRatio = 0.0),
+        "retighten must refuse to meter an untrusted certificate")
+      assert(tableFiles(s"${name}_forest") === fFiles,
+        "a pending-window retighten call must not touch the certificate")
       // a delete drops the untrusted certificate loudly and repairs
       // certificate-less — labels still ≡ rebuild-without
       val idOf = Graph.keyVertices(rawVerts(v0)).collect()

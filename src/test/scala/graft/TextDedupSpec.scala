@@ -531,6 +531,20 @@ class TextDedupSpec extends SparkSpec {
     assert(ok.getAs[Long]("hot_bucket_count") === 0L)
     assert(ok.getAs[Double]("capped_row_fraction") === 0.0)
     assert(ok.getAs[Long]("occupancy_p99") <= 2L)
+
+    // degenerate-but-reachable: an EMPTY index (just-built store, or a
+    // fully-deleted corpus) must report a TOTAL health row — all zeros,
+    // never NULL (ADVICE r15: a listener's getAs[Long] NPE'd here)
+    val emptyIdx = DedupIndex.build(docs(), "doc_id", "text",
+      shingleSize = 3, numHashes = 128, bands = 32)
+    val z = DedupIndex.bucketStats(emptyIdx, maxBucketSize = 4).head()
+    assert(!z.anyNull, "the empty-index health row must be total")
+    assert(z.getAs[Long]("bucket_rows") === 0L)
+    assert(z.getAs[Long]("distinct_buckets") === 0L)
+    assert(z.getAs[Long]("max_occupancy") === 0L)
+    assert(z.getAs[Long]("occupancy_p99") === 0L)
+    assert(z.getAs[Long]("hot_bucket_count") === 0L)
+    assert(z.getAs[Double]("capped_row_fraction") === 0.0)
   }
 
   test("DedupIndex.merge: incremental append equals whole-corpus rebuild") {
