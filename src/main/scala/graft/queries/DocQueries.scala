@@ -101,6 +101,82 @@ object DocQueries {
       }
   }
 
+  /** d38's synthetic crawled page, built from the documents row
+    * identically in BOTH engines (ONE template, two renderings): Left =
+    * literal HTML, Right = a column stringified into the page. The
+    * `__paras__` piece splits the text into one <p> per sentence. The
+    * chrome is deliberately adversarial: head content that must vanish
+    * wholesale, a link-dense nav, an entity-bearing meta line that is
+    * long enough to SURVIVE the block filter (so entity decoding is
+    * oracle-checked inside main_text, not only full_text), and a
+    * pure-link footer. */
+  private val htmlPageTemplate: Seq[Either[String, String]] = Seq(
+    Left("<html><head><title>Doc "), Right("doc_id"),
+    Left("</title><style>p { color: #222 }</style><script>track(1);" +
+      "</script></head><body><nav><a href=\"/\">home</a> " +
+      "<a href=\"/sources\">sources</a> <a href=\"/about\">about</a></nav><h1>"),
+    Right("source"), Left(" document "), Right("doc_id"),
+    Left("</h1><p>"), Right("__paras__"),
+    Left("</p><div class=\"meta\">language: "), Right("lang"),
+    Left(" &amp; characters: "), Right("n_chars"),
+    Left("</div><footer><a href=\"/tos\">terms of service</a> " +
+      "<a href=\"/privacy\">privacy policy</a></footer></body></html>"))
+
+  private def htmlPageCol: org.apache.spark.sql.Column =
+    concat(htmlPageTemplate.map {
+      case Left(s) => lit(s)
+      case Right("__paras__") => regexp_replace(col("text"), "\\. ", ".</p><p>")
+      case Right(c) => col(c).cast("string")
+    }: _*)
+
+  private def htmlPageSql: String =
+    htmlPageTemplate.map {
+      case Left(s) => "'" + s.replace("'", "''") + "'"
+      case Right("__paras__") => "regexp_replace(text, '\\. ', '.</p><p>', 'g')"
+      case Right(c) => s"CAST($c AS VARCHAR)"
+    }.mkString(" || ")
+
+  /** d39's synthetic crawl URLs — ONE template rendered by both engines
+    * (the [[htmlPageTemplate]] convention), five branches keyed on
+    * `doc_id % 5` covering the canonicalization surface: uppercase
+    * scheme/host, both default ports, userinfo, fragments, `utm_*` /
+    * `gclid` / `fbclid` / `ref` tracking params mixed with genuine
+    * ones, a multi-part TLD, and deep subdomains. */
+  private val urlBranches: Seq[Seq[Either[String, String]]] = Seq(
+    Seq(Left("HTTP://WWW.Example.COM:80/a/"), Right("doc_id"),
+      Left("?utm_source=feed&id="), Right("doc_id"), Left("&utm_campaign=x#frag")),
+    Seq(Left("https://blog.Example.co.uk:443/posts?ref=tw&q="), Right("source")),
+    Seq(Left("https://user:pw@Tracker.ADS.net/pixel?gclid=abc"), Right("doc_id")),
+    Seq(Left("http://mirror.data.org/set/"), Right("mod7"), Left("?page=2&fbclid=xyz")),
+    Seq(Left("https://"), Right("source"), Left(".news.example.org/articles/"),
+      Right("doc_id"), Left("#top")))
+
+  /** d39's blocklist: one multi-part-TLD domain, one plain. */
+  private val BlockedDomains = Seq("ads.net", "example.co.uk")
+
+  private def rawUrlCol: org.apache.spark.sql.Column = {
+    def piece(p: Either[String, String]) = p match {
+      case Left(s) => lit(s)
+      case Right("mod7") => pmod(col("doc_id"), lit(7L)).cast("string")
+      case Right(c) => col(c).cast("string")
+    }
+    val m = pmod(col("doc_id"), lit(5L))
+    urlBranches.zipWithIndex.foldLeft(lit("")) { case (acc, (ps, i)) =>
+      when(m === i.toLong, concat(ps.map(piece): _*)).otherwise(acc)
+    }
+  }
+
+  private def rawUrlSql: String = {
+    def piece(p: Either[String, String]) = p match {
+      case Left(s) => "'" + s.replace("'", "''") + "'"
+      case Right("mod7") => "CAST(doc_id % 7 AS VARCHAR)"
+      case Right(c) => s"CAST($c AS VARCHAR)"
+    }
+    "CASE doc_id % 5 " + urlBranches.zipWithIndex.map { case (ps, i) =>
+      s"WHEN $i THEN " + ps.map(piece).mkString(" || ")
+    }.mkString(" ") + " ELSE '' END"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> ((s, d) =>
       Dedup.exactGroups(documents(s, d), "doc_id", "text")
@@ -467,6 +543,66 @@ object DocQueries {
       DedupIndex.deleteBucketed(s, name, del, "doc_id", numBuckets = 8)
       DedupIndex.readBucketed(s, name)
         .clusterAssignFrom(DedupIndex.readNearClusters(s, name), "doc_id")
+    }),
+
+    "d38_html_extract" -> ((s, d) => {
+      // raw-HTML ingestion (VERDICT r15 item 3): the corpus ships plain
+      // text, so each doc is first wrapped into a deterministic crawled
+      // page — title/style/script head, link-dense nav, headline,
+      // sentence-per-<p> body, entity-bearing meta line, footer chrome —
+      // and the page is what the operator sees. Output is BOTH faces:
+      // extractMainText (jusText-shaped block filter: nav/footer/meta
+      // chrome drops, prose + headline survive) and stripMarkup (tag
+      // strip only — boilerplate text kept). Pure codegen'd column maps,
+      // no shuffle; the oracle rebuilds the same page and replays every
+      // regex pass (graft.text.Html.Sql mirrors).
+      val html = htmlPageCol
+      documents(s, d).select(
+        col("doc_id"),
+        graft.text.Html.extractMainText(html).as("main_text"),
+        size(graft.text.Html.blocks(html)).as("n_blocks"),
+        graft.text.Html.stripMarkup(html).as("full_text"))
+    }),
+
+    "d40_link_graph" -> ((s, d) => {
+      // outlink extraction (the crawl-graph feeder): each synthetic page
+      // carries one absolute link (the doc's d39 URL — double-quoted)
+      // plus relative chrome links (one single-quoted), and the whole
+      // path — extract, absolute/relative split, canonicalization,
+      // registrable domain of the first outlink — is a per-row
+      // zero-shuffle column map over the corpus.
+      import graft.text.{Html, Urls}
+      val page = concat(
+        lit("<html><body><nav><a href=\"/\">home</a></nav><p>see <a href=\""),
+        rawUrlCol, lit("\">ref</a> and <a href='/docs/local'>local</a> for "),
+        col("source"), lit("</p></body></html>"))
+      val links = Html.extractLinks(page)
+      val abs = filter(links, h => Urls.urlScheme(h) =!= lit(""))
+      documents(s, d).select(
+        col("doc_id"),
+        size(links).as("n_links"),
+        size(abs).as("n_abs"),
+        when(size(abs) > 0,
+          Urls.registrableDomain(Urls.urlHost(element_at(abs, 1))))
+          .otherwise(lit("")).as("domain"))
+    }),
+
+    "d39_url_canonicalize" -> ((s, d) => {
+      // URL-level crawl curation (VERDICT r15 item 4): canonicalize the
+      // synthetic crawl URL (case, default ports, userinfo, fragments,
+      // tracking params), extract the registrable domain, and gate
+      // against the blocklist via Urls.hostGate — a broadcast anti-join,
+      // the crawl side never shuffles. All codegen'd column maps; the
+      // oracle replays the same regex passes (Urls.Sql) and the gate as
+      // NOT IN.
+      import s.implicits._
+      import graft.text.Urls
+      val withUrl = documents(s, d).select(col("doc_id"), rawUrlCol.as("url"))
+      Urls.hostGate(withUrl, "url", BlockedDomains.toDF("domain"))
+        .select(
+          col("doc_id"),
+          Urls.canonicalizeUrl(col("url")).as("url_canonical"),
+          Urls.registrableDomain(Urls.urlHost(col("url"))).as("domain"))
     }),
 
     "d13_mixture_sample" -> ((s, d) => {
@@ -1862,6 +1998,48 @@ object DocQueries {
       ("WITH RECURSIVE rem AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),\n" +
         clusterClosureSqlOver("rem") + "\n" +
         "SELECT m.doc_id, c.cluster_id FROM mem m JOIN comp c ON c.id = m.rep"),
+    // full raw-HTML replay: the page template rendered by the same
+    // Left/Right pieces, then every regex pass of graft.text.Html
+    // mirrored via Html.Sql (patterns identical modulo \t-escape
+    // spelling; DuckDB regexp_replace carries the explicit 'g')
+    "d38_html_extract" ->
+      s"""WITH page AS (SELECT doc_id, $htmlPageSql AS html FROM documents)
+         |SELECT doc_id,
+         |  ${graft.text.Html.Sql.extractMainText("html")} AS main_text,
+         |  CAST(len(${graft.text.Html.Sql.blocks("html")}) AS INTEGER) AS n_blocks,
+         |  ${graft.text.Html.Sql.stripMarkup("html")} AS full_text
+         |FROM page""".stripMargin,
+    // same page build, extraction + scheme split + domain replayed with
+    // Html.Sql.extractLinks / Urls.Sql inside list lambdas
+    "d40_link_graph" ->
+      s"""WITH u AS (SELECT doc_id, source, $rawUrlSql AS url FROM documents),
+         |p AS (SELECT doc_id,
+         |  '<html><body><nav><a href="/">home</a></nav><p>see <a href="' || url ||
+         |  '">ref</a> and <a href=''/docs/local''>local</a> for ' || source ||
+         |  '</p></body></html>' AS html FROM u),
+         |l AS (SELECT doc_id, ${graft.text.Html.Sql.extractLinks("html")} AS links FROM p),
+         |a AS (SELECT doc_id, links,
+         |  list_filter(links, h -> ${graft.text.Urls.Sql.urlScheme("h")} <> '') AS abs
+         |FROM l)
+         |SELECT doc_id,
+         |  CAST(len(links) AS INTEGER) AS n_links,
+         |  CAST(len(abs) AS INTEGER) AS n_abs,
+         |  CASE WHEN len(abs) > 0
+         |    THEN ${graft.text.Urls.Sql.registrableDomain(graft.text.Urls.Sql.urlHost("abs[1]"))}
+         |    ELSE '' END AS domain
+         |FROM a""".stripMargin,
+    // same URL template, same regex passes (Urls.Sql); the broadcast
+    // anti-join gate replays as NOT IN on the registrable domain
+    "d39_url_canonicalize" ->
+      s"""WITH u AS (SELECT doc_id, $rawUrlSql AS url FROM documents),
+         |d AS (SELECT doc_id, url,
+         |  ${graft.text.Urls.Sql.registrableDomain(graft.text.Urls.Sql.urlHost("url"))} AS domain
+         |FROM u)
+         |SELECT doc_id,
+         |  ${graft.text.Urls.Sql.canonicalizeUrl("url")} AS url_canonical,
+         |  domain
+         |FROM d
+         |WHERE domain NOT IN (${BlockedDomains.map(b => s"'$b'").mkString(", ")})""".stripMargin,
     // the shared cluster closure + t02's bit-identical quality formula;
     // the survivor pick replayed as a window (quality DESC, doc_id ASC)
     // — equivalent to the Spark side's lexicographic struct max

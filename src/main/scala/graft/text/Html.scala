@@ -1,0 +1,221 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Raw-HTML ingestion: markup strip + boilerplate block filtering —
+  * the stage every crawled-corpus pipeline runs BEFORE the text surface
+  * ([[TextFunctions.qualityScore]], dedup, PII) sees a byte (VERDICT
+  * r15 item 3; the reference's tests feed plain text, so this is
+  * engine-added surface like the rest of the LLM-pipeline family).
+  *
+  * Everything is a pure `Column` composition of built-in regexp/array
+  * functions — codegen'd, zero shuffle, same contract as
+  * [[TextFunctions]] — so extraction runs as a narrow map over a
+  * 100 TB crawl with no exchange of its own. The design follows the
+  * published jusText/trafilatura shape: drop non-content elements
+  * outright, split what remains into BLOCKS at block-level tag
+  * boundaries, then keep blocks that look like prose (enough
+  * characters, low link density) and drop navigation/footer chrome
+  * (short, link-dense).
+  *
+  * Cross-engine notes (the DuckDB oracle replays every step): patterns
+  * avoid Java-only regex features — no backreferences (script/style get
+  * one alternation each instead of `</\1>`), no lookaround, explicit
+  * `[ \t\n\r]` whitespace classes (Java `\s` and RE2 `\s` disagree on
+  * vertical tab) — so Java regex (Spark) and RE2 (DuckDB) match
+  * identically. Entity decoding handles the five XML named entities +
+  * `&nbsp;` as literal replaces AFTER tag stripping; numeric character
+  * references are out of scope (a production pipeline puts a full
+  * entity table in a native expression, the [[graft.functions.BpeCount]]
+  * pattern).
+  */
+object Html {
+
+  /** Elements whose CONTENT is dropped wholesale (not just the tags):
+    * code, styling, and non-rendered metadata. One alternation per
+    * element because RE2 has no backreferences. */
+  private val DropContent = Seq("script", "style", "noscript", "svg", "head")
+
+  /** Block-level boundary tags — opening OR closing occurrences split
+    * the document into candidate text blocks (inline tags like <a>,
+    * <b>, <span> do NOT split: their text belongs to the enclosing
+    * block). */
+  val BlockTags: Seq[String] = Seq(
+    "p", "div", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
+    "table", "tr", "td", "th", "section", "article", "header", "footer",
+    "nav", "aside", "blockquote", "pre", "form", "main", "body", "html",
+    "title", "br", "hr")
+
+  private val blockSplitPattern =
+    "(?i)</?(?:" + BlockTags.mkString("|") + ")(?:[ \t\n\r][^>]*)?/?>"
+
+  /** Strip comments and drop-content elements (script/style/…): the
+    * shared first pass of [[stripMarkup]] and [[blocks]]. */
+  def dropNonContent(html: Column): Column = {
+    val noComments = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    DropContent.foldLeft(noComments) { (c, tag) =>
+      regexp_replace(c, s"(?is)<$tag(?:[ \t\n\r][^>]*)?>.*?</$tag[ \t\n\r]*>", " ")
+    }
+  }
+
+  /** Remove every remaining tag and decode the named entities; collapse
+    * runs of whitespace to one space and trim. The TAG-ONLY strip —
+    * fast path when block filtering is not wanted. */
+  def stripTags(fragment: Column): Column =
+    normalizeSpace(decodeEntities(
+      regexp_replace(fragment, "<[^>]*>", " ")))
+
+  /** The five XML named entities + `&nbsp;`, decoded AFTER tag
+    * stripping (`&amp;` last, the standard double-escape order). */
+  def decodeEntities(text: Column): Column = {
+    val steps: Seq[(String, String)] = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    steps.foldLeft(text) { case (c, (from, to)) => regexp_replace(c, from, to) }
+  }
+
+  private def normalizeSpace(text: Column): Column =
+    trim(regexp_replace(text, "[ \t\n\r]+", " "))
+
+  /** Whole-document markup strip: comments + script/style content out,
+    * all tags out, entities decoded, whitespace normalized. The
+    * boilerplate REMAINS (nav text, footers) — use [[extractMainText]]
+    * to drop it. */
+  def stripMarkup(html: Column): Column = stripTags(dropNonContent(html))
+
+  /** Candidate text blocks with per-block boilerplate features — an
+    * array of structs `(text, n_chars, link_chars)`:
+    *
+    *  - `text`: the block's visible text (tags stripped, entities
+    *    decoded, space-normalized); empty blocks are dropped here so
+    *    downstream counts are split-semantics-independent;
+    *  - `n_chars`: its length;
+    *  - `link_chars`: characters of visible text sitting INSIDE
+    *    `<a>…</a>` — `link_chars / n_chars` is the jusText link
+    *    density, the single most effective chrome discriminator
+    *    (menus are nearly 100% anchor text, prose nearly 0%).
+    */
+  def blocks(html: Column): Column = {
+    val raw = split(dropNonContent(html), blockSplitPattern)
+    val withFeatures = transform(raw, b => {
+      val anchorTexts =
+        regexp_extract_all(b,
+          lit("(?is)<a(?:[ \t\n\r][^>]*)?>(.*?)</a[ \t\n\r]*>"), lit(1))
+      val linkChars = aggregate(
+        anchorTexts, lit(0L),
+        (acc, a) => acc + length(stripTags(a)).cast("long"))
+      val text = stripTags(b)
+      struct(
+        text.as("text"),
+        length(text).cast("long").as("n_chars"),
+        linkChars.as("link_chars"))
+    })
+    filter(withFeatures, b => b.getField("n_chars") > 0L)
+  }
+
+  /** Boilerplate-filtered extraction: keep blocks with at least
+    * `minChars` of visible text and link density at most
+    * `maxLinkDensity`, joined with newlines — the trafilatura-lite main
+    * text. Short link-dense chrome (navigation, footers, tag clouds,
+    * cookie banners) drops; prose survives.
+    *
+    * Density compares as `link_chars * DENSITY_SCALE <= maxLinkDensity
+    * * n_chars * DENSITY_SCALE` in exact integers (both sides Long), so
+    * the oracle replays the predicate with no float rounding concerns —
+    * `maxLinkDensity` is quantized to 1/1000ths. */
+  def extractMainText(
+      html: Column, minChars: Int = 25, maxLinkDensity: Double = 0.33): Column = {
+    val mil = math.round(maxLinkDensity * 1000).toInt
+    val kept = filter(blocks(html), b =>
+      b.getField("n_chars") >= minChars.toLong &&
+        b.getField("link_chars") * lit(1000L) <= b.getField("n_chars") * lit(mil.toLong))
+    array_join(transform(kept, _.getField("text")), "\n")
+  }
+
+  /** All `href` attribute values of `<a>` tags — double-quoted
+    * attributes first, then single-quoted, each group in document
+    * order — the outlink extractor feeding a crawl graph (pair with
+    * [[Urls.canonicalizeUrl]] / [[Urls.registrableDomain]] and
+    * [[graft.core.Graph.index]] to build page→domain edges). Handles
+    * single- and double-quoted attributes anywhere in the tag; relative
+    * URLs come back as written (resolution against a base URL is the
+    * caller's join). */
+  def extractLinks(html: Column): Column = {
+    val cleaned = dropNonContent(html)
+    val dq = regexp_extract_all(cleaned,
+      lit("(?is)<a[ \t\n\r][^>]*href[ \t\n\r]*=[ \t\n\r]*\"([^\"]*)\""), lit(1))
+    val sq = regexp_extract_all(cleaned,
+      lit("(?is)<a[ \t\n\r][^>]*href[ \t\n\r]*=[ \t\n\r]*'([^']*)'"), lit(1))
+    concat(dq, sq)
+  }
+
+  /** DuckDB-dialect SQL mirrors of every op above, for the oracle gate:
+    * each takes a SQL expression string and wraps it in the SAME regex
+    * passes the Column face applies (patterns byte-identical modulo
+    * whitespace-escape spelling — the Column face embeds real tab/LF
+    * characters, the SQL face spells `\t`/`\n`, which RE2 reads as the
+    * same characters). DuckDB `regexp_replace` is first-match-only by
+    * default, hence the explicit 'g' everywhere. */
+  object Sql {
+    private def replaceAll(e: String, pat: String, rep: String): String =
+      s"regexp_replace($e, '$pat', '$rep', 'g')"
+
+    def dropNonContent(e: String): String =
+      DropContent.foldLeft(replaceAll(e, "(?s)<!--.*?-->", " ")) { (c, tag) =>
+        replaceAll(c,
+          s"(?is)<$tag(?:[ \\t\\n\\r][^>]*)?>.*?</$tag[ \\t\\n\\r]*>", " ")
+      }
+
+    def decodeEntities(e: String): String = {
+      val steps: Seq[(String, String)] = Seq(
+        "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "''", "&apos;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
+      steps.foldLeft(e) { case (c, (from, to)) => replaceAll(c, from, to) }
+    }
+
+    def normalizeSpace(e: String): String =
+      s"trim(${replaceAll(e, "[ \\t\\n\\r]+", " ")})"
+
+    def stripTags(e: String): String =
+      normalizeSpace(decodeEntities(replaceAll(e, "<[^>]*>", " ")))
+
+    def stripMarkup(e: String): String = stripTags(dropNonContent(e))
+
+    private val blockSplitSql =
+      "(?i)</?(?:" + BlockTags.mkString("|") + ")(?:[ \\t\\n\\r][^>]*)?/?>"
+    private val anchorSql =
+      "(?is)<a(?:[ \\t\\n\\r][^>]*)?>(.*?)</a[ \\t\\n\\r]*>"
+
+    def blocks(e: String): String = {
+      val linkChars =
+        "coalesce(list_sum(list_transform(" +
+          s"regexp_extract_all(b, '$anchorSql', 1), " +
+          s"a -> length(${stripTags("a")}))), 0)"
+      s"""list_filter(list_transform(
+         |  regexp_split_to_array(${dropNonContent(e)}, '$blockSplitSql'),
+         |  b -> {'text': ${stripTags("b")},
+         |        'n_chars': CAST(length(${stripTags("b")}) AS BIGINT),
+         |        'link_chars': CAST($linkChars AS BIGINT)}),
+         | s -> s.n_chars > 0)""".stripMargin
+    }
+
+    def extractMainText(
+        e: String, minChars: Int = 25, maxLinkDensity: Double = 0.33): String = {
+      val mil = math.round(maxLinkDensity * 1000).toInt
+      // coalesce: DuckDB array_to_string([]) is NULL, Spark array_join
+      // over an all-filtered page is ''
+      s"""coalesce(array_to_string(list_transform(list_filter(${blocks(e)},
+         |  k -> k.n_chars >= $minChars AND k.link_chars * 1000 <= k.n_chars * $mil),
+         |  k -> k.text), chr(10)), '')""".stripMargin
+    }
+
+    def extractLinks(e: String): String = {
+      val cleaned = dropNonContent(e)
+      val dq = "(?is)<a[ \\t\\n\\r][^>]*href[ \\t\\n\\r]*=[ \\t\\n\\r]*\"([^\"]*)\""
+      val sq = "(?is)<a[ \\t\\n\\r][^>]*href[ \\t\\n\\r]*=[ \\t\\n\\r]*''([^'']*)''"
+      s"""list_concat(regexp_extract_all($cleaned, '$dq', 1),
+         |  regexp_extract_all($cleaned, '$sq', 1))""".stripMargin
+    }
+  }
+}

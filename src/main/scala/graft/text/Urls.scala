@@ -1,0 +1,146 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL-level crawl curation (VERDICT r15 item 4) — the other half of
+  * the [[graft.sample.Sampling.sourceCuration]] story: canonicalize
+  * crawled URLs so dedup/statistics key on ONE spelling per resource,
+  * extract the registrable domain, and gate against a host blocklist.
+  *
+  * All pure `Column` compositions of built-in regexp/array functions —
+  * codegen'd, zero shuffle — and every op has a DuckDB mirror in
+  * [[Urls.Sql]] so the oracle replays the exact passes (the
+  * [[Html.Sql]] convention). The canonical form follows the common
+  * crawl-pipeline rules:
+  *
+  *  - scheme and host lowercased (RFC 3986 §6.2.2.1), path/query case
+  *    kept (case-significant on most servers);
+  *  - userinfo dropped, default ports stripped (`:80` http, `:443`
+  *    https), fragment dropped (client-side only);
+  *  - tracking parameters removed ([[TrackingParams]]: `utm_*` and the
+  *    usual click identifiers), remaining params kept IN ORDER (two
+  *    URLs differing in genuine param order are conservatively kept
+  *    distinct);
+  *  - empty path becomes `/` so `http://a.com` ≡ `http://a.com/`.
+  *
+  * Registrable domain: last two host labels, or last three when the
+  * 2-label suffix is a well-known multi-part public suffix
+  * ([[MultiPartTlds]] — a compact built-in subset; a production
+  * pipeline swaps in the full public-suffix list through the same
+  * API, the [[TextFunctions.BpeMerges]] convention).
+  */
+object Urls {
+
+  /** Query parameters that identify campaigns/clicks, not resources. */
+  val TrackingParams: Seq[String] = Seq(
+    "utm_[a-z]+", "gclid", "fbclid", "msclkid", "mc_eid", "ref",
+    "igshid", "spm")
+
+  private val trackingPattern = "^(?:" + TrackingParams.mkString("|") + ")="
+
+  /** Well-known multi-part public suffixes (subset; see scaladoc). */
+  val MultiPartTlds: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tw", "com.sg", "co.za", "com.ar", "co.nz")
+
+  private val schemePattern = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+  def urlScheme(url: Column): Column =
+    lower(regexp_extract(url, schemePattern, 1))
+
+  /** Lowercased host: authority minus userinfo and port. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url,
+      schemePattern + "(?:[^/?#@]*@)?([^/?#:]+)", 2))
+
+  /** The canonical spelling (see object scaladoc). Input without a
+    * scheme canonicalizes to an empty string — gate such rows out
+    * upstream (a crawler always records absolute URLs). */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = urlScheme(url)
+    val noFrag = regexp_replace(url, "#.*", "")
+    val rest = regexp_replace(noFrag, schemePattern, "")
+    val authority = regexp_extract(rest, "^([^/?#]*)", 1)
+    val hostPort = lower(regexp_replace(authority, "^[^@]*@", ""))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val pathq = regexp_replace(rest, "^[^/?#]*", "")
+    val path = regexp_extract(pathq, "^([^?]*)", 1)
+    val qbody = regexp_replace(regexp_replace(pathq, "^[^?]*", ""), "^\\?", "")
+    val params = filter(split(qbody, "&"), p =>
+      p =!= lit("") && !p.rlike(trackingPattern))
+    val query = array_join(params, "&")
+    when(scheme === "", lit("")).otherwise(concat(
+      scheme, lit("://"), host,
+      when(path === "", lit("/")).otherwise(path),
+      when(query === "", lit("")).otherwise(concat(lit("?"), query))))
+  }
+
+  /** eTLD+1 from a lowercased host (see object scaladoc). */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".", element_at(labels, -3), last2)
+    when(n >= 3 && last2.isin(MultiPartTlds: _*), last3)
+      .when(n >= 2, last2)
+      .otherwise(host)
+  }
+
+  /** Blocklist gate: drop rows whose registrable domain is blocked —
+    * a broadcast anti-join, so the crawl side never shuffles. */
+  def hostGate(df: DataFrame, urlCol: String, blocklist: DataFrame): DataFrame = {
+    val dom = registrableDomain(urlHost(col(urlCol)))
+    df.join(
+      broadcast(blocklist.select(col(blocklist.columns.head).as("_blocked_dom"))),
+      dom === col("_blocked_dom"), "left_anti")
+  }
+
+  /** DuckDB mirrors (the [[Html.Sql]] convention). */
+  object Sql {
+    private def replaceAll(e: String, pat: String, rep: String): String =
+      s"regexp_replace($e, '$pat', '$rep', 'g')"
+
+    def urlScheme(e: String): String =
+      s"lower(regexp_extract($e, '$schemePattern', 1))"
+
+    def urlHost(e: String): String =
+      s"lower(regexp_extract($e, '$schemePattern(?:[^/?#@]*@)?([^/?#:]+)', 2))"
+
+    def canonicalizeUrl(e: String): String = {
+      val scheme = urlScheme(e)
+      val noFrag = replaceAll(e, "#.*", "")
+      val rest = replaceAll(noFrag, schemePattern, "")
+      val authority = s"regexp_extract($rest, '^([^/?#]*)', 1)"
+      val hostPort = s"lower(${replaceAll(authority, "^[^@]*@", "")})"
+      val host = s"""CASE WHEN $scheme = 'http' THEN ${replaceAll(hostPort, ":80$", "")}
+                    |  WHEN $scheme = 'https' THEN ${replaceAll(hostPort, ":443$", "")}
+                    |  ELSE $hostPort END""".stripMargin
+      val pathq = replaceAll(rest, "^[^/?#]*", "")
+      val path = s"regexp_extract($pathq, '^([^?]*)', 1)"
+      val qbody = replaceAll(replaceAll(pathq, "^[^?]*", ""), "^\\?", "")
+      val params = s"list_filter(regexp_split_to_array($qbody, '&'), " +
+        s"p -> p <> '' AND NOT regexp_matches(p, '$trackingPattern'))"
+      // DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+      val query = s"coalesce(array_to_string($params, '&'), '')"
+      s"""CASE WHEN $scheme = '' THEN '' ELSE
+         |  $scheme || '://' || ($host) ||
+         |  (CASE WHEN $path = '' THEN '/' ELSE $path END) ||
+         |  (CASE WHEN $query = '' THEN '' ELSE '?' || $query END)
+         |END""".stripMargin
+    }
+
+    def registrableDomain(e: String): String = {
+      val l = s"string_split($e, '.')"
+      val inSet = MultiPartTlds.map(t => s"'$t'").mkString(", ")
+      s"""CASE
+         |  WHEN len($l) >= 3 AND ($l[-2] || '.' || $l[-1]) IN ($inSet)
+         |    THEN $l[-3] || '.' || $l[-2] || '.' || $l[-1]
+         |  WHEN len($l) >= 2 THEN $l[-2] || '.' || $l[-1]
+         |  ELSE $e END""".stripMargin
+    }
+  }
+}

@@ -416,6 +416,21 @@ class PlansSpec extends SparkSpec {
       s"the delete probe must not go cartesian:\n$p")
   }
 
+  test("d38/d39 ingest ops: zero-shuffle maps; the URL gate broadcasts, crawl side stays put") {
+    // d38 markup strip + block filter: a pure projection over the scan —
+    // one narrow map, no exchange at all
+    val p38 = plan(DocQueries.queries("d38_html_extract")(spark, SF))
+    assert(!p38.contains("Exchange"), s"d38 must not shuffle:\n$p38")
+    // d39 canonicalize + host gate: the only join is the broadcast
+    // anti-join against the tiny blocklist — the crawl side never
+    // exchanges
+    val p39 = plan(DocQueries.queries("d39_url_canonicalize")(spark, SF))
+    assert(p39.contains("BroadcastHashJoin") && p39.contains("LeftAnti"),
+      s"d39 gate must be a broadcast anti-join:\n$p39")
+    assert(!p39.contains("Exchange hashpartitioning"),
+      s"d39 crawl side must not shuffle:\n$p39")
+  }
+
   test("g34/g35 graph stats: id-keyed joins plus combinable aggregates only") {
     for (q <- Seq("g34_modularity", "g35_assortativity")) {
       val p = plan(GraphQueries.queries(q)(spark, SF))
