@@ -177,6 +177,28 @@ object DocQueries {
     }.mkString(" ") + " ELSE '' END"
   }
 
+  /** d41's synthetic multi-line page: corpus text re-lined into 8-token
+    * lines, bracketed by one boilerplate line top and bottom — ONE
+    * definition, two renderings (the [[htmlPageTemplate]] convention). */
+  private val BoilerLine = "subscribe to our newsletter for updates"
+
+  private def multilineCol: org.apache.spark.sql.Column = {
+    val t = TextFunctions.tokens(col("text"))
+    val nChunks = greatest(ceil(size(t).cast("double") / 8.0).cast("int"), lit(1))
+    val lines = transform(sequence(lit(0), nChunks - lit(1)),
+      i => array_join(slice(t, i * lit(8) + lit(1), lit(8)), " "))
+    concat_ws("\n", lit(BoilerLine), array_join(lines, "\n"), lit(BoilerLine))
+  }
+
+  private def multilineSql: String =
+    // coalesce: DuckDB array_to_string([]) is NULL (empty docs)
+    s"""'$BoilerLine' || chr(10) ||
+       |coalesce(array_to_string(
+       |  [coalesce(array_to_string(($toksSql)[i*8+1:i*8+8], ' '), '')
+       |   FOR i IN range(0, greatest(CAST(ceil(len($toksSql)/8.0) AS INT), 1))],
+       |  chr(10)), '') ||
+       |chr(10) || '$BoilerLine'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> ((s, d) =>
       Dedup.exactGroups(documents(s, d), "doc_id", "text")
@@ -562,6 +584,32 @@ object DocQueries {
         graft.text.Html.extractMainText(html).as("main_text"),
         size(graft.text.Html.blocks(html)).as("n_blocks"),
         graft.text.Html.stripMarkup(html).as("full_text"))
+    }),
+
+    "d41_repetition_filter" -> ((s, d) => {
+      // Gopher repetition rules (line+n-gram level, Rae et al. §A1.1)
+      // over synthetic MULTI-LINE pages: the corpus text re-lined into
+      // 8-token lines and bracketed by a boilerplate line top and
+      // bottom (the nav/subscribe chrome shape), so every doc carries
+      // real duplicate-line and duplicate-5-gram mass whose fractions
+      // vary with doc length. All three passes are the d16
+      // explode-and-count machinery — combinable partial aggregates
+      // keyed on doc_id, no corpus window; n-gram passes read the
+      // line-flattened text.
+      import graft.text.Repetition
+      val ml = documents(s, d).select(col("doc_id"), multilineCol.as("mtext"))
+      val flat = ml.select(col("doc_id"),
+        regexp_replace(col("mtext"), "\n", " ").as("ftext"))
+      val ls = Repetition.lineStats(ml, "doc_id", "mtext")
+      val t2 = Repetition.topNgramCharFraction(flat, "doc_id", "ftext", 2)
+      val d5 = Repetition.dupNgramCharFraction(flat, "doc_id", "ftext", 5)
+      ls.join(t2, Seq("id")).join(d5, Seq("id")).select(
+        col("id").as("doc_id"), col("n_lines"),
+        col("dup_line_frac"), col("dup_line_char_frac"),
+        col("top_ngram_frac"), col("dup_ngram_frac"),
+        Repetition.repetitionKeep(
+          col("dup_line_frac"), col("dup_line_char_frac"),
+          col("top_ngram_frac"), col("dup_ngram_frac")).as("keep"))
     }),
 
     "d40_link_graph" -> ((s, d) => {
@@ -2009,6 +2057,66 @@ object DocQueries {
          |  CAST(len(${graft.text.Html.Sql.blocks("html")}) AS INTEGER) AS n_blocks,
          |  ${graft.text.Html.Sql.stripMarkup("html")} AS full_text
          |FROM page""".stripMargin,
+    // full repetition replay: the multi-line page rebuilt from the same
+    // template, line counts via unnest+group, the top-2-gram pick as a
+    // lexicographic struct max (c, len, gram — DuckDB struct ordering ≡
+    // Spark struct max), dup-5-gram coverage as a position-set union
+    // (parallel unnest zips positions with grams)
+    "d41_repetition_filter" ->
+      s"""WITH ml AS (SELECT doc_id, $multilineSql AS mtext FROM documents),
+         |flat AS (SELECT doc_id, replace(mtext, chr(10), ' ') AS ftext FROM ml),
+         |ln1 AS (SELECT doc_id, line FROM (
+         |    SELECT doc_id, unnest(string_split(mtext, chr(10))) AS line FROM ml)
+         |  WHERE length(trim(line)) > 0),
+         |lc AS (SELECT doc_id, line, count(*) AS c FROM ln1 GROUP BY doc_id, line),
+         |ls AS (SELECT doc_id,
+         |    CAST(sum(c) AS BIGINT) AS n_lines,
+         |    round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) /
+         |      sum(c), 6) AS dup_line_frac,
+         |    round(CAST(sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS DOUBLE) /
+         |      greatest(sum(c * length(line)), 1), 6) AS dup_line_char_frac
+         |  FROM lc GROUP BY doc_id),
+         |ft AS (SELECT doc_id,
+         |    list_filter(string_split(ftext, ' '), x -> x <> '') AS t FROM flat),
+         |g2 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+         |    THEN [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
+         |    ELSE [] END) AS g FROM ft),
+         |g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+         |t2 AS (SELECT g2c.doc_id,
+         |    max({'c': c, 'l': CAST(length(g) AS BIGINT), 'g': g}) AS top
+         |  FROM g2c GROUP BY g2c.doc_id),
+         |tc AS (SELECT doc_id,
+         |    CAST(length(array_to_string(t, ' ')) AS BIGINT) AS total_chars,
+         |    CAST(coalesce(list_sum([length(x) FOR x IN t]), 0) AS BIGINT) AS token_chars
+         |  FROM ft),
+         |tf AS (SELECT tc.doc_id,
+         |    round(CAST(coalesce((t2.top).c * (t2.top).l, 0) AS DOUBLE) /
+         |      greatest(tc.total_chars, 1), 6) AS top_ngram_frac
+         |  FROM tc LEFT JOIN t2 ON tc.doc_id = t2.doc_id),
+         |o5 AS (SELECT doc_id,
+         |    unnest(CASE WHEN len(t) >= 5 THEN range(1, len(t) - 3) ELSE [] END) AS i,
+         |    unnest(CASE WHEN len(t) >= 5
+         |      THEN [array_to_string(t[j:j+4], ' ') FOR j IN range(1, len(t) - 3)]
+         |      ELSE [] END) AS g FROM ft),
+         |dup5 AS (SELECT doc_id, g FROM (
+         |    SELECT doc_id, g, count(*) AS c FROM o5 GROUP BY doc_id, g) WHERE c > 1),
+         |cov AS (SELECT DISTINCT doc_id, p FROM (
+         |    SELECT o5.doc_id, unnest(range(o5.i, o5.i + 5)) AS p
+         |    FROM o5 JOIN dup5 USING (doc_id, g))),
+         |tl AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS p,
+         |    unnest([CAST(length(x) AS BIGINT) FOR x IN t]) AS tok_len FROM ft),
+         |dc AS (SELECT cov.doc_id, sum(tok_len) AS dup_chars
+         |  FROM cov JOIN tl USING (doc_id, p) GROUP BY cov.doc_id),
+         |d5 AS (SELECT tc.doc_id,
+         |    round(CAST(coalesce(dc.dup_chars, 0) AS DOUBLE) /
+         |      greatest(tc.token_chars, 1), 6) AS dup_ngram_frac
+         |  FROM tc LEFT JOIN dc ON tc.doc_id = dc.doc_id)
+         |SELECT ls.doc_id, ls.n_lines, ls.dup_line_frac, ls.dup_line_char_frac,
+         |  tf.top_ngram_frac, d5.dup_ngram_frac,
+         |  (ls.dup_line_frac <= 0.30 AND ls.dup_line_char_frac <= 0.20 AND
+         |   tf.top_ngram_frac <= 0.20 AND d5.dup_ngram_frac <= 0.15) AS keep
+         |FROM ls JOIN tf ON ls.doc_id = tf.doc_id
+         |JOIN d5 ON ls.doc_id = d5.doc_id""".stripMargin,
     // same page build, extraction + scheme split + domain replayed with
     // Html.Sql.extractLinks / Urls.Sql inside list lambdas
     "d40_link_graph" ->
