@@ -233,6 +233,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("HTML crawl stream: extractMainText composes ahead of the ingest near-dup probe") {
+    // the end-to-end crawl ingest story (r16): raw pages arrive on the
+    // stream, the codegen'd markup strip + boilerplate filter runs as a
+    // plain column map INSIDE the streaming plan, and the near-dup probe
+    // sees extracted prose — so two pages wrapping the SAME article in
+    // DIFFERENT site chrome flag as exact duplicates (J = 1.0), which
+    // raw-HTML shingles would never say
+    import spark.implicits._
+    import graft.streaming.DocStream
+    import graft.text.Html
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prose = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen"
+    def page(site: String, body: String): String =
+      s"<html><head><title>$site</title><script>track('$site')</script></head>" +
+        s"<body><nav><a href='/'>$site home</a> <a href='/a'>$site about</a></nav>" +
+        s"<p>$body</p><footer><a href='/tos'>$site terms</a></footer></body></html>"
+    // corpus pages indexed AFTER extraction (site A chrome)
+    val corpusPages = Seq((100L, page("siteA", prose)), (101L, page("siteA", other)))
+      .toDF("doc_id", "html")
+    val idx = DocStream.indexCorpus(
+      corpusPages.select(col("doc_id"),
+        Html.extractMainText(col("html")).as("text")),
+      "doc_id", "text")
+    // raw crawl stream: the extraction is a column map on the stream side
+    val stream = MemoryStream[(Long, Long, String)]
+    val extracted = stream.toDF().toDF("doc_id", "ts_ns", "html")
+      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000).cast("long")))
+      .select(col("doc_id"), col("ts"),
+        Html.extractMainText(col("html")).as("text"))
+    val hits = DocStream.nearDupAgainstCorpus(
+      extracted, idx, "doc_id", "text", tsCol = Some("ts"), threshold = 0.4)
+    val q = hits.writeStream.format("memory").queryName("crawldup").start()
+    try {
+      stream.addData(
+        (1L, 1000L * H, page("siteB", prose)), // same article, different chrome
+        (2L, 1000L * H, page("siteB",
+          "unrelated words entirely distinct content here today again")))
+      q.processAllAvailable()
+      val rows = spark.table("crawldup")
+        .select("doc_id", "corpus_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq === Seq((1L, 100L, 1.0)),
+        "chrome-swapped copy must flag J=1.0 vs its corpus twin; fresh doc passes")
+      // control: WITHOUT extraction the same pair is not an exact dup —
+      // the chrome pollutes the raw-HTML shingles
+      val rawJ = graft.dedup.Dedup.ngramJaccardPairs(
+        Seq((1L, page("siteA", prose)), (2L, page("siteB", prose)))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", shingleSize = 3, threshold = 0.0)
+        .select("jaccard").collect().map(_.getDouble(0))
+      assert(rawJ.forall(_ < 1.0),
+        "raw pages with different chrome must not read as exact duplicates")
+    } finally q.stop()
+  }
+
   test("streaming perceptual media dedup flags edited payloads, passes fresh ones") {
     import spark.implicits._
     import graft.streaming.MediaStream
