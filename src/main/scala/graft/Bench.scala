@@ -60,10 +60,23 @@ object Bench {
       .agg(sum(col("count"))).collect()
     (System.nanoTime() - t0) / 1e9
   }
+  /** Defensive env-int parse (ADVICE r16): a malformed value must not
+    * abort the whole sweep with an opaque NumberFormatException — warn,
+    * name the variable, fall back to the default. */
+  private def envInt(name: String, default: Int): Int =
+    sys.env.get(name) match {
+      case None => default
+      case Some(v) => v.trim.toIntOption.getOrElse {
+        System.err.println(
+          s"[bench] $name='$v' is not an integer; using default $default")
+        default
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+    val repeats = envInt("SPARK_GRAFT_REPEATS", 3)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -104,7 +117,7 @@ object Bench {
     // crosses it — ~17 samples over a 3-repeat 171-query sweep at ~0.3 s
     // each, so the denominator for the cross-round normalized ratio is a
     // distribution, not a guess. Probe walls never enter query timings.
-    val probeEvery = sys.env.getOrElse("SPARK_GRAFT_PROBE_EVERY", "30").toInt
+    val probeEvery = envInt("SPARK_GRAFT_PROBE_EVERY", 30)
     val probes = scala.collection.mutable.ListBuffer.empty[Double]
     var executed = 0
     for (_ <- 0 until repeats; (name, fn) <- names) {

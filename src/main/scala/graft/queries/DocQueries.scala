@@ -606,10 +606,12 @@ object DocQueries {
       ls.join(t2, Seq("id")).join(d5, Seq("id")).select(
         col("id").as("doc_id"), col("n_lines"),
         col("dup_line_frac"), col("dup_line_char_frac"),
+        col("ellipsis_line_frac"), col("bullet_line_frac"),
         col("top_ngram_frac"), col("dup_ngram_frac"),
-        Repetition.repetitionKeep(
+        Repetition.repetitionKeepFull(
           col("dup_line_frac"), col("dup_line_char_frac"),
-          col("top_ngram_frac"), col("dup_ngram_frac")).as("keep"))
+          col("top_ngram_frac"), col("dup_ngram_frac"),
+          col("ellipsis_line_frac"), col("bullet_line_frac")).as("keep"))
     }),
 
     "d40_link_graph" -> ((s, d) => {
@@ -2074,7 +2076,15 @@ object DocQueries {
          |    round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) /
          |      sum(c), 6) AS dup_line_frac,
          |    round(CAST(sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS DOUBLE) /
-         |      greatest(sum(c * length(line)), 1), 6) AS dup_line_char_frac
+         |      greatest(sum(c * length(line)), 1), 6) AS dup_line_char_frac,
+         |    round(CAST(sum(CASE WHEN ends_with(trim(line), '...')
+         |        OR ends_with(trim(line), '…') THEN c ELSE 0 END) AS DOUBLE) /
+         |      sum(c), 6) AS ellipsis_line_frac,
+         |    round(CAST(sum(CASE WHEN starts_with(trim(line), '•')
+         |        OR starts_with(trim(line), '‣') OR starts_with(trim(line), '▪')
+         |        OR starts_with(trim(line), '- ') OR starts_with(trim(line), '* ')
+         |        THEN c ELSE 0 END) AS DOUBLE) /
+         |      sum(c), 6) AS bullet_line_frac
          |  FROM lc GROUP BY doc_id),
          |ft AS (SELECT doc_id,
          |    list_filter(string_split(ftext, ' '), x -> x <> '') AS t FROM flat),
@@ -2112,9 +2122,11 @@ object DocQueries {
          |      greatest(tc.token_chars, 1), 6) AS dup_ngram_frac
          |  FROM tc LEFT JOIN dc ON tc.doc_id = dc.doc_id)
          |SELECT ls.doc_id, ls.n_lines, ls.dup_line_frac, ls.dup_line_char_frac,
+         |  ls.ellipsis_line_frac, ls.bullet_line_frac,
          |  tf.top_ngram_frac, d5.dup_ngram_frac,
          |  (ls.dup_line_frac <= 0.30 AND ls.dup_line_char_frac <= 0.20 AND
-         |   tf.top_ngram_frac <= 0.20 AND d5.dup_ngram_frac <= 0.15) AS keep
+         |   tf.top_ngram_frac <= 0.20 AND d5.dup_ngram_frac <= 0.15 AND
+         |   ls.ellipsis_line_frac <= 0.30 AND ls.bullet_line_frac <= 0.90) AS keep
          |FROM ls JOIN tf ON ls.doc_id = tf.doc_id
          |JOIN d5 ON ls.doc_id = d5.doc_id""".stripMargin,
     // same page build, extraction + scheme split + domain replayed with

@@ -134,20 +134,24 @@ object Html {
   }
 
   /** All `href` attribute values of `<a>` tags — double-quoted
-    * attributes first, then single-quoted, each group in document
-    * order — the outlink extractor feeding a crawl graph (pair with
-    * [[Urls.canonicalizeUrl]] / [[Urls.registrableDomain]] and
-    * [[graft.core.Graph.index]] to build page→domain edges). Handles
-    * single- and double-quoted attributes anywhere in the tag; relative
-    * URLs come back as written (resolution against a base URL is the
-    * caller's join). */
+    * attributes first, then single-quoted, then unquoted
+    * (`href=/x`, legal HTML4/5 and common in old crawls — VERDICT r16),
+    * each group in document order — the outlink extractor feeding a
+    * crawl graph (pair with [[Urls.resolve]] / [[Urls.canonicalizeUrl]] /
+    * [[Urls.registrableDomain]] and [[graft.core.Graph.index]] to build
+    * page→domain edges). The `href` name must be preceded by tag
+    * whitespace, so a `data-href="evil"` attribute can no longer donate
+    * a false outlink through its suffix (ADVICE r16). Relative URLs
+    * come back as written — [[Urls.resolve]] against the page URL is
+    * the caller's next map. */
   def extractLinks(html: Column): Column = {
     val cleaned = dropNonContent(html)
-    val dq = regexp_extract_all(cleaned,
-      lit("(?is)<a[ \t\n\r][^>]*href[ \t\n\r]*=[ \t\n\r]*\"([^\"]*)\""), lit(1))
-    val sq = regexp_extract_all(cleaned,
-      lit("(?is)<a[ \t\n\r][^>]*href[ \t\n\r]*=[ \t\n\r]*'([^']*)'"), lit(1))
-    concat(dq, sq)
+    val pre = "(?is)<a[ \t\n\r](?:[^>]*[ \t\n\r])?href[ \t\n\r]*=[ \t\n\r]*"
+    val dq = regexp_extract_all(cleaned, lit(pre + "\"([^\"]*)\""), lit(1))
+    val sq = regexp_extract_all(cleaned, lit(pre + "'([^']*)'"), lit(1))
+    val uq = regexp_extract_all(cleaned,
+      lit(pre + "([^ \t\n\r>\"'][^ \t\n\r>]*)"), lit(1))
+    concat(dq, sq, uq)
   }
 
   /** DuckDB-dialect SQL mirrors of every op above, for the oracle gate:
@@ -212,10 +216,13 @@ object Html {
 
     def extractLinks(e: String): String = {
       val cleaned = dropNonContent(e)
-      val dq = "(?is)<a[ \\t\\n\\r][^>]*href[ \\t\\n\\r]*=[ \\t\\n\\r]*\"([^\"]*)\""
-      val sq = "(?is)<a[ \\t\\n\\r][^>]*href[ \\t\\n\\r]*=[ \\t\\n\\r]*''([^'']*)''"
-      s"""list_concat(regexp_extract_all($cleaned, '$dq', 1),
-         |  regexp_extract_all($cleaned, '$sq', 1))""".stripMargin
+      val pre = "(?is)<a[ \\t\\n\\r](?:[^>]*[ \\t\\n\\r])?href[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+      val dq = pre + "\"([^\"]*)\""
+      val sq = pre + "''([^'']*)''"
+      val uq = pre + "([^ \\t\\n\\r>\"''][^ \\t\\n\\r>]*)"
+      s"""list_concat(list_concat(regexp_extract_all($cleaned, '$dq', 1),
+         |  regexp_extract_all($cleaned, '$sq', 1)),
+         |  regexp_extract_all($cleaned, '$uq', 1))""".stripMargin
     }
   }
 }

@@ -32,30 +32,59 @@ import org.apache.spark.sql.functions._
   */
 object Repetition {
 
-  /** Per-document line-repetition stats over newline-separated text:
-    * `(id, n_lines, dup_line_frac, dup_line_char_frac)`. Blank lines
+  /** Per-document line-level stats over newline-separated text:
+    * `(id, n_lines, dup_line_frac, dup_line_char_frac,
+    * ellipsis_line_frac, bullet_line_frac)`. Blank lines
     * (whitespace-only) are not lines. A line "occurs more than once"
     * contributes ALL its occurrences to the duplicate mass (the Gopher
     * counting); fractions are over non-blank lines / their characters.
-    */
+    *
+    * The ellipsis/bullet pair completes the Rae et al. A1.1 line rules
+    * (VERDICT r16 item 4): a line "ends with an ellipsis" when its
+    * trimmed form ends in `...` or `…`, and "starts with a bullet" when
+    * the trimmed form starts with a bullet glyph (`•`, `‣`, `▪`) or a
+    * `-`/`*` followed by a space — both as fractions of non-blank lines,
+    * two more combinable sums in the same explode-and-count pass.
+    *
+    * Total over the input: a document whose text has NO non-blank line
+    * still emits a row (`n_lines` 0, every fraction 0.0) via a left
+    * join back to the doc ids, so downstream inner joins never silently
+    * drop documents (ADVICE r16). */
   def lineStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = docs.select(
       col(idCol).as("id"),
       explode(split(col(textCol), "\n")).as("line"))
       .filter(length(trim(col("line"))) > 0)
+    val t = trim(col("line"))
     val perLine = lines.groupBy(col("id"), col("line"))
       .agg(count(lit(1)).as("c"))
       .select(col("id"), col("c"),
         (col("c") * length(col("line")).cast("long")).as("chars"),
         when(col("c") > 1L, col("c")).otherwise(lit(0L)).as("dup_c"),
         when(col("c") > 1L, col("c") * length(col("line")).cast("long"))
-          .otherwise(lit(0L)).as("dup_chars"))
-    perLine.groupBy(col("id")).agg(
+          .otherwise(lit(0L)).as("dup_chars"),
+        when(t.endsWith("...") || t.endsWith("…"), col("c"))
+          .otherwise(lit(0L)).as("ell_c"),
+        when(t.startsWith("•") || t.startsWith("‣") ||
+            t.startsWith("▪") || t.startsWith("- ") || t.startsWith("* "),
+          col("c")).otherwise(lit(0L)).as("bul_c"))
+    val stats = perLine.groupBy(col("id")).agg(
       sum(col("c")).as("n_lines"),
       round(sum(col("dup_c")).cast("double") / sum(col("c")), 6)
         .as("dup_line_frac"),
       round(sum(col("dup_chars")).cast("double") /
-        greatest(sum(col("chars")), lit(1L)), 6).as("dup_line_char_frac"))
+        greatest(sum(col("chars")), lit(1L)), 6).as("dup_line_char_frac"),
+      round(sum(col("ell_c")).cast("double") / sum(col("c")), 6)
+        .as("ellipsis_line_frac"),
+      round(sum(col("bul_c")).cast("double") / sum(col("c")), 6)
+        .as("bullet_line_frac"))
+    docs.select(col(idCol).as("id")).join(stats, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("dup_line_frac"), lit(0.0)).as("dup_line_frac"),
+        coalesce(col("dup_line_char_frac"), lit(0.0)).as("dup_line_char_frac"),
+        coalesce(col("ellipsis_line_frac"), lit(0.0)).as("ellipsis_line_frac"),
+        coalesce(col("bullet_line_frac"), lit(0.0)).as("bullet_line_frac"))
   }
 
   /** Characters claimed by the most frequent word `n`-gram (count ×
@@ -138,4 +167,19 @@ object Repetition {
       maxTopNgramFrac: Double = 0.20, maxDupNgramFrac: Double = 0.15): Column =
     dupLineFrac <= maxDupLineFrac && dupLineCharFrac <= maxDupLineCharFrac &&
       topNgramFrac <= maxTopNgramFrac && dupNgramFrac <= maxDupNgramFrac
+
+  /** The FULL Rae et al. A1.1 line+n-gram gate: [[repetitionKeep]] plus
+    * the ellipsis-line and bullet-line caps (paper thresholds 0.30 and
+    * 0.90) — use with the two extra [[lineStats]] columns. */
+  def repetitionKeepFull(
+      dupLineFrac: Column, dupLineCharFrac: Column,
+      topNgramFrac: Column, dupNgramFrac: Column,
+      ellipsisLineFrac: Column, bulletLineFrac: Column,
+      maxDupLineFrac: Double = 0.30, maxDupLineCharFrac: Double = 0.20,
+      maxTopNgramFrac: Double = 0.20, maxDupNgramFrac: Double = 0.15,
+      maxEllipsisLineFrac: Double = 0.30, maxBulletLineFrac: Double = 0.90): Column =
+    repetitionKeep(dupLineFrac, dupLineCharFrac, topNgramFrac, dupNgramFrac,
+      maxDupLineFrac, maxDupLineCharFrac, maxTopNgramFrac, maxDupNgramFrac) &&
+      ellipsisLineFrac <= maxEllipsisLineFrac &&
+      bulletLineFrac <= maxBulletLineFrac
 }

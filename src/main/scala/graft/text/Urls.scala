@@ -32,12 +32,20 @@ import org.apache.spark.sql.functions._
   */
 object Urls {
 
-  /** Query parameters that identify campaigns/clicks, not resources. */
+  /** Query parameters that identify campaigns/clicks, not resources.
+    *
+    * CAVEAT (VERDICT r16): the bare `ref` entry matches common
+    * crawl-pipeline blocklists but also strips GENUINE referral-style
+    * parameters on some sites (GitHub's `?ref=branch`, some CMS feeds).
+    * A curation run that must preserve those passes its own set through
+    * the `canonicalizeUrl(url, tracking)` overload (e.g.
+    * `TrackingParams.filterNot(_ == "ref")`). */
   val TrackingParams: Seq[String] = Seq(
     "utm_[a-z]+", "gclid", "fbclid", "msclkid", "mc_eid", "ref",
     "igshid", "spm")
 
-  private val trackingPattern = "^(?:" + TrackingParams.mkString("|") + ")="
+  private def trackingPattern(params: Seq[String]) =
+    "^(?:" + params.mkString("|") + ")="
 
   /** Well-known multi-part public suffixes (subset; see scaladoc). */
   val MultiPartTlds: Seq[String] = Seq(
@@ -58,7 +66,15 @@ object Urls {
   /** The canonical spelling (see object scaladoc). Input without a
     * scheme canonicalizes to an empty string — gate such rows out
     * upstream (a crawler always records absolute URLs). */
-  def canonicalizeUrl(url: Column): Column = {
+  def canonicalizeUrl(url: Column): Column =
+    canonicalizeUrl(url, TrackingParams)
+
+  /** `canonicalizeUrl` with a caller-supplied tracking-parameter set
+    * (each entry an
+    * anchored regex alternative over the param NAME) — the opt-out for
+    * sites where a default entry like `ref` carries genuine routing
+    * (see [[TrackingParams]]). */
+  def canonicalizeUrl(url: Column, tracking: Seq[String]): Column = {
     val scheme = urlScheme(url)
     val noFrag = regexp_replace(url, "#.*", "")
     val rest = regexp_replace(noFrag, schemePattern, "")
@@ -71,7 +87,7 @@ object Urls {
     val path = regexp_extract(pathq, "^([^?]*)", 1)
     val qbody = regexp_replace(regexp_replace(pathq, "^[^?]*", ""), "^\\?", "")
     val params = filter(split(qbody, "&"), p =>
-      p =!= lit("") && !p.rlike(trackingPattern))
+      p =!= lit("") && !p.rlike(trackingPattern(tracking)))
     val query = array_join(params, "&")
     when(scheme === "", lit("")).otherwise(concat(
       scheme, lit("://"), host,
@@ -79,15 +95,20 @@ object Urls {
       when(query === "", lit("")).otherwise(concat(lit("?"), query))))
   }
 
-  /** eTLD+1 from a lowercased host (see object scaladoc). */
+  /** eTLD+1 from a lowercased host (see object scaladoc). Trailing dots
+    * (an FQDN spelling: `ads.net.`) are stripped first so the dotted and
+    * undotted spellings of a host key — and blocklist-gate — identically
+    * (ADVICE r16); other empty labels (`a..com`) are malformed hosts and
+    * pass through on the last-two-labels rule as written. */
   def registrableDomain(host: Column): Column = {
-    val labels = split(host, "\\.")
+    val h = regexp_replace(host, "\\.+$", "")
+    val labels = split(h, "\\.")
     val n = size(labels)
     val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
     val last3 = concat_ws(".", element_at(labels, -3), last2)
     when(n >= 3 && last2.isin(MultiPartTlds: _*), last3)
       .when(n >= 2, last2)
-      .otherwise(host)
+      .otherwise(h)
   }
 
   /** Blocklist gate: drop rows whose registrable domain is blocked —
@@ -110,7 +131,10 @@ object Urls {
     def urlHost(e: String): String =
       s"lower(regexp_extract($e, '$schemePattern(?:[^/?#@]*@)?([^/?#:]+)', 2))"
 
-    def canonicalizeUrl(e: String): String = {
+    def canonicalizeUrl(e: String): String =
+      canonicalizeUrl(e, TrackingParams)
+
+    def canonicalizeUrl(e: String, tracking: Seq[String]): String = {
       val scheme = urlScheme(e)
       val noFrag = replaceAll(e, "#.*", "")
       val rest = replaceAll(noFrag, schemePattern, "")
@@ -123,7 +147,7 @@ object Urls {
       val path = s"regexp_extract($pathq, '^([^?]*)', 1)"
       val qbody = replaceAll(replaceAll(pathq, "^[^?]*", ""), "^\\?", "")
       val params = s"list_filter(regexp_split_to_array($qbody, '&'), " +
-        s"p -> p <> '' AND NOT regexp_matches(p, '$trackingPattern'))"
+        s"p -> p <> '' AND NOT regexp_matches(p, '${trackingPattern(tracking)}'))"
       // DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
       val query = s"coalesce(array_to_string($params, '&'), '')"
       s"""CASE WHEN $scheme = '' THEN '' ELSE
@@ -134,13 +158,14 @@ object Urls {
     }
 
     def registrableDomain(e: String): String = {
-      val l = s"string_split($e, '.')"
+      val h = s"regexp_replace($e, '\\.+$$', '', 'g')"
+      val l = s"string_split($h, '.')"
       val inSet = MultiPartTlds.map(t => s"'$t'").mkString(", ")
       s"""CASE
          |  WHEN len($l) >= 3 AND ($l[-2] || '.' || $l[-1]) IN ($inSet)
          |    THEN $l[-3] || '.' || $l[-2] || '.' || $l[-1]
          |  WHEN len($l) >= 2 THEN $l[-2] || '.' || $l[-1]
-         |  ELSE $e END""".stripMargin
+         |  ELSE $h END""".stripMargin
     }
   }
 }

@@ -106,6 +106,20 @@ class HtmlSpec extends SparkSpec {
     assert(one("", Html.extractLinks(col("html"))) === Seq())
   }
 
+  test("extractLinks: unquoted values; data-href suffixes never donate a link") {
+    // unquoted href (legal HTML, common in old crawls — VERDICT r16):
+    // value runs to whitespace or '>'
+    assert(one("<a href=/bare/path>b</a> <a href = x.html class=z>c</a>",
+      Html.extractLinks(col("html"))) === Seq("/bare/path", "x.html"))
+    // ADVICE r16: 'data-href' must not match through its suffix — only
+    // the real (single-quoted) href comes back
+    assert(one("<a data-href=\"evil\" href='real'>t</a>",
+      Html.extractLinks(col("html"))) === Seq("real"))
+    // and an anchor with ONLY a data-href yields nothing
+    assert(one("<a data-href=\"evil\">t</a>",
+      Html.extractLinks(col("html"))) === Seq())
+  }
+
   test("plan shape: extraction is one whole-stage-codegen'd projection, no shuffle") {
     val df = page("<p>hello world, a perfectly fine paragraph</p>")
       .select(Html.extractMainText(col("html")).as("t"))

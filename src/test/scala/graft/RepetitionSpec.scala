@@ -21,9 +21,26 @@ class RepetitionSpec extends SparkSpec {
     val out = Repetition.lineStats(d, "doc_id", "text")
       .orderBy("id").collect().toSeq
     assert(out === Seq(
-      Row(1L, 4L, 0.5, 0.5),        // 2/4 lines dup; chars 2/4 (a=1ch ×2 of a,b,a,c)
-      Row(2L, 3L, 0.0, 0.0),
-      Row(3L, 3L, 1.0, 1.0)))
+      Row(1L, 4L, 0.5, 0.5, 0.0, 0.0), // 2/4 lines dup; chars 2/4 (a=1ch ×2 of a,b,a,c)
+      Row(2L, 3L, 0.0, 0.0, 0.0, 0.0),
+      Row(3L, 3L, 1.0, 1.0, 0.0, 0.0)))
+  }
+
+  test("lineStats: ellipsis/bullet fractions; blank-only documents keep their row") {
+    val d = docs(
+      // 4 lines: 1 ellipsis-ended (unicode), 1 ellipsis-ended (ascii, trailing ws),
+      // 2 bullets (glyph + "- " dash)
+      1L -> "read more…\n• first item\n- second item\nthis trails off...  ",
+      // dashes WITHOUT the following space are prose, not bullets;
+      // mid-line ellipsis is not line-ending
+      2L -> "-notabullet\nwait... what\n*emphasis* stays",
+      3L -> "   \n\n  ")            // blank-only: no non-blank line at all
+    val out = Repetition.lineStats(d, "doc_id", "text")
+      .orderBy("id").collect().toSeq
+    assert(out === Seq(
+      Row(1L, 4L, 0.0, 0.0, 0.5, 0.5),
+      Row(2L, 3L, 0.0, 0.0, 0.0, 0.0),
+      Row(3L, 0L, 0.0, 0.0, 0.0, 0.0))) // left-joined back, never dropped (ADVICE r16)
   }
 
   test("topNgramCharFraction: most frequent 2-gram's occurrence chars over token chars") {

@@ -52,6 +52,19 @@ class UrlsSpec extends SparkSpec {
     // degenerate hosts are total, never throw (ANSI element_at guards)
     assert(dom("localhost") === "localhost")
     assert(dom("co.uk") === "co.uk")
+    // FQDN trailing dots strip, so the dotted spelling of a blocklisted
+    // domain cannot evade the host gate (ADVICE r16)
+    assert(dom("ads.net.") === "ads.net")
+    assert(dom("www.example.com.") === "example.com")
+    assert(dom("com.") === "com")
+  }
+
+  test("canonicalizeUrl: caller-supplied tracking set keeps genuine ref params") {
+    import spark.implicits._
+    val noRef = Urls.TrackingParams.filterNot(_ == "ref")
+    val got = Seq("https://github.com/a/b?ref=main&utm_source=x").toDF("u")
+      .select(Urls.canonicalizeUrl(col("u"), noRef)).head().getString(0)
+    assert(got === "https://github.com/a/b?ref=main")
   }
 
   test("hostGate: broadcast anti-join on registrable domain; plan never shuffles the crawl side") {
