@@ -111,6 +111,96 @@ object Urls {
       .otherwise(h)
   }
 
+  /** Max `..` nesting depth the shared dot-segment passes resolve
+    * exactly (each pass removes one level of `/seg/../` nesting plus
+    * any above-root run). Real crawl paths nest 2–3 deep; 10 covers
+    * adversarial ones, and anything deeper degrades the same way in
+    * both engines (the passes are mirrored verbatim), so the oracle
+    * never diverges. */
+  val DotSegmentPasses: Int = 10
+
+  /** RFC 3986 §5.2.4 remove_dot_segments over an absolute path, as a
+    * bounded chain of regex passes (shared verbatim with [[Sql]], which
+    * is WHY it is regex passes and not a fold): `.` segments collapse in
+    * one pass (`(/\.)+/` handles adjacent runs), then
+    * [[DotSegmentPasses]] rounds each remove one `/seg/../` nesting
+    * level, the trailing `/seg/..` form, and any above-root `/../` run.
+    * Directory-form answers keep their trailing slash (`/a/b/..` →
+    * `/a/`), matching the RFC's output. Empty segments (`a//b`) are
+    * preserved, and `.`/`..` only count as dot segments when they are
+    * the ENTIRE segment (`/.hidden/`, `/a../` pass through). */
+  def removeDotSegments(path: Column): Column = {
+    val noDot1 = regexp_replace(path, "(/\\.)+/", "/")
+    val noDot = regexp_replace(noDot1, "(/\\.)+$", "/")
+    val looped = (1 to DotSegmentPasses).foldLeft(noDot) { (p, _) =>
+      val a = regexp_replace(p, "/[^/]+/\\.\\./", "/")
+      val b = regexp_replace(a, "/[^/]+/\\.\\.$", "/")
+      regexp_replace(b, "^(/\\.\\.)+/", "/")
+    }
+    regexp_replace(looped, "^(/\\.\\.)+$", "/")
+  }
+
+  /** RFC 3986 §5.2 reference resolution: the absolute URL an `href`
+    * found on page `base` points at — the column map between
+    * [[Html.extractLinks]] and [[canonicalizeUrl]] that turns a crawl's
+    * raw outlinks into a link graph (VERDICT r16 item 1).
+    *
+    * Covers the forms a crawl actually contains: already-absolute hrefs
+    * (any scheme, returned as written), protocol-relative `//host/x`
+    * (base scheme adopted), root-relative `/x`, query-only `?q`
+    * (base path kept), empty/fragment-only (the base itself), and
+    * relative paths (merged onto the base directory). Dot segments in
+    * the merged path are removed ([[removeDotSegments]] — applied to
+    * EVERY branch, so `https://a.com/x/../y` hrefs normalize too).
+    * Fragments are dropped on both sides (client-side only — the
+    * [[canonicalizeUrl]] policy, applied early so `#frag` never leaks
+    * into the merge), and the scheme comes back lowercased. A base
+    * without a scheme resolves to the empty string (same gate-upstream
+    * contract as [[canonicalizeUrl]]); href whitespace is trimmed as
+    * browsers do. */
+  def resolve(base: Column, href: Column): Column = {
+    val h = regexp_replace(trim(href), "#.*", "")
+    val bScheme = urlScheme(base)
+    val bNoFrag = regexp_replace(base, "#.*", "")
+    // scheme://authority of the base, original authority spelling kept
+    // (canonicalizeUrl lowercases later); group 1 spans through the
+    // authority because [^/?#]* cannot cross a path/query start
+    val bRoot = concat(bScheme, lit("://"),
+      regexp_extract(bNoFrag, schemePattern + "([^/?#]*)", 2))
+    val bPathQ = regexp_replace(regexp_replace(bNoFrag, schemePattern, ""),
+      "^[^/?#]*", "")
+    val bPath = regexp_extract(bPathQ, "^([^?]*)", 1)
+    // base directory: path up to and including the last slash; an empty
+    // path (http://a.com) has directory "/"
+    val bDir = when(bPath.contains("/"), regexp_replace(bPath, "[^/]*$", ""))
+      .otherwise(lit("/"))
+    val raw =
+      when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), h)
+        .when(h.startsWith("//"), concat(bScheme, lit(":"), h))
+        .when(h.startsWith("/"), concat(bRoot, h))
+        .when(h === "", concat(bRoot, bPathQ))
+        .when(h.startsWith("?"),
+          concat(bRoot, when(bPath === "", lit("/")).otherwise(bPath), h))
+        .otherwise(concat(bRoot, bDir, h))
+    // normalize the result's PATH (dot segments out), query untouched
+    val rRoot = regexp_extract(raw, "^([A-Za-z][A-Za-z0-9+.-]*:(?://[^/?#]*)?)", 1)
+    val rPathQ = regexp_replace(raw, "^[A-Za-z][A-Za-z0-9+.-]*:(?://[^/?#]*)?", "")
+    val rPath = regexp_extract(rPathQ, "^([^?]*)", 1)
+    val rQuery = regexp_replace(rPathQ, "^[^?]*", "")
+    when(bScheme === "", lit(""))
+      .otherwise(concat(rRoot, removeDotSegments(rPath), rQuery))
+  }
+
+  /** eTLD+1 under a FULL public-suffix list (wildcard `*.ck` and
+    * exception `!www.ck` rules included) — the loader face of
+    * [[registrableDomain]] (VERDICT r16 item 5): compile the list once
+    * on the driver ([[graft.functions.PslTable.compile]] /
+    * `fromDataFrame`) and the lookup rides the task binary as an
+    * O(labels) native expression — zero shuffle, zero join. Unlike the
+    * subset face, a host that IS a public suffix yields NULL. */
+  def registrableDomain(host: Column, psl: graft.functions.PslTable): Column =
+    graft.functions.PslDomain(host, psl)
+
   /** Blocklist gate: drop rows whose registrable domain is blocked —
     * a broadcast anti-join, so the crawl side never shuffles. */
   def hostGate(df: DataFrame, urlCol: String, blocklist: DataFrame): DataFrame = {
@@ -155,6 +245,45 @@ object Urls {
          |  (CASE WHEN $path = '' THEN '/' ELSE $path END) ||
          |  (CASE WHEN $query = '' THEN '' ELSE '?' || $query END)
          |END""".stripMargin
+    }
+
+    def removeDotSegments(e: String): String = {
+      val noDot1 = replaceAll(e, "(/\\.)+/", "/")
+      val noDot = replaceAll(noDot1, "(/\\.)+$", "/")
+      val looped = (1 to DotSegmentPasses).foldLeft(noDot) { (p, _) =>
+        val a = replaceAll(p, "/[^/]+/\\.\\./", "/")
+        val b = replaceAll(a, "/[^/]+/\\.\\.$", "/")
+        replaceAll(b, "^(/\\.\\.)+/", "/")
+      }
+      replaceAll(looped, "^(/\\.\\.)+$", "/")
+    }
+
+    def resolve(base: String, href: String): String = {
+      val h = replaceAll(s"trim($href)", "#.*", "")
+      val bScheme = urlScheme(base)
+      val bNoFrag = replaceAll(base, "#.*", "")
+      val bRoot = s"($bScheme || '://' || " +
+        s"regexp_extract($bNoFrag, '$schemePattern([^/?#]*)', 2))"
+      val bPathQ = replaceAll(replaceAll(bNoFrag, schemePattern, ""),
+        "^[^/?#]*", "")
+      val bPath = s"regexp_extract($bPathQ, '^([^?]*)', 1)"
+      val bDir = s"(CASE WHEN contains($bPath, '/') " +
+        s"THEN ${replaceAll(bPath, "[^/]*$", "")} ELSE '/' END)"
+      val raw = s"""(CASE
+        | WHEN regexp_matches($h, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN $h
+        | WHEN starts_with($h, '//') THEN $bScheme || ':' || $h
+        | WHEN starts_with($h, '/') THEN $bRoot || $h
+        | WHEN $h = '' THEN $bRoot || $bPathQ
+        | WHEN starts_with($h, '?') THEN
+        |   $bRoot || (CASE WHEN $bPath = '' THEN '/' ELSE $bPath END) || $h
+        | ELSE $bRoot || $bDir || $h END)""".stripMargin
+      val rRoot =
+        s"regexp_extract($raw, '^([A-Za-z][A-Za-z0-9+.-]*:(?://[^/?#]*)?)', 1)"
+      val rPathQ = replaceAll(raw, "^[A-Za-z][A-Za-z0-9+.-]*:(?://[^/?#]*)?", "")
+      val rPath = s"regexp_extract($rPathQ, '^([^?]*)', 1)"
+      val rQuery = replaceAll(rPathQ, "^[^?]*", "")
+      s"""(CASE WHEN $bScheme = '' THEN ''
+         | ELSE $rRoot || ${removeDotSegments(rPath)} || $rQuery END)""".stripMargin
     }
 
     def registrableDomain(e: String): String = {
