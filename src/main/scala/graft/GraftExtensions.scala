@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{FloatLongDot, LongLongDot, MinHashSig, QuantizedDot,
-  RhpBuckets, RhpBucketsPortable, SimHash64, SimHashSha64}
+import graft.functions.{FloatLongDot, HtmlEntityDecode, LongLongDot,
+  MinHashSig, QuantizedDot, RhpBuckets, RhpBucketsPortable, SimHash64,
+  SimHashSha64}
 
 /** Registers graft's native expressions as SQL functions, making them
   * callable from `spark.sql(...)` and usable over Spark Connect / JDBC:
@@ -18,6 +19,7 @@ import graft.functions.{FloatLongDot, LongLongDot, MinHashSig, QuantizedDot,
   *  - `graft_simhash64(tokens)`        — 64-bit SimHash of a token array
   *  - `graft_simhash_sha64(tokens)`    — sha256-prefix SimHash, oracle-able
   *  - `graft_minhash_sig(items, n)`    — n-element MinHash signature
+  *  - `graft_html_entity_decode(s)`    — one-pass HTML character references
   *
   * Enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
@@ -80,5 +82,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash_sha64"),
       new ExpressionInfo(classOf[SimHashSha64].getName, "graft_simhash_sha64"),
       (args: Seq[Expression]) => SimHashSha64(args(0))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_html_entity_decode"),
+      new ExpressionInfo(classOf[HtmlEntityDecode].getName, "graft_html_entity_decode"),
+      (args: Seq[Expression]) => HtmlEntityDecode(args(0))))
   }
 }

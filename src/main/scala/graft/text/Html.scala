@@ -24,11 +24,12 @@ import org.apache.spark.sql.functions._
   * one alternation each instead of `</\1>`), no lookaround, explicit
   * `[ \t\n\r]` whitespace classes (Java `\s` and RE2 `\s` disagree on
   * vertical tab) — so Java regex (Spark) and RE2 (DuckDB) match
-  * identically. Entity decoding handles the five XML named entities +
-  * `&nbsp;` as literal replaces AFTER tag stripping; numeric character
-  * references are out of scope (a production pipeline puts a full
-  * entity table in a native expression, the [[graft.functions.BpeCount]]
-  * pattern).
+  * identically. Entity decoding is the native
+  * [[graft.functions.HtmlEntityDecode]] expression (decimal/hex numeric
+  * references + the common named table, one linear pass, applied AFTER
+  * tag stripping); the [[Sql]] mirror replays the same reference regex
+  * as a split/extract interleave with the same table rendered into the
+  * SQL, so both engines decode — and refuse to decode — identically.
   */
 object Html {
 
@@ -59,24 +60,28 @@ object Html {
     }
   }
 
-  /** Remove every remaining tag and decode the named entities; collapse
-    * runs of whitespace to one space and trim. The TAG-ONLY strip —
-    * fast path when block filtering is not wanted. */
+  /** Remove every remaining tag and decode character references;
+    * collapse runs of whitespace to one space and trim. The TAG-ONLY
+    * strip — fast path when block filtering is not wanted. */
   def stripTags(fragment: Column): Column =
     normalizeSpace(decodeEntities(
       regexp_replace(fragment, "<[^>]*>", " ")))
 
-  /** The five XML named entities + `&nbsp;`, decoded AFTER tag
-    * stripping (`&amp;` last, the standard double-escape order). */
-  def decodeEntities(text: Column): Column = {
-    val steps: Seq[(String, String)] = Seq(
-      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-    steps.foldLeft(text) { case (c, (from, to)) => regexp_replace(c, from, to) }
-  }
+  /** Full character-reference decoding, applied AFTER tag stripping:
+    * decimal/hex numeric references and the common named set in ONE
+    * linear pass of the native [[graft.functions.HtmlEntityDecode]]
+    * expression (VERDICT r16 item 2 — the old five-entity regexp chain
+    * left `&#8217;`/`&mdash;` as literal junk in main_text). Single
+    * pass means `&amp;mdash;` stays the literal `&mdash;` (the
+    * standard double-escape order); `&nbsp;`/`&#160;` decode to a real
+    * U+00A0, which [[normalizeSpace]] folds to a plain space. */
+  def decodeEntities(text: Column): Column =
+    graft.functions.HtmlEntityDecode(text)
 
+  /** Whitespace collapse; U+00A0 is in the class because
+    * [[decodeEntities]] emits real no-break spaces. */
   private def normalizeSpace(text: Column): Column =
-    trim(regexp_replace(text, "[ \t\n\r]+", " "))
+    trim(regexp_replace(text, "[ \t\n\r\u00a0]+", " "))
 
   /** Whole-document markup strip: comments + script/style content out,
     * all tags out, entities decoded, whitespace normalized. The
@@ -85,7 +90,8 @@ object Html {
   def stripMarkup(html: Column): Column = stripTags(dropNonContent(html))
 
   /** Candidate text blocks with per-block boilerplate features — an
-    * array of structs `(text, n_chars, link_chars)`:
+    * array of structs `(text, n_chars, link_chars, n_words,
+    * stop_words)`:
     *
     *  - `text`: the block's visible text (tags stripped, entities
     *    decoded, space-normalized); empty blocks are dropped here so
@@ -94,10 +100,18 @@ object Html {
     *  - `link_chars`: characters of visible text sitting INSIDE
     *    `<a>…</a>` — `link_chars / n_chars` is the jusText link
     *    density, the single most effective chrome discriminator
-    *    (menus are nearly 100% anchor text, prose nearly 0%).
+    *    (menus are nearly 100% anchor text, prose nearly 0%);
+    *  - `n_words` / `stop_words`: whitespace-token count and how many
+    *    of them (lowercased) are [[TextFunctions.DefaultStopwords]] —
+    *    `stop_words / n_words` is jusText's OTHER load-bearing signal
+    *    (VERDICT r16 item 3): prose carries function words, while
+    *    short non-link boilerplate ("Posted by admin on …") does not.
+    *    English-list caveat: a non-English pipeline swaps the list by
+    *    composing these ops with its own stopword set.
     */
   def blocks(html: Column): Column = {
     val raw = split(dropNonContent(html), blockSplitPattern)
+    val stops = array(TextFunctions.DefaultStopwords.map(lit): _*)
     val withFeatures = transform(raw, b => {
       val anchorTexts =
         regexp_extract_all(b,
@@ -106,10 +120,14 @@ object Html {
         anchorTexts, lit(0L),
         (acc, a) => acc + length(stripTags(a)).cast("long"))
       val text = stripTags(b)
+      val toks = filter(split(text, " "), t => t =!= lit(""))
       struct(
         text.as("text"),
         length(text).cast("long").as("n_chars"),
-        linkChars.as("link_chars"))
+        linkChars.as("link_chars"),
+        size(toks).cast("long").as("n_words"),
+        size(filter(toks, t => array_contains(stops, lower(t))))
+          .cast("long").as("stop_words"))
     })
     filter(withFeatures, b => b.getField("n_chars") > 0L)
   }
@@ -123,13 +141,22 @@ object Html {
     * Density compares as `link_chars * DENSITY_SCALE <= maxLinkDensity
     * * n_chars * DENSITY_SCALE` in exact integers (both sides Long), so
     * the oracle replays the predicate with no float rounding concerns —
-    * `maxLinkDensity` is quantized to 1/1000ths. */
+    * `maxLinkDensity` and `minStopFrac` are quantized to 1/1000ths.
+    *
+    * `minStopFrac` (default 0 = off, bit-exact no-op) is the jusText
+    * stopword-density gate: keep a block only when
+    * `stop_words / n_words >= minStopFrac` — the signal that drops
+    * short NON-link boilerplate ("Posted by admin on …") that the
+    * link-density gate cannot see (VERDICT r16 item 3). */
   def extractMainText(
-      html: Column, minChars: Int = 25, maxLinkDensity: Double = 0.33): Column = {
+      html: Column, minChars: Int = 25, maxLinkDensity: Double = 0.33,
+      minStopFrac: Double = 0.0): Column = {
     val mil = math.round(maxLinkDensity * 1000).toInt
+    val msf = math.round(minStopFrac * 1000).toInt
     val kept = filter(blocks(html), b =>
       b.getField("n_chars") >= minChars.toLong &&
-        b.getField("link_chars") * lit(1000L) <= b.getField("n_chars") * lit(mil.toLong))
+        b.getField("link_chars") * lit(1000L) <= b.getField("n_chars") * lit(mil.toLong) &&
+        b.getField("stop_words") * lit(1000L) >= b.getField("n_words") * lit(msf.toLong))
     array_join(transform(kept, _.getField("text")), "\n")
   }
 
@@ -171,15 +198,42 @@ object Html {
           s"(?is)<$tag(?:[ \\t\\n\\r][^>]*)?>.*?</$tag[ \\t\\n\\r]*>", " ")
       }
 
+    /** The [[graft.functions.HtmlEntityDecode]] pass as a DuckDB
+      * split/extract interleave: the text splits on the SAME reference
+      * regex the expression compiles, and each match decodes through
+      * the SAME table ([[graft.functions.EntityTable.Named]] /
+      * `Cp1252Remap` rendered as CASE arms) — numeric values parse via
+      * TRY_CAST ('0x'-prefixed for hex), invalid codepoints fall back
+      * to the literal match text exactly like the JVM face. DuckDB
+      * evaluates CASE branches lazily, so the guarded `chr()` never
+      * sees a surrogate (probed; see tools/notes). */
     def decodeEntities(e: String): String = {
-      val steps: Seq[(String, String)] = Seq(
-        "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-        "&#39;" -> "''", "&apos;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
-      steps.foldLeft(e) { case (c, (from, to)) => replaceAll(c, from, to) }
+      import graft.functions.EntityTable
+      val pat = EntityTable.ReferencePattern
+      val parts = s"regexp_split_to_array($e, '$pat')"
+      val vals = s"(regexp_extract_all($e, '$pat', 1))[i]"
+      val fulls = s"(regexp_extract_all($e, '$pat', 0))[i]"
+      val named = EntityTable.Named.map { case (n, cp) =>
+        s"WHEN '$n' THEN chr($cp)" }.mkString(" ")
+      val remap = EntityTable.Cp1252Remap.map { case (f, t) =>
+        s"WHEN $f THEN $t" }.mkString(" ")
+      def guarded(cp: String) =
+        s"(CASE WHEN $cp BETWEEN 1 AND 1114111 AND " +
+          s"NOT ($cp BETWEEN 55296 AND 57343) " +
+          s"THEN chr(CASE $cp $remap ELSE $cp END) ELSE $fulls END)"
+      val hexCp = s"TRY_CAST(('0x' || substr($vals, 3)) AS INT)"
+      val decCp = s"TRY_CAST(substr($vals, 2) AS INT)"
+      val decoded =
+        s"(CASE WHEN starts_with($vals, '#x') OR starts_with($vals, '#X') " +
+          s"THEN ${guarded(hexCp)} " +
+          s"WHEN starts_with($vals, '#') THEN ${guarded(decCp)} " +
+          s"ELSE (CASE $vals $named ELSE $fulls END) END)"
+      s"""array_to_string(list_transform(range(1, len($parts) + 1),
+         | i -> ($parts)[i] || coalesce($decoded, '')), '')""".stripMargin
     }
 
     def normalizeSpace(e: String): String =
-      s"trim(${replaceAll(e, "[ \\t\\n\\r]+", " ")})"
+      s"trim(${replaceAll(e, "[ \\t\\n\\r\\x{00A0}]+", " ")})"
 
     def stripTags(e: String): String =
       normalizeSpace(decodeEntities(replaceAll(e, "<[^>]*>", " ")))
@@ -191,26 +245,43 @@ object Html {
     private val anchorSql =
       "(?is)<a(?:[ \\t\\n\\r][^>]*)?>(.*?)</a[ \\t\\n\\r]*>"
 
+    /** Two-stage transform (same passes as the Column face): stage one
+      * strips each block ONCE (`text`) and runs the anchor pass on the
+      * raw block; stage two derives every count from the small `s.text`
+      * reference — keeps the entity-decode interleave from being
+      * inlined five times per block lambda, which made the generated
+      * expression tree quadratic for DuckDB's executor. */
     def blocks(e: String): String = {
       val linkChars =
         "coalesce(list_sum(list_transform(" +
           s"regexp_extract_all(b, '$anchorSql', 1), " +
           s"a -> length(${stripTags("a")}))), 0)"
-      s"""list_filter(list_transform(
+      val stopSet = graft.text.TextFunctions.DefaultStopwords
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      val toks = "list_filter(string_split(s.text, ' '), x -> x <> '')"
+      s"""list_filter(list_transform(list_transform(
          |  regexp_split_to_array(${dropNonContent(e)}, '$blockSplitSql'),
          |  b -> {'text': ${stripTags("b")},
-         |        'n_chars': CAST(length(${stripTags("b")}) AS BIGINT),
          |        'link_chars': CAST($linkChars AS BIGINT)}),
+         |  s -> {'text': s.text,
+         |        'n_chars': CAST(length(s.text) AS BIGINT),
+         |        'link_chars': s.link_chars,
+         |        'n_words': CAST(len($toks) AS BIGINT),
+         |        'stop_words': CAST(len(list_filter($toks,
+         |          x -> list_contains($stopSet, lower(x)))) AS BIGINT)}),
          | s -> s.n_chars > 0)""".stripMargin
     }
 
     def extractMainText(
-        e: String, minChars: Int = 25, maxLinkDensity: Double = 0.33): String = {
+        e: String, minChars: Int = 25, maxLinkDensity: Double = 0.33,
+        minStopFrac: Double = 0.0): String = {
       val mil = math.round(maxLinkDensity * 1000).toInt
+      val msf = math.round(minStopFrac * 1000).toInt
       // coalesce: DuckDB array_to_string([]) is NULL, Spark array_join
       // over an all-filtered page is ''
       s"""coalesce(array_to_string(list_transform(list_filter(${blocks(e)},
-         |  k -> k.n_chars >= $minChars AND k.link_chars * 1000 <= k.n_chars * $mil),
+         |  k -> k.n_chars >= $minChars AND k.link_chars * 1000 <= k.n_chars * $mil
+         |    AND k.stop_words * 1000 >= k.n_words * $msf),
          |  k -> k.text), chr(10)), '')""".stripMargin
     }
 

@@ -42,6 +42,26 @@ class HtmlSpec extends SparkSpec {
       Html.stripMarkup(col("html"))) === "x y")
   }
 
+  test("decodeEntities: numeric, hex, named table, cp1252 remap, invalid stays literal") {
+    def strip(s: String) = one(s, Html.stripMarkup(col("html"))).asInstanceOf[String]
+    // decimal + hex numeric references (VERDICT r16 item 2)
+    assert(strip("<p>it&#8217;s &#x2014; fine</p>") === "it’s — fine")
+    // common named set beyond the XML five
+    assert(strip("caf&eacute; &mdash; &ldquo;ok&rdquo; 3&frac12;&deg;") ===
+      "café — “ok” 3½°")
+    // HTML5 numeric refs in 0x80-0x9F are windows-1252, not C1 controls
+    assert(strip("broken &#147;smart&#148; &#150; quotes") === "broken “smart” – quotes")
+    // invalid codepoints and unknown names stay literal
+    assert(strip("keep &#xD800; &#0; &#1114112; &wat; &amp") ===
+      "keep &#xD800; &#0; &#1114112; &wat; &amp")
+    // ONE pass: a double-escaped entity decodes exactly one level
+    assert(strip("x &amp;mdash; y") === "x &mdash; y")
+    // nbsp (named or numeric) folds into the whitespace normalization
+    assert(strip("a&nbsp;&#160;  b") === "a b")
+    // semicolonless legacy forms stay literal
+    assert(strip("fish &amp chips") === "fish &amp chips")
+  }
+
   test("blocks: block-level tags split; inline tags don't; features count anchor text") {
     import org.apache.spark.sql.Row
     val rows = page(
@@ -60,6 +80,32 @@ class HtmlSpec extends SparkSpec {
       .select(col("b.n_chars"), col("b.link_chars")).head()
     assert(menu.getLong(0) === 10L) // "home about"
     assert(menu.getLong(1) === 9L)  // "home" + "about"
+  }
+
+  test("blocks: stopword features; extractMainText minStopFrac drops stopword-free boilerplate") {
+    import org.apache.spark.sql.Row
+    val rows = page("<p>This is the first real paragraph of the page</p>" +
+        "<div>Posted by admin on 2020-01-01</div>")
+      .select(explode(Html.blocks(col("html"))).as("b"))
+      .select(col("b.n_words"), col("b.stop_words"))
+      .collect().toSeq
+    // prose: This,is,the,first,real,paragraph,of,the,page -> is,the,of,the = 4
+    // boilerplate: Posted,by,admin,on,2020-01-01 -> on = 1 (case-insensitive)
+    assert(rows === Seq(Row(9L, 4L), Row(5L, 1L)))
+    // the stopword gate (VERDICT r16 item 3): at 0.25 the short non-link
+    // boilerplate drops while equally-short prose survives — the case
+    // the link-density gate cannot see
+    val html = "<p>This is the first real paragraph of the page</p>" +
+      "<div>Posted by admin on March third</div>"
+    val gated = one(html, Html.extractMainText(col("html"),
+      minChars = 10, maxLinkDensity = 0.33, minStopFrac = 0.25))
+      .asInstanceOf[String]
+    assert(gated === "This is the first real paragraph of the page")
+    // default minStopFrac = 0 is a bit-exact no-op: both blocks kept
+    val ungated = one(html, Html.extractMainText(col("html"), minChars = 10))
+      .asInstanceOf[String]
+    assert(ungated ===
+      "This is the first real paragraph of the page\nPosted by admin on March third")
   }
 
   test("extractMainText: prose survives, link-dense chrome and short fragments drop") {

@@ -70,4 +70,30 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rowSet(viaSql) === rowSet(viaApi))
     assert(viaSql.count() > 0, "fixture should contain near-duplicate pairs")
   }
+
+  test("d38 markup strip via spark.sql + graft_html_entity_decode only") {
+    spark.read.parquet(s"$SF/documents.parquet").createOrReplaceTempView("docs38")
+    // the full stripMarkup pipeline in plain SQL: non-content drop + tag
+    // strip as regexp_replace, the entity pass through the registered
+    // native function, whitespace normalization incl. the decoded U+00A0
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    graft_html_entity_decode(regexp_replace(
+        |      regexp_replace(
+        |        concat('<p>it&#8217;s ', text, ' caf&eacute;&nbsp;&wat;</p>',
+        |               '<script>no()</script>'),
+        |        '(?is)<script(?:[ \t\n\r][^>]*)?>.*?</script[ \t\n\r]*>', ' '),
+        |      '<[^>]*>', ' ')),
+        |    '[ \t\n\r\u00a0]+', ' ')) AS t
+        |FROM docs38""".stripMargin)
+    val viaApi = spark.read.parquet(s"$SF/documents.parquet").select(
+      col("doc_id"),
+      graft.text.Html.stripMarkup(
+        concat(lit("<p>it&#8217;s "), col("text"),
+          lit(" caf&eacute;&nbsp;&wat;</p><script>no()</script>"))).as("t"))
+    assert(rowSet(viaSql) === rowSet(viaApi))
+    assert(viaSql.filter(col("t").contains("it’s")).count() > 0)
+    assert(viaSql.filter(col("t").contains("café &wat;")).count() > 0)
+  }
 }
