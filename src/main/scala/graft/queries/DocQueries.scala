@@ -109,7 +109,10 @@ object DocQueries {
     * wholesale, a link-dense nav, an entity-bearing meta line that is
     * long enough to SURVIVE the block filter (so entity decoding is
     * oracle-checked inside main_text, not only full_text), and a
-    * pure-link footer. */
+    * pure-link footer. The meta line carries the full r17 decoder
+    * surface (VERDICT r16 item 2): decimal and hex numeric refs, named
+    * refs beyond the XML five, a cp1252-remapped C1 ref, plus an
+    * unknown name and a surrogate ref that must SURVIVE as literals. */
   private val htmlPageTemplate: Seq[Either[String, String]] = Seq(
     Left("<html><head><title>Doc "), Right("doc_id"),
     Left("</title><style>p { color: #222 }</style><script>track(1);" +
@@ -119,7 +122,9 @@ object DocQueries {
     Left("</h1><p>"), Right("__paras__"),
     Left("</p><div class=\"meta\">language: "), Right("lang"),
     Left(" &amp; characters: "), Right("n_chars"),
-    Left("</div><footer><a href=\"/tos\">terms of service</a> " +
+    Left(" &#8212; the curator&#x2019;s caf&eacute; &ldquo;notes&rdquo;" +
+      " &#150; keep &wat; and &#xD800; literal</div>" +
+      "<footer><a href=\"/tos\">terms of service</a> " +
       "<a href=\"/privacy\">privacy policy</a></footer></body></html>"))
 
   private def htmlPageCol: org.apache.spark.sql.Column =
@@ -189,6 +194,40 @@ object DocQueries {
       i => array_join(slice(t, i * lit(8) + lit(1), lit(8)), " "))
     concat_ws("\n", lit(BoilerLine), array_join(lines, "\n"), lit(BoilerLine))
   }
+
+  /** d42's synthetic crawled page: four outlinks per page, one per
+    * resolution form — root-relative with an UNQUOTED href, a relative
+    * path with a `..` dot segment, an absolute cross-domain hub link,
+    * and a protocol-relative mirror link (adopts the page's scheme, so
+    * http and https pages mint DIFFERENT mirror vertices) — ONE
+    * definition, two renderings (the [[htmlPageTemplate]] convention).
+    * The page's own URL is the d39 template ([[urlBranches]]), so
+    * resolution runs against uppercase hosts, default ports, userinfo
+    * and tracking params, and [[graft.text.Urls.canonicalizeUrl]] has
+    * real cleanup to do on BOTH endpoints of every edge. */
+  private val crawlPageTemplate: Seq[Either[String, String]] = Seq(
+    Left("<html><body><nav><a href=/>home</a> <a href='../tags/"),
+    Right("mod7"),
+    Left("'>tag</a></nav><p>see <a href=\"https://hub.example.com/h/"),
+    Right("mod11"),
+    Left("\">hub</a> and <a href=\"//mirror.data.org/set/"), Right("mod7"),
+    Left("\">mirror</a> for "), Right("source"), Left("</p></body></html>"))
+
+  private def crawlPageCol: org.apache.spark.sql.Column =
+    concat(crawlPageTemplate.map {
+      case Left(str) => lit(str)
+      case Right("mod7") => pmod(col("doc_id"), lit(7L)).cast("string")
+      case Right("mod11") => pmod(col("doc_id"), lit(11L)).cast("string")
+      case Right(c) => col(c).cast("string")
+    }: _*)
+
+  private def crawlPageSql: String =
+    crawlPageTemplate.map {
+      case Left(str) => "'" + str.replace("'", "''") + "'"
+      case Right("mod7") => "CAST(doc_id % 7 AS VARCHAR)"
+      case Right("mod11") => "CAST(doc_id % 11 AS VARCHAR)"
+      case Right(c) => s"CAST($c AS VARCHAR)"
+    }.mkString(" || ")
 
   private def multilineSql: String =
     // coalesce: DuckDB array_to_string([]) is NULL (empty docs)
@@ -578,10 +617,16 @@ object DocQueries {
       // strip only — boilerplate text kept). Pure codegen'd column maps,
       // no shuffle; the oracle rebuilds the same page and replays every
       // regex pass (graft.text.Html.Sql mirrors).
+      // main_text_stopgated adds the r17 stopword-density gate at 0.05
+      // — calibrated to the synthetic corpus (median block density
+      // ~0.06), so the gate's keep/drop decision varies per document
+      // and the oracle checks BOTH outcomes, not a constant
       val html = htmlPageCol
       documents(s, d).select(
         col("doc_id"),
         graft.text.Html.extractMainText(html).as("main_text"),
+        graft.text.Html.extractMainText(html, minStopFrac = 0.05)
+          .as("main_text_stopgated"),
         size(graft.text.Html.blocks(html)).as("n_blocks"),
         graft.text.Html.stripMarkup(html).as("full_text"))
     }),
@@ -653,6 +698,37 @@ object DocQueries {
           col("doc_id"),
           Urls.canonicalizeUrl(col("url")).as("url_canonical"),
           Urls.registrableDomain(Urls.urlHost(col("url"))).as("domain"))
+    }),
+
+    "d42_crawl_rank" -> ((s, d) => {
+      // the crawl-graph loop closed END TO END (VERDICT r16 item 1):
+      // each doc's synthetic page carries four outlinks — root-relative
+      // (unquoted href), ../-relative, absolute hub, protocol-relative
+      // mirror — and the full path extract → resolve (RFC 3986) →
+      // canonicalize → distinct string-keyed edges → Graph.index →
+      // PageRank(3 fixed rounds) → ranks joined back to URLs runs the
+      // r16 ingest surface INTO the graph engine. Everything up to the
+      // edge list is a zero-shuffle column map over the corpus; the
+      // oracle replays every regex pass and the unrolled rank rounds
+      // (the g21 device) over the same string ids, so resolve and
+      // canonicalize are hash-checked through the whole composition.
+      import graft.text.{Html, Urls}
+      val pages = documents(s, d)
+        .select(col("doc_id"), col("source"), rawUrlCol.as("url"))
+        .select(col("url"), crawlPageCol.as("html"))
+      val links = pages.select(col("url"),
+        explode(Html.extractLinks(col("html"))).as("href"))
+      val edges = links.select(
+          Urls.canonicalizeUrl(col("url")).as("src"),
+          Urls.canonicalizeUrl(Urls.resolve(col("url"), col("href"))).as("dst"))
+        .filter(col("src") =!= "" && col("dst") =!= "")
+        .distinct()
+      val verts = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst"))).distinct()
+      val g = graft.core.Graph.index(verts, edges, directed = true)
+      graft.algorithms.PageRank(maxIterations = 3).run(g)
+        .join(g.vertices.select(col("id"), col("old_id")), Seq("id"))
+        .select(col("old_id").as("url"), round(col("rank"), 9).as("rank"))
     }),
 
     "d13_mixture_sample" -> ((s, d) => {
@@ -2056,6 +2132,8 @@ object DocQueries {
       s"""WITH page AS (SELECT doc_id, $htmlPageSql AS html FROM documents)
          |SELECT doc_id,
          |  ${graft.text.Html.Sql.extractMainText("html")} AS main_text,
+         |  ${graft.text.Html.Sql.extractMainText("html", minStopFrac = 0.05)}
+         |    AS main_text_stopgated,
          |  CAST(len(${graft.text.Html.Sql.blocks("html")}) AS INTEGER) AS n_blocks,
          |  ${graft.text.Html.Sql.stripMarkup("html")} AS full_text
          |FROM page""".stripMargin,
@@ -2160,6 +2238,50 @@ object DocQueries {
          |  domain
          |FROM d
          |WHERE domain NOT IN (${BlockedDomains.map(b => s"'$b'").mkString(", ")})""".stripMargin,
+    // the whole crawl-rank composition replayed: page build (same
+    // template), link extraction (Html.Sql), RFC 3986 resolution +
+    // canonicalization on both endpoints (Urls.Sql), distinct
+    // string-keyed edges, then g21's unrolled power-iteration CTE (3
+    // rounds of double arithmetic; round(...,9) absorbs summation-order
+    // ulps) with URLs as vertex ids — DuckDB groups/joins on the
+    // strings where Spark runs on xxhash64 surrogates, which is exactly
+    // the surrogate-fidelity check
+    "d42_crawl_rank" -> {
+      // resolve materializes in its own CTE so canonicalizeUrl's ~12
+      // subexpression references multiply a COLUMN NAME, not the ~8 KB
+      // resolve tree — the nested form made DuckDB's expression
+      // executor allocate quadratically
+      val canonSrc = graft.text.Urls.Sql.canonicalizeUrl("url")
+      val canonDst = graft.text.Urls.Sql.canonicalizeUrl("resolved")
+      val head =
+        s"""WITH u AS (SELECT doc_id, source, $rawUrlSql AS url FROM documents),
+           |p AS (SELECT url, $crawlPageSql AS html FROM u),
+           |l AS (SELECT url,
+           |  unnest(${graft.text.Html.Sql.extractLinks("html")}) AS href FROM p),
+           |r AS (SELECT url,
+           |  ${graft.text.Urls.Sql.resolve("url", "href")} AS resolved FROM l),
+           |e0 AS (SELECT $canonSrc AS src, $canonDst AS dst FROM r),
+           |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> '' AND dst <> ''),
+           |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+           |routes AS (SELECT e.src, e.dst, 1.0 / od.od AS share
+           |           FROM e JOIN od ON e.src = od.src),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+           |pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM v)""".stripMargin
+      val iters = (1 to 3).map { k =>
+        s"""d$k AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM pr${k - 1}
+           |        WHERE id NOT IN (SELECT src FROM od)),
+           |c$k AS (SELECT r.dst AS id, sum(p.rank * r.share) AS contrib
+           |        FROM pr${k - 1} p JOIN routes r ON p.id = r.src GROUP BY r.dst),
+           |pr$k AS (SELECT v.id,
+           |          ((1.0 - 0.85) / (SELECT n FROM nn)
+           |            + (0.85 * (SELECT dm FROM d$k)) / (SELECT n FROM nn))
+           |           + 0.85 * coalesce(c.contrib, 0.0) AS rank
+           |         FROM v LEFT JOIN c$k c ON v.id = c.id)""".stripMargin
+      }
+      (head +: iters).mkString(",\n") +
+        "\nSELECT id AS url, round(rank, 9) AS rank FROM pr3"
+    },
     // the shared cluster closure + t02's bit-identical quality formula;
     // the survivor pick replayed as a window (quality DESC, doc_id ASC)
     // — equivalent to the Spark side's lexicographic struct max

@@ -431,6 +431,25 @@ class PlansSpec extends SparkSpec {
       s"d39 crawl side must not shuffle:\n$p39")
   }
 
+  test("d42 crawl-rank feeder: extract+resolve+canonicalize is a zero-shuffle map") {
+    // the whole page -> edge-candidate path (everything BEFORE the edge
+    // distinct) must stay a narrow projection over the scan: on a
+    // 100 TB crawl the only exchanges d42 pays are the distinct and the
+    // per-round rank groupBy, never the string munging
+    import org.apache.spark.sql.functions._
+    import graft.text.{Html, Urls}
+    val pages = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("https://ex.com/a/"), col("doc_id")).as("url"),
+        lit("<a href=/x>r</a> <a href='../t/1'>t</a>").as("html"))
+    val cand = pages.select(col("url"),
+        explode(Html.extractLinks(col("html"))).as("href"))
+      .select(Urls.canonicalizeUrl(col("url")).as("src"),
+        Urls.canonicalizeUrl(Urls.resolve(col("url"), col("href"))).as("dst"))
+    val p = plan(cand)
+    assert(!p.contains("Exchange"), s"edge candidates must not shuffle:\n$p")
+  }
+
   test("g34/g35 graph stats: id-keyed joins plus combinable aggregates only") {
     for (q <- Seq("g34_modularity", "g35_assortativity")) {
       val p = plan(GraphQueries.queries(q)(spark, SF))
