@@ -716,16 +716,35 @@ object DocQueries {
       val pages = documents(s, d)
         .select(col("doc_id"), col("source"), rawUrlCol.as("url"))
         .select(col("url"), crawlPageCol.as("html"))
-      val links = pages.select(col("url"),
-        explode(Html.extractLinks(col("html"))).as("href"))
-      val edges = links.select(
+      // STAGED + PINNED (OPTIMIZATION_r17): the one-expression form
+      // nested canonicalizeUrl(resolve(url, href)) — canonicalize
+      // references its argument ~12x, so the whole resolve tree (itself
+      // ~50 regex ops over the synthesized page URL) was duplicated
+      // 12x per row, the src/dst filter evaluated the same giant trees
+      // a second time, and Graph.index + every PageRank round re-ran
+      // the unpinned chain from the parquet scan (~15-20 full
+      // evaluations measured: 328.9 s at sf0.1). Each layer is now its
+      // own projection over ATTRIBUTES of a localCheckpointed frame —
+      // identical per-row string ops, computed exactly once (guide
+      // §1.2/§2.4: fix the algorithm shape before anything else).
+      val links = pages
+        .select(col("url"), explode(Html.extractLinks(col("html"))).as("href"))
+        .localCheckpoint() // extract once: small (url, href) string frame
+      val resolved = links
+        .select(col("url"), Urls.resolve(col("url"), col("href")).as("_abs"))
+        .localCheckpoint() // RFC-3986 resolution once per link row
+      val edges = resolved
+        .select(
           Urls.canonicalizeUrl(col("url")).as("src"),
-          Urls.canonicalizeUrl(Urls.resolve(col("url"), col("href"))).as("dst"))
+          Urls.canonicalizeUrl(col("_abs")).as("dst"))
         .filter(col("src") =!= "" && col("dst") =!= "")
         .distinct()
+        .localCheckpoint() // the string edge list, built once for the loop
       val verts = edges.select(col("src").as("id"))
         .union(edges.select(col("dst"))).distinct()
+      // pin the indexed graph too: PageRank reads g.vertices every round
       val g = graft.core.Graph.index(verts, edges, directed = true)
+        .localCheckpointed()
       graft.algorithms.PageRank(maxIterations = 3).run(g)
         .join(g.vertices.select(col("id"), col("old_id")), Seq("id"))
         .select(col("old_id").as("url"), round(col("rank"), 9).as("rank"))
