@@ -47,9 +47,15 @@ object HyperBall {
   def ballRegisters(g: Graph, p: Int, rounds: Int): Seq[DataFrame] = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val fwd = g.edges.select(col(SRC), col(DST))
-    val prop =
+    // pinned ONCE for the loop (OPTIMIZATION_r17): the propagation edge
+    // list was a lazy plan re-evaluated (scan + union) by EVERY round's
+    // contrib join — rounds × the whole edge-derivation cost (g63: 20
+    // re-runs of an orders-scan + distinct). The Pregel/PageRank loops
+    // already pin their loop-invariant edges; HyperBall now does too.
+    val prop = (
       if (g.directed) fwd
-      else fwd.union(g.edges.select(col(DST).as(SRC), col(SRC).as(DST)))
+      else fwd.union(g.edges.select(col(DST).as(SRC), col(SRC).as(DST))))
+      .localCheckpoint()
     val init = Hll.registers(
       g.vertices.select(col(ID)), Seq(ID), col(ID).cast("string"), p)
       .localCheckpoint()
@@ -68,17 +74,30 @@ object HyperBall {
     out.result()
   }
 
+  /** All rounds' estimates in ONE aggregation (OPTIMIZATION_r17): the
+    * checkpointed round register frames are tagged with their round
+    * number, unioned, and estimated grouped by (round, vertex) — 1
+    * exchange instead of `rounds`+1 separate per-round aggregations
+    * (guide §2.4: two operations keyed the same way share one
+    * exchange). Values are identical to per-round [[Hll.estimate]]
+    * calls: the (round, id) groups partition exactly the same register
+    * rows. Output: (round, id, n_zero, s_sum, est_raw, lc_range). */
+  private def taggedEstimates(g: Graph, p: Int, rounds: Int): DataFrame =
+    Hll.estimate(
+      ballRegisters(g, p, rounds).zipWithIndex.map { case (regs, k) =>
+        regs.select(lit(k).as("round"), col(ID), col("bucket"), col("r"))
+      }.reduce(_ union _),
+      Seq("round", ID), p)
+
   /** Per-vertex neighbourhood estimates for rounds 0..`rounds`: one row
     * per (round, vertex) with the d20-audited HLL columns (n_zero,
     * s_sum, est_raw) — est_raw ≈ |B(v, round)|. The per-vertex face of
     * ANF (per-vertex ball growth is itself a centrality signal).
     */
   def vertexNeighbourhoods(g: Graph, p: Int, rounds: Int): DataFrame =
-    ballRegisters(g, p, rounds).zipWithIndex.map { case (regs, k) =>
-      Hll.estimate(regs, Seq(ID), p)
-        .select(lit(k).as("round"), col(ID), col("n_zero"), col("s_sum"),
-          col("est_raw"))
-    }.reduce(_ union _)
+    taggedEstimates(g, p, rounds)
+      .select(col("round"), col(ID), col("n_zero"), col("s_sum"),
+        col("est_raw"))
 
   /** The neighbourhood function: (round, nf) where nf = Σ_v est_raw as
     * an exact DECIMAL(32,6) sum — each per-vertex estimate is a
@@ -89,12 +108,14 @@ object HyperBall {
     * grow).
     */
   def neighbourhoodFunction(g: Graph, p: Int, rounds: Int): DataFrame =
-    ballRegisters(g, p, rounds).zipWithIndex.map { case (regs, k) =>
-      Hll.estimate(regs, Seq(ID), p)
-        .agg(sum(col("est_raw").cast("decimal(26,6)")).cast("decimal(32,6)")
-          .as("nf"))
-        .select(lit(k).as("round"), col("nf"))
-    }.reduce(_ union _)
+    // one grouped aggregation over the tagged estimates instead of
+    // rounds+1 separate global aggs (OPTIMIZATION_r17); the decimal sum
+    // is exact and associative, so per-round values are bit-identical
+    taggedEstimates(g, p, rounds)
+      .groupBy(col("round"))
+      .agg(sum(col("est_raw").cast("decimal(26,6)")).cast("decimal(32,6)")
+        .as("nf"))
+      .select(col("round"), col("nf"))
 
   /** Per-vertex HARMONIC centrality estimate — the statistic HyperBall
     * was built for (Boldi & Vigna: "in-core computation of GEOMETRIC
@@ -151,11 +172,16 @@ object HyperBall {
     // `div` (IntegralDivide) of positive integers = floor, no double
     val k = harmonicNumeratorMicro(p)
     val kLit = s"CAST('$k' AS DECIMAL(${k.toString.length}, 0))"
-    val ests = ballRegisters(g, p, rounds).zipWithIndex.map { case (regs, n) =>
-      Hll.estimate(regs, Seq(ID), p)
-        .select(col(ID), expr(s"$kLit div s_sum").as(s"_e$n"))
-    }
-    val joined = ests.reduce((a, b) => a.join(b, Seq(ID)))
+    // one grouped aggregation + one pivot instead of rounds+1 aggs and
+    // rounds keyed joins (OPTIMIZATION_r17): every vertex appears in
+    // every round's registers (round-0 seeds all ids; merge only grows
+    // them), so max(when(round = n)) picks exactly the one per-round
+    // value the join form produced — 2 exchanges total.
+    val e = taggedEstimates(g, p, rounds)
+      .select(col("round"), col(ID), expr(s"$kLit div s_sum").as("_e"))
+    val pivots = (0 to rounds).map(n =>
+      max(when(col("round") === n, col("_e"))).as(s"_e$n"))
+    val joined = e.groupBy(col(ID)).agg(pivots.head, pivots.tail: _*)
     // The delta×weight ACCUMULATION is DECIMAL(38,0): a term
     // (e_r − e_{r−1})·(L/r) on a ≳1.3e7-vertex ball (e_micro ≈
     // 1e6·|ball|) already passes 2^63 at round 1, so an i64 sum would
@@ -198,11 +224,13 @@ object HyperBall {
     val buckets = bucketRounds(rounds)
     val k = harmonicNumeratorMicro(p)
     val kLit = s"CAST('$k' AS DECIMAL(${k.toString.length}, 0))"
-    val ests = ballRegisters(g, p, rounds).zipWithIndex.map { case (regs, n) =>
-      Hll.estimate(regs, Seq(ID), p)
-        .select(col(ID), expr(s"$kLit div s_sum").as(s"_e$n"))
-    }
-    val joined = ests.reduce((a, b) => a.join(b, Seq(ID)))
+    // same single-pass pivot as the exact face (OPTIMIZATION_r17):
+    // 2 exchanges instead of rounds+1 aggs + rounds keyed joins
+    val e = taggedEstimates(g, p, rounds)
+      .select(col("round"), col(ID), expr(s"$kLit div s_sum").as("_e"))
+    val pivots = (0 to rounds).map(n =>
+      max(when(col("round") === n, col("_e"))).as(s"_e$n"))
+    val joined = e.groupBy(col(ID)).agg(pivots.head, pivots.tail: _*)
     // same DECIMAL(38,0) accumulation as the exact face (ADVICE r13):
     // a bucket's weighted sum overflows i64 on ≳1e7-vertex balls even
     // though every per-round estimate fits comfortably

@@ -136,16 +136,27 @@ final case class PageRank(
   private def iterate(g: Graph, n: Double, rank0: DataFrame): DataFrame = {
     val routes = pinStatic(this.routes(g))
     val teleport = (1.0 - damping) / n
+    // LOOP-INVARIANT dangling set (OPTIMIZATION_r17): the vertices with
+    // no out-edges never change, so compute the set once instead of a
+    // routes.distinct + anti-join per round (guide §2.4). The per-round
+    // scalar becomes one semi-join sum over the pinned rank.
+    val dangling = pinStatic(g.vertices.select(col(ID))
+      .join(routes.select(col(SRC).as(ID)).distinct(), Seq(ID), "left_anti"))
+    // dangling mass: rank held by vertices with no out-edges. Running it
+    // on the freshly pinned NEXT rank both materializes the lazy
+    // checkpoint and yields the next round's scalar — ONE action per
+    // round where the loop previously paid two (the dangling head() and
+    // the materializing count()).
+    def danglingMass(rank: DataFrame): Double = rank
+      .join(dangling, Seq(ID), "left_semi")
+      .agg(coalesce(sum(col(RANK)), lit(0.0))).head().getDouble(0)
 
     var rank = rank0
+    var dMass = danglingMass(rank0)
     var i = 0
     var done = false
     while (i < maxIterations && !done) {
-      // dangling mass: rank held by vertices with no out-edges
-      val danglingRow = rank
-        .join(routes.select(col(SRC).as(ID)).distinct(), Seq(ID), "left_anti")
-        .agg(coalesce(sum(col(RANK)), lit(0.0))).head()
-      val danglingShare = damping * danglingRow.getDouble(0) / n
+      val danglingShare = damping * dMass / n
 
       val contrib = rank
         .join(routes, rank(ID) === routes(SRC))
@@ -163,7 +174,7 @@ final case class PageRank(
           .agg(max(abs(col(RANK) - col("_prev")))).head().getDouble(0)
         delta < t
       }
-      if (tolerance.isEmpty) pinned.count() // materialize the lazy checkpoint
+      dMass = danglingMass(pinned) // materializes the lazy checkpoint too
       rank = pinned
       i += 1
     }
@@ -195,16 +206,22 @@ final case class PageRank(
         (col("weight").cast("double") / tot).as("_w")), Seq(ID), "left")
       .select(col(ID), coalesce(col("_w"), lit(0.0)).as("_w")))
 
+    // loop-invariant dangling set + one fused action per round, exactly
+    // as in [[iterate]] (OPTIMIZATION_r17)
+    val dangling = pinStatic(g.vertices.select(col(ID))
+      .join(routes.select(col(SRC).as(ID)).distinct(), Seq(ID), "left_anti"))
+    def danglingMass(rank: DataFrame): Double = rank
+      .join(dangling, Seq(ID), "left_semi")
+      .agg(coalesce(sum(col(RANK)), lit(0.0))).head().getDouble(0)
+
     var rank = checkpoint.pin(w.select(col(ID), col("_w").as(RANK)))
+    var dMass = danglingMass(rank)
     var i = 0
     var done = false
     while (i < maxIterations && !done) {
-      val danglingRow = rank
-        .join(routes.select(col(SRC).as(ID)).distinct(), Seq(ID), "left_anti")
-        .agg(coalesce(sum(col(RANK)), lit(0.0))).head()
       // scalar multiplier on the seed vector: teleport + returned
       // dangling mass, one driver double so every engine replays it
-      val fac = (1.0 - damping) + damping * danglingRow.getDouble(0)
+      val fac = (1.0 - damping) + damping * dMass
 
       val contrib = rank
         .join(routes, rank(ID) === routes(SRC))
@@ -222,7 +239,7 @@ final case class PageRank(
           .agg(max(abs(col(RANK) - col("_prev")))).head().getDouble(0)
         delta < t
       }
-      if (tolerance.isEmpty) pinned.count()
+      dMass = danglingMass(pinned) // materializes the lazy checkpoint too
       rank = pinned
       i += 1
     }

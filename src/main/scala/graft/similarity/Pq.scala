@@ -190,12 +190,22 @@ object Pq {
   def fitIvfPqPortable(items: DataFrame, idCol: String, vecCol: String,
       dims: Int, coarseK: Int, m: Int, ksub: Int,
       maxIterations: Int = 5, fitSampleSize: Int = 0): IvfPqPortableModel = {
-    val coarse = KMeans.fitPortable(items, idCol, vecCol, coarseK,
-      maxIterations, fitSampleSize = fitSampleSize).localCheckpoint()
+    // the coarse quantizer fit and the m codebook fits are INDEPENDENT
+    // deterministic Lloyd runs over the same input — overlap them as
+    // concurrent job streams (OPTIMIZATION_r17, the `concurrently` /
+    // SCC device, guide §2.6): each is a chain of small latency-bound
+    // driver jobs that rarely saturates the executors alone
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val coarseF = Future(KMeans.fitPortable(items, idCol, vecCol, coarseK,
+      maxIterations, fitSampleSize = fitSampleSize).localCheckpoint())
+    val pqF = Future(fitPortable(items, idCol, vecCol, dims, m, ksub,
+      maxIterations, fitSampleSize))
+    val coarse = Await.result(coarseF, Duration.Inf)
     val cells = KMeans.assignPortable(
       items.select(col(idCol), col(vecCol)), coarse, idCol, vecCol)
-    val pq = fitPortable(items, idCol, vecCol, dims, m, ksub,
-      maxIterations, fitSampleSize)
+    val pq = Await.result(pqF, Duration.Inf)
     IvfPqPortableModel(coarse, cells, pq,
       encodePortable(items, idCol, vecCol, pq))
   }
