@@ -199,7 +199,9 @@ object BreadthFirstSearch {
         stall = if (n > frontierN) 0 else stall + 1
         frontierN = n
         visitedN += n
-        visited = checkpoint.pin(visited.unionByName(frontier))
+        // lazy union of pinned frontiers — no per-depth O(V) copy job
+        // (the distances() device, OPTIMIZATION_r17); ≤ 64 union arms
+        visited = visited.unionByName(frontier)
         // TIGHTENED (ADVICE r15): the coverage bound assumes the
         // frontier never regrows, which a stalk-then-hub topology (a
         // long path into a huge star) violates — a brief stall early in
@@ -239,6 +241,13 @@ object BreadthFirstSearch {
     val edges = checkpoint.pin(
       (if (g.directed) g.edges else g.symmetricEdges)
         .filter(edgeExpr).select(col(SRC), col(DST)))
+    // `visited` is a LAZY UNION of the pinned per-depth frontiers
+    // (OPTIMIZATION_r17): the loop previously re-pinned the whole
+    // visited set every round — an O(V) copy job per depth on top of
+    // the frontier pin. The anti-join reads the same rows either way
+    // (each frame is already materialized), the plan depth grows only
+    // linearly in maxIterations, and the returned frame is the same
+    // row set.
     var visited = checkpoint.pin(
       g.vertices.filter(startExpr).select(col(ID), lit(0).as(DIST)))
     var frontier = visited
@@ -250,7 +259,7 @@ object BreadthFirstSearch {
           .select(edges(DST).as(ID)).distinct()
           .join(visited, Seq(ID), "left_anti")
           .select(col(ID), lit(depth).as(DIST)))
-      visited = checkpoint.pin(visited.unionByName(frontier))
+      visited = visited.unionByName(frontier)
     }
     visited
   }

@@ -119,8 +119,15 @@ object GraphIO {
         .bucketBy(buckets, "src").sortBy("src")
         .saveAsTable(s"${name}_edges")
       // maintained degree cache — [[appendEdges]] folds batch deltas into
-      // it instead of re-scanning the edge table
-      degreesOf(g.edges).write.mode("overwrite")
+      // it instead of re-scanning the edge table. Derived from the
+      // JUST-WRITTEN table, not from `g.edges` (OPTIMIZATION_r17): the
+      // caller's edge frame is typically the whole indexing chain
+      // (distinct + keying + membership semi-joins), which the third
+      // write would re-run from the raw inputs — the stored table holds
+      // exactly those rows, its scan is one bucketed read, and the
+      // out-degree half aggregates with NO exchange on the bucketed src.
+      degreesOf(g.vertices.sparkSession.table(s"${name}_edges"))
+        .write.mode("overwrite")
         .bucketBy(buckets, "id").sortBy("id")
         .saveAsTable(s"${name}_degrees")
     }
