@@ -172,6 +172,21 @@ object Bench {
       s""""shuffle_probes":[${probes.map(s3).mkString(",")}]}"""
     val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","repeats":$repeats,"queries":$qs,"repeats_s":$reps,"calibration_s":$calib,"cpu_probe_check":$cpuCheck,"errors":$errs,"sf":"${esc(sfDir)}"}"""
     println(line)
+    // COMPACT final line (VERDICT r17 item 2): the full line above is
+    // ~9 KB (176 queries x repeats arrays + probes) and the driver keeps
+    // only a ~1.9 KB stdout tail, so BENCH_r16/r17 both came back
+    // `parsed: null` and PERF had no totals at all. The full line stays
+    // (it IS the declared contract and the machine record below), and
+    // this additional <300-byte summary — total, counts, cpus, sf, and a
+    // pointer to the per-query file — is printed LAST so a bounded tail
+    // capture always ends with one complete parseable JSON line.
+    val nQ = names.count { case (k, _) => roundedPasses.contains(k) }
+    val nE = names.count { case (k, _) => !best.contains(k) && errors.contains(k) }
+    val compact = s"""{"metric":"total","value":${s3(total)},"unit":"sec",""" +
+      s""""repeats":$repeats,"n_queries":$nQ,"n_errors":$nE,"cpus":"${esc(cpus)}",""" +
+      s""""sf":"${esc(sfDir)}","queries_in":"full line above; file copy in """ +
+      s"""SPARK_GRAFT_BENCH_OUT (default BENCH_SELF.json)"}"""
+    println(compact)
     // the stdout tail has been truncated by log interleaving more than
     // once (r7/r8 artifacts had `parsed: null`); the file copy is the
     // always-machine-readable record

@@ -174,7 +174,12 @@ final case class PageRank(
           .agg(max(abs(col(RANK) - col("_prev")))).head().getDouble(0)
         delta < t
       }
-      dMass = danglingMass(pinned) // materializes the lazy checkpoint too
+      // ADVICE r17: the final round's dangling mass is discarded — skip
+      // the scalar job there. The lazy checkpoint then materializes on
+      // the caller's first action (or already did, in the tolerance
+      // path's delta head()); no work is lost, one job per run is.
+      if (!done && i + 1 < maxIterations)
+        dMass = danglingMass(pinned) // materializes the lazy checkpoint too
       rank = pinned
       i += 1
     }
@@ -239,7 +244,9 @@ final case class PageRank(
           .agg(max(abs(col(RANK) - col("_prev")))).head().getDouble(0)
         delta < t
       }
-      dMass = danglingMass(pinned) // materializes the lazy checkpoint too
+      // ADVICE r17: skip the discarded final-round scalar (see iterate)
+      if (!done && i + 1 < maxIterations)
+        dMass = danglingMass(pinned) // materializes the lazy checkpoint too
       rank = pinned
       i += 1
     }

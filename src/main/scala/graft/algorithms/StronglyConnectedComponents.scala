@@ -40,6 +40,21 @@ final case class StronglyConnectedComponents(
   import Columns._
 
   private def minReach(vertices: DataFrame, edges: DataFrame, forward: Boolean): DataFrame = {
+    // batch-bounded driver fast path (OPTIMIZATION_r18, the UnionFind
+    // cap-and-decline device): a min-label propagation to its fixed
+    // point costs one driver round-trip per graph-diameter superstep
+    // distributed — pure job overhead on a small residual graph (g22
+    // measured 526 jobs for a 30-vertex graph). The in-memory worklist
+    // reaches the SAME unique fixpoint (monotone propagation); over the
+    // cap the Pregel path below runs exactly as before.
+    UnionFind.minReach(vertices, edges, SRC, DST, forward) match {
+      case Some(st) => st
+      case None => minReachDistributed(vertices, edges, forward)
+    }
+  }
+
+  private def minReachDistributed(
+      vertices: DataFrame, edges: DataFrame, forward: Boolean): DataFrame = {
     val g = Graph(vertices, edges, directed = true)
     val res = Pregel(
       initialState = col(ID),

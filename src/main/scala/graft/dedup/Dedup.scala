@@ -27,6 +27,22 @@ import graft.text.TextFunctions
   */
 object Dedup {
 
+  /** Scan-parallelism floor for the heavy per-row stages (guide §2.5,
+    * input skew): a small corpus arrives as ONE parquet file, so the
+    * scan plans one task and the shingling + signature compute — the
+    * dominant cost of every near-dup operator — runs on one core of the
+    * whole cluster (measured: d02's 4.1 s single job at sf0.1 on
+    * local[32]). When the planned scan has fewer partitions than the
+    * session's default parallelism, round-robin repartition the
+    * PROJECTED (id, text) rows first — the shuffle moves each row once
+    * and is negligible exactly when it triggers; a corpus-scale input
+    * with ample file splits passes through untouched, so nothing is
+    * hardcoded to local core counts. */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   /** One row per distinct text: the id to keep (minimum), the copy count,
     * and the sorted duplicate ids.
     */
@@ -101,10 +117,11 @@ object Dedup {
       maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sh = docs.select(
-      col(idCol).as("id"),
-      array_distinct(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize))
-        .as("sh"))
+    val sh = spread(docs.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .select(
+        col("id"),
+        array_distinct(TextFunctions.shingles(TextFunctions.tokens(col("_t")), shingleSize))
+          .as("sh"))
       .filter(size(col("sh")) > 0)
       // shingle sets are reused by banding and the verify join
       .localCheckpoint()
@@ -260,15 +277,17 @@ object Dedup {
       eval: DataFrame,
       evalTextCol: String,
       shingleSize: Int = 3): DataFrame = {
-    val docSh = docs.select(
-      col(idCol),
-      explode(array_distinct(
-        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize)))
-        .as("_g"))
-    val evalSh = eval.select(
-      explode(array_distinct(
-        TextFunctions.shingles(TextFunctions.tokens(col(evalTextCol)), shingleSize)))
-        .as("_g"))
+    val docSh = spread(docs.select(col(idCol), col(textCol).as("_t")))
+      .select(
+        col(idCol),
+        explode(array_distinct(
+          TextFunctions.shingles(TextFunctions.tokens(col("_t")), shingleSize)))
+          .as("_g"))
+    val evalSh = spread(eval.select(col(evalTextCol).as("_t")))
+      .select(
+        explode(array_distinct(
+          TextFunctions.shingles(TextFunctions.tokens(col("_t")), shingleSize)))
+          .as("_g"))
       .distinct()
     val hits = docSh.join(evalSh, Seq("_g"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
@@ -408,10 +427,11 @@ object Dedup {
     // OpenHashSet path) instead of strings, and |A U B| = na + nb - inter
     // saves the second set operation. 64-bit collisions are negligible at
     // any realistic corpus size (~1e-11 at 1e9 distinct shingles... per pair).
-    val sh = docs.select(
-      col(idCol).as("id"),
-      array_distinct(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize))
-        .as("sh"))
+    val sh = spread(docs.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .select(
+        col("id"),
+        array_distinct(TextFunctions.shingles(TextFunctions.tokens(col("_t")), shingleSize))
+          .as("sh"))
       .filter(size(col("sh")) > 0)
       .select(
         col("id"),
@@ -524,9 +544,10 @@ object Dedup {
     // whole i64 id range (an id*2^31+pos encoding would overflow under
     // ANSI — snowflake/offset ids routinely exceed 2^32 — and wrap into
     // canonical-key collisions without it)
-    val spans = docs.select(
-      col(idCol).as("id"),
-      posexplode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)))
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("_t"))
+    val spans = base.select(
+      col("id"),
+      posexplode(TextFunctions.shingles(TextFunctions.tokens(col("_t")), n)))
       .toDF("id", "pos", "g")
       .select(col("id"), col("pos"), xxhash64(col("g")).as("h"))
     val inv = spans.groupBy(col("h")).agg(
@@ -539,8 +560,7 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
       .groupBy(col("id"))
       .agg(sort_array(collect_set(col("p"))).as("rm"))
-    docs.select(col(idCol).as("id"),
-        TextFunctions.tokens(col(textCol)).as("t"))
+    base.select(col("id"), TextFunctions.tokens(col("_t")).as("t"))
       .join(removed, Seq("id"), "left")
       .select(col("id"), col("rm"),
         filter(col("t"), (_, i) =>
@@ -639,10 +659,11 @@ object Dedup {
       maxShingleDocs: Int = 0): DataFrame = {
     require(minContainmentPct >= 1 && minContainmentPct <= 100,
       s"minContainmentPct must be in [1,100], got $minContainmentPct")
-    val sh = docs.select(
-      col(idCol).as("id"),
-      explode(array_distinct(
-        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n))).as("g"))
+    val sh = spread(docs.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .select(
+        col("id"),
+        explode(array_distinct(
+          TextFunctions.shingles(TextFunctions.tokens(col("_t")), n))).as("g"))
       .select(col("id"), xxhash64(col("g")).as("h"))
       .localCheckpoint() // reused: sizes, hot count, both join sides
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_a"))
@@ -687,8 +708,8 @@ object Dedup {
       n: Int = 8,
       minContainmentPct: Int = 80,
       maxShingleDocs: Int = 0): DataFrame = {
-    val clusters = docs
-      .select(col(idCol).as("id"), sha2(col(textCol), 256).as("_th"))
+    val clusters = spread(docs.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .select(col("id"), sha2(col("_t"), 256).as("_th"))
       .groupBy(col("_th"))
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("copies"))
       .select(col("keep_id"), col("copies"))

@@ -221,8 +221,14 @@ object DedupIndex {
     // `sha` rides along so a later [[merge]] can match incoming texts
     // against existing groups without the corpus — 32 bytes per distinct
     // text
+    // parallelism floor on BOTH heavy per-row stages (the Dedup.spread
+    // device, guide §2.5): the sha digests and the representatives'
+    // shingling otherwise run on the input file's task count — one task
+    // for a single-file corpus, whatever the cluster size
+    val keyed = Dedup.spread(
+      docs.select(col(idCol).as("id"), col(textCol).as("_text")))
     val clusters = checkpoint.pin(
-      docs.select(col(idCol).as("id"), sha2(col(textCol), 256).as("_th"))
+      keyed.select(col("id"), sha2(col("_text"), 256).as("_th"))
         .groupBy(col("_th"))
         .agg(
           min(col("id")).as("keep_id"),
@@ -232,7 +238,7 @@ object DedupIndex {
     // representative texts come back by a semi-join on the (narrow)
     // representative-id set — the corpus text never rides the collapse
     // shuffle
-    val reps = docs.select(col(idCol).as("id"), col(textCol).as("_text"))
+    val reps = keyed
       .join(clusters.select(col("keep_id").as("id")), Seq("id"), "left_semi")
     val sh = checkpoint.pin(
       reps.select(

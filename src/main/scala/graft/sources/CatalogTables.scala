@@ -177,13 +177,33 @@ object CatalogTables {
     override def initialValue: Option[(String, Long)] = None
   }
 
+  /** The calling thread's epoch-guard context — pass to
+    * [[withEpochContext]] on a worker thread so staged swaps issued from
+    * concurrent job streams (guide §2.6 overlap) keep re-verifying the
+    * family generation exactly as they would on the mutating thread.
+    * Without this, a swap on a fresh thread sees an empty ThreadLocal
+    * and silently skips the per-swap stale-base check. */
+  private[graft] def epochContext: Option[(String, Long)] = epochCtx.get
+
+  /** Run `body` under the given epoch-guard context (see
+    * [[epochContext]]); restores the thread's previous context after. */
+  private[graft] def withEpochContext[T](ctx: Option[(String, Long)])(body: => T): T = {
+    val prev = epochCtx.get
+    epochCtx.set(ctx)
+    try body finally epochCtx.set(prev)
+  }
+
   def prepareOverwrite(spark: SparkSession, table: String): Unit = {
-    import org.apache.spark.sql.functions.col
     val location: Option[String] =
       if (spark.catalog.tableExists(table))
-        spark.sql(s"DESCRIBE TABLE EXTENDED `$table`")
-          .filter(col("col_name") === "Location")
-          .collect().headOption.map(_.getString(1)) // bounded: <= 1 row
+        // direct catalog-metadata read (OPTIMIZATION_r18): the previous
+        // `DESCRIBE TABLE EXTENDED` ran a full SQL command + collect per
+        // call — tens of ms of driver latency × every staged swap; the
+        // metadata object carries the same resolved location (None for
+        // a view, which deletes nothing — unchanged semantics)
+        spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+          .storage.locationUri.map(_.toString)
       else
         Some(new org.apache.hadoop.fs.Path(
           spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase).toString)

@@ -67,6 +67,42 @@ object GraphIO {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Run independent table writes as CONCURRENT Spark job streams
+    * (guide §2.6): actions are only sequential because the driver calls
+    * them sequentially, and a mutation's derived-table writes are
+    * mostly independent (different tables, inputs pinned or reading
+    * live tables the sibling never touches) — overlapping them fills
+    * the executor slack of each write's straggler tail AND hides the
+    * per-write driver/catalog latency behind the sibling's jobs. The
+    * epoch-guard context is propagated onto each worker thread so
+    * staged swaps keep their per-swap stale-base check; failures
+    * surface after all branches settle (no detached job stream). */
+  /** Align a frame to its destination's bucket layout before a bucketed
+    * write (guide §6, OPTIMIZATION_r18): repartition into exactly
+    * `buckets` partitions on the bucket key — HashPartitioning, the same
+    * murmur hash `bucketBy` assigns bucket ids with — so each write task
+    * owns ONE whole bucket and the table lands as one file per bucket.
+    * Without it a bucketed write emits up to (input tasks × buckets)
+    * fragments: every lifecycle rewrite of a small store was producing
+    * hundreds of KB-sized files, and every subsequent probe paid their
+    * listing + open cost. At scale the same alignment is what keeps
+    * bucket files contiguous instead of sharded per upstream task. */
+  private def toBuckets(df: DataFrame, buckets: Int, key: String): DataFrame =
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+
+  private def inParallel(tasks: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ctx = CatalogTables.epochContext
+    val fs = tasks.map(t => Future(CatalogTables.withEpochContext(ctx)(t())))
+    val outcomes = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    val failures = outcomes.collect { case scala.util.Failure(e) => e }
+    failures.headOption.foreach { e =>
+      failures.drop(1).foreach(e.addSuppressed); throw e
+    }
+  }
+
   def write(g: Graph, path: String, partitionByKey: Boolean = false): Unit = {
     import g.vertices.sparkSession.implicits._
     g.vertices.write.mode("overwrite").parquet(s"$path/vertices")
@@ -108,28 +144,42 @@ object GraphIO {
     mutate(g.vertices.sparkSession, name) {
       Seq("vertices", "edges", "degrees").foreach(t =>
         CatalogTables.prepareOverwrite(g.vertices.sparkSession, s"${name}_$t"))
-      // vertices bucketed by id: the append lifecycle's endpoint-membership
-      // semi-joins (and any vertex-keyed probe) then plan no exchange on
-      // the stored side
-      g.vertices.withColumn("_directed", lit(g.directed))
-        .write.mode("overwrite")
-        .bucketBy(buckets, "id").sortBy("id")
-        .saveAsTable(s"${name}_vertices")
-      g.edges.write.mode("overwrite")
-        .bucketBy(buckets, "src").sortBy("src")
-        .saveAsTable(s"${name}_edges")
-      // maintained degree cache — [[appendEdges]] folds batch deltas into
-      // it instead of re-scanning the edge table. Derived from the
-      // JUST-WRITTEN table, not from `g.edges` (OPTIMIZATION_r17): the
-      // caller's edge frame is typically the whole indexing chain
-      // (distinct + keying + membership semi-joins), which the third
-      // write would re-run from the raw inputs — the stored table holds
-      // exactly those rows, its scan is one bucketed read, and the
-      // out-degree half aggregates with NO exchange on the bucketed src.
-      degreesOf(g.vertices.sparkSession.table(s"${name}_edges"))
-        .write.mode("overwrite")
-        .bucketBy(buckets, "id").sortBy("id")
-        .saveAsTable(s"${name}_degrees")
+      // the vertex and edge writes are INDEPENDENT (each consumes its own
+      // half of the caller's indexing chain) — run them as concurrent job
+      // streams (guide §2.6, OPTIMIZATION_r18) so each write's straggler
+      // tail and driver-side commit latency hide behind the sibling's
+      // jobs. The degree write stays AFTER the edge write: it reads the
+      // just-written table (see below).
+      inParallel(
+        () =>
+          // vertices bucketed by id: the append lifecycle's
+          // endpoint-membership semi-joins (and any vertex-keyed probe)
+          // then plan no exchange on the stored side
+          g.vertices.withColumn("_directed", lit(g.directed))
+            .transform(toBuckets(_, buckets, "id"))
+            .write.mode("overwrite")
+            .bucketBy(buckets, "id").sortBy("id")
+            .saveAsTable(s"${name}_vertices"),
+        () => {
+          g.edges.transform(toBuckets(_, buckets, "src"))
+            .write.mode("overwrite")
+            .bucketBy(buckets, "src").sortBy("src")
+            .saveAsTable(s"${name}_edges")
+          // maintained degree cache — [[appendEdges]] folds batch deltas
+          // into it instead of re-scanning the edge table. Derived from
+          // the JUST-WRITTEN table, not from `g.edges` (OPTIMIZATION_r17):
+          // the caller's edge frame is typically the whole indexing chain
+          // (distinct + keying + membership semi-joins), which the third
+          // write would re-run from the raw inputs — the stored table
+          // holds exactly those rows, its scan is one bucketed read, and
+          // the out-degree half aggregates with NO exchange on the
+          // bucketed src.
+          degreesOf(g.vertices.sparkSession.table(s"${name}_edges"))
+            .transform(toBuckets(_, buckets, "id"))
+            .write.mode("overwrite")
+            .bucketBy(buckets, "id").sortBy("id")
+            .saveAsTable(s"${name}_degrees")
+        })
     }
   }
 
@@ -175,11 +225,28 @@ object GraphIO {
     * — deterministic, so the maintained table and a whole-rebuild agree
     * row for row (GraphAppendSpec pins it).
     */
-  def componentsOf(g: Graph, maxIterations: Int = 20): DataFrame = {
+  def componentsOf(g: Graph, maxIterations: Int = 20): DataFrame =
+    labelsFor(g.vertices,
+      g.edges.select(org.apache.spark.sql.functions.col("src"),
+        org.apache.spark.sql.functions.col("dst")), maxIterations)
+
+  /** Min-id weak-connectivity labels of an edge frame over a vertex set
+    * — [[componentsOf]]'s engine, shared with the certificate-scoped
+    * [[refreshLabels]]. Batch-bounded inputs take the driver union-find
+    * (the [[repairComponentTable]] device, OPTIMIZATION_r18: a full CC's
+    * ~10 star rounds are pure job overhead on a small graph — measured
+    * ~40 driver round-trips for a 1 500-vertex store); over the cap the
+    * distributed star rounds run exactly as before. Labels are
+    * identical either way (min-label CC is deterministic;
+    * AlgorithmsSpec pins the equivalence). */
+  private def labelsFor(
+      vertices: DataFrame, edges: DataFrame, maxIterations: Int): DataFrame = {
     import org.apache.spark.sql.functions._
-    val cc = graft.algorithms.AlternatingConnectedComponents(
-      maxIterations, requireConvergence = true).run(g)
-    g.vertices.select(col("id"))
+    val cc = graft.algorithms.UnionFind.minLabel(edges, "src", "dst")
+      .getOrElse(graft.algorithms.AlternatingConnectedComponents(
+        maxIterations, requireConvergence = true)
+        .run(Graph(vertices.select(col("id")), edges, directed = false)))
+    vertices.select(col("id"))
       .join(cc, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("component"), col("id")).as("component"))
@@ -196,9 +263,10 @@ object GraphIO {
   def buildComponents(spark: SparkSession, name: String, maxIterations: Int = 20): Unit =
     mutate(spark, name) {
       val comps = componentsOf(readBucketed(spark, name), maxIterations)
+      val cb = tableBuckets(spark, s"${name}_edges")
       CatalogTables.stagedOverwrite(spark, s"${name}_components") { t =>
-        comps.write.mode("overwrite")
-          .bucketBy(tableBuckets(spark, s"${name}_edges"), "id").sortBy("id")
+        toBuckets(comps, cb, "id").write.mode("overwrite")
+          .bucketBy(cb, "id").sortBy("id")
           .saveAsTable(t)
       }
     }
@@ -258,11 +326,32 @@ object GraphIO {
     * contract should not lean on that reasoning chain. */
   def refreshLabels(spark: SparkSession, name: String, maxIterations: Int = 20): Unit =
     mutate(spark, name) {
+      import org.apache.spark.sql.functions._
       require(!refreshPending(spark, name),
         s"an interrupted refreshComponents left '$name''s certificate untrusted — " +
           s"labels-only refresh would pair fresh labels with phantom witnesses; " +
           s"re-run refreshComponents('$name')")
-      buildComponents(spark, name, maxIterations)
+      // CERTIFICATE-SCOPED relabel (guide §1.2/§2.4, OPTIMIZATION_r18):
+      // when the maintained certificate exists — and the pending gate
+      // above just proved it TRUSTED — CC over its TREE-sized rows
+      // (≤ V−1, a subset of the stored edges spanning exactly the same
+      // components, the [[buildForest]] contract) yields the identical
+      // min-id labels as CC over the O(E) edge table, so the labels-only
+      // refresh stops touching the corpus entirely. GraphAppendSpec pins
+      // the equivalence against the full rebuild. No certificate → the
+      // full [[buildComponents]] pass, unchanged.
+      if (hasForest(spark, name)) {
+        val comps = labelsFor(
+          spark.table(s"${name}_vertices"),
+          readForest(spark, name).select(col("src"), col("dst")),
+          maxIterations)
+        val cb = tableBuckets(spark, s"${name}_edges")
+        CatalogTables.stagedOverwrite(spark, s"${name}_components") { t =>
+          toBuckets(comps, cb, "id").write.mode("overwrite")
+            .bucketBy(cb, "id").sortBy("id")
+            .saveAsTable(t)
+        }
+      } else buildComponents(spark, name, maxIterations)
     }
 
   /** True while a [[refreshComponents]] pair is incomplete: set before
@@ -349,7 +438,8 @@ object GraphIO {
       .getOrElse(forestOf(edges))
     val buckets = tableBuckets(spark, s"${name}_edges")
     CatalogTables.stagedOverwrite(spark, s"${name}_forest") { t =>
-      forest.write.mode("overwrite")
+      forest.transform(toBuckets(_, buckets, "src"))
+        .write.mode("overwrite")
         .bucketBy(buckets, "src").sortBy("src")
         .saveAsTable(t)
     }
@@ -457,13 +547,15 @@ object GraphIO {
       .select(stored.columns.map(col).toIndexedSeq: _*)
       // pinned: the append below writes into a table this plan reads
       .localCheckpoint()
-    fresh.write.mode("append")
-      .bucketBy(tableBuckets(spark, s"${name}_vertices"), "id").sortBy("id")
+    val vb = tableBuckets(spark, s"${name}_vertices")
+    toBuckets(fresh, vb, "id").write.mode("append")
+      .bucketBy(vb, "id").sortBy("id")
       .saveAsTable(s"${name}_vertices")
     // a genuinely-new vertex is its own weak component until an edge
     // arrives — O(batch) inserted rows, exactly what a rebuild would say
     if (hasComponents(spark, name))
-      fresh.select(col("id"), col("id").as("component"))
+      toBuckets(fresh.select(col("id"), col("id").as("component")),
+          tableBuckets(spark, s"${name}_components"), "id")
         .write.mode("append")
         .bucketBy(tableBuckets(spark, s"${name}_components"), "id").sortBy("id")
         .saveAsTable(s"${name}_components")
@@ -542,14 +634,24 @@ object GraphIO {
         (coalesce(col("o.in_degree"), lit(0L)) +
           coalesce(col("d.in_degree"), lit(0L))).as("in_degree"))
     val buckets = tableBuckets(spark, s"${name}_edges")
-    fresh.write.mode("append")
-      .bucketBy(buckets, "src").sortBy("src")
-      .saveAsTable(s"${name}_edges")
-    CatalogTables.stagedOverwrite(spark, s"${name}_degrees") { t =>
-      merged.write.mode("overwrite")
-        .bucketBy(buckets, "id").sortBy("id")
-        .saveAsTable(t)
-    }
+    // the batch-sized edge append and the degree fold are independent
+    // (fresh is pinned; merged reads the live degree table only) —
+    // concurrent job streams (guide §2.6, OPTIMIZATION_r18); the crash
+    // contract is the documented one either way (a stale cache is
+    // rebuilt by refreshDegrees)
+    inParallel(
+      () =>
+        fresh.transform(toBuckets(_, buckets, "src"))
+          .write.mode("append")
+          .bucketBy(buckets, "src").sortBy("src")
+          .saveAsTable(s"${name}_edges"),
+      () =>
+        CatalogTables.stagedOverwrite(spark, s"${name}_degrees") { t =>
+          merged.transform(toBuckets(_, buckets, "id"))
+            .write.mode("overwrite")
+            .bucketBy(buckets, "id").sortBy("id")
+            .saveAsTable(t)
+        })
 
     // component maintenance (opt-in, see [[buildComponents]]): appends
     // only MERGE components, so the whole update is (1) map the batch's
@@ -602,8 +704,9 @@ object GraphIO {
           val add = c.join(
             readForest(spark, name).select(col("src"), col("dst")),
             Seq("src", "dst"), "left_anti")
-          add.write.mode("append")
-            .bucketBy(tableBuckets(spark, s"${name}_forest"), "src").sortBy("src")
+          val fb0 = tableBuckets(spark, s"${name}_forest")
+          toBuckets(add, fb0, "src").write.mode("append")
+            .bucketBy(fb0, "src").sortBy("src")
             .saveAsTable(s"${name}_forest")
         }
         // the merge graph is batch-bounded by contract — a driver-side
@@ -646,7 +749,8 @@ object GraphIO {
             .select(col("id"),
               coalesce(col("_new"), col("component")).as("component"))
           CatalogTables.stagedOverwrite(spark, s"${name}_components") { t =>
-            relabeled.write.mode("overwrite")
+            relabeled.transform(toBuckets(_, buckets, "id"))
+              .write.mode("overwrite")
               .bucketBy(buckets, "id").sortBy("id")
               .saveAsTable(t)
           }
@@ -697,7 +801,8 @@ object GraphIO {
       }.toIndexedSeq: _*)
     val buckets = tableBuckets(spark, s"${name}_vertices")
     CatalogTables.stagedOverwrite(spark, s"${name}_vertices") { t =>
-      merged.write.mode("overwrite")
+      merged.transform(toBuckets(_, buckets, "id"))
+        .write.mode("overwrite")
         .bucketBy(buckets, "id").sortBy("id")
         .saveAsTable(t)
     }
@@ -888,7 +993,8 @@ object GraphIO {
     applyEdgeRemoval(spark, name, removed, kept)
     val buckets = tableBuckets(spark, s"${name}_vertices")
     CatalogTables.stagedOverwrite(spark, s"${name}_vertices") { t =>
-      keptV.write.mode("overwrite")
+      keptV.transform(toBuckets(_, buckets, "id"))
+        .write.mode("overwrite")
         .bucketBy(buckets, "id").sortBy("id")
         .saveAsTable(t)
     }
@@ -899,7 +1005,8 @@ object GraphIO {
         // the guard above), so no CC runs at all
         val cb = tableBuckets(spark, s"${name}_components")
         CatalogTables.stagedOverwrite(spark, s"${name}_components") { t =>
-          readComponents(spark, name).join(ids, Seq("id"), "left_anti")
+          toBuckets(readComponents(spark, name).join(ids, Seq("id"), "left_anti"),
+              cb, "id")
             .write.mode("overwrite").bucketBy(cb, "id").sortBy("id")
             .saveAsTable(t)
         }
@@ -911,6 +1018,7 @@ object GraphIO {
             // USING joins FRONT their keys — restore the stored column
             // order or the rewrite flips the table to (dst, src)
             .select(col("src"), col("dst"))
+            .transform(toBuckets(_, fb, "src"))
             .write.mode("overwrite").bucketBy(fb, "src").sortBy("src")
             .saveAsTable(t)
         }
@@ -926,7 +1034,8 @@ object GraphIO {
       val keptR = spark.table(s"${name}_ranks").join(ids, Seq("id"), "left_anti")
       val rb = tableBuckets(spark, s"${name}_ranks")
       CatalogTables.stagedOverwrite(spark, s"${name}_ranks") { t =>
-        keptR.write.mode("overwrite")
+        keptR.transform(toBuckets(_, rb, "id"))
+          .write.mode("overwrite")
           .bucketBy(rb, "id").sortBy("id")
           .saveAsTable(t)
       }
@@ -959,19 +1068,31 @@ object GraphIO {
         (col("o.in_degree") - coalesce(col("d.in_degree"), lit(0L)))
           .as("in_degree"))
       .filter(col("out_degree") > 0L || col("in_degree") > 0L)
-    // the conf scope must cover the ACTION: physical planning of the
-    // kept anti-join reads it when the staged write runs
+    // the two rewrites are independent (kept reads the live EDGE table;
+    // merged reads the live DEGREE table + the pinned removed delta) —
+    // concurrent job streams (guide §2.6, OPTIMIZATION_r18). Crash
+    // honesty is unchanged in kind: either table can now be the stale
+    // one after a crash mid-pair, and [[refreshDegrees]] rebuilds the
+    // degree cache from the edge table in both orders.
+    // the conf scope must cover the ACTIONS: physical planning of the
+    // kept anti-join reads it when its staged write runs (the conf is
+    // session-wide, so the worker thread sees it)
     withSubsetKeyCoPartition(spark) {
-      CatalogTables.stagedOverwrite(spark, s"${name}_edges") { t =>
-        kept.write.mode("overwrite")
-          .bucketBy(buckets, "src").sortBy("src")
-          .saveAsTable(t)
-      }
-    }
-    CatalogTables.stagedOverwrite(spark, s"${name}_degrees") { t =>
-      merged.write.mode("overwrite")
-        .bucketBy(buckets, "id").sortBy("id")
-        .saveAsTable(t)
+      inParallel(
+        () =>
+          CatalogTables.stagedOverwrite(spark, s"${name}_edges") { t =>
+            kept.transform(toBuckets(_, buckets, "src"))
+              .write.mode("overwrite")
+              .bucketBy(buckets, "src").sortBy("src")
+              .saveAsTable(t)
+          },
+        () =>
+          CatalogTables.stagedOverwrite(spark, s"${name}_degrees") { t =>
+            merged.transform(toBuckets(_, buckets, "id"))
+              .write.mode("overwrite")
+              .bucketBy(buckets, "id").sortBy("id")
+              .saveAsTable(t)
+          })
     }
   }
 
@@ -1060,7 +1181,8 @@ object GraphIO {
       .unionByName(repaired)
     val buckets = tableBuckets(spark, s"${name}_components")
     CatalogTables.stagedOverwrite(spark, s"${name}_components") { t =>
-      next.write.mode("overwrite")
+      next.transform(toBuckets(_, buckets, "id"))
+        .write.mode("overwrite")
         .bucketBy(buckets, "id").sortBy("id")
         .saveAsTable(t)
     }
@@ -1187,7 +1309,8 @@ object GraphIO {
       .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
     val fb = tableBuckets(spark, s"${name}_forest")
     CatalogTables.stagedOverwrite(spark, s"${name}_forest") { t =>
-      keptForest.unionByName(splice).write.mode("overwrite")
+      keptForest.unionByName(splice).transform(toBuckets(_, fb, "src"))
+        .write.mode("overwrite")
         .bucketBy(fb, "src").sortBy("src")
         .saveAsTable(t)
     }
@@ -1214,9 +1337,10 @@ object GraphIO {
     * frames). */
   def refreshDegrees(spark: SparkSession, name: String): Unit = mutate(spark, name) {
     val d = degreesOf(spark.table(s"${name}_edges"))
+    val db = tableBuckets(spark, s"${name}_edges")
     CatalogTables.stagedOverwrite(spark, s"${name}_degrees") { t =>
-      d.write.mode("overwrite")
-        .bucketBy(tableBuckets(spark, s"${name}_edges"), "id").sortBy("id")
+      toBuckets(d, db, "id").write.mode("overwrite")
+        .bucketBy(db, "id").sortBy("id")
         .saveAsTable(t)
     }
   }
@@ -1278,9 +1402,10 @@ object GraphIO {
   private def writeRanks(spark: SparkSession, name: String, ranks: DataFrame): Unit = {
     // PageRank's result is already pinned by its per-round checkpoint
     // policy; the staged write never reads the live rank table anyway
+    val rb = tableBuckets(spark, s"${name}_edges")
     CatalogTables.stagedOverwrite(spark, s"${name}_ranks") { t =>
-      ranks.write.mode("overwrite")
-        .bucketBy(tableBuckets(spark, s"${name}_edges"), "id").sortBy("id")
+      toBuckets(ranks, rb, "id").write.mode("overwrite")
+        .bucketBy(rb, "id").sortBy("id")
         .saveAsTable(t)
     }
   }
@@ -1374,13 +1499,15 @@ object GraphIO {
 
   /** Bucket count of an existing catalog table (so appends never have to
     * re-state — or mis-state — the write-time spec). */
-  private def tableBuckets(spark: SparkSession, table: String): Int = {
-    import org.apache.spark.sql.functions._
-    spark.sql(s"DESCRIBE TABLE EXTENDED $table")
-      .filter(col("col_name") === "Num Buckets")
-      .collect().headOption.map(_.getString(1).trim.toInt)
-      .getOrElse(32)
-  }
+  private def tableBuckets(spark: SparkSession, table: String): Int =
+    // direct catalog-metadata read (OPTIMIZATION_r18): the previous
+    // DESCRIBE ran a full SQL command + collect — tens of ms × the
+    // ~15 lookups a single lifecycle mutation makes
+    scala.util.Try(
+      spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .bucketSpec.map(_.numBuckets))
+      .toOption.flatten.getOrElse(32)
 
   /** Ingest a delimited edge-list text file (the SNAP/webgraph exchange
     * format): one `src<delim>dst` pair per line, `#` comment lines
